@@ -1,0 +1,19 @@
+"""Operator registry.
+
+Every analytics operator registers itself here as a named query:
+a callable ``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible)
+a DuckDB oracle SQL string producing identical columns/rows. The driver
+contract (``__spark_entry__.py``) simply re-exports these dicts.
+"""
+
+from gotsdb_spark.operators.registry import ORACLES, QUERIES, query
+
+# Import for registration side effects.
+from gotsdb_spark.operators import relational  # noqa: E402,F401
+from gotsdb_spark.operators import timeseries  # noqa: E402,F401
+from gotsdb_spark.operators import dedup  # noqa: E402,F401
+from gotsdb_spark.operators import similarity  # noqa: E402,F401
+from gotsdb_spark.operators import text  # noqa: E402,F401
+from gotsdb_spark.operators import multimodal  # noqa: E402,F401
+
+__all__ = ["QUERIES", "ORACLES", "query"]

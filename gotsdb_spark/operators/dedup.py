@@ -1,0 +1,316 @@
+"""Deduplication operators over the `documents` table: exact,
+MinHash+LSH, SimHash, and n-gram Jaccard (SURVEY.md §2.3, training-data
+pipeline surface).
+
+Determinism note: every hash used here is md5 over an explicit string —
+md5 produces identical hex in Spark and DuckDB, so the MinHash/SimHash
+pipelines are fully oracle-comparable (no engine-specific hash seeds).
+
+Scale notes (the whole point of MinHash/SimHash at 100 TB):
+- Exact dedup is a hash groupBy on md5(text): map-side partial agg, one
+  shuffle of 16-byte keys instead of full documents.
+- MinHash LSH is the sub-quadratic path: per-doc signatures (narrow),
+  band-bucket equi-join for candidates, Jaccard verification only on
+  candidates. Never an all-pairs cross join.
+- n-gram Jaccard's shared-shingle candidate join IS quadratic in the
+  worst case; it exists as the exact baseline the LSH variants are
+  validated against at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from gotsdb_spark.operators.registry import query
+from gotsdb_spark.sources.registry import load_table
+
+N_MINHASH = 8  # permutations (seeds)
+BAND_SIZE = 2  # seeds per LSH band → 4 bands; P(candidate) = 1-(1-J^2)^4
+
+
+def _word_shingles(k: int = 3) -> Column:
+    """k-word shingles of `text` as an array column (row-local, codegen)."""
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        )
+    )
+
+
+def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) — one row per distinct 3-word shingle per doc."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", F.explode(_word_shingles()).alias("sh"))
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS canonical_doc,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), keep canonical min doc_id.
+
+    The shuffle carries (16-byte hash, doc_id) pairs only — at 100 TB the
+    document bodies never move.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("canonical_doc"), F.count("*").alias("n_copies"))
+    )
+
+
+_MINHASH_ORACLE = f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), shingles AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(ws) - 2, 1)),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        FROM words
+      ) raw
+    ), sigs AS (
+      SELECT doc_id, s.seed,
+             min(md5(CAST(s.seed AS VARCHAR) || ':' || sh)) AS mh
+      FROM shingles, (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS seed) s
+      GROUP BY doc_id, s.seed
+    ), bands AS (
+      SELECT doc_id, seed // {BAND_SIZE} AS band_id,
+             string_agg(mh, '|' ORDER BY seed) AS sig
+      FROM sigs GROUP BY doc_id, seed // {BAND_SIZE}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ), inter AS (
+      SELECT doc_a, doc_b, count(*) AS n_common
+      FROM cand
+      JOIN shingles sa ON sa.doc_id = doc_a
+      JOIN shingles sb ON sb.doc_id = doc_b AND sa.sh = sb.sh
+      GROUP BY doc_a, doc_b
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+    )
+    SELECT doc_a, doc_b,
+           n_common * 1.0 / (za.n_sh + zb.n_sh - n_common) AS jaccard
+    FROM inter
+    JOIN sizes za ON za.doc_id = doc_a
+    JOIN sizes zb ON zb.doc_id = doc_b
+    WHERE n_common * 1.0 / (za.n_sh + zb.n_sh - n_common) >= 0.6
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection, Jaccard-verified.
+
+    Pipeline: 3-word shingles → 8 md5-min signatures → 4 bands of 2 →
+    equi-join on (band, signature) for candidates → exact Jaccard on the
+    candidates only → threshold 0.6.
+
+    This is the 100 TB dedup path: signature computation is a map-side
+    groupBy per doc; the candidate join is an equi-join on short strings;
+    verification touches only the candidate pairs (≈25 at sf0.01, not
+    the 125k all-pairs space).
+    """
+    sh = shingle_table(spark, sf_dir).cache()
+    seeds = spark.range(N_MINHASH).select(F.col("id").cast("int").alias("seed"))
+    sigs = (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh")))
+            ).alias("mh")
+        )
+    )
+    bands = (
+        sigs.withColumn("band_id", (F.col("seed") / BAND_SIZE).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda x: x.mh
+                ),
+                "|",
+            ).alias("sig")
+        )
+    )
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("band_id").alias("band_id2"), F.col("sig").alias("sig2")
+    )
+    cand = (
+        bands.join(
+            b2,
+            (bands.band_id == b2.band_id2)
+            & (bands.sig == b2.sig2)
+            & (bands.doc_id < b2.doc_b),
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jaccard = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(za), "doc_a")
+        .join(F.broadcast(zb), "doc_b")
+        .withColumn("jaccard", jaccard)
+        .where(F.col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+_SIMHASH_BITS = 32
+
+_SIMHASH_ORACLE = f"""
+    WITH tokens AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ) raw
+    ), bits AS (
+      SELECT doc_id, b.j,
+             sum(CASE WHEN substr(md5(w), b.j, 1) IN
+                        ('8','9','a','b','c','d','e','f')
+                      THEN 1 ELSE -1 END) AS s
+      FROM tokens, (SELECT unnest(generate_series(1, {_SIMHASH_BITS})) AS j) b
+      GROUP BY doc_id, b.j
+    ), hashes AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << (j - 1))
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id, simhash,
+           count(*) OVER (PARTITION BY simhash) AS n_same_hash
+    FROM hashes
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document.
+
+    Bit j of a token's hash = top bit of md5 hex nibble j (engine-
+    portable). The doc fingerprint sets bit j when the sum of ±1 votes
+    over distinct tokens is positive. Near-dups land at small Hamming
+    distance; identical fingerprints are surfaced via n_same_hash.
+
+    Scale: two map-side-combinable groupBys; the shuffle carries
+    (doc_id, 32 small ints) — document text never moves after
+    tokenization.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    tokens = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    positions = spark.range(1, _SIMHASH_BITS + 1).select(
+        F.col("id").cast("int").alias("j")
+    )
+    bits = (
+        tokens.crossJoin(F.broadcast(positions))
+        .groupBy("doc_id", "j")
+        .agg(
+            F.sum(
+                F.when(
+                    F.substr(F.md5("w"), F.col("j"), F.lit(1)).isin(
+                        "8", "9", "a", "b", "c", "d", "e", "f"
+                    ),
+                    1,
+                ).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    hashes = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.pow(F.lit(2.0), F.col("j") - 1).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("simhash")
+    )
+    return hashes.select(
+        "doc_id",
+        "simhash",
+        F.count("*").over(W.partitionBy("simhash")).alias("n_same_hash"),
+    )
+
+
+_NGRAM_ORACLE = """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), shingles AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(ws) - 2, 1)),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        FROM words
+      ) raw
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 5
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+    )
+    SELECT doc_a, doc_b,
+           n_common * 1.0 / (za.n_sh + zb.n_sh - n_common) AS jaccard
+    FROM inter
+    JOIN sizes za ON za.doc_id = doc_a
+    JOIN sizes zb ON zb.doc_id = doc_b
+    WHERE n_common * 1.0 / (za.n_sh + zb.n_sh - n_common) >= 0.6
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (baseline for the LSH path).
+
+    Candidates = pairs sharing ≥5 shingles (equi-join on shingle, then
+    HAVING). Worst-case quadratic — kept as the correctness baseline;
+    production scale uses dedup_minhash_lsh.
+    """
+    sh = shingle_table(spark, sf_dir).cache()
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = (
+        sh.join(sb, (F.col("sh") == F.col("sh_b")) & (F.col("doc_id") < F.col("doc_b")))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count("*").alias("n_common"))
+        .where(F.col("n_common") >= 5)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jaccard = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(za), "doc_a")
+        .join(F.broadcast(zb), "doc_b")
+        .withColumn("jaccard", jaccard)
+        .where(F.col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b", "jaccard")
+    )

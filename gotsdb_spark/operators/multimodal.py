@@ -1,0 +1,110 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decoded / feature-extracted via Arrow-batched mapInPandas.
+
+The image/audio codecs aren't in this container, so the *decode* step is
+a deterministic fake (md5-derived pseudo-dimensions) behind the same
+seam a real decoder would use — the Spark-side plumbing (binary column,
+schema, batch iteration, partitioning) is real and tested. A production
+deployment swaps `_fake_decode` for PIL/ffmpeg inside the same
+mapInPandas, nothing else changes.
+
+Scale: mapInPandas streams Arrow batches through Python — payload bytes
+are never materialized row-at-a-time, and each partition decodes
+independently (embarrassingly parallel across 1000 executors).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gotsdb_spark.operators.registry import query
+from gotsdb_spark.sources.registry import load_table
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, payload_len bigint, fingerprint string, width int, height int"
+)
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Attach an opaque binary column + typed metadata struct.
+
+    Models how a real pipeline carries images/audio: bytes next to
+    structured metadata, schema known to Spark, payload opaque to it.
+    """
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.octet_length("text").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[str, int, int]:
+    """Deterministic stand-in for an image decoder.
+
+    Returns (fingerprint, width, height) derived from md5 so the DuckDB
+    oracle can reproduce it. Real decode would raise on corrupt bytes;
+    see `decode_image` below for the gated real path.
+    """
+    h = hashlib.md5(payload).hexdigest()
+    width = (ord(h[0]) * 256 + ord(h[1])) % 1024
+    height = (ord(h[2]) * 256 + ord(h[3])) % 1024
+    return h, width, height
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode — requires PIL, not present in this container."""
+    raise NotImplementedError(
+        "image codecs are not installed in this environment; "
+        "swap _fake_decode for PIL.Image.open(io.BytesIO(payload)) in production"
+    )
+
+
+def extract_features(payloads: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = pdf["payload"].map(lambda b: _fake_decode(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload_len": pdf["payload"].map(len).astype("int64"),
+                    "fingerprint": decoded.map(lambda t: t[0]),
+                    "width": decoded.map(lambda t: t[1]).astype("int32"),
+                    "height": decoded.map(lambda t: t[2]).astype("int32"),
+                }
+            )
+
+    return payloads.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+           md5(text) AS fingerprint,
+           CAST((ascii(substr(md5(text), 1, 1)) * 256
+                 + ascii(substr(md5(text), 2, 1))) % 1024 AS INT) AS width,
+           CAST((ascii(substr(md5(text), 3, 1)) * 256
+                 + ascii(substr(md5(text), 4, 1))) % 1024 AS INT) AS height
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → mapInPandas decode → typed feature columns.
+
+    The only Pandas-UDF-path query in the suite — deliberately, to prove
+    the Arrow batch plumbing end-to-end against a SQL oracle.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    return extract_features(with_binary_payload(docs))

@@ -1,0 +1,269 @@
+"""Similarity search over the `embeddings` table (ARRAY<FLOAT>, 64-dim).
+
+Three tiers (SURVEY.md §2.3):
+- brute-force cosine top-k: the exact baseline (bounded query set ×
+  full scan — fine when the query side is small and broadcastable);
+- sign-random-projection LSH bucketing: the sub-quadratic scale path
+  (deterministic integer hyperplanes from md5 so the oracle matches);
+- within-bucket near-neighbor pairs: LSH candidates verified by cosine.
+
+All vector math uses built-in higher-order functions (zip_with /
+aggregate) — JVM-side, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from gotsdb_spark.operators.registry import query
+from gotsdb_spark.sources.registry import load_table
+
+N_PLANES = 8
+DIM = 64
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array columns (JVM-side)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+@query(
+    "sim_cosine_topk",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             label
+      FROM embeddings
+    ), queries AS (
+      SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id < 10
+    ), scored AS (
+      SELECT q_id, vec_id AS neighbor_id, label AS neighbor_label,
+             list_dot_product(qe, e) /
+               (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e)))
+               AS cos_sim
+      FROM queries JOIN emb ON vec_id <> q_id
+    )
+    SELECT q_id, neighbor_id, neighbor_label, cos_sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rn FROM scored
+    ) t WHERE rn <= 10
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for a small query set (vec_id < 10).
+
+    The query side is broadcast; each executor scans its slice of the
+    corpus once and emits per-query partial top-k via the row_number
+    window. Exact baseline for ANN recall checks.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    corpus = emb.select("vec_id", "embedding", "label")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("q_id", "neighbor_id", "neighbor_label", "cos_sim")
+    )
+
+
+# Deterministic pseudo-random hyperplanes: weight(p, d) = ascii of the
+# first hex char of md5('<p>_<d>') minus 70 (≈ the expected ascii value
+# over hex digits, so weights are roughly zero-centered integers). Both
+# engines compute the identical value → oracle-comparable LSH.
+_LSH_ORACLE = f"""
+    WITH planes AS (
+      SELECT p.p, d.d,
+             ascii(substr(md5(CAST(p.p AS VARCHAR) || '_' || CAST(d.d AS VARCHAR)), 1, 1)) - 70
+               AS wgt
+      FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS p) p,
+           (SELECT unnest(generate_series(1, {DIM})) AS d) d
+    ), comps AS (
+      SELECT vec_id, d.d, CAST(embedding[d.d] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS d) d
+    ), dots AS (
+      SELECT vec_id, p, sum(wgt * x) AS dot
+      FROM comps JOIN planes USING (d)
+      GROUP BY vec_id, p
+    )
+    SELECT vec_id,
+           CAST(sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+    FROM dots GROUP BY vec_id
+"""
+
+
+@query("sim_lsh_bucket", oracle=_LSH_ORACLE)
+def sim_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH: 8-bit bucket id per vector.
+
+    The scale path for ANN: bucket assignment is a row-local map over
+    each vector (no shuffle), and neighbor search then only joins within
+    buckets — 2^8 buckets turn an O(n²) search into O(n²/256) expected,
+    with multi-probe / more planes as the knobs at 100 TB.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    planes = [
+        [
+            _ascii_weight(p, d)
+            for d in range(1, DIM + 1)
+        ]
+        for p in range(N_PLANES)
+    ]
+    planes_lit = F.array(
+        *[F.array(*[F.lit(w) for w in row]) for row in planes]
+    )
+    dots = emb.select(
+        "vec_id",
+        F.transform(
+            planes_lit,
+            lambda plane: F.aggregate(
+                F.zip_with(
+                    plane, F.col("embedding"), lambda w, x: w * x.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ).alias("dots"),
+    )
+    bucket = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(N_PLANES - 1)),
+            lambda p: F.when(
+                F.element_at(F.col("dots"), p + 1) > 0,
+                F.pow(F.lit(2.0), p).cast("int"),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return dots.select("vec_id", bucket.cast("bigint").alias("bucket"))
+
+
+def _ascii_weight(p: int, d: int) -> int:
+    """Driver-side mirror of the oracle's md5-derived plane weight."""
+    import hashlib
+
+    h = hashlib.md5(f"{p}_{d}".encode()).hexdigest()
+    return ord(h[0]) - 70
+
+
+_LSH_PAIRS_ORACLE = f"""
+    WITH planes AS (
+      SELECT p.p, d.d,
+             ascii(substr(md5(CAST(p.p AS VARCHAR) || '_' || CAST(d.d AS VARCHAR)), 1, 1)) - 70
+               AS wgt
+      FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS p) p,
+           (SELECT unnest(generate_series(1, {DIM})) AS d) d
+    ), comps AS (
+      SELECT vec_id, d.d, CAST(embedding[d.d] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS d) d
+    ), dots AS (
+      SELECT vec_id, p, sum(wgt * x) AS dot
+      FROM comps JOIN planes USING (d)
+      GROUP BY vec_id, p
+    ), buckets AS (
+      SELECT vec_id, sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS bucket
+      FROM dots GROUP BY vec_id
+    ), emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_dot_product(ea.e, eb.e) /
+             (sqrt(list_dot_product(ea.e, ea.e)) * sqrt(list_dot_product(eb.e, eb.e)))
+             AS cos_sim
+    FROM buckets a
+    JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    JOIN emb ea ON ea.vec_id = a.vec_id
+    JOIN emb eb ON eb.vec_id = b.vec_id
+    WHERE list_dot_product(ea.e, eb.e) /
+            (sqrt(list_dot_product(ea.e, ea.e)) * sqrt(list_dot_product(eb.e, eb.e)))
+          >= 0.30
+"""
+
+
+@query("sim_lsh_near_pairs", oracle=_LSH_PAIRS_ORACLE)
+def sim_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vector pairs: LSH candidates → cosine ≥ 0.30.
+
+    Candidate generation is the bucket equi-join (sub-quadratic); the
+    expensive cosine runs only on same-bucket pairs. This is embedding-
+    based near-dup detection for a training-data pipeline.
+    """
+    buckets = sim_lsh_bucket(spark, sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = buckets.select(F.col("vec_id").alias("vec_a"), "bucket")
+    b = buckets.select(F.col("vec_id").alias("vec_b"), F.col("bucket").alias("bucket_b"))
+    cand = a.join(
+        b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b"))
+    ).select("vec_a", "vec_b")
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos_sim", cosine(F.col("e_a"), F.col("e_b")))
+        .where(F.col("cos_sim") >= 0.30)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+@query(
+    "sim_centroid_per_label",
+    oracle=f"""
+    WITH comps AS (
+      SELECT label, d.d, CAST(embedding[d.d] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS d) d
+    )
+    SELECT label, count(DISTINCT d) AS dim,
+           sum(x) AS sum_all, avg(abs(x)) AS avg_abs
+    FROM comps GROUP BY label
+    """,
+)
+def sim_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector statistics (centroid building block for IVF).
+
+    Demonstrates element-wise aggregation across array columns — the
+    same pattern an IVF coarse quantizer uses to maintain centroids.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    comps = emb.select(
+        "label", F.posexplode(F.col("embedding"))
+    ).select("label", (F.col("pos") + 1).alias("d"), F.col("col").cast("double").alias("x"))
+    return comps.groupBy("label").agg(
+        F.countDistinct("d").alias("dim"),
+        F.sum("x").alias("sum_all"),
+        F.avg(F.abs(F.col("x"))).alias("avg_abs"),
+    )

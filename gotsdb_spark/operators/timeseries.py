@@ -1,0 +1,344 @@
+"""Time-series operators: tumbling/sliding/session windows, gap-fill,
+as-of join (SURVEY.md §2.3).
+
+The reference is "a (soon to be timeseries) database" (reference
+README.md:3) with no time support at all (SURVEY.md §1.1 — nothing models
+time). This module supplies the TSDB surface it was heading toward.
+
+Scale notes:
+- All windowing uses event-time bucketing expressions (date_trunc /
+  F.window) that are pure row-local functions → no shuffle until the
+  aggregation itself, which is partial-aggregated map-side.
+- The as-of join avoids pairwise range explosion by using the
+  union+window trick: O(n log n) per key instead of O(n·m).
+- Gap-fill generates the calendar spine with sequence()+explode —
+  distributed, never a driver-side loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from gotsdb_spark.operators.registry import query
+from gotsdb_spark.sources.registry import load_table
+
+
+@query(
+    "ts_hourly_event_stats",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour,
+           event_type,
+           count(*)   AS n,
+           sum(value) AS sum_value,
+           avg(value) AS avg_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregation via date_trunc (row-local bucketing)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.avg("value").alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+@query(
+    "ts_sliding_window_revenue",
+    oracle="""
+    -- A 1h window sliding by 15m: each event belongs to exactly 4 windows
+    -- whose starts are floor(epoch/900)*900 - j*900, j in 0..3.
+    SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - j * 900)
+               AT TIME ZONE 'UTC' AS TIMESTAMP) AS window_start,
+           count(*)   AS n,
+           sum(value) AS sum_value
+    FROM events, unnest([0, 1, 2, 3]) AS t(j)
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def ts_sliding_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 hour, slide 15 min) over purchase events.
+
+    F.window() is the native Spark primitive — it expands each row into
+    its (window_len / slide) buckets before the partial aggregation, the
+    same shape the oracle reproduces with unnest.
+    """
+    ev = load_table(spark, "events", sf_dir).where(F.col("event_type") == "purchase")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "ts_sessionize_users",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             CAST(sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*)   AS n_events,
+           min(ts)    AS session_start,
+           max(ts)    AS session_end,
+           sum(value) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def ts_sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: 30-minute inactivity gap splits sessions.
+
+    The lag+cumsum idiom — one shuffle on user_id, two window passes,
+    then a partial-aggregated groupBy. (Streaming uses session_window,
+    see gotsdb_spark.streaming.)
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
+            > 1800.0,
+            1,
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    wc = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(wc))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum("value").alias("session_value"),
+    )
+
+
+@query(
+    "ts_gap_fill_daily",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(date_trunc('day', ts)) AS lo, max(date_trunc('day', ts)) AS hi
+      FROM events
+    ), spine AS (
+      SELECT et.event_type, CAST(g.d AS TIMESTAMP) AS day
+      FROM (SELECT DISTINCT event_type FROM events) et,
+           bounds, unnest(generate_series(bounds.lo, bounds.hi, INTERVAL 1 DAY)) AS g(d)
+    ), daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, sum(value) AS day_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.event_type, s.day,
+           coalesce(d.day_value, 0.0) AS day_value,
+           d.day_value IS NULL AS was_gap
+    FROM spine s LEFT JOIN daily d
+      ON s.event_type = d.event_type AND s.day = d.day
+    """,
+)
+def ts_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill / resample: dense daily spine per event_type, zero-filled.
+
+    The spine is sequence()+explode over the global [min,max] day range —
+    generated distributed, broadcast-joined back (tiny vs the fact side).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum("value").alias("day_value"))
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
+            F.col("day_value").isNull().alias("was_gap"),
+        )
+    )
+
+
+@query(
+    "ts_locf_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(date_trunc('day', ts)) AS lo, max(date_trunc('day', ts)) AS hi
+      FROM events WHERE event_type = 'purchase'
+    ), spine AS (
+      SELECT CAST(d AS TIMESTAMP) AS day
+      FROM bounds, unnest(generate_series(bounds.lo, bounds.hi, INTERVAL 1 DAY)) AS g(d)
+    ), daily AS (
+      SELECT date_trunc('day', ts) AS day, avg(value) AS day_avg
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT day,
+           last_value(day_avg IGNORE NULLS) OVER (
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_avg
+    FROM spine LEFT JOIN daily USING (day)
+    """,
+)
+def ts_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF (last-observation-carried-forward) fill over a daily spine.
+
+    F.last(ignorenulls=True) over an unbounded-preceding frame is the
+    TSDB 'fill previous' idiom. Single unpartitioned window is fine here
+    because the spine is one row per day (tiny even for decades); per-key
+    variants partition by the series key.
+    """
+    ev = load_table(spark, "events", sf_dir).where(F.col("event_type") == "purchase")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.avg("value").alias("day_avg")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        spine.join(daily, ["day"], "left")
+        .select("day", F.last("day_avg", ignorenulls=True).over(w).alias("filled_avg"))
+    )
+
+
+@query(
+    "ts_asof_join_last_error",
+    oracle="""
+    SELECT p.event_id, p.ts, p.user_id, p.value, e.ts AS last_error_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id AND p.ts >= e.ts
+    """,
+)
+def ts_asof_join_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase ↔ the most recent error for that user.
+
+    Spark lacks a native ASOF JOIN; the scalable idiom is union+window:
+    tag both sides, union, sort within user_id by ts, and carry the last
+    right-side timestamp forward. O(n log n) per key, one shuffle — never
+    the O(n·m) pairwise range join.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value", F.lit(1).alias("is_left")
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "ts",
+        "user_id",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("is_left"),
+    )
+    # Right rows sort before left rows at equal ts (is_left ASC) so an
+    # error at exactly p.ts is visible to the purchase (>= semantics).
+    unioned = purchases.unionByName(errors)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_left")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.withColumn(
+        "last_error_ts",
+        F.last(F.when(F.col("is_left") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return carried.where(F.col("is_left") == 1).select(
+        "event_id", "ts", "user_id", "value", "last_error_ts"
+    )
+
+
+@query(
+    "ts_moving_average",
+    oracle="""
+    SELECT user_id, event_id, ts, value,
+           avg(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+           ) AS ma10
+    FROM events
+    """,
+)
+def ts_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-row trailing moving average per user (ROWS frame)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-9, W.currentRow)
+    return ev.select(
+        "user_id", "event_id", "ts", "value", F.avg("value").over(w).alias("ma10")
+    )
+
+
+@query(
+    "ts_range_join_event_order_day",
+    oracle="""
+    SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate
+    FROM events e
+    JOIN orders o
+      ON e.user_id = o.o_custkey
+     AND o.o_orderdate >= ts - INTERVAL 10000 DAY
+     AND o.o_orderdate <  ts
+    """,
+)
+def ts_range_join_event_order_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: orders within a trailing window of each event.
+
+    The equi-part (user_id = o_custkey) keys the shuffle; the range
+    predicate is applied post-join. At 100 TB you'd additionally bucket
+    both sides by the time range to bound the per-key fan-out.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        ev.join(
+            orders,
+            (ev.user_id == orders.o_custkey)
+            & (orders.o_orderdate >= F.col("ts") - F.expr("INTERVAL 10000 DAY"))
+            & (orders.o_orderdate < F.col("ts")),
+        )
+        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+    )

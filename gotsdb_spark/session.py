@@ -1,0 +1,62 @@
+"""SparkSession factory.
+
+Single place where execution-relevant configuration lives so every entry
+point (tests, bench, driver contract) runs with the same, scale-aware
+settings:
+
+- AQE on (runtime join-strategy switch, skew-join splitting, partition
+  coalescing) — at 100 TB the static plan is always wrong somewhere.
+- shuffle.partitions sized to local cores for the test harness; on a real
+  cluster AQE coalescing makes the initial number mostly a ceiling.
+- UTC session timezone pinned so results hash-match the DuckDB oracle
+  (DuckDB timestamps are UTC-naive).
+- Arrow enabled for every pandas_udf / applyInPandas boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "gotsdb_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the configured SparkSession."""
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # Fixture `events` carries parquet TIMESTAMP(NANOS); Spark has no
+        # nanosecond timestamp type, so read as long and convert in
+        # sources.registry.load_table (truncating to micros, matching the
+        # DuckDB oracle's CAST(ts AS TIMESTAMP)).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure_for_scale(spark: SparkSession, target_bytes: int) -> None:
+    """Re-tune shuffle parallelism for a given input size.
+
+    Rule of thumb: ~128 MiB per shuffle partition post-filter. With AQE
+    coalescing enabled this sets a ceiling, not an exact count, so erring
+    high is cheap. On a 1000-executor cluster reading 100 TB you'd want
+    O(100k) shuffle partitions; locally the driver clamps to cores*4.
+    """
+    per_part = 128 * 1024 * 1024
+    n = max(DEFAULT_CPUS, min(200_000, target_bytes // per_part))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
