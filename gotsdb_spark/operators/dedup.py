@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from gotsdb_spark.operators.registry import query
-from gotsdb_spark.sources.registry import load_table
+from gotsdb_spark.sources.registry import fan_out, load_table
 
 N_MINHASH = 8  # permutations (seeds)
 BAND_SIZE = 2  # seeds per LSH band → 4 bands; P(candidate) = 1-(1-J^2)^4
@@ -44,7 +44,7 @@ def _word_shingles(k: int = 3) -> Column:
 
 def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh) — one row per distinct 3-word shingle per doc."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = fan_out(load_table(spark, "documents", sf_dir))
     return docs.select("doc_id", F.explode(_word_shingles()).alias("sh"))
 
 
@@ -128,28 +128,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 125k all-pairs space).
     """
     sh = shingle_table(spark, sf_dir).cache()
-    seeds = spark.range(N_MINHASH).select(F.col("id").cast("int").alias("seed"))
-    sigs = (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh")))
-            ).alias("mh")
-        )
+    # All N_MINHASH min-hashes in ONE map-side-combinable aggregation —
+    # no seed cross-join (which would shuffle N_MINHASH× the shingle
+    # rows). The md5s are row-local expressions inside the partial agg.
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"mh{s}")
+            for s in range(N_MINHASH)
+        ]
     )
-    bands = (
-        sigs.withColumn("band_id", (F.col("seed") / BAND_SIZE).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda x: x.mh
-                ),
-                "|",
-            ).alias("sig")
-        )
+    n_bands = N_MINHASH // BAND_SIZE
+    band_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * BAND_SIZE + i}") for i in range(BAND_SIZE)]
+                ).alias("sig"),
+            )
+            for b in range(n_bands)
+        ]
     )
+    bands = sigs.select(
+        "doc_id", F.explode(band_sigs).alias("bs")
+    ).select("doc_id", F.col("bs.band_id").alias("band_id"), F.col("bs.sig").alias("sig"))
     b2 = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("band_id").alias("band_id2"), F.col("sig").alias("sig2")
     )
@@ -223,7 +225,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, 32 small ints) — document text never moves after
     tokenization.
     """
-    docs = load_table(spark, "documents", sf_dir)
+    docs = fan_out(load_table(spark, "documents", sf_dir))
     tokens = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gotsdb_spark.operators.registry import query
-from gotsdb_spark.sources.registry import load_table
+from gotsdb_spark.sources.registry import fan_out, load_table
 
 FEATURE_SCHEMA = (
     "doc_id bigint, payload_len bigint, fingerprint string, width int, height int"
@@ -106,5 +106,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     The only Pandas-UDF-path query in the suite — deliberately, to prove
     the Arrow batch plumbing end-to-end against a SQL oracle.
     """
-    docs = load_table(spark, "documents", sf_dir)
+    # Cap the fan-out: each partition costs a Python worker; 8 keeps the
+    # Arrow batches large enough to amortize worker startup locally.
+    docs = fan_out(load_table(spark, "documents", sf_dir), n=8)
     return extract_features(with_binary_payload(docs))

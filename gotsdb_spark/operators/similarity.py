@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from gotsdb_spark.operators.registry import query
-from gotsdb_spark.sources.registry import load_table
+from gotsdb_spark.sources.registry import fan_out, load_table
 
 N_PLANES = 8
 DIM = 64
@@ -77,7 +77,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus once and emits per-query partial top-k via the row_number
     window. Exact baseline for ANN recall checks.
     """
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = fan_out(load_table(spark, "embeddings", sf_dir))
     corpus = emb.select("vec_id", "embedding", "label")
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
@@ -133,7 +133,7 @@ def sim_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets — 2^8 buckets turn an O(n²) search into O(n²/256) expected,
     with multi-probe / more planes as the knobs at 100 TB.
     """
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = fan_out(load_table(spark, "embeddings", sf_dir))
     planes = [
         [
             _ascii_weight(p, d)

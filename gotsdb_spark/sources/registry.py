@@ -61,6 +61,20 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return df
 
 
+def fan_out(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism.
+
+    The fixture tables are single parquet files, which Spark scans as 1-2
+    partitions — CPU-heavy row-local operators (hashing, vector math,
+    Pandas UDF decode) would then run on 1-2 cores. On a real cluster the
+    input is already thousands of splits and this is a cheap no-op-ish
+    rebalance; locally it unlocks all cores. Use ONLY ahead of expensive
+    per-row compute — a plain filter/agg doesn't warrant the shuffle.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(n or sc.defaultParallelism)
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every fixture table as a temp view for spark.sql()."""
     for name in TABLES:
