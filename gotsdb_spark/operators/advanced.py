@@ -1,0 +1,424 @@
+"""Advanced operator coverage: subqueries, range frames, ntile /
+percent_rank, date/time functions, unpivot, higher-order array and map
+functions, deterministic sampling, string distance, and an IVF-style
+ANN centroid assignment (SURVEY.md §2.3 long tail).
+
+Same contract as the other operator modules: DataFrame-first, DuckDB
+oracle for everything deterministic, scale notes where the plan shape
+matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from gotsdb_spark.operators.registry import query
+from gotsdb_spark.sources.registry import fan_out, load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+@query(
+    "scalar_subquery_above_avg",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: customers above the global average balance.
+
+    Catalyst plans the subquery as a broadcast of one row — the fact
+    side is scanned once; no per-row re-evaluation.
+    """
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        """
+    )
+
+
+@query(
+    "correlated_exists_big_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_totalprice > 2 * (
+          SELECT avg(o_totalprice) FROM orders oo WHERE oo.o_custkey = o.o_custkey
+        )
+    )
+    """,
+)
+def correlated_exists_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with a correlated scalar subquery: customers
+    with at least one order over 2× their own average.
+
+    Catalyst decorrelates both subqueries into aggregates + joins — the
+    rewrite the reference has no machinery for (SURVEY.md §4.2).
+    """
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_totalprice > 2 * (
+              SELECT avg(o_totalprice) FROM orders oo WHERE oo.o_custkey = o.o_custkey
+            )
+        )
+        """
+    )
+
+
+@query(
+    "window_range_frame_price_band",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(count(*) OVER (
+             ORDER BY o_totalprice
+             RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING
+           ) AS BIGINT) AS n_in_band
+    FROM orders
+    """,
+)
+def window_range_frame_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering: how many orders fall within
+    ±1000 of each order's price. (Unpartitioned window — fine while the
+    output is one value per row of a single sortable stream; a 100 TB
+    variant partitions by a coarse price bucket first.)"""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice").rangeBetween(-1000, 1000)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_in_band"),
+    )
+
+
+@query(
+    "window_ntile_percentrank",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_ntile_percentrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist."""
+    cust = _t(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "date_parts_shipping_delay",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT)    AS order_year,
+           CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+           o_orderpriority,
+           avg(CAST(datediff('day', o_orderdate, l_shipdate) AS INT)) AS avg_delay_days,
+           CAST(max(datediff('day', o_orderdate, l_shipdate)) AS INT) AS max_delay_days,
+           count(*) AS n
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def date_parts_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + datediff over the order→ship interval."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.avg(F.datediff("l_shipdate", "o_orderdate")).alias("avg_delay_days"),
+            F.max(F.datediff("l_shipdate", "o_orderdate")).alias("max_delay_days"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "unpivot_part_attrs",
+    oracle="""
+    SELECT p_partkey, attr, val FROM (
+      SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part
+    ) u
+    """,
+)
+def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (stack): wide attribute columns → (attr, val) rows."""
+    part = _t(spark, sf_dir, "part")
+    return part.selectExpr(
+        "p_partkey",
+        "stack(2, 'size', CAST(p_size AS DOUBLE), 'retailprice', p_retailprice)"
+        " AS (attr, val)",
+    )
+
+
+@query(
+    "higher_order_array_funcs",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(ws, w -> length(w) > 4)) AS INT) AS n_long_words,
+           CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum') AS BIGINT)
+             AS total_chars,
+           array_to_string(list_sort(list_distinct(ws))[1:3], ',') AS first3_sorted,
+           upper(ws[1]) AS first_word_upper
+    FROM t
+    """,
+)
+def higher_order_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array algebra: filter / transform / aggregate /
+    sort / slice — all JVM-side lambda expressions, no UDFs."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(ws, lambda w: F.length(w) > 4)).alias("n_long_words"),
+        F.aggregate(
+            F.transform(ws, lambda w: F.length(w).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(ws)), 1, 3), ","
+        ).alias("first3_sorted"),
+        F.upper(F.element_at(ws, 1)).alias("first_word_upper"),
+    )
+
+
+@query(
+    "map_funcs_props",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(len(json_keys(props))) AS BIGINT) AS total_keys,
+           min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def map_funcs_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-as-map: parse props into MAP<STRING,INT>, use map_keys +
+    element access — the schemaless-JSON idiom at scan speed."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "MAP<STRING, INT>")
+    return (
+        ev.select("event_type", F.size(F.map_keys(m)).alias("nk"), m["k"].alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("nk").alias("total_keys"),
+            F.min("k").alias("min_k"),
+        )
+    )
+
+
+@query(
+    "deterministic_sample_agg",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_sampled,
+           sum(l_quantity) AS qty_sampled
+    FROM lineitem
+    WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 1)
+          IN ('0', '1')
+    GROUP BY l_returnflag
+    """,
+)
+def deterministic_sample_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucket sampling: a deterministic, engine-portable 1/8 sample
+    keyed on the row identity (md5 prefix ∈ {0,1}).
+
+    The 100 TB pattern for repeatable samples: no RNG state, no seed
+    coordination across engines/runs, pushes down as a cheap filter.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.substring(
+        F.md5(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit("-"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+        1,
+        1,
+    )
+    return (
+        li.where(bucket.isin("0", "1"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_sampled"), F.sum("l_quantity").alias("qty_sampled"))
+    )
+
+
+@query(
+    "string_distance_types",
+    oracle="""
+    SELECT p_partkey,
+           CAST(levenshtein(p_type, 'STANDARD') AS INT) AS lev_standard,
+           CAST(levenshtein(p_brand, 'Brand#1') AS INT) AS lev_brand1
+    FROM part
+    """,
+)
+def string_distance_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance scoring (levenshtein is built-in in both engines)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.levenshtein("p_type", F.lit("STANDARD")).alias("lev_standard"),
+        F.levenshtein("p_brand", F.lit("Brand#1")).alias("lev_brand1"),
+    )
+
+
+_IVF_ORACLE = """
+    WITH comps AS (
+      SELECT vec_id, label, d.d, CAST(embedding[d.d] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS d) d
+    ), centroids AS (
+      SELECT label AS c_label, d, avg(x) AS cx
+      FROM comps GROUP BY label, d
+    ), dists AS (
+      SELECT v.vec_id, v.label, c.c_label,
+             sum((v.x - c.cx) * (v.x - c.cx)) AS d2
+      FROM comps v JOIN centroids c USING (d)
+      GROUP BY v.vec_id, v.label, c.c_label
+    ), best AS (
+      SELECT vec_id, label, min(d2) AS min_d2 FROM dists GROUP BY vec_id, label
+    )
+    SELECT b.vec_id,
+           b.label AS true_label,
+           CAST(min(d.c_label) AS INT) AS assigned_label,
+           min(d.c_label) = b.label AS correct
+    FROM best b JOIN dists d
+      ON d.vec_id = b.vec_id AND d.d2 = b.min_d2
+    GROUP BY b.vec_id, b.label
+"""
+
+
+@query("ann_ivf_assign", oracle=_IVF_ORACLE)
+def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: per-label centroids → nearest-centroid
+    assignment (L2), with deterministic tie-break on the smallest label.
+
+    This is the scale path for ANN search: centroids are a tiny
+    broadcast table; each vector computes k distances locally (one map),
+    and a full IVF search then probes only the assigned cell's inverted
+    list. Accuracy vs the labels doubles as a recall sanity check.
+    """
+    emb = fan_out(load_table(spark, "embeddings", sf_dir))
+    comps = emb.select(
+        "vec_id", "label", F.posexplode("embedding")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("d"),
+        F.col("col").cast("double").alias("x"),
+    )
+    centroids = comps.groupBy(F.col("label").alias("c_label"), "d").agg(
+        F.avg("x").alias("cx")
+    )
+    dists = (
+        comps.join(F.broadcast(centroids), "d")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))).alias("d2"))
+    )
+    best = dists.groupBy("vec_id", "label").agg(F.min("d2").alias("min_d2"))
+    return (
+        best.join(
+            dists.select(
+                F.col("vec_id").alias("v2"), F.col("d2"), F.col("c_label")
+            ),
+            (F.col("vec_id") == F.col("v2")) & (F.col("d2") == F.col("min_d2")),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.min("c_label").cast("int").alias("assigned_label"))
+        .select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            "assigned_label",
+            (F.col("assigned_label") == F.col("label")).alias("correct"),
+        )
+    )
+
+
+@query(
+    "top_event_per_user_day",
+    oracle="""
+    SELECT user_id, day, event_id, value FROM (
+      SELECT user_id, date_trunc('day', ts) AS day, event_id, value,
+             row_number() OVER (
+               PARTITION BY user_id, date_trunc('day', ts)
+               ORDER BY value DESC, event_id
+             ) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def top_event_per_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax per (user, day): composite-key top-1 window."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    w = W.partitionBy("user_id", F.date_trunc("day", "ts")).orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", day, "event_id", "value")
+    )
+
+
+@query(
+    "pivot_event_counts_per_user",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS n_click,
+           count(*) FILTER (event_type = 'view')     AS n_view,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type = 'signup')   AS n_signup,
+           count(*) FILTER (event_type = 'error')    AS n_error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_event_counts_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with known categories → conditional aggregation, one pass."""
+    ev = _t(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
