@@ -355,21 +355,18 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "label", "c_label")
         .agg(F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))).alias("d2"))
     )
-    best = dists.groupBy("vec_id", "label").agg(F.min("d2").alias("min_d2"))
+    # Argmin via one window pass (tie-break: smallest label) — avoids the
+    # groupBy-min + self-join shape, which costs two extra shuffles and a
+    # re-scan of the distance table.
+    w = W.partitionBy("vec_id", "label").orderBy("d2", "c_label")
     return (
-        best.join(
-            dists.select(
-                F.col("vec_id").alias("v2"), F.col("d2"), F.col("c_label")
-            ),
-            (F.col("vec_id") == F.col("v2")) & (F.col("d2") == F.col("min_d2")),
-        )
-        .groupBy("vec_id", "label")
-        .agg(F.min("c_label").cast("int").alias("assigned_label"))
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
         .select(
             "vec_id",
             F.col("label").alias("true_label"),
-            "assigned_label",
-            (F.col("assigned_label") == F.col("label")).alias("correct"),
+            F.col("c_label").cast("int").alias("assigned_label"),
+            (F.col("c_label") == F.col("label")).alias("correct"),
         )
     )
 

@@ -1,0 +1,19 @@
+from gotsdb_spark.plans.inspect import (
+    broadcast_join_count,
+    formatted_plan,
+    has_cartesian_product,
+    plan_report,
+    pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+)
+
+__all__ = [
+    "formatted_plan",
+    "pushed_filters",
+    "read_schema_columns",
+    "broadcast_join_count",
+    "shuffle_count",
+    "has_cartesian_product",
+    "plan_report",
+]

@@ -1,0 +1,76 @@
+"""Physical-plan inspection: the feedback loop for scale tuning.
+
+The reference has no plans at all (SURVEY.md §4.1 — hard-coded control
+flow); here every operator is declarative and these helpers make the
+resulting physical plan testable: predicate pushdown reached the scan,
+dimensions broadcast, no accidental cartesian products, shuffle counts
+bounded. tests/test_plans.py pins these properties so a refactor that
+silently de-optimizes a plan fails CI, not the 100 TB run.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The EXPLAIN FORMATTED text of the physical plan (no execution)."""
+    spark = df.sparkSession
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All parquet-pushed predicates across the plan's scans."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df)):
+        body = m.group(1).strip()
+        if body:
+            # split on top-level commas (filter exprs contain no nesting
+            # beyond parens without commas-in-brackets)
+            out.extend(p.strip() for p in re.split(r",(?![^(]*\))", body))
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column lists actually read by each scan (pruning check)."""
+    cols: list[list[str]] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", formatted_plan(df)):
+        fields = [f.split(":")[0].strip() for f in m.group(1).split(",") if f.strip()]
+        cols.append(fields)
+    return cols
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    return len(re.findall(r"\bBroadcastHashJoin\b", formatted_plan(df)))
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of distinct Exchange (shuffle) operators in the plan tree."""
+    plan = formatted_plan(df)
+    # The operator-tree section lists each node once as "(n) Exchange";
+    # AQE summaries repeat names, so count tree nodes only.
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def has_cartesian_product(df: DataFrame) -> bool:
+    return "CartesianProduct" in formatted_plan(df) or "BroadcastNestedLoopJoin" in (
+        formatted_plan(df)
+    )
+
+
+def plan_report(df: DataFrame) -> dict:
+    """One-line plan-health summary (used by tools/plan_audit.py)."""
+    plan = formatted_plan(df)
+    return {
+        "shuffles": len(re.findall(r"\(\d+\) Exchange\b", plan)),
+        "broadcast_joins": len(re.findall(r"\(\d+\) BroadcastHashJoin\b", plan)),
+        "sortmerge_joins": len(re.findall(r"\(\d+\) SortMergeJoin\b", plan)),
+        "cartesian": "CartesianProduct" in plan,
+        "nested_loop": "BroadcastNestedLoopJoin" in plan,
+        "codegen_stages": len(set(re.findall(r"codegen id : (\d+)", plan))),
+        "python_stages": len(re.findall(r"\(\d+\) (?:MapInPandas|ArrowEvalPython|FlatMapGroupsInPandas)", plan)),
+        "scans": len(re.findall(r"\(\d+\) Scan parquet", plan)),
+    }

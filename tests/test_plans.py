@@ -1,0 +1,75 @@
+"""Plan-quality regression tests: pushdown, pruning, broadcast, no
+cartesian blowups. These pin the *physical* properties that make the
+operators viable at 100 TB — a change that silently drops one fails
+here, not on the cluster."""
+
+from gotsdb_spark.operators import QUERIES
+from gotsdb_spark.plans import (
+    broadcast_join_count,
+    has_cartesian_product,
+    pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q6_filters_reach_parquet_scan(spark):
+    df = QUERIES["q6_forecast_revenue"](spark, SF)
+    pf = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pf, f"{col} not pushed to scan: {pf}"
+
+
+def test_q6_column_pruning(spark):
+    df = QUERIES["q6_forecast_revenue"](spark, SF)
+    scans = read_schema_columns(df)
+    assert scans, "no parquet scans found"
+    # 4 needed columns, not all 11 of lineitem
+    assert all(len(cols) <= 4 for cols in scans), scans
+
+
+def test_q5_star_join_broadcasts_dimensions(spark):
+    df = QUERIES["q5_local_supplier_volume"](spark, SF)
+    # 5 dimension joins (customer/supplier/nation/region + the
+    # supplier-nation equi-pair) must all be broadcast
+    assert broadcast_join_count(df) >= 4
+    assert not has_cartesian_product(df)
+
+
+def test_q1_single_shuffle(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF)
+    # partial agg → exchange → final agg: exactly one shuffle
+    assert shuffle_count(df) == 1
+
+
+def test_topk_no_global_sort(spark):
+    df = QUERIES["topk_orders_per_customer"](spark, SF)
+    # one shuffle on the window partition key, and no whole-dataset
+    # Exchange rangepartitioning (global sort)
+    from gotsdb_spark.plans import formatted_plan
+
+    plan = formatted_plan(df)
+    assert "rangepartitioning" not in plan.lower()
+    assert shuffle_count(df) == 1
+
+
+def test_top_accounts_uses_take_ordered(spark):
+    from gotsdb_spark.plans import formatted_plan
+
+    df = QUERIES["top_accounts_global"](spark, SF)
+    # ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    # top-k + merge), never a full sort
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_dedup_minhash_no_cartesian(spark):
+    df = QUERIES["dedup_minhash_lsh"](spark, SF)
+    assert not has_cartesian_product(df)
+
+
+def test_events_scan_prunes_for_json_query(spark):
+    df = QUERIES["json_props_extract"](spark, SF)
+    scans = read_schema_columns(df)
+    assert all(set(c) <= {"event_type", "props"} for c in scans), scans
