@@ -19,10 +19,11 @@ Scale notes (the whole point of MinHash/SimHash at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from gotsdb_spark.functions import word_shingles
 from gotsdb_spark.operators.registry import query
 from gotsdb_spark.sources.registry import fan_out, load_table
 
@@ -30,22 +31,10 @@ N_MINHASH = 8  # permutations (seeds)
 BAND_SIZE = 2  # seeds per LSH band → 4 bands; P(candidate) = 1-(1-J^2)^4
 
 
-def _word_shingles(k: int = 3) -> Column:
-    """k-word shingles of `text` as an array column (row-local, codegen)."""
-    words = F.split(F.col("text"), " ")
-    n = F.size(words)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
-        )
-    )
-
-
 def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh) — one row per distinct 3-word shingle per doc."""
     docs = fan_out(load_table(spark, "documents", sf_dir))
-    return docs.select("doc_id", F.explode(_word_shingles()).alias("sh"))
+    return docs.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("sh"))
 
 
 @query(

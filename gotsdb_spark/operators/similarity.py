@@ -13,38 +13,16 @@ aggregate) — JVM-side, no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from gotsdb_spark.functions import cosine
 from gotsdb_spark.operators.registry import query
 from gotsdb_spark.sources.registry import fan_out, load_table
 
 N_PLANES = 8
 DIM = 64
-
-
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def _norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-
-
-def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity between two array columns (JVM-side)."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
 
 
 @query(

@@ -1,0 +1,83 @@
+"""Additional batch formats + the partitioned warehouse layout.
+
+The reference's only format is a gob blob per collection
+(cold.go:111-154). Here Parquet is primary (registry.py), with CSV and
+JSON read/write for interchange, and — the piece that matters at
+100 TB — a date-partitioned event layout so queries with time
+predicates prune whole directories before any I/O happens.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gotsdb_spark.sources.registry import load_table
+
+_READERS = ("parquet", "csv", "json")
+
+
+def read_any(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema=None
+) -> DataFrame:
+    """Read parquet/csv/json with an explicit schema (never inference in
+    production paths — inference is a full extra pass over the data)."""
+    if fmt not in _READERS:
+        raise ValueError(f"unsupported format {fmt!r}; supported: {_READERS}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        return reader.option("header", "true").csv(path)
+    if fmt == "json":
+        return reader.json(path)
+    return reader.parquet(path)
+
+
+def write_any(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    if fmt not in _READERS:
+        raise ValueError(f"unsupported format {fmt!r}; supported: {_READERS}")
+    writer = df.write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", "true").csv(path)
+    elif fmt == "json":
+        writer.json(path)
+    else:
+        writer.parquet(path)
+
+
+def write_events_partitioned(
+    spark: SparkSession, sf_dir: str, out_path: str
+) -> str:
+    """Materialize `events` in the at-scale layout: partitioned by event
+    date (`dt=YYYY-MM-DD/` directories).
+
+    This is the 100 TB design point for the time-series tables: any
+    query with a ts predicate prunes partitions at planning time (zero
+    I/O for skipped days), compaction/retention work per-partition, and
+    ingest appends only to the current day. SURVEY.md §4.3.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    (
+        ev.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+        .repartition("dt")  # one writer wave per partition, no tiny files
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .parquet(out_path)
+    )
+    return out_path
+
+
+def read_events_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read the partitioned layout; `dt` filters prune directories."""
+    return spark.read.parquet(path)
+
+
+def list_partitions(path: str) -> list[str]:
+    return sorted(
+        e.split("=", 1)[1]
+        for e in os.listdir(path)
+        if e.startswith("dt=") and os.path.isdir(os.path.join(path, e))
+    )

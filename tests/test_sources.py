@@ -1,0 +1,59 @@
+"""Source/sink tests: CSV/JSON round-trips and the partitioned event
+layout with partition pruning."""
+
+from pyspark.sql import functions as F
+
+from gotsdb_spark.plans import formatted_plan
+from gotsdb_spark.sources.formats import (
+    list_partitions,
+    read_any,
+    read_events_partitioned,
+    write_any,
+    write_events_partitioned,
+)
+from gotsdb_spark.sources.registry import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_csv_round_trip(spark, tmp_path):
+    nation = load_table(spark, "nation", SF)
+    path = str(tmp_path / "nation_csv")
+    write_any(nation, path, "csv")
+    back = read_any(spark, path, "csv", schema=nation.schema)
+    assert back.schema == nation.schema
+    assert sorted(r["n_name"] for r in back.collect()) == sorted(
+        r["n_name"] for r in nation.collect()
+    )
+
+
+def test_json_round_trip(spark, tmp_path):
+    region = load_table(spark, "region", SF)
+    path = str(tmp_path / "region_json")
+    write_any(region, path, "json")
+    back = read_any(spark, path, "json", schema=region.schema)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in region.collect()}
+
+
+def test_partitioned_layout_and_pruning(spark, tmp_path):
+    out = write_events_partitioned(spark, SF, str(tmp_path / "events_part"))
+    days = list_partitions(out)
+    assert len(days) >= 28  # ~a month of event days
+
+    part = read_events_partitioned(spark, out)
+    one_day = part.where(F.col("dt") == days[0])
+    # the dt predicate must become a partition filter (planning-time
+    # pruning), not a data filter after a full scan
+    plan = formatted_plan(one_day)
+    assert "PartitionFilters" in plan and "dt" in plan.split("PartitionFilters", 1)[1][:200]
+    # and the counts must agree with the unpartitioned source
+    ev = load_table(spark, "events", SF)
+    want = ev.where(F.date_format("ts", "yyyy-MM-dd") == days[0]).count()
+    assert one_day.count() == want
+
+
+def test_partitioned_total_preserved(spark, tmp_path):
+    out = write_events_partitioned(spark, SF, str(tmp_path / "events_part2"))
+    assert read_events_partitioned(spark, out).count() == load_table(
+        spark, "events", SF
+    ).count()
