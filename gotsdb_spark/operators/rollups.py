@@ -1,0 +1,118 @@
+"""Hierarchical time rollups — the hypertable / continuous-aggregate
+idiom (raw → hourly → daily), built on mergeable partial aggregates.
+
+The TSDB pattern the reference was heading toward ("soon to be
+timeseries", reference README.md:3): materialize coarse aggregates once
+and answer coarser queries from finer rollups, never from raw. The key
+design rule is that every stored measure must be MERGEABLE: store
+(count, sum, min, max), derive avg at read time — an avg column would
+be un-mergeable and silently wrong at the next level up.
+
+At 100 TB: the hourly rollup is the only scan of raw data; daily reads
+hours (24× smaller), monthly reads days. Each level is an incremental,
+partition-pruned job (dt-partitioned layout in sources.formats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gotsdb_spark.operators.registry import query
+from gotsdb_spark.sources.registry import load_table
+
+def _measures() -> list:
+    # Built lazily: Column construction needs an active SparkSession.
+    return [
+        F.count("*").alias("n"),
+        F.sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    ]
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Raw events → per-(hour, event_type) mergeable partials."""
+    return events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(*_measures())
+
+
+def merge_up(finer: DataFrame, bucket_col: str, new_bucket: str, trunc: str) -> DataFrame:
+    """Merge a finer rollup into a coarser one (sums of sums, min of
+    mins...). Works for any level because the measures are mergeable."""
+    return finer.groupBy(
+        F.date_trunc(trunc, bucket_col).alias(new_bucket), "event_type"
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
+@query(
+    "ts_rollup_daily_via_hourly",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_micros,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_rollup_daily_via_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily aggregates computed THROUGH an hourly rollup.
+
+    The oracle aggregates raw directly; equality proves the two-level
+    merge is lossless. The measure is accumulated in integer
+    fixed-point (micros): float sums are association-sensitive — a
+    rollup that re-merges partial float sums drifts from a single-pass
+    sum in the last ulps — so exact accumulation is the correct design
+    for mergeable rollups, not an oracle trick. (The same reasoning
+    applies on a real cluster: a measure must not depend on how many
+    levels merged it.)
+    """
+    ev = load_table(spark, "events", sf_dir)
+    micros = F.floor(F.col("value") * 1_000_000 + 0.5).cast("bigint")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(micros).alias("sum_micros"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", "hour").alias("day"), "event_type"
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_micros").alias("sum_micros"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    return daily.select(
+        "day", "event_type", "n", "sum_micros", "min_value", "max_value"
+    )
+
+
+def materialize_rollups(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> dict[str, str]:
+    """Write the rollup hierarchy to Parquet (the maintenance job).
+
+    Returns {level: path}. Incremental refresh at scale re-aggregates
+    only the partitions the new data touched.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    hourly = hourly_rollup(ev)
+    hourly_path = f"{out_dir}/hourly"
+    hourly.write.mode("overwrite").parquet(hourly_path)
+    daily = merge_up(spark.read.parquet(hourly_path), "hour", "day", "day")
+    daily_path = f"{out_dir}/daily"
+    daily.write.mode("overwrite").parquet(daily_path)
+    return {"hourly": hourly_path, "daily": daily_path}

@@ -102,15 +102,27 @@ class Engine:
     """
 
     def __init__(
-        self, spark: SparkSession, data_dir: str, auto_create_collection: bool = True
+        self,
+        spark: SparkSession,
+        data_dir: str,
+        auto_create_collection: bool = True,
+        materialize_threshold: int = 1_000_000,
     ) -> None:
         self.spark = spark
         self.data_dir = os.path.abspath(data_dir)
         self.auto_create = auto_create_collection
+        # Collections up to this many compacted keys are ALSO pulled into
+        # a driver-side dict on promotion, giving O(1) point reads — the
+        # reference's own semantics (it gob-decodes the whole collection
+        # into process memory, engine.go:100-109). Larger collections
+        # stay executor-side and point reads run as filters on the
+        # cached view; at 100 TB that's the only possible mode.
+        self.materialize_threshold = materialize_threshold
         os.makedirs(self.data_dir, exist_ok=True)  # cold.go:27-38
         # Hot tier: compacted base view (cached DataFrame or None for
         # empty/new collections) + unflushed-write overlay.
         self._hot_base: dict[str, DataFrame | None] = {}
+        self._hot_dict: dict[str, dict[str, str] | None] = {}
         self._pending: dict[str, dict[str, str]] = {}
         self._seq = 0
         self._lock = threading.RLock()  # the reference races (hot.go:53); we don't
@@ -232,6 +244,15 @@ class Engine:
             df = df.cache()
             self._hot_base[id] = df
             self._pending.setdefault(id, {})
+            # Reference-parity fast path: small collections live fully in
+            # driver memory (as the reference's hot map does) → O(1)
+            # reads with no per-read Spark job.
+            sample = df.select("key", "value").limit(self.materialize_threshold + 1)
+            rows = sample.collect()
+            if len(rows) <= self.materialize_threshold:
+                self._hot_dict[id] = {r["key"]: r["value"] for r in rows}
+            else:
+                self._hot_dict[id] = None
 
     def load_collection_if_not_present(self, id: str) -> None:
         """engine.go:187-222: hot → no-op; cold → promote; neither →
@@ -244,6 +265,7 @@ class Engine:
                 return
             if self.auto_create:
                 self._hot_base[id] = None
+                self._hot_dict[id] = {}
                 self._pending[id] = {}
                 return
         raise CollectionNotFoundError(
@@ -275,6 +297,7 @@ class Engine:
                 base.unpersist()
             del self._hot_base[id]
             del self._pending[id]
+            self._hot_dict.pop(id, None)
 
     def flush_all_collections(self) -> list[Exception]:
         """engine.go:128-137 — collects errors, never short-circuits."""
@@ -329,6 +352,13 @@ class Engine:
             pending = self._pending.get(id, {})
             if key in pending:
                 return pending[key]
+            hot = self._hot_dict.get(id)
+            if hot is not None:
+                if key in hot:
+                    return hot[key]
+                raise KeyNotFoundError(
+                    f"No value found for key [{key}] in hot collection [{id}]."
+                )
             base = self._hot_base.get(id)
         if base is not None:
             row = base.where(F.col("key") == F.lit(key)).select("value").first()
@@ -359,6 +389,7 @@ class Engine:
                     f"Collection already exists with id [{id}] in hot storage."
                 )
             self._hot_base[id] = None
+            self._hot_dict[id] = {}
             self._pending[id] = {}
 
     def drop_collection(self, id: str) -> None:
@@ -371,3 +402,4 @@ class Engine:
                 base.unpersist()
             del self._hot_base[id]
             del self._pending[id]
+            self._hot_dict.pop(id, None)
