@@ -116,15 +116,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification touches only the candidate pairs (≈25 at sf0.01, not
     the 125k all-pairs space).
     """
-    sh = shingle_table(spark, sf_dir).cache()
-    # All N_MINHASH min-hashes in ONE map-side-combinable aggregation —
-    # no seed cross-join (which would shuffle N_MINHASH× the shingle
-    # rows). The md5s are row-local expressions inside the partial agg.
-    sigs = sh.groupBy("doc_id").agg(
+    # Shingles stay PACKED as an array per doc — signatures and Jaccard
+    # are row-local array expressions (array_min over transform,
+    # array_intersect on candidate pairs). Nothing explodes; the only
+    # shuffles left are the tiny band-bucket and candidate joins. This
+    # is the shape that survives 100 TB: per-doc work is a map, shuffle
+    # volume is O(docs), never O(shingles).
+    docs = fan_out(load_table(spark, "documents", sf_dir)).select(
+        "doc_id", word_shingles(F.col("text")).alias("sh_arr")
+    ).cache()
+    # Materialize eagerly: the shingle arrays feed three branches (sigs,
+    # and both sides of the Jaccard join); lazy caching would recompute
+    # the shingling once per branch before the cache wins.
+    docs.count()
+    sigs = docs.select(
+        "doc_id",
         *[
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"mh{s}")
+            F.array_min(
+                F.transform(
+                    F.col("sh_arr"), lambda sh: F.md5(F.concat(F.lit(f"{s}:"), sh))
+                )
+            ).alias(f"mh{s}")
             for s in range(N_MINHASH)
-        ]
+        ],
     )
     n_bands = N_MINHASH // BAND_SIZE
     band_sigs = F.array(
@@ -154,22 +168,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("doc_a"), "doc_b")
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    sb = sh.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jaccard = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    # Jaccard verification: join the packed shingle arrays onto each
+    # candidate pair and compute intersect/union sizes row-locally.
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b"))
+    n_common = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b")))
+    n_union = F.size(F.array_union(F.col("arr_a"), F.col("arr_b")))
     return (
-        inter.join(F.broadcast(za), "doc_a")
-        .join(F.broadcast(zb), "doc_b")
-        .withColumn("jaccard", jaccard)
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", n_common / n_union)
         .where(F.col("jaccard") >= 0.6)
         .select("doc_a", "doc_b", "jaccard")
     )
