@@ -419,3 +419,43 @@ def pivot_event_counts_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in ("click", "view", "purchase", "signup", "error")
     ]
     return ev.groupBy("user_id").agg(*aggs)
+
+
+@query(
+    "setop_intersect_all_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_intersect_all_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset): keeps min(multiplicity) duplicates."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+@query(
+    "in_subquery_building_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    """,
+)
+def in_subquery_building_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (Catalyst rewrites to a left-semi join)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+        """
+    )

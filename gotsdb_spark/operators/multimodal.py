@@ -110,3 +110,49 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow batches large enough to amortize worker startup locally.
     docs = fan_out(load_table(spark, "documents", sf_dir), n=8)
     return extract_features(with_binary_payload(docs))
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_hash string"
+
+
+def sample_frames(payloads: DataFrame) -> DataFrame:
+    """One-to-many Pandas decode: 'sample N frames' per payload.
+
+    Models video frame-sampling: each binary payload yields a variable
+    number of output rows (here a deterministic fake: 1 + len%5 frames,
+    each fingerprinted from the payload hash + index). The plumbing —
+    variable fan-out inside mapInPandas, typed output schema — is
+    exactly what a real ffmpeg-based sampler needs.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_hash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                h = hashlib.md5(b).hexdigest()
+                for i in range(1 + len(b) % 5):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_hash"].append(
+                        hashlib.md5(f"{h}:{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(g.i AS INT) AS frame_idx,
+           md5(md5(text) || ':' || CAST(g.i AS VARCHAR)) AS frame_hash
+    FROM documents,
+         unnest(generate_series(0, octet_length(encode(text)) % 5)) AS g(i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-fan-out frame sampling through the binary-payload path."""
+    docs = fan_out(load_table(spark, "documents", sf_dir), n=8)
+    return sample_frames(with_binary_payload(docs))
