@@ -1,0 +1,95 @@
+"""Integration queries: the KV engine and the streaming pipeline
+exposed through the driver's oracle gate.
+
+Most of the KV/streaming surface is exercised by unit tests, but these
+two queries put the storage engine's write→flush→promote→snapshot
+lifecycle and a real Structured Streaming run into the same
+DuckDB-oracle comparison as every relational operator — the engine's
+end-to-end behavior is hash-checked, not just unit-asserted.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gotsdb_spark.operators.registry import query
+from gotsdb_spark.sources.registry import load_table
+from gotsdb_spark.storage.engine import Engine
+from gotsdb_spark.streaming import (
+    read_events_stream,
+    run_stream_to_memory,
+    windowed_event_counts,
+)
+
+_counter = itertools.count()
+
+
+@query(
+    "kv_roundtrip_snapshot",
+    oracle="""
+    SELECT CAST(n_nationkey AS VARCHAR) AS key, n_name AS value
+    FROM nation
+    """,
+)
+def kv_roundtrip_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KV lifecycle under the oracle: load `nation` through the KV API
+    (write_key per row + an overwrite pass to exercise last-writer-wins),
+    flush, re-promote through a FRESH engine, return the compacted
+    snapshot. The oracle is simply the source table — equality proves
+    write→flush→promote→compact loses and corrupts nothing."""
+    rows = load_table(spark, "nation", sf_dir).collect()
+    data_dir = tempfile.mkdtemp(prefix="gotsdb_kv_itg_")
+    e1 = Engine(spark, data_dir)
+    for r in rows:
+        e1.write_key("itg", str(r["n_nationkey"]), "overwritten-later")
+    for r in rows:
+        e1.write_key("itg", str(r["n_nationkey"]), r["n_name"])
+    e1.flush_collection("itg")
+    e2 = Engine(spark, data_dir)  # fresh engine ≙ restart
+    return e2.snapshot("itg").select("key", "value")
+
+
+@query(
+    "streaming_windowed_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*)   AS n,
+           sum(value) AS sum_value
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    GROUP BY 1, 2
+    """,
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL streaming run under the oracle: replay events through a
+    file-source stream in shuffled micro-batches, aggregate with
+    watermarked tumbling windows, and compare the complete-mode result
+    against DuckDB aggregating the same data in batch. This is the
+    batch↔stream equivalence guarantee, enforced by the same hash gate
+    as every batch operator."""
+    replay = tempfile.mkdtemp(prefix="gotsdb_stream_itg_")
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    ev.orderBy(F.hash("event_id")).repartition(8).write.mode("overwrite").parquet(
+        replay
+    )
+    name = f"itg_stream_{os.getpid()}_{next(_counter)}"
+    q = run_stream_to_memory(
+        windowed_event_counts(read_events_stream(spark, replay, 2), watermark="1 hour"),
+        name,
+        output_mode="complete",
+    )
+    try:
+        out = spark.table(name).collect()
+    finally:
+        q.stop()
+    return spark.createDataFrame(
+        out, "window_start timestamp, event_type string, n bigint, sum_value double"
+    )

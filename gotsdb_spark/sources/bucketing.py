@@ -1,0 +1,65 @@
+"""Bucketed tables: co-located joins with zero shuffle.
+
+At 100 TB the dominant cost of fact⋈fact joins (lineitem⋈orders on
+orderkey) is shuffling both sides. Bucketing pre-partitions the stored
+data by the join key: both tables hash-clustered into the same number
+of buckets means the join (and groupBys on the key) need NO Exchange —
+the scan itself is the shuffle, paid once at write time and amortized
+over every subsequent query. This module materializes bucketed copies
+of the fixture facts and exposes the bucket-local join.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gotsdb_spark.sources.registry import load_table
+
+
+def bucket_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    key: str,
+    n_buckets: int = 16,
+    table_name: str | None = None,
+) -> str:
+    """Write a fixture table bucketed+sorted by `key` into the catalog."""
+    table_name = table_name or f"{name}_bucketed"
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # DROP only clears catalog metadata known to THIS session; a prior
+    # session's managed-table directory would still block the write.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    location = os.path.join(warehouse, table_name)
+    if warehouse and os.path.isdir(location):
+        shutil.rmtree(location)
+    (
+        load_table(spark, name, sf_dir)
+        .write.bucketBy(n_buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+    return table_name
+
+
+def bucketed_join_lineitem_orders(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 16
+) -> DataFrame:
+    """lineitem⋈orders with both sides bucketed on the order key.
+
+    With matching bucket counts Spark plans a SortMergeJoin whose
+    children are bare scans — no Exchange on either side (asserted in
+    tests/test_bucketing.py). This is the layout the KV collection logs
+    and any recurring fact⋈fact join should use at scale.
+    """
+    li = bucket_table(spark, sf_dir, "lineitem", "l_orderkey", n_buckets)
+    orders = bucket_table(spark, sf_dir, "orders", "o_orderkey", n_buckets)
+    ldf = spark.table(li)
+    odf = spark.table(orders)
+    return ldf.join(odf, ldf.l_orderkey == odf.o_orderkey).select(
+        "l_orderkey", "l_extendedprice", "o_totalprice", "o_orderdate"
+    )
