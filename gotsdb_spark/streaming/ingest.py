@@ -148,3 +148,34 @@ def run_stream_to_memory(
     )
     q.processAllAvailable()
     return q
+
+
+def join_purchases_with_recent_errors(
+    purchases: DataFrame, errors: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase ⋈ errors by the same
+    user within the preceding `horizon`.
+
+    Both sides carry watermarks so Spark can bound the join state: a
+    buffered error row is dropped once the purchase-side watermark
+    passes its ts + horizon. Without the time bound, stream-stream join
+    state grows forever — the interval condition is what makes this
+    viable at 100 TB/day.
+    """
+    p = purchases.select(
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("user_id").alias("p_user"),
+        F.col("value").alias("p_value"),
+    ).withWatermark("p_ts", horizon)
+    e = errors.select(
+        F.col("event_id").alias("e_id"),
+        F.col("ts").alias("e_ts"),
+        F.col("user_id").alias("e_user"),
+    ).withWatermark("e_ts", horizon)
+    return p.join(
+        e,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}"))
+        & (F.col("e_ts") <= F.col("p_ts")),
+    )

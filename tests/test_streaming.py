@@ -105,3 +105,30 @@ def test_foreach_batch_kv_sink_feeds_engine(spark, tmp_path, replay_dir):
     some = ev.orderBy("event_id").select("event_id", "props").first()
     assert engine.read_key("evlog", str(some["event_id"])) == some["props"]
     assert engine.snapshot("evlog").count() == ev.count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, replay_dir):
+    from gotsdb_spark.streaming.ingest import join_purchases_with_recent_errors
+
+    def split(df):
+        return (
+            df.where(F.col("event_type") == "purchase"),
+            df.where(F.col("event_type") == "error"),
+        )
+
+    sp, se = split(read_events_stream(spark, replay_dir))
+    joined = join_purchases_with_recent_errors(sp, se, "720 hours")
+    q = run_stream_to_memory(joined.select("p_id", "e_id"), "ss_join")
+    try:
+        got = {(r["p_id"], r["e_id"]) for r in spark.sql("SELECT * FROM ss_join").collect()}
+    finally:
+        q.stop()
+
+    bp, be = split(spark.read.parquet(replay_dir))
+    want = {
+        (r["p_id"], r["e_id"])
+        for r in join_purchases_with_recent_errors(bp, be, "720 hours")
+        .select("p_id", "e_id")
+        .collect()
+    }
+    assert got == want and len(want) > 0
