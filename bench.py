@@ -39,6 +39,9 @@ HEADLINE = [
     "text_token_stats",
     "text_fingerprint",
     "multimodal_features",
+    "q18_large_volume_customers",
+    "ts_rollup_daily_via_hourly",
+    "udf_apply_in_pandas_zscore",
 ]
 
 
