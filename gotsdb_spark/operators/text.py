@@ -195,3 +195,86 @@ def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit("[a-z]{1,4}"), 0)).alias("n_bpe_ish"),
         (F.size(F.regexp_extract_all("text", F.lit("\\s+"), 0)) + 1).alias("n_ws_tokens"),
     )
+
+
+@query(
+    "text_tfidf_top_term",
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ) raw
+    ), tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM tokens GROUP BY doc_id, w
+    ), df AS (
+      SELECT w, count(DISTINCT doc_id) AS df FROM tokens GROUP BY w
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT doc_id, w, tf * ln((n_docs + 1.0) / (df + 1.0)) AS tfidf
+      FROM tf JOIN df USING (w), n
+    )
+    SELECT doc_id, w AS top_term, tfidf FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, w
+      ) AS rn FROM scored
+    ) t WHERE rn = 1
+    """,
+)
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: most characteristic term per document.
+
+    tf is a per-doc count; df a per-term distinct-doc count; idf the
+    smoothed log ratio. Both aggregations are map-side-combinable and
+    the df table is broadcast back — at 100 TB the only large shuffle
+    is the (doc, term) tf aggregation. Deterministic tie-break on the
+    term string.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    tokens = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = tokens.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = tokens.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df), "w").select(
+        "doc_id",
+        "w",
+        (F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0))).alias("tfidf"),
+    )
+    from pyspark.sql.window import Window as W
+
+    win = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("w"))
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("w").alias("top_term"), "tfidf")
+    )
+
+
+@query(
+    "text_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           CAST(list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 list_filter(string_split(text, ''), c -> c <> ''),
+                 c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS rhash
+    FROM documents
+    """,
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint over the raw characters.
+
+    The streaming-friendly fingerprint (updatable per character, unlike
+    md5) — h = Σ c_i·31^i mod p via a left fold. Pure row-local
+    higher-order expression in both engines.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    chars = F.filter(F.split("text", ""), lambda c: c != "")
+    rhash = F.aggregate(
+        F.transform(chars, lambda c: F.ascii(c).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * 31 + c) % 2147483647,
+    )
+    return docs.select("doc_id", rhash.alias("rhash"))

@@ -132,3 +132,39 @@ def test_stream_stream_interval_join_matches_batch(spark, replay_dir):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_rate_source_smoke(spark):
+    """Non-file streaming source: the built-in rate source drives the
+    same transforms (production swaps in Kafka the same way)."""
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", 500).load()
+        .select(
+            F.col("value").alias("event_id"),
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 5).alias("user_id"),
+            F.lit("view").alias("event_type"),
+            (F.col("value") * 1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    )
+    q = (
+        windowed_event_counts(rate, window="1 second", watermark="5 seconds")
+        .writeStream.format("memory")
+        .queryName("rate_out")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if spark.sql("SELECT coalesce(sum(n),0) FROM rate_out").first()[0] > 0:
+                break
+            time.sleep(0.5)
+        total = spark.sql("SELECT coalesce(sum(n),0) FROM rate_out").first()[0]
+    finally:
+        q.stop()
+    assert total > 0
