@@ -9,7 +9,7 @@ shuffle at all until an explicit aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gotsdb_spark.operators.registry import query

@@ -73,3 +73,26 @@ def test_events_scan_prunes_for_json_query(spark):
     df = QUERIES["json_props_extract"](spark, SF)
     scans = read_schema_columns(df)
     assert all(set(c) <= {"event_type", "props"} for c in scans), scans
+
+
+def test_join_strategy_follows_broadcast_threshold(spark):
+    """Join strategy control: with auto-broadcast disabled the fact⋈fact
+    join falls back to SortMergeJoin; with it on, the dim side
+    broadcasts. Catalyst (not the query author) owns the choice."""
+    from gotsdb_spark.plans import formatted_plan
+    from gotsdb_spark.sources.registry import load_table
+
+    li = QUERIES["q3_shipping_priority"]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        orders = load_table(spark, "orders", SF)
+        lineitem = load_table(spark, "lineitem", SF)
+        plan = formatted_plan(
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        )
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # broadcast hint still wins over the threshold (q3 uses it)
+    assert "BroadcastHashJoin" in formatted_plan(li(spark, SF))

@@ -4,8 +4,6 @@ late-data/watermark behavior test)."""
 
 import datetime as dt
 
-from pyspark.sql import functions as F
-
 from gotsdb_spark.streaming import (
     read_events_stream,
     windowed_event_counts,
