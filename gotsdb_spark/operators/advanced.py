@@ -459,3 +459,71 @@ def in_subquery_building_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "stats_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           stddev_samp(l_quantity)                   AS sd_qty,
+           var_samp(l_quantity)                      AS var_qty,
+           corr(l_quantity, l_extendedprice)         AS corr_qty_price,
+           covar_samp(l_quantity, l_extendedprice)   AS covar_qty_price,
+           regr_slope(l_extendedprice, l_quantity)   AS slope_price_per_qty,
+           skewness(l_quantity)                      AS skew_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/corr/covar/regression
+    slope/skewness — all single-pass, partial-aggregatable moments."""
+    li = _t(spark, sf_dir, "lineitem")
+    agged = li.groupBy("l_returnflag").agg(
+        F.stddev_samp("l_quantity").alias("sd_qty"),
+        F.var_samp("l_quantity").alias("var_qty"),
+        F.corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("covar_qty_price"),
+        F.regr_slope("l_extendedprice", "l_quantity").alias("slope_price_per_qty"),
+        F.skewness("l_quantity").alias("g1"),
+        F.count("*").alias("n"),
+    )
+    # Spark's skewness is the population estimator g1; DuckDB (and most
+    # stats packages) report the bias-corrected sample skewness
+    # G1 = g1 * sqrt(n(n-1)) / (n-2). Convert explicitly.
+    n = F.col("n").cast("double")
+    g1_to_G1 = F.sqrt(n * (n - 1)) / (n - 2)
+    return agged.select(
+        "l_returnflag",
+        "sd_qty",
+        "var_qty",
+        "corr_qty_price",
+        "covar_qty_price",
+        "slope_price_per_qty",
+        (F.col("g1") * g1_to_G1).alias("skew_qty"),
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT n_nationkey,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+           CAST(len(list(DISTINCT c_mktsegment)) AS INT) AS n_segments
+    FROM nation JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/string aggregation: deterministic (sorted) collect_set."""
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    segs = F.array_sort(F.collect_set("c_mktsegment"))
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.array_join(segs, ",").alias("segments"),
+            F.size(segs).alias("n_segments"),
+        )
+    )

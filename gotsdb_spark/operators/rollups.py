@@ -116,3 +116,48 @@ def materialize_rollups(
     daily_path = f"{out_dir}/daily"
     daily.write.mode("overwrite").parquet(daily_path)
     return {"hourly": hourly_path, "daily": daily_path}
+
+
+def materialize_daily_partitioned(
+    spark: SparkSession, sf_dir: str, out_path: str
+) -> str:
+    """Daily rollup stored partitioned by day (dt=YYYY-MM-DD/) — the
+    layout that makes refresh incremental."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = merge_up(hourly_rollup(ev), "hour", "day", "day")
+    (
+        daily.withColumn("dt", F.date_format("day", "yyyy-MM-dd"))
+        .repartition("dt")
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .parquet(out_path)
+    )
+    return out_path
+
+
+def refresh_days(
+    spark: SparkSession, sf_dir: str, daily_path: str, days: list[str]
+) -> None:
+    """Incrementally re-aggregate ONLY the given days (dt strings).
+
+    Dynamic partition overwrite rewrites just the touched dt=
+    directories; every other day's files are untouched. This is the
+    100 TB refresh path: late data for one day costs one day's
+    re-aggregation, not a full-history rebuild.
+    """
+    ev = load_table(spark, "events", sf_dir).where(
+        F.date_format("ts", "yyyy-MM-dd").isin(days)
+    )
+    daily = merge_up(hourly_rollup(ev), "hour", "day", "day")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            daily.withColumn("dt", F.date_format("day", "yyyy-MM-dd"))
+            .repartition("dt")
+            .write.mode("overwrite")
+            .partitionBy("dt")
+            .parquet(daily_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

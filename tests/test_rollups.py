@@ -40,3 +40,37 @@ def test_monthly_merge_from_daily(spark, tmp_path):
         for r in monthly.groupBy("month").agg(F.sum("n").alias("n")).collect()
     }
     assert got == {r["month"]: r["n"] for r in want.collect()}
+
+
+def test_incremental_refresh_touches_only_target_days(spark, tmp_path):
+    import os
+    import time
+
+    from gotsdb_spark.operators.rollups import (
+        materialize_daily_partitioned,
+        refresh_days,
+    )
+
+    path = materialize_daily_partitioned(spark, SF, str(tmp_path / "daily"))
+    parts = sorted(p for p in os.listdir(path) if p.startswith("dt="))
+    assert len(parts) >= 28
+    target = parts[3].split("=", 1)[1]
+    untouched = os.path.join(path, parts[5])
+    mtime_before = max(
+        os.path.getmtime(os.path.join(untouched, f)) for f in os.listdir(untouched)
+    )
+    before = spark.read.parquet(path).where(F.col("dt") == target).collect()
+
+    time.sleep(1.1)
+    refresh_days(spark, SF, path, [target])
+
+    # refreshed day recomputes to the same values (idempotent refresh)
+    after = spark.read.parquet(path).where(F.col("dt") == target).collect()
+    key = lambda r: (r["day"], r["event_type"])  # noqa: E731
+    assert sorted(map(key, before)) == sorted(map(key, after))
+    assert {key(r): r["n"] for r in before} == {key(r): r["n"] for r in after}
+    # and the untouched day's files were not rewritten
+    mtime_after = max(
+        os.path.getmtime(os.path.join(untouched, f)) for f in os.listdir(untouched)
+    )
+    assert mtime_after == mtime_before
