@@ -342,3 +342,158 @@ def ts_range_join_event_order_day(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select("event_id", "user_id", "o_orderkey", "o_orderdate")
     )
+
+
+@query(
+    "ts_time_weighted_avg",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, ts, value,
+             lead(ts)  OVER w AS next_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           sum(value * (epoch(next_ts) - epoch(ts)))
+             / sum(epoch(next_ts) - epoch(ts)) AS twa
+    FROM pts
+    WHERE next_ts IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user over irregular samples.
+
+    Each sample is weighted by how long it was 'current' (until the next
+    sample) — the TSDB aggregate that a plain avg() gets wrong on
+    irregular data. lead() + one grouped sum; a single shuffle on the
+    series key.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = ev.select(
+        "user_id",
+        "value",
+        F.col("ts").cast("double").alias("t"),
+        F.lead(F.col("ts").cast("double")).over(w).alias("next_t"),
+    ).where(F.col("next_t").isNotNull())
+    dur = F.col("next_t") - F.col("t")
+    return pts.groupBy("user_id").agg(
+        (F.sum(F.col("value") * dur) / F.sum(dur)).alias("twa")
+    )
+
+
+@query(
+    "ts_linear_interpolate",
+    oracle="""
+    WITH samples AS (
+      SELECT ts, value FROM events WHERE event_type = 'purchase'
+    ), bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM samples
+    ), grid AS (
+      SELECT CAST(g.t AS TIMESTAMP) AS gt
+      FROM bounds, unnest(generate_series(bounds.lo, bounds.hi, INTERVAL 6 HOUR)) AS g(t)
+    ), tagged AS (
+      SELECT gt AS ts, NULL AS value, 1 AS is_grid FROM grid
+      UNION ALL
+      SELECT ts, value, 0 AS is_grid FROM samples
+    ), flanked AS (
+      SELECT ts, value, is_grid,
+             last_value(CASE WHEN is_grid = 0 THEN epoch(ts) END IGNORE NULLS)
+               OVER (ORDER BY ts, is_grid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+             last_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
+               OVER (ORDER BY ts, is_grid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+             first_value(CASE WHEN is_grid = 0 THEN epoch(ts) END IGNORE NULLS)
+               OVER (ORDER BY ts, is_grid ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1,
+             first_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
+               OVER (ORDER BY ts, is_grid ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1
+      FROM tagged
+    )
+    SELECT ts AS grid_ts,
+           CASE WHEN t1 = t0 THEN v0
+                ELSE v0 + (v1 - v0) * (epoch(ts) - t0) / (t1 - t0) END AS interp
+    FROM flanked
+    WHERE is_grid = 1 AND t0 IS NOT NULL AND t1 IS NOT NULL
+    """,
+)
+def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of purchase values onto a 6-hour grid.
+
+    The union+window idiom again: tag grid points and samples, sort
+    once, carry the previous sample (last ignorenulls, backward) and
+    the next sample (first ignorenulls, forward) to every grid point,
+    interpolate row-locally. O(n log n) on one sorted stream — never a
+    range join of grid × samples. Per-key variants add partitionBy on
+    the series key.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    samples = ev.where(F.col("event_type") == "purchase").select("ts", "value")
+    bounds = samples.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 6 HOUR"))).alias("ts")
+    ).select("ts", F.lit(None).cast("double").alias("value"), F.lit(1).alias("is_grid"))
+    tagged = samples.select("ts", "value", F.lit(0).alias("is_grid")).unionByName(grid)
+    wb = W.orderBy("ts", "is_grid").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wf = W.orderBy("ts", "is_grid").rowsBetween(W.currentRow, W.unboundedFollowing)
+    sample_t = F.when(F.col("is_grid") == 0, F.col("ts").cast("double"))
+    sample_v = F.when(F.col("is_grid") == 0, F.col("value"))
+    flanked = tagged.select(
+        "ts",
+        "is_grid",
+        F.last(sample_t, ignorenulls=True).over(wb).alias("t0"),
+        F.last(sample_v, ignorenulls=True).over(wb).alias("v0"),
+        F.first(sample_t, ignorenulls=True).over(wf).alias("t1"),
+        F.first(sample_v, ignorenulls=True).over(wf).alias("v1"),
+    )
+    interp = F.when(F.col("t1") == F.col("t0"), F.col("v0")).otherwise(
+        F.col("v0")
+        + (F.col("v1") - F.col("v0"))
+        * (F.col("ts").cast("double") - F.col("t0"))
+        / (F.col("t1") - F.col("t0"))
+    )
+    return (
+        flanked.where(
+            (F.col("is_grid") == 1) & F.col("t0").isNotNull() & F.col("t1").isNotNull()
+        )
+        .select(F.col("ts").alias("grid_ts"), interp.alias("interp"))
+    )
+
+
+@query(
+    "ts_ewma_final",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           list_reduce(vs, (acc, v) -> 0.9 * acc + 0.1 * v) AS ewma
+    FROM ordered
+    """,
+)
+def ts_ewma_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (α=0.1) per user — a genuinely recursive aggregate.
+
+    Window functions can't express the recursion, so it's a fold over
+    the time-ordered value list (identical left-fold order in both
+    engines → bit-identical floats). At scale the list per key must fit
+    a task; for unbounded streams the stateful-streaming version
+    (applyInPandasWithState) maintains the same recurrence incrementally.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    ordered = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("rows_sorted")
+    )
+    vs = F.transform(F.col("rows_sorted"), lambda r: r.value)
+    ewma = F.aggregate(
+        F.expr("slice(transform(rows_sorted, r -> r.value), 2, size(rows_sorted) - 1)"),
+        F.element_at(vs, 1),
+        lambda acc, v: acc * 0.9 + v * 0.1,
+    )
+    return ordered.select("user_id", ewma.alias("ewma"))
