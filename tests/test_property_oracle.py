@@ -1,0 +1,85 @@
+"""Differential predicate fuzzing: random filter expressions evaluated
+by Spark and DuckDB over the same parquet must select identical rows.
+
+This generalizes the per-query oracle gate: instead of fixed queries,
+Hypothesis composes random AND/OR trees of comparisons over lineitem's
+numeric/string/timestamp columns (a dialect-neutral subset) and
+compares matching row counts plus an order-insensitive key checksum.
+"""
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SF = "/root/testdata/sf0.001"
+PARQUET = f"{SF}/lineitem.parquet"
+
+# (column, literal strategy rendered to SQL)
+_NUM_COLS = {
+    "l_quantity": st.integers(1, 50),
+    "l_extendedprice": st.integers(1000, 90000),
+    "l_discount": st.sampled_from([0.01, 0.03, 0.05, 0.07, 0.09]),
+    "l_orderkey": st.integers(0, 6000),
+    "l_linenumber": st.integers(1, 7),
+}
+_STR_COLS = {
+    "l_returnflag": st.sampled_from(["A", "N", "R"]),
+    "l_linestatus": st.sampled_from(["O", "F"]),
+}
+_OPS = st.sampled_from(["<", "<=", ">", ">=", "=", "<>"])
+
+
+@st.composite
+def comparison(draw):
+    if draw(st.booleans()):
+        col = draw(st.sampled_from(sorted(_NUM_COLS)))
+        lit = draw(_NUM_COLS[col])
+        return f"({col} {draw(_OPS)} {lit})"
+    col = draw(st.sampled_from(sorted(_STR_COLS)))
+    lit = draw(_STR_COLS[col])
+    return f"({col} {draw(_OPS)} '{lit}')"
+
+
+@st.composite
+def predicate(draw, depth=2):
+    if depth == 0 or draw(st.integers(0, 2)) == 0:
+        return draw(comparison())
+    left = draw(predicate(depth=depth - 1))
+    right = draw(predicate(depth=depth - 1))
+    conj = draw(st.sampled_from(["AND", "OR"]))
+    neg = "NOT " if draw(st.booleans()) else ""
+    return f"{neg}({left} {conj} {right})"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{PARQUET}')")
+    return con
+
+
+@pytest.fixture(scope="module")
+def spark_lineitem(spark):
+    from gotsdb_spark.sources.registry import load_table
+
+    df = load_table(spark, "lineitem", SF)
+    df.createOrReplaceTempView("lineitem")
+    return df
+
+
+@given(pred=predicate())
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_predicates_agree(spark, spark_lineitem, duck, pred):
+    sql = (
+        "SELECT count(*) AS n, "
+        "coalesce(sum(l_orderkey * 7 + l_linenumber), 0) AS checksum "
+        f"FROM lineitem WHERE {pred}"
+    )
+    s = spark.sql(sql).first()
+    d = duck.execute(sql).fetchone()
+    assert (s["n"], s["checksum"]) == (d[0], d[1]), pred
