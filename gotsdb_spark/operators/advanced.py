@@ -527,3 +527,29 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(segs).alias("n_segments"),
         )
     )
+
+
+@query(
+    "histogram_order_prices",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+           floor(o_totalprice / 25000) * 25000.0 AS bucket_lo,
+           count(*) AS n,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order prices (row-local bucketing +
+    one partial-aggregated groupBy — the scan-speed histogram)."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 25000)
+    return orders.groupBy(
+        bucket.alias("bucket"), (bucket * 25000.0).alias("bucket_lo")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
