@@ -60,6 +60,7 @@ def udf_pandas_scalar_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type, exp(avg(ln(value))) AS geo_mean
     FROM events
+    WHERE value > 0
     GROUP BY event_type
     """,
 )
@@ -76,7 +77,9 @@ def udf_pandas_grouped_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFram
     def geomean(v: pd.Series) -> float:
         return float(np.exp(np.log(v.to_numpy()).mean()))
 
-    ev = load_table(spark, "events", sf_dir)
+    # Geometric mean is defined on positives only (value=0 rows exist at
+    # larger scale factors and would poison the log).
+    ev = load_table(spark, "events", sf_dir).where(F.col("value") > 0)
     return ev.groupBy("event_type").agg(geomean("value").alias("geo_mean"))
 
 
