@@ -553,3 +553,51 @@ def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+@query(
+    "merge_upsert_segments",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+                ) THEN 'URGENT-CARE'
+                ELSE c_mktsegment END AS segment,
+           EXISTS (
+             SELECT 1 FROM orders
+             WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+           ) AS was_updated
+    FROM customer
+    """,
+)
+def merge_upsert_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (no Delta in this image): apply an updates
+    set to a dimension snapshot via anti-join + union.
+
+    updates ∪ (current ⟕anti updates) is the classic upsert rewrite:
+    the updates side replaces matching keys, the anti-join keeps
+    everything else. One shuffle on the merge key; at scale the same
+    plan a Delta MERGE compiles to for whole-partition rewrites. The
+    oracle states the post-merge truth declaratively.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    updates = (
+        cust.join(
+            orders.where(F.col("o_orderpriority") == "1-URGENT"),
+            cust.c_custkey == F.col("o_custkey"),
+            "left_semi",
+        )
+        .select(
+            "c_custkey",
+            F.lit("URGENT-CARE").alias("segment"),
+            F.lit(True).alias("was_updated"),
+        )
+    )
+    unchanged = cust.join(updates, ["c_custkey"], "left_anti").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(False).alias("was_updated"),
+    )
+    return updates.unionByName(unchanged)
