@@ -83,3 +83,38 @@ def test_random_predicates_agree(spark, spark_lineitem, duck, pred):
     s = spark.sql(sql).first()
     d = duck.execute(sql).fetchone()
     assert (s["n"], s["checksum"]) == (d[0], d[1]), pred
+
+
+_AGG_EXPRS = st.sampled_from(
+    [
+        "count(*)",
+        "sum(l_quantity)",
+        "min(l_extendedprice)",
+        "max(l_discount)",
+        "count(DISTINCT l_partkey)",
+        "sum(l_extendedprice * (1 - l_discount))",
+    ]
+)
+_GROUP_COLS = st.sampled_from(["l_returnflag", "l_linestatus", "l_linenumber"])
+
+
+@given(agg=_AGG_EXPRS, group=_GROUP_COLS, pred=predicate(depth=1))
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_aggregations_agree(spark, spark_lineitem, duck, agg, group, pred):
+    sql = (
+        f"SELECT {group} AS g, {agg} AS m FROM lineitem "
+        f"WHERE {pred} GROUP BY {group}"
+    )
+    s = {r["g"]: r["m"] for r in spark.sql(sql).collect()}
+    d = dict(duck.execute(sql).fetchall())
+    assert set(s) == set(d), (agg, group, pred)
+    for k in s:
+        sv, dv = s[k], d[k]
+        if isinstance(sv, float):
+            assert abs(sv - float(dv)) < 1e-6 * max(1.0, abs(sv)), (k, sv, dv, sql)
+        else:
+            assert sv == dv, (k, sv, dv, sql)
