@@ -993,3 +993,23 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "cross_join_region_brand_grid",
+    oracle="""
+    SELECT r_name, b.p_brand
+    FROM region
+    CROSS JOIN (SELECT DISTINCT p_brand FROM part) b
+    """,
+)
+def cross_join_region_brand_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join of two tiny sets (reporting-grid idiom).
+
+    Safe only because both sides are small and bounded — the one place
+    a cartesian product is the intended plan. Every other operator in
+    this engine forbids it (tests assert no accidental cartesians).
+    """
+    region = _t(spark, sf_dir, "region").select("r_name")
+    brands = _t(spark, sf_dir, "part").select("p_brand").distinct()
+    return region.crossJoin(brands)
