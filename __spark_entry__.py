@@ -31,9 +31,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+def _driver_green_names() -> set[str]:
+    """Query names that already have a fully-green driver CORRECTNESS row
+    (rows+schema+hash) in any prior round's CORRECTNESS_r*.json."""
+    import glob
+    import json
+
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                green.add(name)
+    return green
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    The driver verifies the first 50 entries per round; with more than 50
+    registered queries we rotate so names without a prior fully-green
+    driver row come first (in registration order) and already-verified
+    names come last. Over successive rounds every query lands inside the
+    verification window at least once.
+    """
+    green = _driver_green_names()
+    ordered = sorted(QUERIES, key=lambda n: n in green)
+    return {name: QUERIES[name] for name in ordered}
 
 
 def oracle_sql() -> dict[str, str]:
