@@ -218,6 +218,131 @@ def sim_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_SEARCH_ORACLE = f"""
+    WITH comps AS (
+      SELECT vec_id, label, d.d, CAST(embedding[d.d] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS d) d
+    ), centroids AS (
+      SELECT label AS c_label, d, avg(x) AS cx FROM comps GROUP BY label, d
+    ), dists AS (
+      SELECT v.vec_id, c.c_label, sum((v.x - c.cx) * (v.x - c.cx)) AS d2
+      FROM comps v JOIN centroids c USING (d)
+      GROUP BY v.vec_id, c.c_label
+    ), assigned AS (
+      SELECT vec_id, c_label AS list_id FROM (
+        SELECT vec_id, c_label,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+        FROM dists) t WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS q_id, c_label AS list_id FROM (
+        SELECT vec_id, c_label,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+        FROM dists WHERE vec_id < 10) t WHERE rn <= 2
+    ), emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), cand AS (
+      SELECT p.q_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assigned a USING (list_id)
+      WHERE a.vec_id <> p.q_id
+    ), scored AS (
+      SELECT c.q_id, c.neighbor_id,
+             list_dot_product(eq.e, en.e) /
+               (sqrt(list_dot_product(eq.e, eq.e)) * sqrt(list_dot_product(en.e, en.e)))
+               AS cos_sim
+      FROM cand c
+      JOIN emb eq ON eq.vec_id = c.q_id
+      JOIN emb en ON en.vec_id = c.neighbor_id
+    )
+    SELECT q_id, neighbor_id, cos_sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rn FROM scored) t WHERE rn <= 5
+"""
+
+
+@query("ann_ivf_search", oracle=_IVF_SEARCH_ORACLE)
+def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF ANN search: coarse quantize → probe → re-rank → top-k.
+
+    The complete scale path for approximate nearest neighbor:
+
+    1. per-label mean centroids (k=10 lists), repacked into ordered
+       arrays — a tiny table, broadcast everywhere;
+    2. every corpus vector assigned to its nearest list by L2 — the
+       shuffle carries only (vec_id, list_id, d2), never the vectors;
+    3. each query (vec_id < 10) probes its nprobe=2 nearest lists;
+    4. exact cosine re-ranks ONLY candidates from probed lists
+       (a bucketed equi-join on list_id — sub-linear in corpus size,
+       no cartesian), top-5 per query with deterministic tie-break.
+
+    At 100 TB the inverted lists are the partition key: candidates
+    co-locate by list_id, probing cost scales with nprobe/k of the
+    corpus, and centroids stay a broadcast table.
+    """
+    emb = fan_out(load_table(spark, "embeddings", sf_dir))
+    comps = emb.select("vec_id", "label", F.posexplode("embedding")).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("d"),
+        F.col("col").cast("double").alias("x"),
+    )
+    # k×DIM centroid components, repacked to ordered arrays (struct sort
+    # is lexicographic → dimension order).
+    cvec = (
+        comps.groupBy(F.col("label").alias("c_label"), "d")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("c_label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "cx"))), lambda s: s.cx
+            ).alias("cv")
+        )
+    )
+    vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    # n×k distance rows: map-side crossJoin against the broadcast
+    # centroids; zip_with sums dims in array order (deterministic fp).
+    dists = vecs.crossJoin(F.broadcast(cvec)).select(
+        "vec_id",
+        "c_label",
+        F.aggregate(
+            F.zip_with(F.col("e"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("d2"),
+    )
+    w_assign = W.partitionBy("vec_id").orderBy("d2", "c_label")
+    ranked = dists.withColumn("rn", F.row_number().over(w_assign))
+    assigned = ranked.where(F.col("rn") == 1).select(
+        "vec_id", F.col("c_label").alias("list_id")
+    )
+    probes = (
+        ranked.where((F.col("vec_id") < 10) & (F.col("rn") <= 2))
+        .select(F.col("vec_id").alias("q_id"), F.col("c_label").alias("list_id"))
+    )
+    cand = assigned.join(F.broadcast(probes), "list_id").where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    eq = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("e_q"))
+    en = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e_n")
+    )
+    scored = (
+        cand.select("q_id", F.col("vec_id").alias("neighbor_id"))
+        .join(F.broadcast(eq), "q_id")
+        .join(en, "neighbor_id")
+        .select("q_id", "neighbor_id", cosine(F.col("e_q"), F.col("e_n")).alias("cos_sim"))
+    )
+    w_topk = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_topk))
+        .where(F.col("rn") <= 5)
+        .select("q_id", "neighbor_id", "cos_sim")
+    )
+
+
 @query(
     "sim_centroid_per_label",
     oracle=f"""

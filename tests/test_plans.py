@@ -96,3 +96,14 @@ def test_join_strategy_follows_broadcast_threshold(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     # broadcast hint still wins over the threshold (q3 uses it)
     assert "BroadcastHashJoin" in formatted_plan(li(spark, SF))
+
+
+def test_ann_ivf_search_plan(spark):
+    from gotsdb_spark.plans import formatted_plan
+
+    df = QUERIES["ann_ivf_search"](spark, SF)
+    plan = formatted_plan(df)
+    # The only nested-loop allowed is the 10-row centroid broadcast; the
+    # candidate join on list_id must be a hash equi-join, never cartesian.
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
