@@ -124,7 +124,12 @@ class Engine:
         self._hot_base: dict[str, DataFrame | None] = {}
         self._hot_dict: dict[str, dict[str, str] | None] = {}
         self._pending: dict[str, dict[str, str]] = {}
-        self._seq = 0
+        # Durable per-collection sequence floor: the max `seq` present in
+        # the cold log, discovered lazily and advanced on every flush.
+        # Guarantees cross-segment (and cross-engine-generation) seqs are
+        # strictly increasing, so the (write_ts, seq) LWW tie-break stays
+        # correct even when two flushes land in the same timestamp tick.
+        self._seq_floor: dict[str, int] = {}
         self._lock = threading.RLock()  # the reference races (hot.go:53); we don't
 
     # -- paths ----------------------------------------------------------
@@ -134,9 +139,58 @@ class Engine:
             raise ValueError(f"invalid collection id [{id}]")
         return os.path.join(self.data_dir, id)
 
-    def _next_seq(self) -> int:
-        self._seq += 1
-        return self._seq
+    def _log_seq_floor(self, id: str) -> int:
+        """Max seq already persisted in the collection's log (0 if none).
+
+        One parquet-stats scan of a single column per engine generation;
+        cached and advanced locally afterwards."""
+        if id in self._seq_floor:
+            return self._seq_floor[id]
+        path = self._path(id)
+        floor = 0
+        if os.path.isdir(path):
+            row = (
+                self.spark.read.schema(LOG_SCHEMA)
+                .parquet(path)
+                .agg(F.max("seq"))
+                .first()
+            )
+            if row is not None and row[0] is not None:
+                floor = int(row[0])
+        self._seq_floor[id] = floor
+        return floor
+
+    # -- crash recovery -------------------------------------------------
+
+    def _recover(self, id: str) -> None:
+        """Finish or roll back an interrupted compact() swap.
+
+        States after a crash: the live dir may be missing while either
+        the fully-written replacement (``<id>.compact.tmp`` containing a
+        parquet _SUCCESS marker) or the displaced original
+        (``<id>.compact.old``) still exists. Promote the complete tmp if
+        present, else restore the original; stale leftovers next to a
+        live dir are deleted."""
+        path = self._path(id)
+        tmp, bak = path + ".compact.tmp", path + ".compact.old"
+        if os.path.isdir(path):
+            for leftover in (tmp, bak):
+                if os.path.isdir(leftover):
+                    shutil.rmtree(leftover)
+            return
+        if os.path.isdir(tmp) and os.path.isfile(os.path.join(tmp, "_SUCCESS")):
+            os.rename(tmp, path)
+            if os.path.isdir(bak):
+                shutil.rmtree(bak)
+            return
+        if os.path.isdir(bak):
+            os.rename(bak, path)
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
+
+    def _cold_exists(self, id: str) -> bool:
+        self._recover(id)
+        return os.path.isdir(self._path(id))
 
     # -- tier inspection ------------------------------------------------
 
@@ -149,6 +203,11 @@ class Engine:
         """Cold-tier ids from a warehouse dir scan (cold.go:50-84)."""
         if not os.path.isdir(self.data_dir):
             return []
+        # Finish any compact() swap interrupted by a crash before listing.
+        for e in os.listdir(self.data_dir):
+            for suffix in (".compact.tmp", ".compact.old"):
+                if e.endswith(suffix):
+                    self._recover(e[: -len(suffix)])
         return sorted(
             e
             for e in os.listdir(self.data_dir)
@@ -166,7 +225,7 @@ class Engine:
         with self._lock:
             if id in self._hot_base:
                 return True
-        return os.path.isdir(self._path(id))
+        return self._cold_exists(id)
 
     def is_hot(self, id: str) -> bool:
         """engine.go:85-98 — errors if the collection exists in neither
@@ -174,7 +233,7 @@ class Engine:
         with self._lock:
             if id in self._hot_base:
                 return True
-        if os.path.isdir(self._path(id)):
+        if self._cold_exists(id):
             return False
         raise _err_not_found_any(id)
 
@@ -194,13 +253,18 @@ class Engine:
             .drop("_rn")
         )
 
-    def _overlay_df(self, id: str) -> DataFrame | None:
-        """Pending (unflushed) writes as a DataFrame, or None."""
+    def _overlay_df(self, id: str, start_seq: int = 0) -> DataFrame | None:
+        """Pending (unflushed) writes as a DataFrame, or None.
+
+        ``start_seq`` is the durable floor: persisted overlay rows get
+        seqs strictly above every seq already in the log, keeping the
+        (write_ts, seq) LWW tie-break valid across flush segments and
+        engine generations."""
         pending = self._pending.get(id)
         if not pending:
             return None
         rows = [
-            Row(key=k, value=v, write_ts=None, seq=i)
+            Row(key=k, value=v, write_ts=None, seq=start_seq + 1 + i)
             for i, (k, v) in enumerate(pending.items())
         ]
         return self.spark.createDataFrame(rows, LOG_SCHEMA).withColumn(
@@ -236,9 +300,9 @@ class Engine:
         """Cold → hot promotion (engine.go:100-109): read the log,
         compact, cache. The cache materializes lazily on first action —
         the same read-through shape as the reference's load-on-miss."""
-        path = self._path(id)
-        if not os.path.isdir(path):
+        if not self._cold_exists(id):
             raise _err_not_found_any(id)
+        path = self._path(id)
         with self._lock:
             df = self._compacted(self.spark.read.schema(LOG_SCHEMA).parquet(path))
             df = df.cache()
@@ -260,7 +324,7 @@ class Engine:
         with self._lock:
             if id in self._hot_base:
                 return
-            if os.path.isdir(self._path(id)):
+            if self._cold_exists(id):
                 self.load_collection(id)
                 return
             if self.auto_create:
@@ -282,9 +346,13 @@ class Engine:
         with self._lock:
             if id not in self._hot_base:
                 raise _err_not_found_hot(id)
-            overlay = self._overlay_df(id)
             base = self._hot_base[id]
             path = self._path(id)
+            overlay = None
+            if self._pending.get(id):
+                floor = self._log_seq_floor(id)
+                overlay = self._overlay_df(id, start_seq=floor)
+                self._seq_floor[id] = floor + len(self._pending[id])
             if overlay is not None:
                 overlay.write.mode("append").parquet(path)
             elif base is None and not os.path.isdir(path):
@@ -315,14 +383,18 @@ class Engine:
         The reference implicitly 'compacts' by rewriting the whole blob
         on every flush; here compaction is explicit and schedulable
         (the usual Spark/lakehouse pattern for append-logs)."""
-        path = self._path(id)
-        if not os.path.isdir(path):
+        if not self._cold_exists(id):
             raise _err_not_found_any(id)
+        path = self._path(id)
         with self._lock:
             df = self._compacted(self.spark.read.schema(LOG_SCHEMA).parquet(path))
+            # Crash-safe swap: every intermediate state is recoverable by
+            # _recover() — tmp is only promoted once its _SUCCESS marker
+            # exists, and the displaced original survives as .old until
+            # the swap completes.
             tmp = path + ".compact.tmp"
-            df.write.mode("overwrite").parquet(tmp)
             bak = path + ".compact.old"
+            df.write.mode("overwrite").parquet(tmp)
             os.rename(path, bak)
             os.rename(tmp, path)
             shutil.rmtree(bak)
@@ -344,7 +416,7 @@ class Engine:
         with self._lock:
             hot = id in self._hot_base
         if not hot:
-            if os.path.isdir(self._path(id)):
+            if self._cold_exists(id):
                 self.load_collection(id)  # engine.go:150-169: promote all
             else:
                 raise _err_not_found_any(id)

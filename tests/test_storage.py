@@ -159,3 +159,75 @@ def test_unicode_and_empty_values(engine):
     engine.flush_collection("c")
     assert engine.read_key("c", "uni") == "héllo wörld 中文"
     assert engine.read_key("c", "empty") == ""
+
+
+def test_cross_generation_seq_monotonic(spark, tmp_path):
+    """Segment seqs must be strictly increasing across engine
+    generations so the (write_ts, seq) LWW tie-break holds even if two
+    flushes land in the same timestamp tick."""
+    from pyspark.sql import functions as F
+
+    data = str(tmp_path / "data")
+    e1 = Engine(spark, data)
+    e1.write_key("c", "k", "gen1")
+    e1.write_key("c", "k2", "other")
+    e1.flush_collection("c")
+
+    e2 = Engine(spark, data)  # fresh generation, no in-memory state
+    e2.write_key("c", "k", "gen2")
+    e2.flush_collection("c")
+
+    log = spark.read.parquet(str(tmp_path / "data" / "c"))
+    seqs = {r["value"]: r["seq"] for r in log.where(F.col("key") == "k").collect()}
+    assert seqs["gen2"] > seqs["gen1"], seqs
+
+    e3 = Engine(spark, data)
+    assert e3.read_key("c", "k") == "gen2"
+    e3.compact("c")
+    assert e3.read_key("c", "k") == "gen2"
+
+
+def test_compact_crash_recovery_restores_original(spark, tmp_path):
+    """Crash between the two compact renames (live dir missing, .old
+    present) → recovery restores the original log."""
+    import os
+    import shutil
+
+    data = str(tmp_path / "data")
+    e1 = Engine(spark, data)
+    e1.write_key("c", "k", "v")
+    e1.flush_collection("c")
+    path = os.path.join(data, "c")
+    os.rename(path, path + ".compact.old")  # simulated mid-swap crash
+
+    e2 = Engine(spark, data)
+    assert e2.list_cold() == ["c"]
+    assert e2.read_key("c", "k") == "v"
+    assert not os.path.isdir(path + ".compact.old")
+
+    # Crash with a COMPLETE tmp (has _SUCCESS): tmp is promoted instead.
+    e2.write_key("c", "k", "v2")
+    e2.flush_collection("c")
+    shutil.copytree(path, path + ".compact.tmp")
+    shutil.rmtree(path)
+    e3 = Engine(spark, data)
+    assert e3.read_key("c", "k") == "v2"
+    assert not os.path.isdir(path + ".compact.tmp")
+
+
+def test_compact_crash_incomplete_tmp_rolled_back(spark, tmp_path):
+    """An incomplete tmp (no _SUCCESS) must never be promoted; the
+    displaced original wins and the junk tmp is deleted."""
+    import os
+
+    data = str(tmp_path / "data")
+    e1 = Engine(spark, data)
+    e1.write_key("c", "k", "good")
+    e1.flush_collection("c")
+    path = os.path.join(data, "c")
+    os.rename(path, path + ".compact.old")
+    os.makedirs(path + ".compact.tmp")  # partial write, no _SUCCESS
+
+    e2 = Engine(spark, data)
+    assert e2.read_key("c", "k") == "good"
+    assert not os.path.isdir(path + ".compact.tmp")
