@@ -497,3 +497,30 @@ def ts_ewma_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: acc * 0.9 + v * 0.1,
     )
     return ordered.select("user_id", ewma.alias("ewma"))
+
+
+@query(
+    "ts_pruned_week_stats",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           count(*) AS n, sum(value) AS sum_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+    GROUP BY 1, 2
+    """,
+)
+def ts_pruned_week_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily stats for one week via the partition-pruned scan path.
+
+    Reads the dt-partitioned events layout with BOTH the row-level ts
+    predicate and the derived dt partition predicate, so 23 of the 30
+    day-directories are skipped at planning time (PartitionFilters in
+    the scan; pinned by a plan test). At 100 TB this is the difference
+    between scanning a week and scanning the whole table.
+    """
+    from gotsdb_spark.sources.registry import load_events_range
+
+    ev = load_events_range(spark, sf_dir, "2024-01-08 00:00:00", "2024-01-15 00:00:00")
+    return ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))

@@ -37,28 +37,109 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "customer", "part"
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Where dt-partitioned warehouse copies of the fixture tables live. The
+# fixtures themselves are read-only single files; the partitioned layout
+# is materialized once per scale factor and preferred thereafter.
+WAREHOUSE_DIR = os.environ.get(
+    "SPARK_GRAFT_WAREHOUSE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".warehouse"),
+)
 
-def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    """Read one fixture table (columnar scan; pushdown-capable).
 
-    `events.ts` is parquet TIMESTAMP(NANOS), which Spark reads as a long
-    (spark.sql.legacy.parquet.nanosAsLong) — convert to a microsecond
-    TIMESTAMP here so every downstream operator sees a real timestamp.
-    The ns→µs truncation matches DuckDB's CAST(ts AS TIMESTAMP).
-    """
-    if name not in TABLES:
-        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    if name == "events":
-        # Runtime-set (not only in our session factory): the driver may
-        # hand us a session built without this flag, and without it the
-        # TIMESTAMP(NANOS) column fails the read outright.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+def events_partitioned_path(sf_dir: str) -> str:
+    return os.path.join(
+        WAREHOUSE_DIR, os.path.basename(os.path.normpath(sf_dir)), "events_dt"
+    )
+
+
+def _load_events_single_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Runtime-set (not only in our session factory): the driver may
+    # hand us a session built without this flag, and without it the
+    # TIMESTAMP(NANOS) column fails the read outright.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(df.dtypes).get("ts") == "bigint":
         # Integer `div`, not `/`: float division of int64 nanos loses
         # precision (2^53 < 1.7e18) and corrupts microseconds.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def _ensure_events_partitioned(spark: SparkSession, sf_dir: str) -> str | None:
+    """Materialize (once) the dt-partitioned events layout for this
+    scale factor; returns its path, or None if it can't be built.
+
+    Built atomically (write to .tmp, rename into place) so concurrent
+    processes can't observe a half-written copy."""
+    path = events_partitioned_path(sf_dir)
+    if os.path.isfile(os.path.join(path, "_SUCCESS")):
+        return path
+    try:
+        tmp = path + ".tmp"
+        ev = _load_events_single_file(spark, sf_dir)
+        (
+            ev.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+            .repartition("dt")  # one writer wave per partition, no tiny files
+            .write.mode("overwrite")
+            .partitionBy("dt")
+            .parquet(tmp)
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # Another process won the race; use theirs.
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+        return path if os.path.isfile(os.path.join(path, "_SUCCESS")) else None
+    except Exception:  # noqa: BLE001 — fall back to the single-file scan
+        return None
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Read one fixture table (columnar scan; pushdown-capable).
+
+    `events` reads the dt-partitioned warehouse layout (materialized on
+    first use): the at-scale design point — scans parallelize across
+    partition directories and `dt` predicates prune whole days at
+    planning time. `events.ts` is parquet TIMESTAMP(NANOS) in the raw
+    fixture; the partitioned copy stores the converted µs TIMESTAMP
+    (ns→µs truncation matches DuckDB's CAST(ts AS TIMESTAMP)).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        part = _ensure_events_partitioned(spark, sf_dir)
+        if part is not None:
+            return spark.read.parquet(part).drop("dt")
+        return _load_events_single_file(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events_range(
+    spark: SparkSession, sf_dir: str, lo: str, hi: str
+) -> DataFrame:
+    """Events within [lo, hi) — the partition-pruned scan path.
+
+    Applies BOTH the row-level ts predicate and the derived dt partition
+    predicate, so the partitioned layout skips whole day-directories at
+    planning time while results stay identical to a ts filter on the raw
+    table."""
+    part = _ensure_events_partitioned(spark, sf_dir)
+    lo_c, hi_c = F.lit(lo).cast("timestamp"), F.lit(hi).cast("timestamp")
+    if part is not None:
+        df = spark.read.parquet(part)
+        return (
+            df.where(
+                (F.col("dt") >= F.date_format(lo_c, "yyyy-MM-dd"))
+                & (F.col("dt") <= F.date_format(hi_c, "yyyy-MM-dd"))
+            )
+            .where((F.col("ts") >= lo_c) & (F.col("ts") < hi_c))
+            .drop("dt")
+        )
+    ev = _load_events_single_file(spark, sf_dir)
+    return ev.where((F.col("ts") >= lo_c) & (F.col("ts") < hi_c))
 
 
 def fan_out(df: DataFrame, n: int | None = None) -> DataFrame:

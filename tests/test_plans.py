@@ -107,3 +107,23 @@ def test_ann_ivf_search_plan(spark):
     # candidate join on list_id must be a hash equi-join, never cartesian.
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ts_pruned_week_partition_pruning(spark):
+    from gotsdb_spark.plans import formatted_plan
+
+    df = QUERIES["ts_pruned_week_stats"](spark, SF)
+    plan = formatted_plan(df)
+    # dt partition predicates prune day-directories at planning time;
+    # the ts row predicate still reaches the parquet scan.
+    assert "PartitionFilters" in plan and "dt#" in plan, plan
+    assert ">= 2024-01-08" in plan and "<= 2024-01-15" in plan, plan
+    assert "GreaterThanOrEqual(ts" in plan, plan
+
+
+def test_events_default_scan_uses_partitioned_layout(spark):
+    from gotsdb_spark.plans import formatted_plan
+    from gotsdb_spark.sources.registry import load_table
+
+    df = load_table(spark, "events", SF)
+    assert "events_dt" in formatted_plan(df.groupBy().count())
