@@ -93,3 +93,70 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "window_start timestamp, event_type string, n bigint, sum_value double"
     )
+
+
+@query(
+    "streaming_append_late_data",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*)   AS n,
+           sum(value) AS sum_value
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+      AND ts < TIMESTAMP '2024-01-20'
+    GROUP BY 1, 2
+    """,
+)
+def streaming_append_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode + watermark semantics under the hash gate.
+
+    Three deterministic micro-batch waves (each fully processed before
+    the next is written, so watermark progression is exact):
+
+    1. on-time rows (purchase/signup before Jan 20) — establishes the
+       watermark at max(ts) − 1h;
+    2. a LATE wave (error events from days 1-5, far behind the
+       watermark) — every row's window has already closed, so append
+       mode must drop all of them;
+    3. a far-future sentinel row — advances the watermark past every
+       legitimate window so they all emit; its own window never closes
+       and must not appear.
+
+    The emitted set must therefore equal DuckDB aggregating ONLY the
+    on-time rows in batch: the batch↔stream equivalence contract for
+    append mode, including late-data drop and window-close emission.
+    """
+    replay = tempfile.mkdtemp(prefix="gotsdb_stream_append_")
+    ev = load_table(spark, "events", sf_dir)
+    on_time = ev.where(
+        F.col("event_type").isin("purchase", "signup")
+        & (F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+    )
+    late = ev.where(
+        (F.col("event_type") == "error")
+        & (F.col("ts") < F.lit("2024-01-05").cast("timestamp"))
+    )
+    sentinel = spark.createDataFrame(
+        [(0, "2024-03-01 00:00:00", 0, "sentinel", 0.0, None)],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    name = f"itg_append_{os.getpid()}_{next(_counter)}"
+    stream = windowed_event_counts(
+        read_events_stream(spark, replay, 64), window="1 hour", watermark="1 hour"
+    )
+    on_time.select(cols).repartition(1).write.mode("append").parquet(replay)
+    q = run_stream_to_memory(stream, name, output_mode="append")
+    try:
+        late.select(cols).repartition(1).write.mode("append").parquet(replay)
+        q.processAllAvailable()
+        sentinel.select(cols).repartition(1).write.mode("append").parquet(replay)
+        q.processAllAvailable()
+        out = spark.table(name).collect()
+    finally:
+        q.stop()
+    return spark.createDataFrame(
+        out, "window_start timestamp, event_type string, n bigint, sum_value double"
+    )
