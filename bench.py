@@ -45,6 +45,26 @@ HEADLINE = [
 ]
 
 
+def _prev_bench() -> dict:
+    """Latest BENCH_r*.json next to this file (round-over-round deltas)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    for path in reversed(paths):
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+            # The driver wraps our JSON line under "parsed".
+            if isinstance(prev.get("parsed"), dict):
+                prev = prev["parsed"]
+            if isinstance(prev.get("queries"), dict):
+                return prev
+        except (OSError, ValueError):
+            continue
+    return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -57,6 +77,10 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
     total = round(sum(timings.values()), 3)
+    prev = _prev_bench().get("queries", {})
+    vs_prev = {
+        name: round(sec - prev[name], 3) for name, sec in timings.items() if name in prev
+    }
     print(
         json.dumps(
             {
@@ -64,6 +88,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "vs_prev": vs_prev,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

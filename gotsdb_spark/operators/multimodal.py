@@ -60,12 +60,26 @@ def _fake_decode(payload: bytes) -> tuple[str, int, int]:
     return h, width, height
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real image decode — requires PIL, not present in this container."""
-    raise NotImplementedError(
-        "image codecs are not installed in this environment; "
-        "swap _fake_decode for PIL.Image.open(io.BytesIO(payload)) in production"
-    )
+def decode_image(payload: bytes) -> tuple[str, int, int]:
+    """Real image decode behind an optional PIL dependency.
+
+    When PIL is installed, decodes the payload and returns the same
+    (fingerprint, width, height) shape as ``_fake_decode`` so the two
+    are drop-in interchangeable inside ``extract_features``. When PIL is
+    absent (as in this container), raises NotImplementedError — both
+    branches are covered by tests (skip-gated on the import)."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image codecs are not installed in this environment; "
+            "_fake_decode is the deterministic stand-in for the oracle"
+        ) from exc
+    img = Image.open(io.BytesIO(payload))
+    img.load()
+    return hashlib.md5(payload).hexdigest(), img.width, img.height
 
 
 def extract_features(payloads: DataFrame) -> DataFrame:

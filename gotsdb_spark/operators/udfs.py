@@ -103,8 +103,12 @@ def udf_apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["value"]
+        z = (v - v.mean()) / v.std(ddof=1)
+        # Single-row groups: pandas std(ddof=1) yields NaN but the SQL
+        # stddev_samp oracle yields NULL — map NaN to None so a sparse
+        # group at another scale factor can't hash-mismatch.
         return pd.DataFrame(
-            {"event_id": pdf["event_id"], "z": (v - v.mean()) / v.std(ddof=1)}
+            {"event_id": pdf["event_id"], "z": z.where(z.notna(), None)}
         )
 
     ev = load_table(spark, "events", sf_dir)

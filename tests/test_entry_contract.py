@@ -31,7 +31,8 @@ def test_entry_runs_and_is_stable(spark):
 
 
 def test_rows_only_queries_are_known():
-    """Exactly the approx-sketch queries may omit oracles."""
+    """Every registered query carries a DuckDB oracle (the approx
+    sketches are oracled via bounded-error verdicts since round 2)."""
     mod = _load()
     rows_only = set(mod.queries()) - set(mod.oracle_sql())
-    assert rows_only == {"approx_distinct_users", "approx_percentile_price"}
+    assert rows_only == set()
