@@ -19,5 +19,6 @@ from gotsdb_spark.operators import advanced  # noqa: E402,F401
 from gotsdb_spark.operators import rollups  # noqa: E402,F401
 from gotsdb_spark.operators import udfs  # noqa: E402,F401
 from gotsdb_spark.operators import integration  # noqa: E402,F401
+from gotsdb_spark.operators import tpch_extra  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

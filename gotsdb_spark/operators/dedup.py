@@ -313,3 +313,49 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= 0.6)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+# Embedding-cosine near-dup: the fifth dedup tier (semantic, not
+# lexical). Candidate generation reuses the sign-random-projection LSH
+# buckets from operators.similarity; this query joins the near pairs
+# back to `documents` so the output is document-level duplicate pairs.
+from gotsdb_spark.operators.similarity import (  # noqa: E402
+    _LSH_PAIRS_ORACLE,
+    sim_lsh_near_pairs,
+)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH pairs AS ({_LSH_PAIRS_ORACLE})
+    SELECT p.vec_a AS doc_a, p.vec_b AS doc_b,
+           da.lang AS lang_a, db.lang AS lang_b,
+           p.cos_sim
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.vec_a
+    JOIN documents db ON db.doc_id = p.vec_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate DOCUMENT pairs (semantic dedup).
+
+    Lexical dedup (MinHash/SimHash/Jaccard above) misses paraphrases;
+    this tier flags documents whose embeddings sit in the same LSH
+    bucket with cosine ≥ 0.30, joined back to `documents` (doc_id ↔
+    vec_id) for per-document metadata. Candidates come from the bucket
+    equi-join — sub-quadratic, no all-pairs — and the doc join is by
+    key, so at 100 TB the cost is the candidate count, not n².
+    """
+    pairs = sim_lsh_near_pairs(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"))
+    return (
+        pairs.select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"), "cos_sim"
+        )
+        .join(F.broadcast(da), "doc_a")
+        .join(F.broadcast(db), "doc_b")
+        .select("doc_a", "doc_b", "lang_a", "lang_b", "cos_sim")
+    )
