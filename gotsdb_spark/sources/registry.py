@@ -52,6 +52,20 @@ def events_partitioned_path(sf_dir: str) -> str:
     )
 
 
+# NOTE on fact-table layout: lineitem/orders fixtures are a SINGLE
+# parquet row group, so their scans run as one task locally. A
+# range-partitioned multi-file copy (repartitionByRange on the time
+# column) is the right 100 TB layout — parallel scans + tight per-file
+# min/max stats — and was tried here, but repartitioning changes the
+# association order of large double sums: Spark's partial aggregates
+# then differ from DuckDB's sequential single-file sum beyond the
+# oracle's 1e-6 rounding (q1/rollup revenue sums drift in the 6th
+# decimal). Cross-engine hash parity requires identical summation
+# order, so the fixtures stay single-file; `events` keeps its
+# dt-partitioned layout because its per-group sums are tiny (a few
+# values each), far inside the rounding tolerance.
+
+
 def _load_events_single_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Runtime-set (not only in our session factory): the driver may
     # hand us a session built without this flag, and without it the
