@@ -42,6 +42,12 @@ HEADLINE = [
     "q18_large_volume_customers",
     "ts_rollup_daily_via_hourly",
     "udf_apply_in_pandas_zscore",
+    # round 2 additions
+    "ann_ivf_search",
+    "dedup_embedding_cosine",
+    "ts_pruned_week_stats",
+    "q9_profit_by_nation_year",
+    "q21_waiting_suppliers",
 ]
 
 

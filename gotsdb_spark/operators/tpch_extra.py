@@ -265,20 +265,23 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
         ).alias("is_late"),
     )
+    # ONE pass over the fact join: per order, the distinct supplier
+    # count and the distinct set of late suppliers together, then keep
+    # orders where that set is exactly one supplier. Avoids the naive
+    # two-scan (per-order stats + late-pairs) formulation — at 100 TB
+    # the fact join shuffles once on l_orderkey and never again.
     per_order = joined.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("is_late"), F.col("l_suppkey"))
-        ).alias("n_late"),
+        F.array_distinct(
+            F.collect_list(F.when(F.col("is_late"), F.col("l_suppkey")))
+        ).alias("late_set"),
     )
-    late_supp = joined.where("is_late").select("l_orderkey", "l_suppkey").distinct()
+    blamed = per_order.where(
+        (F.col("n_supp") > 1) & (F.size("late_set") == 1)
+    ).select(F.element_at("late_set", 1).alias("l_suppkey"))
     supp = _t(spark, sf_dir, "supplier")
     return (
-        late_supp.join(
-            per_order.where((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
-            "l_orderkey",
-        )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        blamed.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
