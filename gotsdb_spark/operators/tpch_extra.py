@@ -288,6 +288,48 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bucketed_join_priority_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_lineitems,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle fact⋈fact join through bucketed storage, oracled.
+
+    Both sides are materialized bucketed+sorted on the order key, so the
+    SortMergeJoin's children are bare scans — NO Exchange on either side
+    (the plan test pins exactly one shuffle total: the small groupBy
+    after the join). This is the recurring-join layout at 100 TB: the
+    shuffle is paid once at write time, amortized over every query.
+
+    Revenue aggregates in integer cents (floor(price*100)) — integer
+    sums are associative, so the result is identical regardless of
+    bucket-induced partitioning, keeping the cross-engine hash gate
+    deterministic where double sums would drift.
+    """
+    from gotsdb_spark.sources.bucketing import bucket_table
+
+    li = bucket_table(spark, sf_dir, "lineitem", "l_orderkey", 16)
+    orders = bucket_table(spark, sf_dir, "orders", "o_orderkey", 16)
+    ldf = spark.table(li)
+    odf = spark.table(orders)
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+    return (
+        ldf.join(odf, ldf.l_orderkey == odf.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.sum(cents).alias("rev_cents"),
+        )
+    )
+
+
+@query(
     "q22_idle_wealthy_customers",
     oracle="""
     SELECT c_mktsegment,

@@ -127,3 +127,15 @@ def test_events_default_scan_uses_partitioned_layout(spark):
 
     df = load_table(spark, "events", SF)
     assert "events_dt" in formatted_plan(df.groupBy().count())
+
+
+def test_bucketed_join_query_single_shuffle(spark):
+    from gotsdb_spark.plans import formatted_plan
+
+    df = QUERIES["bucketed_join_priority_revenue"](spark, SF)
+    plan = formatted_plan(df)
+    # Bucketed scans feed the join directly (at tiny SF, AQE may swap
+    # the SortMergeJoin for a broadcast join — either way neither join
+    # input shuffles); the only Exchange is the post-join groupBy.
+    assert shuffle_count(df) == 1, plan
+    assert "CartesianProduct" not in plan
