@@ -23,6 +23,7 @@ from gotsdb_spark.storage.engine import Engine
 from gotsdb_spark.streaming import (
     read_events_stream,
     run_stream_to_memory,
+    session_window_values,
     windowed_event_counts,
 )
 
@@ -92,6 +93,72 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     return spark.createDataFrame(
         out, "window_start timestamp, event_type string, n bigint, sum_value double"
+    )
+
+
+@query(
+    "streaming_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, event_id, value,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flagged
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           count(*)   AS n_events,
+           sum(value) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-based session windows under the hash gate.
+
+    Purchases replay through a file stream into `session_window` (30 min
+    gap, 2 h watermark, append mode); a far-future sentinel purchase
+    (user_id −1) then advances the watermark so every real session
+    closes and emits, while the sentinel's own session never does. The
+    emitted set must equal DuckDB's batch islands-and-gaps
+    sessionization of the same purchases — the streaming twin of
+    ts_sessionize_users, with Spark session_window semantics
+    (session_end = last event + gap)."""
+    replay = tempfile.mkdtemp(prefix="gotsdb_stream_sess_")
+    ev = load_table(spark, "events", sf_dir).where(F.col("event_type") == "purchase")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    sentinel = spark.createDataFrame(
+        [(-1, "2025-01-01 00:00:00", -1, "purchase", 0.0, None)],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    name = f"itg_sess_{os.getpid()}_{next(_counter)}"
+    stream = session_window_values(
+        read_events_stream(spark, replay, 64), gap="30 minutes", watermark="2 hours"
+    )
+    ev.select(cols).repartition(1).write.mode("append").parquet(replay)
+    q = run_stream_to_memory(stream, name, output_mode="append")
+    try:
+        sentinel.select(cols).repartition(1).write.mode("append").parquet(replay)
+        q.processAllAvailable()
+        out = spark.table(name).collect()
+    finally:
+        q.stop()
+    return spark.createDataFrame(
+        out,
+        "session_start timestamp, session_end timestamp, user_id long,"
+        " n_events bigint, session_value double",
     )
 
 
