@@ -61,8 +61,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MINHASH_ORACLE = f"""
-    WITH words AS (
+# CTE chain shared by the pair query and the cluster query below (the
+# cluster oracle extends it with a recursive component search).
+_MINHASH_CTES = f"""words AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
     ), shingles AS (
       SELECT DISTINCT doc_id, sh FROM (
@@ -93,13 +94,18 @@ _MINHASH_ORACLE = f"""
       GROUP BY doc_a, doc_b
     ), sizes AS (
       SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
-    )
-    SELECT doc_a, doc_b,
-           n_common * 1.0 / (za.n_sh + zb.n_sh - n_common) AS jaccard
-    FROM inter
-    JOIN sizes za ON za.doc_id = doc_a
-    JOIN sizes zb ON zb.doc_id = doc_b
-    WHERE n_common * 1.0 / (za.n_sh + zb.n_sh - n_common) >= 0.6
+    ), pairs AS (
+      SELECT doc_a, doc_b,
+             n_common * 1.0 / (za.n_sh + zb.n_sh - n_common) AS jaccard
+      FROM inter
+      JOIN sizes za ON za.doc_id = doc_a
+      JOIN sizes zb ON zb.doc_id = doc_b
+      WHERE n_common * 1.0 / (za.n_sh + zb.n_sh - n_common) >= 0.6
+    )"""
+
+_MINHASH_ORACLE = f"""
+    WITH {_MINHASH_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs
 """
 
 
@@ -358,4 +364,89 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(da), "doc_a")
         .join(F.broadcast(db), "doc_b")
         .select("doc_a", "doc_b", "lang_a", "lang_b", "cos_sim")
+    )
+
+
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, root) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc
+    )
+    SELECT CAST(doc AS BIGINT) AS doc_id,
+           CAST(min(root) AS BIGINT) AS canonical_id,
+           min(root) = doc AS is_canonical
+    FROM reach GROUP BY doc
+"""
+
+
+@query("dedup_cluster_canonical", oracle=_CLUSTER_ORACLE)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters → canonical doc per cluster (connected
+    components over the MinHash pair graph).
+
+    The end-step of a real dedup pipeline: pairs alone don't dedupe —
+    transitive groups do (A≈B, B≈C ⇒ {A,B,C} is one cluster even if
+    A,C never paired). Components are found by min-label propagation:
+    every member starts as its own label; each iteration takes the min
+    of its neighbors' labels; fixpoint = every member labeled with the
+    cluster's smallest doc_id (the canonical). The DuckDB oracle is a
+    recursive transitive closure — a genuinely different algorithm
+    arriving at the same fixpoint, which is the strongest kind of
+    cross-check.
+
+    Scale: iterations = component diameter (near-dup clusters are
+    shallow — typically 2-4 hops); each iteration is one equi-join +
+    min-aggregation shuffle over the EDGE set (tiny vs the corpus), and
+    localCheckpoint truncates the growing lineage. This is the standard
+    large-graph CC pattern on Spark without GraphX.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+        .localCheckpoint()
+    )
+    for _ in range(25):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc == F.col("src"), "left")
+            .select(
+                "doc",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("doc").alias("doc_id"),
+        F.col("label").alias("canonical_id"),
+        (F.col("label") == F.col("doc")).alias("is_canonical"),
     )
