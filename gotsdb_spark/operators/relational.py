@@ -561,18 +561,28 @@ def window_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
            sum(l_extendedprice * (1 - l_discount)) OVER (
              PARTITION BY l_suppkey
-             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                      l_extendedprice, l_discount
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS running_revenue
     FROM lineitem
     """,
 )
 def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running (cumulative) revenue per supplier — ROWS frame."""
+    """Running (cumulative) revenue per supplier — ROWS frame.
+
+    The fixture contains duplicate (l_orderkey, l_linenumber) rows with
+    different prices (e.g. order 45185 line 7 at sf0.1), so the ORDER BY
+    also includes the summand's inputs: rows tied on every ordering
+    column then contribute identical values, making the running sum
+    well-defined in both engines regardless of which tied row comes
+    first."""
     li = _t(spark, sf_dir, "lineitem")
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(
+            "l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+        )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return li.select(
