@@ -49,3 +49,54 @@ def skew_salted_event_segment_counts(spark: SparkSession, sf_dir: str) -> DataFr
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "csv_interchange_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           min(o_orderdate) AS first_order,
+           max(o_orderdate) AS last_order
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def csv_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV interchange under the hash gate: orders → CSV → read back
+    with an explicit schema → aggregate; the oracle reads the ORIGINAL
+    parquet, so equality proves the text round-trip loses nothing.
+
+    Money goes through as integer cents (floor(price*100) before the
+    write) — CSV text formatting of raw doubles is not guaranteed to
+    round-trip the last ulp, integers always are. Timestamps round-trip
+    via the default ISO format. This is the interchange contract a
+    pipeline needs before trusting CSV drops from external producers.
+    """
+    import tempfile
+
+    from gotsdb_spark.sources.formats import read_any, write_any
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
+        "o_orderdate",
+    )
+    path = tempfile.mkdtemp(prefix="gotsdb_csv_itg_")
+    write_any(orders, path, "csv")
+    back = read_any(
+        spark,
+        path,
+        "csv",
+        schema="o_orderkey bigint, o_orderstatus string,"
+        " total_cents bigint, o_orderdate timestamp",
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("total_cents").alias("total_cents"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
