@@ -370,3 +370,78 @@ def sim_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").alias("sum_all"),
         F.avg(F.abs(F.col("x"))).alias("avg_abs"),
     )
+
+
+_IVF_RECALL_ORACLE = f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), queries AS (
+      SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id < 10
+    ), brute AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT q_id, vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q_id
+                 ORDER BY list_dot_product(qe, e) /
+                   (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e)))
+                   DESC, vec_id
+               ) AS rn
+        FROM queries JOIN emb ON vec_id <> q_id
+      ) t WHERE rn <= 5
+    ), ivf AS ({_IVF_SEARCH_ORACLE}
+    )
+    SELECT b.q_id,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+           count(i.neighbor_id) / 5.0 AS recall_at_5
+    FROM brute b
+    LEFT JOIN ivf i ON i.q_id = b.q_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.q_id
+"""
+
+
+@query("ann_ivf_recall", oracle=_IVF_RECALL_ORACLE)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of the IVF index vs exact brute force, per
+    query — the metric an ANN deployment actually monitors.
+
+    Both rankings are deterministic (cosine desc, id tiebreak), so the
+    per-query hit count is a stable value both engines agree on. At
+    100 TB this runs as a sampled audit job: brute force over a small
+    query sample bounds the cost while tracking index quality as data
+    and centroids drift.
+    """
+    # Brute-force top-5 (sim_cosine_topk returns top-10, so recompute
+    # with the tighter k rather than filtering its output).
+    emb = fan_out(load_table(spark, "embeddings", sf_dir))
+    corpus = emb.select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    brute5 = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("q_id", "neighbor_id")
+    )
+    ivf5 = ann_ivf_search(spark, sf_dir).select(
+        "q_id", F.col("neighbor_id").alias("ivf_neighbor")
+    )
+    return (
+        brute5.join(
+            ivf5,
+            (brute5.q_id == ivf5.q_id) & (brute5.neighbor_id == ivf5.ivf_neighbor),
+            "left",
+        )
+        .drop(ivf5.q_id)
+        .groupBy("q_id")
+        .agg(
+            F.count("ivf_neighbor").alias("n_hits"),
+            (F.count("ivf_neighbor") / 5.0).alias("recall_at_5"),
+        )
+    )
