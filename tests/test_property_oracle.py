@@ -118,3 +118,50 @@ def test_random_aggregations_agree(spark, spark_lineitem, duck, agg, group, pred
             assert abs(sv - float(dv)) < 1e-6 * max(1.0, abs(sv)), (k, sv, dv, sql)
         else:
             assert sv == dv, (k, sv, dv, sql)
+
+
+# Window-function fuzzing. Ordering is made total by suffixing the
+# discriminating columns (the fixture contains full-duplicate
+# (l_orderkey, l_linenumber) rows at larger SFs — a tie there swaps
+# window values between engines; with a total order, or full-duplicate
+# rows whose contributions are symmetric, the checksum is invariant).
+_WIN_FNS = st.sampled_from(
+    [
+        "row_number()",
+        "rank()",
+        "dense_rank()",
+        "ntile(4)",
+        "lag(l_linenumber, 1, 0)",
+        "sum(l_linenumber)",
+        "count(*)",
+    ]
+)
+_WIN_PART = st.sampled_from(["l_returnflag", "l_linestatus", "l_suppkey % 10"])
+_WIN_ORDER = st.sampled_from(["l_shipdate", "l_extendedprice", "l_quantity"])
+_TOTAL_SUFFIX = "l_orderkey, l_linenumber, l_extendedprice, l_discount, l_partkey"
+
+
+@given(fn=_WIN_FNS, part=_WIN_PART, order=_WIN_ORDER)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_window_functions_agree(spark, spark_lineitem, duck, fn, part, order):
+    frame = (
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        if fn.startswith(("sum", "count"))
+        else ""
+    )
+    sql = (
+        "WITH t AS (SELECT l_orderkey, l_linenumber, "
+        f"{fn} OVER (PARTITION BY {part} "
+        f"ORDER BY {order}, {_TOTAL_SUFFIX} {frame}) AS wv "
+        "FROM lineitem) "
+        "SELECT count(*) AS n, "
+        "CAST(sum(wv * ((l_orderkey * 7 + l_linenumber) % 1000003)) AS BIGINT)"
+        " AS checksum FROM t"
+    )
+    s = spark.sql(sql).first()
+    d = duck.execute(sql).fetchone()
+    assert (s["n"], s["checksum"]) == (d[0], int(d[1])), sql
