@@ -1,4 +1,6 @@
-"""Additional TPC-H-shaped queries (Q8/Q9/Q12/Q13/Q15/Q17/Q21/Q22).
+"""Additional TPC-H-shaped queries (Q2/Q8/Q9/Q11/Q12/Q13/Q15/Q16/Q17/
+Q20/Q21/Q22 — completing shape coverage of all 22 with the rest of the
+suite in operators.relational).
 
 The fixture tables are a slimmed TPC-H (no partsupp; lineitem lacks
 commit/receipt dates and shipmode), so each query keeps its canonical
@@ -364,3 +366,144 @@ def q22_idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("numcust"), F.sum("c_acctbal").alias("totacctbal"))
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, min(l_extendedprice) AS min_price
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_partkey, p_brand, s_suppkey, s_name,
+           l_extendedprice AS price
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN cost     ON cost.l_partkey = p_partkey
+    WHERE p_size = 25 AND l_extendedprice = min_price
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the min-cost supplier per part (correlated-min
+    re-expressed as aggregate-then-join; lineitem stands in for the
+    absent partsupp as the part↔supplier bridge). Price equality is on
+    a raw column value — exact in both engines, no arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") == 25)
+    supp = _t(spark, sf_dir, "supplier")
+    cost = li.groupBy(F.col("l_partkey").alias("cost_partkey")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cost, F.col("l_partkey") == F.col("cost_partkey"))
+        .where(F.col("l_extendedprice") == F.col("min_price"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            F.col("l_extendedprice").alias("price"),
+        )
+    )
+
+
+@query(
+    "q11_important_nation_volume",
+    oracle="""
+    WITH cents AS (
+      SELECT s_nationkey,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    )
+    SELECT s_nationkey, CAST(sum(c) AS BIGINT) AS volume_cents
+    FROM cents
+    GROUP BY s_nationkey
+    HAVING sum(c) > (SELECT sum(c) / 50 FROM cents)
+    """,
+)
+def q11_important_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups exceeding a global-fraction threshold
+    (scalar subquery in HAVING). Volume aggregates in integer cents so
+    the threshold comparison is association-safe in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    cents = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).select(
+        "s_nationkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+    )
+    per_nation = cents.groupBy("s_nationkey").agg(F.sum("c").alias("volume_cents"))
+    threshold = cents.agg((F.sum("c") / 50).alias("thr"))
+    return (
+        per_nation.join(F.broadcast(threshold))
+        .where(F.col("volume_cents") > F.col("thr"))
+        .select("s_nationkey", "volume_cents")
+    )
+
+
+@query(
+    "q16_supplier_count_by_part_class",
+    oracle="""
+    SELECT p_brand, p_type,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type
+    """,
+)
+def q16_supplier_count_by_part_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part class with a
+    NOT IN exclusion subquery (left-anti join against the blacklisted
+    suppliers; lineitem bridges part↔supplier)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#45") & (~F.col("p_type").like("MEDIUM%"))
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_bulk_small_part_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+      GROUP BY l_suppkey
+      HAVING sum(CAST(floor(l_quantity * 100) AS BIGINT)) > 50000
+    )
+    """,
+)
+def q20_bulk_small_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: IN against a grouped-HAVING subquery — the
+    suppliers who moved bulk volume of 'small…' parts (quantity
+    aggregated in integer hundredths for association safety)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    supp = _t(spark, sf_dir, "supplier")
+    bulk = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") * 100).cast("bigint")).alias("q100")
+        )
+        .where(F.col("q100") > 50000)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return supp.join(bulk, "s_suppkey", "left_semi").select("s_suppkey", "s_name")
