@@ -100,3 +100,46 @@ def csv_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("first_order"),
         F.max("o_orderdate").alias("last_order"),
     )
+
+
+@query(
+    "json_interchange_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS balance_cents,
+           min(c_custkey) AS first_key,
+           max(c_custkey) AS last_key
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def json_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines interchange under the hash gate (twin of the CSV
+    query): customer → JSON → read back with an explicit schema →
+    aggregate; the oracle reads the original parquet. Money as integer
+    cents for exact text round-trip."""
+    import tempfile
+
+    from gotsdb_spark.sources.formats import read_any, write_any
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("balance_cents"),
+    )
+    path = tempfile.mkdtemp(prefix="gotsdb_json_itg_")
+    write_any(cust, path, "json")
+    back = read_any(
+        spark,
+        path,
+        "json",
+        schema="c_custkey bigint, c_mktsegment string, balance_cents bigint",
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("balance_cents").alias("balance_cents"),
+        F.min("c_custkey").alias("first_key"),
+        F.max("c_custkey").alias("last_key"),
+    )
