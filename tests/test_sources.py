@@ -57,3 +57,17 @@ def test_partitioned_total_preserved(spark, tmp_path):
     assert read_events_partitioned(spark, out).count() == load_table(
         spark, "events", SF
     ).count()
+
+
+def test_events_fallback_without_warehouse(spark, tmp_path, monkeypatch):
+    """If the warehouse copy can't be built (e.g. read-only filesystem),
+    events must still load from the raw single file with identical
+    schema and rows."""
+    from gotsdb_spark.sources import registry
+
+    monkeypatch.setattr(
+        registry, "WAREHOUSE_DIR", str(tmp_path / "no" / "such" / "ro\x00dir")
+    )
+    df = registry.load_table(spark, "events", "/root/testdata/sf0.001")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.count() == 1000
