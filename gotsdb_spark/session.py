@@ -43,6 +43,16 @@ def get_spark(app_name: str = "gotsdb_spark", cpus: int | None = None) -> SparkS
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Streaming state lives in RocksDB, not the executor heap: at
+        # 100 TB/day the watermarked window/session/dedup state of a
+        # long-running stream outgrows JVM memory; RocksDB spills to
+        # local disk with changelog checkpointing and bounds GC pressure.
+        # (Bundled with Spark — no extra dependency.)
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
         .config(
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
