@@ -1,0 +1,295 @@
+"""Training-data curation operators over `documents`: deterministic
+dataset splitting, mixture sampling, sequence packing, train/eval
+decontamination, and output sharding.
+
+These are the pipeline steps between "raw corpus" and "training set"
+that a 100 TB data pipeline runs after dedup/quality scoring
+(SURVEY.md §2.3 LLM-pipeline block). Design rules:
+
+- Every sampling/splitting decision is a pure function of the row
+  identity via md5 — no RNG, no seed state, so replays, retries and
+  cross-engine oracles all agree, and a row's split assignment is
+  stable under repartitioning, compaction, and incremental reruns.
+- Splits/samples are embarrassingly parallel map work (no shuffle);
+  packing shuffles once on the partition key; contamination is an
+  equi-join on shingle hashes (the LSH candidate-join shape, never
+  all-pairs).
+- Token counts and char sums are integers — association-safe under
+  any partitioning (see dedup.py determinism note).
+
+Reference parity: the reference engine (j0shgrant/gotsdb,
+internal/storage/engine.go) has no curation surface; these extend the
+mandated LLM-pipeline block alongside dedup.py/similarity.py/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gotsdb_spark.functions import word_shingles
+from gotsdb_spark.operators.registry import query
+from gotsdb_spark.sources.registry import fan_out, load_table
+
+# Greedy contiguous packing budget (whitespace tokens per bin).
+PACK_BUDGET = 2000
+
+# Per-source mixture weights, cycled by source index: a stand-in for a
+# curated mixture config (e.g. upweight books, downsample crawl). The
+# keep-fraction thresholds are expressed over the 16-bit space of the
+# first 4 md5 hex digits so both engines compare integers, not floats.
+_MIXTURE_RATES = [1.0, 0.75, 0.5, 0.25]
+_MIXTURE_THRESHOLDS = [int(r * 65536) for r in _MIXTURE_RATES]
+
+
+def _doc_bucket16(doc_id: Column) -> Column:
+    """Deterministic bucket in [0, 65535] from the doc identity."""
+    return F.conv(
+        F.substring(F.md5(doc_id.cast("string")), 1, 4), 16, 10
+    ).cast("long")
+
+
+@query(
+    "curate_hash_split",
+    oracle="""
+    WITH t AS (
+      SELECT lang, n_chars,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b
+      FROM documents
+    )
+    SELECT CASE WHEN b < '1a' THEN 'test'
+                WHEN b < '33' THEN 'val'
+                ELSE 'train' END AS split,
+           lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM t GROUP BY 1, 2
+    """,
+)
+def curate_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by md5(doc_id) hex bucket.
+
+    The industry-standard alternative to rand(): a row's split is a
+    pure function of its id, so the split is reproducible across runs,
+    engines, and incremental data loads (new rows never move old rows
+    between splits). Bucket = first 2 md5 hex digits (256 buckets);
+    '1a' = 26/256 ~ 10% test, '33' = 51/256 ~ next 10% val. Pure map +
+    one small aggregation — no shuffle of document bodies at any scale.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(b < "1a", "test").when(b < "33", "val").otherwise("train")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "curate_mixture_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, n_chars,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                  AS BIGINT) AS bucket,
+             list_extract({_MIXTURE_THRESHOLDS},
+                          (CAST(substr(source, 4) AS INT) % 4) + 1)
+               AS threshold
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN bucket < threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN bucket < threshold THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM t GROUP BY source
+    """,
+)
+def curate_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture downsampling with deterministic hash gates.
+
+    Each source gets a keep-fraction (cycled from _MIXTURE_RATES here;
+    a curated config in practice). A doc survives iff its 16-bit md5
+    bucket falls below the source's threshold — so the sample is exact
+    in expectation, reproducible, and composable with the hash split
+    above (independent digits of the same md5). Pure map over the
+    corpus; the aggregation shuffles one counter row per source.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    idx = F.substring("source", 4, 10).cast("int")
+    threshold = F.element_at(
+        F.array(*[F.lit(t) for t in _MIXTURE_THRESHOLDS]), (idx % 4) + 1
+    )
+    keep = _doc_bucket16(F.col("doc_id")) < threshold
+    return (
+        docs.select("source", "n_chars", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+    )
+
+
+@query(
+    "curate_pack_token_bins",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT source, n_tokens,
+             CAST(floor(COALESCE(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) / {PACK_BUDGET}.0) AS BIGINT) AS bin_id
+      FROM t
+    )
+    SELECT source, bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_doc_tokens
+    FROM packed GROUP BY source, bin_id
+    """,
+)
+def curate_pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: chunk each source's doc stream into contiguous
+    token-budget bins (exclusive running token count div budget).
+
+    The deterministic, shuffle-once packing policy: one window shuffle
+    on (source) ordered by doc_id, integer token sums, then a map-side
+    combinable aggregation per bin. At 100 TB the window state per task
+    is a single running counter — no buffering of documents. (True
+    first-fit bin packing is inherently sequential; contiguous chunking
+    is the policy that parallelizes, which is why real pipelines use
+    it.)
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    ntok = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        docs.select("source", "doc_id", ntok.alias("n_tokens"))
+        .withColumn("bin_id", F.floor(cum_excl / float(PACK_BUDGET)))
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.max("n_tokens").alias("max_doc_tokens"),
+        )
+    )
+
+
+@query(
+    "curate_contamination",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_eval
+      FROM documents
+    ), shingles AS (
+      SELECT DISTINCT doc_id, is_eval, sh FROM (
+        SELECT doc_id, is_eval,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(ws) - 2, 1)),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        FROM words
+      ) raw
+    )
+    SELECT e.doc_id AS eval_doc,
+           count(DISTINCT e.sh) AS n_shared_shingles,
+           count(DISTINCT t.doc_id) AS n_train_docs
+    FROM shingles e
+    JOIN shingles t ON t.sh = e.sh AND NOT t.is_eval
+    WHERE e.is_eval
+    GROUP BY e.doc_id
+    """,
+)
+def curate_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination check: which held-out docs share
+    3-word shingles with the training corpus, and how widely.
+
+    Eval set = docs whose first md5 hex digit is '0' (a deterministic
+    1/16 holdout, consistent with the hash-split primitive). Candidate
+    generation is an equi-join on the shingle string — the same
+    sub-quadratic shape as LSH candidate pairing (dedup.py): shuffle
+    carries (shingle, doc_id) pairs partitioned by shingle, so work is
+    O(shared shingles), never O(train x eval). Docs with zero overlap
+    produce no row (inner join) — the clean case costs nothing.
+    """
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    sh = docs.select(
+        "doc_id",
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0").alias(
+            "is_eval"
+        ),
+        F.explode(word_shingles(F.col("text"))).alias("sh"),
+    )
+    ev = sh.filter(F.col("is_eval")).select(
+        F.col("doc_id").alias("eval_doc"), "sh"
+    )
+    tr = sh.filter(~F.col("is_eval")).select(
+        F.col("doc_id").alias("train_doc"), "sh"
+    )
+    return (
+        ev.join(tr, "sh")
+        .groupBy("eval_doc")
+        .agg(
+            F.countDistinct("sh").alias("n_shared_shingles"),
+            F.countDistinct("train_doc").alias("n_train_docs"),
+        )
+    )
+
+
+@query(
+    "curate_shard_stats",
+    oracle="""
+    WITH t AS (
+      SELECT n_chars,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                  AS BIGINT) % 16 AS shard
+      FROM documents
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM t GROUP BY shard
+    """,
+)
+def curate_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output shard assignment by md5 bucket mod 16, with per-shard
+    balance stats.
+
+    The write-side twin of the split/sample gates: training-set writers
+    shard by content hash so output file sizes stay balanced regardless
+    of input order or skewed sources, and a rerun lands every doc in
+    the same shard (idempotent re-export). The stats aggregation is the
+    skew check a pipeline alerts on before materializing 100 TB.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    shard = (_doc_bucket16(F.col("doc_id")) % 16).alias("shard")
+    return (
+        docs.select(shard, "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
