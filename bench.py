@@ -48,6 +48,8 @@ HEADLINE = [
     "ts_pruned_week_stats",
     "q9_profit_by_nation_year",
     "q21_waiting_suppliers",
+    "curate_pack_token_bins",
+    "curate_contamination",
 ]
 
 
