@@ -139,3 +139,25 @@ def test_bucketed_join_query_single_shuffle(spark):
     # input shuffles); the only Exchange is the post-join groupBy.
     assert shuffle_count(df) == 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_pack_token_bins_single_shuffle(spark):
+    # The window (partitionBy source) and the groupBy (source, bin_id)
+    # must share ONE Exchange: hash partitioning on source satisfies the
+    # grouping's clustered distribution, so packing shuffles once.
+    df = QUERIES["curate_pack_token_bins"](spark, SF)
+    assert shuffle_count(df) == 1
+
+
+def test_contamination_is_equi_join(spark):
+    # Decontamination candidates come from an equi-join on the shingle,
+    # never an all-pairs comparison.
+    df = QUERIES["curate_contamination"](spark, SF)
+    assert not has_cartesian_product(df)
+
+
+def test_hash_split_single_shuffle(spark):
+    # Pure map (md5 bucket) + partial/final aggregation: one shuffle of
+    # counter rows only.
+    df = QUERIES["curate_hash_split"](spark, SF)
+    assert shuffle_count(df) == 1
