@@ -143,3 +143,53 @@ def json_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_custkey").alias("first_key"),
         F.max("c_custkey").alias("last_key"),
     )
+
+
+@query(
+    "orc_interchange_roundtrip",
+    oracle="""
+    SELECT s_nationkey,
+           count(*) AS n_suppliers,
+           CAST(sum(CAST(floor(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS balance_cents,
+           min(s_suppkey) AS first_key,
+           max(s_suppkey) AS last_key
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def orc_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange under the hash gate: supplier → ORC → read back →
+    aggregate; the oracle reads the ORIGINAL parquet, so equality proves
+    the columnar round-trip loses nothing.
+
+    ORC is the third columnar citizen next to Parquet in warehouse
+    estates (Hive/Trino migrations hand data over as ORC); Spark ships
+    the reader/writer in core. Binary columnar storage round-trips
+    doubles exactly, but money stays integer cents for consistency with
+    the CSV/JSON interchange contract — one rule for all formats beats
+    per-format reasoning about ulps.
+    """
+    import tempfile
+
+    from gotsdb_spark.sources.formats import read_any, write_any
+
+    supp = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey",
+        "s_nationkey",
+        F.floor(F.col("s_acctbal") * 100).cast("bigint").alias("balance_cents"),
+    )
+    path = tempfile.mkdtemp(prefix="gotsdb_orc_itg_")
+    write_any(supp, path, "orc")
+    back = read_any(
+        spark,
+        path,
+        "orc",
+        schema="s_suppkey bigint, s_nationkey bigint, balance_cents bigint",
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("balance_cents").alias("balance_cents"),
+        F.min("s_suppkey").alias("first_key"),
+        F.max("s_suppkey").alias("last_key"),
+    )

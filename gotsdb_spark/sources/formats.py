@@ -1,8 +1,8 @@
 """Additional batch formats + the partitioned warehouse layout.
 
 The reference's only format is a gob blob per collection
-(cold.go:111-154). Here Parquet is primary (registry.py), with CSV and
-JSON read/write for interchange, and — the piece that matters at
+(cold.go:111-154). Here Parquet is primary (registry.py), with CSV,
+JSON, and ORC read/write for interchange, and — the piece that matters at
 100 TB — a date-partitioned event layout so queries with time
 predicates prune whole directories before any I/O happens.
 """
@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from gotsdb_spark.sources.registry import load_table
 
-_READERS = ("parquet", "csv", "json")
+_READERS = ("parquet", "csv", "json", "orc")
 
 
 def read_any(
@@ -33,6 +33,8 @@ def read_any(
         return reader.option("header", "true").csv(path)
     if fmt == "json":
         return reader.json(path)
+    if fmt == "orc":
+        return reader.orc(path)
     return reader.parquet(path)
 
 
@@ -44,6 +46,8 @@ def write_any(df: DataFrame, path: str, fmt: str = "parquet") -> None:
         writer.option("header", "true").csv(path)
     elif fmt == "json":
         writer.json(path)
+    elif fmt == "orc":
+        writer.orc(path)
     else:
         writer.parquet(path)
 
