@@ -47,3 +47,67 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — the Spark 4 arbitrary-state API.
+#
+# Successor to applyInPandasWithState: typed state variables (value/
+# list/map) with per-state TTL, event-time timers, and schema evolution,
+# all backed by the RocksDB state store the session enables (session.py)
+# — which this API requires, and which is what lets per-key state exceed
+# executor heap at 100 TB. Both operators are kept: applyInPandasWithState
+# is the widely-deployed surface, transformWithState is where new
+# stateful pipelines should land.
+#
+# Runtime dependency: the API's Python-side state server speaks
+# protobuf; executing (not building) the query needs the
+# google.protobuf package. The equivalence test importorskips it,
+# mirroring the PIL-gated multimodal codec.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+TWS_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, max_value double"
+
+
+class UserPeakProcessor(StatefulProcessor):
+    """Per-user event count + running max(value) in a ValueState.
+
+    max (unlike sum) is order-insensitive over doubles, so the emitted
+    state is bit-identical however micro-batches split — the property
+    the equivalence test pins.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState(
+            "user_peak", "n_events bigint, max_value double"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, peak = (
+            self._state.get() if self._state.exists() else (0, float("-inf"))
+        )
+        for pdf in rows:
+            n += len(pdf)
+            peak = max(peak, float(pdf["value"].max()))
+        self._state.update((n, peak))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [peak]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_peaks(events: DataFrame) -> DataFrame:
+    """Running per-user (count, max) via transformWithStateInPandas."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        UserPeakProcessor(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
