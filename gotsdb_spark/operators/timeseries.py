@@ -524,3 +524,129 @@ def ts_pruned_week_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         F.date_trunc("day", "ts").alias("day"), "event_type"
     ).agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+
+
+@query(
+    "ts_m4_downsample",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, value, ts, event_id,
+             CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 AS bsec
+      FROM events
+    ), r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, bsec
+                                ORDER BY ts, event_id) AS rna,
+             row_number() OVER (PARTITION BY event_type, bsec
+                                ORDER BY ts DESC, event_id DESC) AS rnd
+      FROM t
+    )
+    SELECT event_type,
+           CAST(to_timestamp(bsec) AT TIME ZONE 'UTC' AS TIMESTAMP)
+             AS bucket_start,
+           count(*) AS n,
+           min(value) AS v_min,
+           max(value) AS v_max,
+           max(CASE WHEN rna = 1 THEN value END) AS first_value,
+           max(CASE WHEN rnd = 1 THEN value END) AS last_value
+    FROM r GROUP BY event_type, bsec
+    """,
+)
+def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling: per series and pixel bucket keep min, max,
+    first, and last — the four points that make a line chart of the
+    bucket pixel-identical to plotting every raw point.
+
+    The standard TSDB visualization reducer (M4, Jugel et al., VLDB
+    2014): a dashboard query over a year of data returns 4 points per
+    pixel column instead of millions. first/last are argmin/argmax over
+    the total order (ts, event_id) — ties impossible, so the result is
+    deterministic. Both windows and the final aggregation share the
+    (event_type, bucket) hash partitioning: ONE shuffle total.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    bsec = (F.floor(F.unix_timestamp("ts") / 21600) * 21600).cast("long")
+    base = ev.select("event_type", "value", "ts", "event_id", bsec.alias("bsec"))
+    wa = W.partitionBy("event_type", "bsec").orderBy("ts", "event_id")
+    wd = W.partitionBy("event_type", "bsec").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = base.withColumn("rna", F.row_number().over(wa)).withColumn(
+        "rnd", F.row_number().over(wd)
+    )
+    return (
+        ranked.groupBy("event_type", "bsec")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.max(F.when(F.col("rna") == 1, F.col("value"))).alias("first_value"),
+            F.max(F.when(F.col("rnd") == 1, F.col("value"))).alias("last_value"),
+        )
+        .select(
+            "event_type",
+            F.to_timestamp(F.col("bsec")).alias("bucket_start"),
+            "n",
+            "v_min",
+            "v_max",
+            "first_value",
+            "last_value",
+        )
+    )
+
+
+@query(
+    "ts_counter_rate",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, ts, value,
+             value - lag(value) OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS delta
+      FROM events
+    )
+    SELECT event_type,
+           date_trunc('day', ts) AS day,
+           count(*) AS n_samples,
+           CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_resets,
+           CAST(sum(CAST(floor(1e6 * (CASE WHEN delta IS NULL THEN 0
+                                           WHEN delta < 0 THEN value
+                                           ELSE delta END)) AS BIGINT))
+                AS BIGINT) AS increase_micros
+    FROM d GROUP BY event_type, date_trunc('day', ts)
+    """,
+)
+def ts_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style counter increase with reset handling: per series
+    (user_id, event_type), a sample's contribution is its delta from
+    the previous sample — unless the counter went backwards (process
+    restart), in which case the counter restarted from zero and the
+    current value IS the increase. Daily totals per event_type.
+
+    One window shuffle on the series key (the natural partitioning a
+    metrics store would already have), then a map-side-combinable
+    aggregation. Contributions are summed in integer micros so the
+    result is association-safe under any partitioning — the warehouse
+    events layout is a 30-file parallel scan (sources/registry.py), so
+    double summation order is NOT reproducible here; fixed-point makes
+    the hash gate immune to it.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    ws = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    delta = F.col("value") - F.lag("value").over(ws)
+    contrib = (
+        F.when(delta.isNull(), 0.0)
+        .when(delta < 0, F.col("value"))
+        .otherwise(delta)
+    )
+    d = ev.select(
+        "event_type",
+        "ts",
+        F.floor(F.lit(1e6) * contrib).cast("long").alias("c_micros"),
+        (delta < 0).cast("int").alias("is_reset"),
+    )
+    return d.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n_samples"),
+        F.sum(F.coalesce("is_reset", F.lit(0))).cast("long").alias("n_resets"),
+        F.sum("c_micros").alias("increase_micros"),
+    )

@@ -161,3 +161,18 @@ def test_hash_split_single_shuffle(spark):
     # counter rows only.
     df = QUERIES["curate_hash_split"](spark, SF)
     assert shuffle_count(df) == 1
+
+
+def test_m4_downsample_single_shuffle(spark):
+    # Both row_number windows and the final aggregation share the
+    # (event_type, bucket) hash partitioning: one Exchange, two sorts.
+    df = QUERIES["ts_m4_downsample"](spark, SF)
+    assert shuffle_count(df) == 1
+
+
+def test_counter_rate_two_shuffles(spark):
+    # One shuffle for the per-series window, one (partial+final) for the
+    # regroup to (event_type, day) — nothing more.
+    df = QUERIES["ts_counter_rate"](spark, SF)
+    assert shuffle_count(df) == 2
+    assert not has_cartesian_product(df)
