@@ -50,6 +50,7 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "curate_pack_token_bins",
     "curate_contamination",
+    "ts_m4_downsample",
 ]
 
 
