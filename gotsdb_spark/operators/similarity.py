@@ -445,3 +445,119 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("ivf_neighbor") / 5.0).alias("recall_at_5"),
         )
     )
+
+
+_KMEANS_K = 4
+_KMEANS_DIM = 64
+
+# One Lloyd iteration in each engine computes squared distances by the
+# SAME sequential dim-order reduction (zip_with/aggregate vs
+# list_transform/list_sum), so d2 values are bit-identical and the
+# (d2, cid) assignment tie-break never diverges. Centroid components —
+# the one place summation order DOES differ (Spark partial aggs vs
+# DuckDB sequential avg) — are half-up rounded to 1e-6 before reuse,
+# clamping cross-engine drift below anything the next assignment round
+# can observe.
+_KMEANS_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cid, e AS cv FROM v WHERE vec_id < {_KMEANS_K}
+    ), d1 AS (
+      SELECT v.vec_id, c.cid,
+             list_sum(list_transform(generate_series(1, {_KMEANS_DIM}),
+                      i -> (v.e[i] - c.cv[i]) * (v.e[i] - c.cv[i]))) AS d2
+      FROM v, c0 c
+    ), a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d1) ranked WHERE rn = 1
+    ), comp1 AS (
+      SELECT a1.cid, u.d, v.e[u.d] AS x
+      FROM a1 JOIN v USING (vec_id), generate_series(1, {_KMEANS_DIM}) AS u(d)
+    ), c1 AS (
+      SELECT cid, array_agg(xa ORDER BY d) AS cv FROM (
+        SELECT cid, d, floor(avg(x) * 1000000 + 0.5) / 1000000 AS xa
+        FROM comp1 GROUP BY cid, d
+      ) means GROUP BY cid
+    ), dd2 AS (
+      SELECT v.vec_id, c.cid,
+             list_sum(list_transform(generate_series(1, {_KMEANS_DIM}),
+                      i -> (v.e[i] - c.cv[i]) * (v.e[i] - c.cv[i]))) AS d2
+      FROM v, c1 c
+    ), a2 AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM dd2) ranked WHERE rn = 1
+    )
+    SELECT cid AS cluster_id,
+           count(*) AS n_members,
+           avg(d2) AS avg_d2
+    FROM a2 GROUP BY cid
+"""
+
+
+@query("kmeans_lloyd_clusters", oracle=_KMEANS_ORACLE)
+def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=4, 2 iterations, seeded with vec_id < k) as
+    deterministic dataflow — the iterative-algorithm surface, and the
+    training step that would produce ann_ivf_search's coarse centroids
+    from data instead of labels.
+
+    Each iteration is pure DataFrame algebra: assignment is a map-side
+    crossJoin against the k-row broadcast centroid table + a
+    row_number argmin with a total (d2, cid) tie-break; the update step
+    re-averages per (cluster, dim) and repacks ordered arrays — the
+    ann_ivf_search centroid pattern. Nothing iterates on the driver but
+    the loop counter itself: at 100 TB each iteration is one bounded
+    broadcast + one shuffle of (cid, dim, component) rows, and k
+    centroids always fit in a broadcast. Centroid components are
+    half-up rounded to 1e-6 each round to pin cross-engine float drift
+    (see oracle comment).
+    """
+    emb = fan_out(load_table(spark, "embeddings", sf_dir))
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    cent = v.where(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("cv")
+    )
+    assign = None
+    for it in range(2):
+        d = v.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "cid",
+            F.aggregate(
+                F.zip_with("e", "cv", lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+        w = W.partitionBy("vec_id").orderBy("d2", "cid")
+        assign = (
+            d.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cid", "d2")
+        )
+        if it == 0:
+            comps = (
+                assign.join(v, "vec_id")
+                .select("cid", F.posexplode("e"))
+                .select("cid", (F.col("pos") + 1).alias("d"), F.col("col").alias("x"))
+            )
+            means = comps.groupBy("cid", "d").agg(
+                (F.floor(F.avg("x") * 1000000 + F.lit(0.5)) / 1000000).alias("xa")
+            )
+            cent = means.groupBy("cid").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "xa"))),
+                    lambda s: s.xa,
+                ).alias("cv")
+            )
+    return assign.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count("*").alias("n_members"),
+        F.avg("d2").alias("avg_d2"),
+    )

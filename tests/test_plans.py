@@ -176,3 +176,13 @@ def test_counter_rate_two_shuffles(spark):
     df = QUERIES["ts_counter_rate"](spark, SF)
     assert shuffle_count(df) == 2
     assert not has_cartesian_product(df)
+
+
+def test_kmeans_no_cartesian_blowup(spark):
+    # Centroid distance fan-out is the k-row broadcast nested-loop (the
+    # intended plan, same as ann_ivf_search); an unbroadcast
+    # CartesianProduct would be the scale-killer and must never appear.
+    from gotsdb_spark.plans import formatted_plan
+
+    df = QUERIES["kmeans_lloyd_clusters"](spark, SF)
+    assert "CartesianProduct" not in formatted_plan(df)
