@@ -601,3 +601,42 @@ def merge_upsert_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(False).alias("was_updated"),
     )
     return updates.unionByName(unchanged)
+
+
+@query(
+    "variant_props_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
+                AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS INT))
+                AS INT) AS min_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VariantType: parse_json
+    once into the binary variant encoding, then typed variant_get path
+    extraction.
+
+    The modern alternative to from_json-with-a-schema
+    (json_props_extract is the classic twin): Variant keeps the full
+    document in a shredded binary form, so different queries can
+    extract different paths without re-parsing strings or agreeing on
+    one schema up front — the schema-evolution story for 100 TB of
+    heterogeneous event payloads. Extraction is JVM-side expression
+    work, same as the rest of the scalar surface.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -650,3 +650,93 @@ def ts_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce("is_reset", F.lit(0))).cast("long").alias("n_resets"),
         F.sum("c_micros").alias("increase_micros"),
     )
+
+
+@query(
+    "ts_funnel_view_click_purchase",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_viewed,
+           CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clicked_after_view,
+           CAST(sum(CASE WHEN t_view < t_click AND t_click < t_buy
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM firsts
+    """,
+)
+def ts_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose FIRST view precedes their first
+    click precedes their first purchase.
+
+    The product-analytics staple. One partial+final aggregation per
+    user (timestamps of each stage's first occurrence — map-side
+    combinable mins), then a single global rollup of boolean counters:
+    two shuffles, byte-sized rows, at any scale. NULL comparison
+    semantics do the stage gating (a missing stage makes the < chain
+    NULL, counted as false in both engines).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = F.col("t_view") < F.col("t_click")
+    full = clicked & (F.col("t_click") < F.col("t_buy"))
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.sum(viewed.cast("int")).cast("long").alias("n_viewed"),
+        F.sum(clicked.cast("int")).cast("long").alias("n_clicked_after_view"),
+        F.sum(full.cast("int")).cast("long").alias("n_full_funnel"),
+    )
+
+
+@query(
+    "ts_retention_cohorts",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    )
+    SELECT c.cohort_day,
+           CAST(datediff('day', c.cohort_day, a.day) AS INT) AS day_offset,
+           count(*) AS n_active
+    FROM activity a JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day; for each
+    (cohort, day-offset) how many came back.
+
+    Two aggregations over (user, day) pairs plus one equi-join on
+    user_id — all integer counters. At scale the cohort table is tiny
+    relative to events (one row per user) and broadcastable; day
+    distinct-ing happens before the join so the join input is already
+    collapsed.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    day = F.date_trunc("day", "ts")
+    cohort = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = ev.select("user_id", day.alias("day")).distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("int")
+            .alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
