@@ -71,3 +71,36 @@ def test_events_fallback_without_warehouse(spark, tmp_path, monkeypatch):
     df = registry.load_table(spark, "events", "/root/testdata/sf0.001")
     assert dict(df.dtypes)["ts"] == "timestamp"
     assert df.count() == 1000
+
+
+def test_write_training_shards_idempotent_layout(spark, tmp_path):
+    """The curated export is deterministic: rerun produces identical
+    per-(split, shard) membership, directories exist for every written
+    split, and gated-out docs never appear."""
+    from gotsdb_spark.operators.pipeline_ops import write_training_shards
+
+    out = str(tmp_path / "shards")
+    write_training_shards(spark, SF, out, n_shards=4)
+    first = {
+        (r["split"], r["shard"]): r["n"]
+        for r in spark.read.parquet(out)
+        .groupBy("split", "shard")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert first and all(n > 0 for n in first.values())
+    # partition directories are the (split, shard) layout
+    import os as _os
+
+    splits = {d for d in _os.listdir(out) if d.startswith("split=")}
+    assert splits <= {"split=train", "split=val", "split=test"} and splits
+
+    write_training_shards(spark, SF, out, n_shards=4)
+    second = {
+        (r["split"], r["shard"]): r["n"]
+        for r in spark.read.parquet(out)
+        .groupBy("split", "shard")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert first == second
