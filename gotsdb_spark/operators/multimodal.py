@@ -170,3 +170,122 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variable-fan-out frame sampling through the binary-payload path."""
     docs = fan_out(load_table(spark, "documents", sf_dir), n=8)
     return sample_frames(with_binary_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Real codec path: netpbm P6 (binary PPM) — an actual image format with
+# a real parser, zero external dependencies (numpy ships in every Spark
+# Python env). The fixtures carry no images, so the payloads are
+# deterministic VALID P6 files synthesized from each document (dims from
+# doc_id, pixels from the md5 digest cycled) — real bytes through a real
+# header-parsing, buffer-reshaping decoder, with decode failures raised
+# on malformed input. The DuckDB oracle reproduces the expected channel
+# means analytically from the same md5 byte stream, so the decoder's
+# OUTPUT (not a stand-in) is what hash-matches.
+# ---------------------------------------------------------------------------
+
+PPM_FEATURE_SCHEMA = (
+    "doc_id bigint, width int, height int,"
+    " mean_r double, mean_g double, mean_b double"
+)
+
+
+def with_ppm_payload(docs: DataFrame) -> DataFrame:
+    """Synthesize a valid P6 PPM binary per document (JVM-side concat:
+    ASCII header + md5-derived pixel bytes)."""
+    w = (F.col("doc_id") % 8 + 2).cast("int")
+    h = (F.floor(F.col("doc_id") / 8).cast("long") % 6 + 2).cast("int")
+    n_bytes = (w * h * 3).cast("int")
+    header = F.format_string("P6\n%d %d\n255\n", w, h)
+    pixels = F.substr(
+        F.unhex(F.repeat(F.md5("text"), 12)), F.lit(1), n_bytes
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(F.encode(header, "UTF-8"), pixels).alias("payload"),
+    )
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, float, float, float]:
+    """Parse a binary P6 PPM: magic, dimensions, maxval, pixel buffer.
+
+    Returns (width, height, mean_r, mean_g, mean_b). Raises ValueError
+    on malformed input — this is a real decoder, not a fingerprint."""
+    import numpy as np
+
+    if not payload.startswith(b"P6\n"):
+        raise ValueError("not a P6 PPM payload")
+    dims, rest = payload[3:].split(b"\n", 1)
+    width, height = (int(x) for x in dims.split())
+    maxval, rest = rest.split(b"\n", 1)
+    if int(maxval) != 255:
+        raise ValueError(f"unsupported maxval {int(maxval)}")
+    n = width * height * 3
+    px = np.frombuffer(rest, dtype=np.uint8, count=-1)
+    if px.size != n:
+        raise ValueError(f"pixel buffer is {px.size} bytes, expected {n}")
+    arr = px.reshape(height, width, 3).astype(np.float64)
+    return (
+        width,
+        height,
+        float(arr[..., 0].mean()),
+        float(arr[..., 1].mean()),
+        float(arr[..., 2].mean()),
+    )
+
+
+@query(
+    "multimodal_ppm_decode",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, md5(text) AS hx,
+             CAST(doc_id % 8 + 2 AS INT) AS width,
+             CAST((doc_id // 8) % 6 + 2 AS INT) AS height
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, hx, width, height,
+             unnest(generate_series(0, width * height * 3 - 1)) AS i
+      FROM g
+    ), vals AS (
+      SELECT doc_id, width, height, i % 3 AS channel,
+             CAST('0x' || substr(hx, 2 * (i % 16) + 1, 2) AS INT) AS v
+      FROM idx
+    )
+    SELECT doc_id, width, height,
+           avg(CASE WHEN channel = 0 THEN v END) AS mean_r,
+           avg(CASE WHEN channel = 1 THEN v END) AS mean_g,
+           avg(CASE WHEN channel = 2 THEN v END) AS mean_b
+    FROM vals GROUP BY doc_id, width, height
+    """,
+)
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode end-to-end: synthesize valid P6 PPMs, stream
+    them through an Arrow-batched mapInPandas running an actual netpbm
+    parser (header → dims → buffer reshape), emit per-channel means.
+
+    The oracle never sees the binary — it recomputes the expected means
+    analytically from the md5 byte cycle, so a parser bug (offset,
+    stride, channel order) is a hash mismatch. Channel sums are integer
+    counts in float64 (exact), so the division is bit-identical across
+    engines. At 100 TB this is the template for any codec: bytes stay
+    in Arrow batches, each partition decodes independently, and the
+    numeric features are the only thing that shuffles.
+    """
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    payloads = with_ppm_payload(docs)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = pdf["payload"].map(lambda b: decode_ppm(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": decoded.map(lambda t: t[0]).astype("int32"),
+                    "height": decoded.map(lambda t: t[1]).astype("int32"),
+                    "mean_r": decoded.map(lambda t: t[2]),
+                    "mean_g": decoded.map(lambda t: t[3]),
+                    "mean_b": decoded.map(lambda t: t[4]),
+                }
+            )
+
+    return payloads.mapInPandas(batches, schema=PPM_FEATURE_SCHEMA)

@@ -36,3 +36,31 @@ def test_fake_decode_is_deterministic():
     assert a == b
     h, w, ht = a
     assert len(h) == 32 and 0 <= w < 1024 and 0 <= ht < 1024
+
+
+def test_ppm_decoder_rejects_malformed_payloads():
+    """The netpbm parser is a real decoder: wrong magic, bad maxval and
+    truncated pixel buffers all raise instead of returning garbage."""
+    import pytest
+
+    from gotsdb_spark.operators.multimodal import decode_ppm
+
+    ok = b"P6\n2 1\n255\n" + bytes(6)
+    assert decode_ppm(ok)[:2] == (2, 1)
+    with pytest.raises(ValueError, match="not a P6"):
+        decode_ppm(b"P5\n2 1\n255\n" + bytes(6))
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n2 1\n65535\n" + bytes(12))
+    with pytest.raises(ValueError, match="pixel buffer"):
+        decode_ppm(b"P6\n2 2\n255\n" + bytes(6))
+
+
+def test_ppm_decoder_channel_order():
+    """Channel means follow R,G,B interleaving, not planar order."""
+    from gotsdb_spark.operators.multimodal import decode_ppm
+
+    # 1x2 image: pixels (10,20,30) and (50,60,70)
+    payload = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 50, 60, 70])
+    w, h, r, g, b = decode_ppm(payload)
+    assert (w, h) == (2, 1)
+    assert (r, g, b) == (30.0, 40.0, 50.0)
