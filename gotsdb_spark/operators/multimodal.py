@@ -289,3 +289,124 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInPandas(batches, schema=PPM_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real audio codec path: RIFF/WAV PCM16 via the stdlib `wave` module —
+# the audio twin of the PPM decoder above. Payloads are valid mono
+# 8 kHz 16-bit WAV files (constant 44-byte header precomputed below +
+# 64 md5-cycled samples), decoded by an actual RIFF parser; the oracle
+# recomputes RMS/mean/peak analytically from the same little-endian
+# int16 byte pairs.
+# ---------------------------------------------------------------------------
+
+# RIFF/fmt/data header for mono, 8000 Hz, 16-bit, 64 samples (struct
+# layout "<4sI4s4sIHHIIHH4sI" — fixed because every field is constant).
+_WAV_HEADER_HEX = (
+    "52494646a400000057415645666d7420100000000100"
+    "0100401f0000803e000002001000646174618000"
+    "0000"
+)
+WAV_N_SAMPLES = 64
+WAV_RATE = 8000
+
+WAV_FEATURE_SCHEMA = (
+    "doc_id bigint, n_samples int, sample_rate int,"
+    " mean_amp double, rms double, peak int"
+)
+
+
+def with_wav_payload(docs: DataFrame) -> DataFrame:
+    """Valid WAV binary per document: constant header + 128 PCM bytes
+    cycled from the md5 digest (8 distinct LE int16 samples × 8)."""
+    pcm = F.unhex(F.repeat(F.md5("text"), 8))
+    return docs.select(
+        "doc_id",
+        F.concat(F.unhex(F.lit(_WAV_HEADER_HEX)), pcm).alias("payload"),
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, float, float, int]:
+    """Parse a RIFF/WAV payload with the stdlib wave reader.
+
+    Returns (n_samples, sample_rate, mean_amp, rms, peak). Raises on
+    anything that is not mono 16-bit PCM."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getnchannels() != 1 or wf.getsampwidth() != 2:
+            raise ValueError("expected mono 16-bit PCM")
+        rate = wf.getframerate()
+        n = wf.getnframes()
+        raw = wf.readframes(n)
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    if samples.size != n:
+        raise ValueError(f"frame count mismatch: {samples.size} != {n}")
+    return (
+        n,
+        rate,
+        float(samples.mean()),
+        float(np.sqrt((samples * samples).mean())),
+        int(np.abs(samples).max()),
+    )
+
+
+@query(
+    "multimodal_wav_decode",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, md5(text) AS hx FROM documents
+    ), idx AS (
+      SELECT doc_id, hx, unnest(generate_series(0, {WAV_N_SAMPLES - 1})) AS i
+      FROM g
+    ), vals AS (
+      SELECT doc_id,
+             CAST('0x' || substr(hx, 2 * ((2 * i) % 16) + 1, 2) AS INT)
+             + 256 * CAST('0x' || substr(hx, 2 * ((2 * i + 1) % 16) + 1, 2)
+                          AS INT) AS u
+      FROM idx
+    ), pcm AS (
+      SELECT doc_id, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+      FROM vals
+    )
+    SELECT doc_id,
+           CAST({WAV_N_SAMPLES} AS INT) AS n_samples,
+           CAST({WAV_RATE} AS INT) AS sample_rate,
+           avg(v) AS mean_amp,
+           sqrt(avg(CAST(v AS DOUBLE) * v)) AS rms,
+           CAST(max(abs(v)) AS INT) AS peak
+    FROM pcm GROUP BY doc_id
+    """,
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode end-to-end: valid RIFF/WAV PCM16 payloads
+    through the stdlib wave parser inside mapInPandas, emitting
+    amplitude statistics.
+
+    Same contract as multimodal_ppm_decode: the oracle reconstructs the
+    little-endian int16 stream analytically, so endianness or framing
+    bugs in the decode path are hash mismatches. Integer sample sums
+    and sums of squares are exact in float64 (64 samples × < 2^30 per
+    term), making mean/rms bit-identical across engines.
+    """
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    payloads = with_wav_payload(docs)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = pdf["payload"].map(lambda b: decode_wav(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_samples": decoded.map(lambda t: t[0]).astype("int32"),
+                    "sample_rate": decoded.map(lambda t: t[1]).astype("int32"),
+                    "mean_amp": decoded.map(lambda t: t[2]),
+                    "rms": decoded.map(lambda t: t[3]),
+                    "peak": decoded.map(lambda t: t[4]).astype("int32"),
+                }
+            )
+
+    return payloads.mapInPandas(batches, schema=WAV_FEATURE_SCHEMA)

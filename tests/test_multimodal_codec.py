@@ -64,3 +64,30 @@ def test_ppm_decoder_channel_order():
     w, h, r, g, b = decode_ppm(payload)
     assert (w, h) == (2, 1)
     assert (r, g, b) == (30.0, 40.0, 50.0)
+
+
+def test_wav_decoder_parses_real_riff():
+    """The WAV path is a real RIFF parse: a hand-built file decodes to
+    its known statistics, and a stereo file is rejected."""
+    import io
+    import struct
+    import wave
+
+    import pytest
+
+    from gotsdb_spark.operators.multimodal import decode_wav
+
+    def build(samples, channels=1):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(channels)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        return buf.getvalue()
+
+    n, rate, mean, rms, peak = decode_wav(build([3, -3, 4, -4]))
+    assert (n, rate, mean, peak) == (4, 8000, 0.0, 4)
+    assert rms == (12.5) ** 0.5
+    with pytest.raises(ValueError, match="mono"):
+        decode_wav(build([1, 2, 3, 4], channels=2))
