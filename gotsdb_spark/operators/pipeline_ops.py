@@ -329,3 +329,76 @@ def write_training_shards(
     )
     curated.write.mode("overwrite").partitionBy("split", "shard").parquet(out_path)
     return curated
+
+
+@query(
+    "curate_end_to_end",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, text, lang, n_chars,
+             0.4 * least(n_chars / 500.0, 1.0)
+           + 0.4 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                    / len(string_split(text, ' ')))
+           + 0.2 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+               AS quality
+      FROM documents
+    ), filtered AS (
+      SELECT * FROM scored WHERE quality >= 0.5 AND lang = 'en'
+    ), deduped AS (
+      SELECT doc_id, n_chars, quality FROM (
+        SELECT doc_id, n_chars, quality,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+        FROM filtered
+      ) keyed WHERE doc_id = canon
+    )
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                  THEN 'test'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '33'
+                  THEN 'val'
+                ELSE 'train' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           avg(quality) AS avg_quality
+    FROM deduped GROUP BY 1
+    """,
+)
+def curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline in one plan: quality filter →
+    language filter → exact dedup (min-doc_id canonical) → hash split →
+    per-split stats.
+
+    Composition showpiece: every stage above exists as its own operator
+    (text_quality_score, dedup_exact, curate_hash_split); Catalyst
+    fuses the row-local stages into one codegen'd map over the scan,
+    the dedup window is the pipeline's single wide dependency before
+    the counter-row aggregation, and no stage materializes an
+    intermediate dataset. This is the shape a 100 TB corpus refresh
+    actually runs nightly.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    ws = F.split("text", " ")
+    n = F.size(ws).cast("double")
+    ttr = F.size(F.array_distinct(ws)).cast("double") / n
+    quality = (
+        0.4 * F.least(F.col("n_chars") / 500.0, F.lit(1.0))
+        + 0.4 * ttr
+        + 0.2 * F.least(n / 100.0, F.lit(1.0))
+    )
+    filtered = docs.withColumn("quality", quality).where(
+        (F.col("quality") >= 0.5) & (F.col("lang") == "en")
+    )
+    canon = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    deduped = filtered.withColumn("canon", canon).where(
+        F.col("doc_id") == F.col("canon")
+    )
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(b < "1a", "test").when(b < "33", "val").otherwise("train")
+    return (
+        deduped.select(split.alias("split"), "n_chars", "quality")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.avg("quality").alias("avg_quality"),
+        )
+    )
