@@ -85,3 +85,33 @@ def list_partitions(path: str) -> list[str]:
         for e in os.listdir(path)
         if e.startswith("dt=") and os.path.isdir(os.path.join(path, e))
     )
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet directory into ~target-sized files and return
+    the file count written.
+
+    The small-file problem is the dominant operational failure of
+    long-running ingest at scale: a streaming sink or hourly batch
+    leaves thousands of KB-sized files per partition, and scan
+    planning/task scheduling start to cost more than the I/O. This is
+    the maintenance pass a table service runs: size the output file
+    count from the actual input bytes (not a guessed constant), write
+    once, swap directories atomically at the orchestration layer.
+    Coalesce (no shuffle) when shrinking the file count — the rewrite
+    is then a pure read-concat-write per output file.
+    """
+    import math
+
+    fs_path = spark._jvm.org.apache.hadoop.fs.Path(in_path)  # noqa: SLF001
+    fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    total_bytes = fs.getContentSummary(fs_path).getLength()
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.parquet(in_path)
+    df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files

@@ -104,3 +104,31 @@ def test_write_training_shards_idempotent_layout(spark, tmp_path):
         .collect()
     }
     assert first == second
+
+
+def test_compact_parquet_dir_merges_small_files(spark, tmp_path):
+    """64 tiny files compact to the computed file count with no row or
+    value loss."""
+    import glob
+
+    from gotsdb_spark.sources.formats import compact_parquet_dir
+    from gotsdb_spark.sources.registry import load_table
+
+    src = str(tmp_path / "small")
+    out = str(tmp_path / "compacted")
+    orders = load_table(spark, "orders", SF)
+    orders.repartition(64).write.parquet(src)
+    assert len(glob.glob(src + "/part-*.parquet")) == 64
+
+    n = compact_parquet_dir(spark, src, out, target_file_bytes=1 << 30)
+    assert n == 1
+    assert len(glob.glob(out + "/part-*.parquet")) == 1
+    want = orders.agg(
+        F.count("*").alias("n"), F.sum("o_totalprice").alias("s")
+    ).collect()[0]
+    got = (
+        spark.read.parquet(out)
+        .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("s"))
+        .collect()[0]
+    )
+    assert (got["n"], round(got["s"], 4)) == (want["n"], round(want["s"], 4))
