@@ -51,6 +51,9 @@ HEADLINE = [
     "curate_pack_token_bins",
     "curate_contamination",
     "ts_m4_downsample",
+    "kmeans_lloyd_clusters",
+    "multimodal_ppm_decode",
+    "curate_end_to_end",
 ]
 
 
