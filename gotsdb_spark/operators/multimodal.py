@@ -410,3 +410,95 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInPandas(batches, schema=WAV_FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, out_w int, out_h int,"
+    " rmean_r double, rmean_g double, rmean_b double"
+)
+
+
+def resize_nearest(arr, out_h: int, out_w: int):
+    """Nearest-neighbor resize of an (h, w, c) uint8/float array — the
+    real index arithmetic (source row/col = floor(target * src / dst)),
+    not a stand-in."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return arr[np.ix_(rows, cols)]
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, md5(text) AS hx,
+             CAST(doc_id % 8 + 2 AS INT) AS width,
+             CAST((doc_id // 8) % 6 + 2 AS INT) AS height
+      FROM documents
+    ), grid AS (
+      SELECT doc_id, hx, width, height,
+             unnest(generate_series(0, 11)) AS j
+      FROM g
+    ), sampled AS (
+      SELECT doc_id, j % 3 AS channel,
+             CAST('0x' || substr(hx,
+               2 * ((((((j // 3) // 2) * height // 2) * width
+                      + ((j // 3) % 2) * width // 2) * 3 + j % 3) % 16)
+               + 1, 2) AS INT) AS v
+      FROM grid
+    )
+    SELECT doc_id,
+           CAST(2 AS INT) AS out_w,
+           CAST(2 AS INT) AS out_h,
+           avg(CASE WHEN channel = 0 THEN v END) AS rmean_r,
+           avg(CASE WHEN channel = 1 THEN v END) AS rmean_g,
+           avg(CASE WHEN channel = 2 THEN v END) AS rmean_b
+    FROM sampled GROUP BY doc_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → nearest-neighbor resize to 2×2 → per-channel means, all
+    inside one Arrow-batched mapInPandas.
+
+    Completes the decode / feature-extract / RESIZE / frame-sample
+    quartet with the resize step done by real index arithmetic on the
+    decoded pixel array. The oracle replays the same source-index
+    computation ((target * src) // dst per axis, row-major offset into
+    the md5 byte cycle) without touching the binary, so an off-by-one
+    in either axis, a transposed index order, or a channel mixup all
+    hash-mismatch.
+    """
+    import numpy as np
+
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    payloads = with_ppm_payload(docs)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "out_w": [], "out_h": [],
+                   "rmean_r": [], "rmean_g": [], "rmean_b": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                w, h, *_ = decode_ppm(b)
+                rest = b.split(b"\n", 3)[3]
+                arr = (
+                    np.frombuffer(rest, dtype=np.uint8, count=w * h * 3)
+                    .reshape(h, w, 3)
+                    .astype(np.float64)
+                )
+                small = resize_nearest(arr, 2, 2)
+                out["doc_id"].append(doc_id)
+                out["out_w"].append(2)
+                out["out_h"].append(2)
+                out["rmean_r"].append(float(small[..., 0].mean()))
+                out["rmean_g"].append(float(small[..., 1].mean()))
+                out["rmean_b"].append(float(small[..., 2].mean()))
+            pdf_out = pd.DataFrame(out)
+            pdf_out["out_w"] = pdf_out["out_w"].astype("int32")
+            pdf_out["out_h"] = pdf_out["out_h"].astype("int32")
+            yield pdf_out
+
+    return payloads.mapInPandas(batches, schema=RESIZE_SCHEMA)

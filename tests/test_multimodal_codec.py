@@ -91,3 +91,16 @@ def test_wav_decoder_parses_real_riff():
     assert rms == (12.5) ** 0.5
     with pytest.raises(ValueError, match="mono"):
         decode_wav(build([1, 2, 3, 4], channels=2))
+
+
+def test_resize_nearest_known_indices():
+    """Nearest-neighbor picks (target*src)//dst source indices."""
+    import numpy as np
+
+    from gotsdb_spark.operators.multimodal import resize_nearest
+
+    arr = np.arange(4 * 6 * 3).reshape(4, 6, 3)
+    small = resize_nearest(arr, 2, 2)
+    # rows (0*4)//2=0, (1*4)//2=2; cols (0*6)//2=0, (1*6)//2=3
+    assert (small == arr[np.ix_([0, 2], [0, 3])]).all()
+    assert small.shape == (2, 2, 3)
