@@ -55,17 +55,35 @@ def _driver_green_names() -> set[str]:
     return green
 
 
+def _ledger_age() -> dict[str, int]:
+    """Round each query name was first registered (tools/verify_ledger.json,
+    maintained by tools/update_coverage.py). Missing file → empty dict."""
+    import json
+
+    try:
+        with open(os.path.join(_REPO_ROOT, "tools", "verify_ledger.json")) as fh:
+            return {k: int(v) for k, v in json.load(fh).items()}
+    except (OSError, ValueError):
+        return {}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    The driver verifies the first 50 entries per round; with more than 50
-    registered queries we rotate so names without a prior fully-green
-    driver row come first (in registration order) and already-verified
-    names come last. Over successive rounds every query lands inside the
-    verification window at least once.
+    The driver verifies the first 50 entries per round; with more than
+    50 registered queries we rotate so names without a prior fully-green
+    driver row come first, OLDEST registration round first (the ledger),
+    then registration order; already-verified names come last. Oldest-
+    first matters: without it, a burst of new operators would push
+    longer-waiting unverified queries out of the window indefinitely.
+    Over successive rounds every query lands inside the window.
     """
     green = _driver_green_names()
-    ordered = sorted(QUERIES, key=lambda n: n in green)
+    age = _ledger_age()
+    order = {name: i for i, name in enumerate(QUERIES)}
+    ordered = sorted(
+        QUERIES, key=lambda n: (n in green, age.get(n, 1 << 30), order[n])
+    )
     return {name: QUERIES[name] for name in ordered}
 
 
