@@ -640,3 +640,101 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@query(
+    "profile_orders_columns",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) AS n,
+             count(o_orderkey) AS nn_key,
+             count(DISTINCT o_orderkey) AS nd_key,
+             CAST(min(o_orderkey) AS VARCHAR) AS mn_key,
+             CAST(max(o_orderkey) AS VARCHAR) AS mx_key,
+             count(o_custkey) AS nn_cust,
+             count(DISTINCT o_custkey) AS nd_cust,
+             CAST(min(o_custkey) AS VARCHAR) AS mn_cust,
+             CAST(max(o_custkey) AS VARCHAR) AS mx_cust,
+             count(o_orderstatus) AS nn_status,
+             count(DISTINCT o_orderstatus) AS nd_status,
+             min(o_orderstatus) AS mn_status,
+             max(o_orderstatus) AS mx_status,
+             count(o_totalprice) AS nn_price,
+             count(DISTINCT o_totalprice) AS nd_price,
+             CAST(CAST(floor(min(o_totalprice) * 100) AS BIGINT) AS VARCHAR)
+               AS mn_price,
+             CAST(CAST(floor(max(o_totalprice) * 100) AS BIGINT) AS VARCHAR)
+               AS mx_price,
+             count(o_orderdate) AS nn_date,
+             count(DISTINCT o_orderdate) AS nd_date,
+             strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mn_date,
+             strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mx_date
+      FROM orders
+    )
+    SELECT col, n_rows, n_nulls, n_distinct, min_repr, max_repr FROM (
+      SELECT 'o_orderkey' AS col, n AS n_rows, n - nn_key AS n_nulls,
+             nd_key AS n_distinct, mn_key AS min_repr, mx_key AS max_repr
+      FROM s
+      UNION ALL
+      SELECT 'o_custkey', n, n - nn_cust, nd_cust, mn_cust, mx_cust FROM s
+      UNION ALL
+      SELECT 'o_orderstatus', n, n - nn_status, nd_status, mn_status,
+             mx_status FROM s
+      UNION ALL
+      SELECT 'o_totalprice', n, n - nn_price, nd_price, mn_price, mx_price
+      FROM s
+      UNION ALL
+      SELECT 'o_orderdate', n, n - nn_date, nd_date, mn_date, mx_date FROM s
+    ) stacked
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler: row count, null count, distinct
+    count, and min/max representation for every profiled column of
+    orders, emitted one row per column.
+
+    The ANALYZE/data-quality audit an engine runs before trusting a new
+    drop: ONE scan computes every column's stats as parallel aggregate
+    expressions (no per-column passes), then the single stats row is
+    unpivoted driver-free with stack(). Representations are chosen for
+    cross-engine determinism: integers/strings cast verbatim, money as
+    integer cents, timestamps strftime'd — float formatting never
+    crosses an engine boundary.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    s = orders.agg(
+        F.count("*").alias("n"),
+        F.count("o_orderkey").alias("nn_key"),
+        F.countDistinct("o_orderkey").alias("nd_key"),
+        F.min("o_orderkey").cast("string").alias("mn_key"),
+        F.max("o_orderkey").cast("string").alias("mx_key"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_custkey").alias("nd_cust"),
+        F.min("o_custkey").cast("string").alias("mn_cust"),
+        F.max("o_custkey").cast("string").alias("mx_cust"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        F.min("o_orderstatus").alias("mn_status"),
+        F.max("o_orderstatus").alias("mx_status"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        F.floor(F.min("o_totalprice") * 100).cast("bigint").cast("string")
+        .alias("mn_price"),
+        F.floor(F.max("o_totalprice") * 100).cast("bigint").cast("string")
+        .alias("mx_price"),
+        F.count("o_orderdate").alias("nn_date"),
+        F.countDistinct("o_orderdate").alias("nd_date"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+        .alias("mn_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+        .alias("mx_date"),
+    )
+    return s.selectExpr(
+        """stack(5,
+            'o_orderkey',    n, n - nn_key,    nd_key,    mn_key,    mx_key,
+            'o_custkey',     n, n - nn_cust,   nd_cust,   mn_cust,   mx_cust,
+            'o_orderstatus', n, n - nn_status, nd_status, mn_status, mx_status,
+            'o_totalprice',  n, n - nn_price,  nd_price,  mn_price,  mx_price,
+            'o_orderdate',   n, n - nn_date,   nd_date,   mn_date,   mx_date
+        ) AS (col, n_rows, n_nulls, n_distinct, min_repr, max_repr)"""
+    )
