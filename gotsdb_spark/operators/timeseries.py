@@ -740,3 +740,54 @@ def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_active"))
     )
+
+
+# Arbitrary-width bucketing origin: intentionally NOT hour-aligned.
+_TB_ORIGIN = 1704071700  # 2024-01-01 00:15:00 UTC
+_TB_WIDTH = 5400  # 90 minutes
+
+
+@query(
+    "ts_time_bucket_origin",
+    oracle=f"""
+    SELECT CAST(to_timestamp({_TB_ORIGIN} + CAST(floor(
+             (epoch(ts) - {_TB_ORIGIN}) / {_TB_WIDTH}) AS BIGINT)
+             * {_TB_WIDTH}) AT TIME ZONE 'UTC' AS TIMESTAMP) AS bucket_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+             AS value_micros
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_time_bucket_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_bucket with an arbitrary width AND origin (the TimescaleDB
+    idiom date_trunc can't express): 90-minute buckets anchored at
+    00:15, including correct flooring for timestamps before the origin.
+
+    Row-local arithmetic (epoch diff, floor-div, rebuild timestamp), so
+    bucketing happens at scan speed and the only shuffle is the
+    partial+final aggregation. Value sums are integer micros —
+    association-safe over the 30-file partitioned events scan
+    (sub-second fractions can't flip the bucket: floor((floor(t)-o)/w)
+    equals floor((t-o)/w) for integer origin and width).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    bucket_sec = (
+        F.lit(_TB_ORIGIN)
+        + F.floor((F.unix_timestamp("ts") - _TB_ORIGIN) / _TB_WIDTH)
+        * _TB_WIDTH
+    )
+    return (
+        ev.select(
+            F.to_timestamp(bucket_sec).alias("bucket_start"),
+            "event_type",
+            F.floor(F.col("value") * 1e6).cast("long").alias("v_micros"),
+        )
+        .groupBy("bucket_start", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v_micros").alias("value_micros"),
+        )
+    )
