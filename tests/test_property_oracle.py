@@ -165,3 +165,67 @@ def test_random_window_functions_agree(spark, spark_lineitem, duck, fn, part, or
     s = spark.sql(sql).first()
     d = duck.execute(sql).fetchone()
     assert (s["n"], s["checksum"]) == (d[0], int(d[1])), sql
+
+
+# ---------------------------------------------------------------------------
+# Differential JOIN fuzzing: random join type × random residual
+# predicate over orders ⋈ customer must produce identical row counts
+# and key checksums in both engines (NULL-extension rows included).
+# ---------------------------------------------------------------------------
+
+_JOIN_TYPES = st.sampled_from(["INNER", "LEFT", "RIGHT", "FULL"])
+_CUST_PRED = st.sampled_from(
+    [
+        "c_acctbal > 0",
+        "c_acctbal <= 5000",
+        "c_mktsegment = 'BUILDING'",
+        "c_mktsegment <> 'MACHINERY'",
+        "c_nationkey < 13",
+    ]
+)
+_ORD_PRED = st.sampled_from(
+    [
+        "o_totalprice > 50000",
+        "o_orderstatus = 'O'",
+        "o_orderpriority < '3'",
+        "o_custkey % 3 = 0",
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def duck_join():
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.fixture(scope="module")
+def spark_join_views(spark):
+    from gotsdb_spark.sources.registry import load_table
+
+    load_table(spark, "orders", SF).createOrReplaceTempView("orders")
+    load_table(spark, "customer", SF).createOrReplaceTempView("customer")
+
+
+@given(jt=_JOIN_TYPES, cp=_CUST_PRED, op=_ORD_PRED)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_joins_agree(spark, spark_join_views, duck_join, jt, cp, op):
+    sql = (
+        "SELECT count(*) AS n, "
+        "coalesce(sum(coalesce(o_orderkey, -1) * 13"
+        " + coalesce(c_custkey, -7)), 0) AS checksum "
+        f"FROM (SELECT * FROM orders WHERE {op}) o "
+        f"{jt} JOIN (SELECT * FROM customer WHERE {cp}) c "
+        "ON o.o_custkey = c.c_custkey"
+    )
+    got = spark.sql(sql).collect()[0]
+    want = duck_join.execute(sql).fetchone()
+    assert (got["n"], got["checksum"]) == (want[0], want[1]), sql
