@@ -791,3 +791,63 @@ def ts_time_bucket_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v_micros").alias("value_micros"),
         )
     )
+
+
+@query(
+    "ts_asof_join_tolerance",
+    oracle="""
+    SELECT event_id, ts, user_id,
+           CASE WHEN last_error_ts >= ts - INTERVAL 1 HOUR
+                THEN last_error_ts END AS recent_error_ts,
+           CAST(last_error_ts IS NOT NULL
+                AND last_error_ts >= ts - INTERVAL 1 HOUR AS INT)
+             AS has_recent_error
+    FROM (
+      SELECT p.event_id, p.ts, p.user_id, e.ts AS last_error_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        ON p.user_id = e.user_id AND p.ts >= e.ts
+    ) matched
+    """,
+)
+def ts_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound: the most recent error only
+    counts if it happened within the last hour (pandas merge_asof's
+    `tolerance`, kdb's wj window — the form most production as-of
+    queries actually need).
+
+    Same union+window plan as ts_asof_join_last_error — the tolerance
+    is a row-local timestamp comparison AFTER the carry, so it adds
+    zero shuffle. Comparison is native timestamp arithmetic (µs exact),
+    never unix_timestamp (which truncates sub-second digits and would
+    diverge from the oracle at the boundary).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", F.lit(1).alias("is_left")
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "ts",
+        "user_id",
+        F.lit(0).alias("is_left"),
+    )
+    unioned = purchases.unionByName(errors)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_left")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.withColumn(
+        "last_error_ts",
+        F.last(F.when(F.col("is_left") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    fresh = F.col("last_error_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return carried.where(F.col("is_left") == 1).select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.when(fresh, F.col("last_error_ts")).alias("recent_error_ts"),
+        (F.col("last_error_ts").isNotNull() & fresh).cast("int")
+        .alias("has_recent_error"),
+    )
