@@ -738,3 +738,103 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             'o_orderdate',   n, n - nn_date,   nd_date,   mn_date,   mx_date
         ) AS (col, n_rows, n_nulls, n_distinct, min_repr, max_repr)"""
     )
+
+
+@query(
+    "keyset_pagination_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders
+    WHERE (o_totalprice > 150000.0)
+       OR (o_totalprice = 150000.0 AND o_orderkey > 999)
+    ORDER BY o_totalprice, o_orderkey
+    LIMIT 20
+    """,
+)
+def keyset_pagination_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek-method) pagination: resume after the cursor
+    (last_price, last_key) with a sargable predicate + TopK, never
+    OFFSET.
+
+    OFFSET N at scale reads and throws away N rows per page — O(N²)
+    over a paginated export. The keyset predicate pushes down to the
+    scan and the ORDER BY+LIMIT plans as TakeOrderedAndProject, so each
+    page costs the same regardless of position. The cursor tie-break
+    includes the unique key, making pagination total and gap-free.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    after_price, after_key = 150000.0, 999
+    page = (
+        orders.where(
+            (F.col("o_totalprice") > after_price)
+            | (
+                (F.col("o_totalprice") == after_price)
+                & (F.col("o_orderkey") > after_key)
+            )
+        )
+        .orderBy("o_totalprice", "o_orderkey")
+        .limit(20)
+    )
+    return page.select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+
+
+@query(
+    "window_share_of_total",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ), grouped AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(sum(c) AS BIGINT) AS revenue_cents
+      FROM cents GROUP BY o_orderstatus, o_orderpriority
+    )
+    SELECT o_orderstatus, o_orderpriority, revenue_cents,
+           revenue_cents * 1.0
+             / sum(revenue_cents) OVER (PARTITION BY o_orderstatus)
+             AS share_in_status,
+           revenue_cents * 1.0 / sum(revenue_cents) OVER () AS share_total
+    FROM grouped
+    """,
+)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report): each (status, priority)
+    cell's revenue share within its status and of the grand total via
+    unpartitioned/partitioned window sums over the AGGREGATED rows.
+
+    The window runs over ~15 grouped rows, not the fact table — the
+    correct shape at any scale (aggregate first, then ratio). Revenue
+    is fixed-point cents so the shares divide identical integers in
+    both engines.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    grouped = (
+        orders.select(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.sum("c").alias("revenue_cents"))
+    )
+    w_status = W.partitionBy("o_orderstatus")
+    w_all = W.partitionBy()
+    return grouped.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "revenue_cents",
+        (
+            F.col("revenue_cents")
+            / F.sum("revenue_cents").over(w_status).cast("double")
+        ).alias("share_in_status"),
+        (
+            F.col("revenue_cents")
+            / F.sum("revenue_cents").over(w_all).cast("double")
+        ).alias("share_total"),
+    )
