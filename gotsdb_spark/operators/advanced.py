@@ -838,3 +838,83 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("revenue_cents").over(w_all).cast("double")
         ).alias("share_total"),
     )
+
+
+@query(
+    "table_diff_snapshots",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+    ), new AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 100 = 0
+                  THEN CAST(floor(o_totalprice * 110) AS BIGINT)
+                  ELSE CAST(floor(o_totalprice * 100) AS BIGINT) END
+               AS price_cents
+      FROM orders WHERE o_orderkey % 97 <> 0
+    )
+    SELECT CASE WHEN o.k IS NULL THEN 'added'
+                WHEN n.k IS NULL THEN 'removed'
+                WHEN o.price_cents <> n.price_cents THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           count(*) AS n_rows,
+           CAST(coalesce(sum(CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+                                  THEN abs(n.price_cents - o.price_cents)
+                             END), 0) AS BIGINT) AS drift_cents
+    FROM old o FULL JOIN new n ON o.k = n.k
+    GROUP BY 1
+    """,
+)
+def table_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff two table versions into
+    added / removed / changed / unchanged classes with value drift.
+
+    The anti-entropy check a pipeline runs after a backfill or a
+    migration (here the 'new' snapshot is derived deterministically:
+    every 97th key deleted, every 100th repriced +10%). One full outer
+    join on the key — co-partitionable, and at scale you'd diff
+    per-partition row-hash aggregates first and only expand
+    partitions whose digests disagree; the join here IS that expand
+    step. Money compared in integer cents, so 'changed' is exact.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    old = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("price_old"),
+    )
+    new = orders.where(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(
+            F.col("o_orderkey") % 100 == 0,
+            F.floor(F.col("o_totalprice") * 110),
+        )
+        .otherwise(F.floor(F.col("o_totalprice") * 100))
+        .cast("bigint")
+        .alias("price_new"),
+    )
+    joined = old.join(new, "k", "full").select(
+        old["k"].alias("k_old"), new["k"].alias("k_new"),
+        "price_old", "price_new",
+    )
+    change = (
+        F.when(F.col("k_old").isNull(), "added")
+        .when(F.col("k_new").isNull(), "removed")
+        .when(F.col("price_old") != F.col("price_new"), "changed")
+        .otherwise("unchanged")
+    )
+    both = F.col("k_old").isNotNull() & F.col("k_new").isNotNull()
+    return (
+        joined.select(
+            change.alias("change_type"),
+            F.when(both, F.abs(F.col("price_new") - F.col("price_old")))
+            .alias("drift"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.coalesce(F.sum("drift"), F.lit(0)).cast("bigint")
+            .alias("drift_cents"),
+        )
+    )
