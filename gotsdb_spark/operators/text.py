@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gotsdb_spark.operators.registry import query
-from gotsdb_spark.sources.registry import load_table
+from gotsdb_spark.sources.registry import fan_out, load_table
 
 # Marker stopwords per language for the n-gram/stopword-hit heuristic.
 _LANG_MARKERS = {
@@ -278,3 +278,58 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, c: (acc * 31 + c) % 2147483647,
     )
     return docs.select("doc_id", rhash.alias("rhash"))
+
+
+@query(
+    "text_top_bigrams",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), bigrams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i+1])) AS bg
+      FROM words
+    )
+    SELECT bg,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM bigrams
+    GROUP BY bg
+    ORDER BY n_occurrences DESC, bg
+    LIMIT 25
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram frequency table, top 25 by occurrence.
+
+    The n-gram statistics pass behind vocabulary induction and
+    contamination screens: bigrams are built row-locally (sequence +
+    slice, the word_shingles machinery with k=2), so the only wide work
+    is one count aggregation keyed by bigram — map-side combinable,
+    shuffle O(distinct bigrams). Tie-break on the bigram text makes the
+    top-k total.
+    """
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    bigram = F.explode(
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size(F.split("text", " ")) - 1, F.lit(1)),
+            ),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.split("text", " "), i, 2)
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id", bigram.alias("bg"))
+        .groupBy("bg")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("bg"))
+        .limit(25)
+    )

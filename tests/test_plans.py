@@ -186,3 +186,14 @@ def test_kmeans_no_cartesian_blowup(spark):
 
     df = QUERIES["kmeans_lloyd_clusters"](spark, SF)
     assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_keyset_pagination_pushes_down_and_takes_ordered(spark):
+    # The cursor predicate must reach the scan and the page must plan
+    # as TakeOrderedAndProject — constant cost per page at any offset.
+    from gotsdb_spark.plans import formatted_plan
+
+    df = QUERIES["keyset_pagination_orders"](spark, SF)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "o_totalprice" in " ".join(pushed_filters(df)), pushed_filters(df)
