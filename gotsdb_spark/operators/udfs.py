@@ -134,3 +134,30 @@ def udf_row_at_a_time_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = load_table(spark, "part", sf_dir)
     return part.select("p_partkey", rev("p_brand").alias("brand_rev"))
+
+
+@query(
+    "udf_arrow_optimized_title",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_type) || ':' ||
+             CAST(length(p_type) AS VARCHAR) AS tagged
+    FROM part
+    """,
+)
+def udf_arrow_optimized_title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (Spark 4's useArrow=True): same
+    per-value Python signature as the row-at-a-time @udf above, but
+    values cross the boundary in Arrow batches instead of pickled rows
+    — the drop-in migration path for legacy @udf code that can't be
+    vectorized, typically good for ~2x over pickled serde (still far
+    behind @pandas_udf's vectorized numpy, which is why the ranking in
+    this module's docstring stands).
+    """
+
+    @F.udf("string", useArrow=True)
+    def tag(s: str) -> str:
+        return f"{s.upper()}:{len(s)}"
+
+    part = load_table(spark, "part", sf_dir)
+    return part.select("p_partkey", tag("p_type").alias("tagged"))
