@@ -918,3 +918,46 @@ def table_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("drift_cents"),
         )
     )
+
+
+@query(
+    "table_fingerprint_orders",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(CAST('0x' || substr(md5(
+                 CAST(o_orderkey AS VARCHAR) || '|' ||
+                 CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+                 CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+               ), 1, 10) AS BIGINT)) AS BIGINT) AS content_digest
+    FROM orders
+    """,
+)
+def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table content digest: sum of per-row 48-bit
+    md5 prefixes over a canonical row representation.
+
+    The anti-entropy primitive behind cheap replica comparison: two
+    sites exchange one (n_rows, digest) pair per table (or per
+    partition) and only ship rows when digests disagree —
+    table_diff_snapshots is the expand step this gates. Summation is
+    commutative, so the digest is independent of row order,
+    partitioning, and parallelism. 40-bit terms keep the ANSI-checked
+    BIGINT sum safe to ~8M rows; at scale the digest is computed PER
+    PARTITION (bounded rows — exactly how the comparison wants it
+    anyway), or the sum wraps modulo 2^64 with ANSI off. Money enters
+    as integer cents so both engines hash identical canonical
+    strings.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+    )
+    term = F.conv(F.substring(F.md5(canon), 1, 10), 16, 10).cast("long")
+    return orders.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(term).alias("content_digest"),
+    )
