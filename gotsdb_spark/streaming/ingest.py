@@ -151,7 +151,10 @@ def run_stream_to_memory(
 
 
 def join_purchases_with_recent_errors(
-    purchases: DataFrame, errors: DataFrame, horizon: str = "1 hour"
+    purchases: DataFrame,
+    errors: DataFrame,
+    horizon: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each purchase ⋈ errors by the same
     user within the preceding `horizon`.
@@ -161,6 +164,12 @@ def join_purchases_with_recent_errors(
     passes its ts + horizon. Without the time bound, stream-stream join
     state grows forever — the interval condition is what makes this
     viable at 100 TB/day.
+
+    how="leftOuter" adds the hard semantic: a purchase with NO error in
+    its window emits exactly once, with NULL error columns, and only
+    when the watermark proves no matching error can still arrive —
+    correct outer results from unbounded inputs is what the watermark
+    machinery exists for.
     """
     p = purchases.select(
         F.col("event_id").alias("p_id"),
@@ -178,6 +187,7 @@ def join_purchases_with_recent_errors(
         (F.col("p_user") == F.col("e_user"))
         & (F.col("e_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}"))
         & (F.col("e_ts") <= F.col("p_ts")),
+        how,
     )
 
 

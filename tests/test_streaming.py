@@ -236,3 +236,73 @@ def test_available_now_drains_and_stops(spark, tmp_path):
         spark.sql("SELECT count(*) n FROM avnow_out").collect()[0]["n"]
         == ev.count()
     )
+
+
+def test_outer_stream_stream_join_emits_nulls_after_watermark(spark, tmp_path):
+    """leftOuter stream-stream interval join: matched purchases carry
+    their errors; unmatched purchases emit exactly once with NULL error
+    columns after the watermark passes their window."""
+    import os as _os
+
+    from gotsdb_spark.streaming.ingest import (
+        join_purchases_with_recent_errors,
+        read_events_stream,
+    )
+
+    psrc, esrc = str(tmp_path / "p_out"), str(tmp_path / "e_out")
+    for d in (psrc, esrc):
+        _os.makedirs(d)
+    ev = load_table(spark, "events", SF)
+    purchases = ev.where(F.col("event_type") == "purchase")
+    errors = ev.where(F.col("event_type") == "error")
+
+    sp = read_events_stream(spark, psrc)
+    se = read_events_stream(spark, esrc)
+    q = (
+        join_purchases_with_recent_errors(sp, se, "1 hour", how="leftOuter")
+        .writeStream.format("memory")
+        .queryName("outer_join_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        purchases.write.mode("append").parquet(psrc)
+        errors.write.mode("append").parquet(esrc)
+        q.processAllAvailable()
+        # Advance both watermarks far past every window so unmatched
+        # purchases are provably unmatched and must emit.
+        sentinel = ev.limit(1).withColumn(
+            "ts", F.to_timestamp(F.lit("2030-01-01 00:00:00"))
+        ).withColumn("event_id", F.lit(999_999_999))
+        sentinel.write.mode("append").parquet(psrc)
+        sentinel.write.mode("append").parquet(esrc)
+        q.processAllAvailable()
+        got = {
+            (r["p_id"], r["e_id"])
+            for r in spark.sql(
+                "SELECT p_id, e_id FROM outer_join_out WHERE p_id <> 999999999"
+            ).collect()
+        }
+    finally:
+        q.stop()
+
+    p = purchases.select(
+        F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"),
+        F.col("user_id").alias("p_user"),
+    )
+    e = errors.select(
+        F.col("event_id").alias("e_id"), F.col("ts").alias("e_ts"),
+        F.col("user_id").alias("e_user"),
+    )
+    want = {
+        (r["p_id"], r["e_id"])
+        for r in p.join(
+            e,
+            (F.col("p_user") == F.col("e_user"))
+            & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("e_ts") <= F.col("p_ts")),
+            "left",
+        ).collect()
+    }
+    assert got == want
+    assert any(eid is None for _, eid in got)  # NULL emission really happened
