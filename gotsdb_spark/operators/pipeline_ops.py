@@ -402,3 +402,68 @@ def curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("quality").alias("avg_quality"),
         )
     )
+
+
+# Context-window chunking parameters: 50-token chunks, 40-token stride
+# (10-token overlap between consecutive chunks).
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 40
+
+
+@query(
+    "curate_chunk_documents",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               CAST(greatest(ceil((len(ws) - {CHUNK_TOKENS})
+                                  / {CHUNK_STRIDE}.0), 0) AS BIGINT)))
+               AS chunk_idx,
+             len(ws) AS n_tokens
+      FROM t
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(least(CAST({CHUNK_TOKENS} AS BIGINT),
+                          n_tokens - chunk_idx * {CHUNK_STRIDE}))
+                AS BIGINT) AS chunk_tokens_total
+    FROM chunks GROUP BY doc_id
+    """,
+)
+def curate_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: 50-token chunks advancing by a
+    40-token stride (10 overlap) — how long documents become
+    context-window-sized training rows.
+
+    Chunk boundaries are pure row-local arithmetic (chunk count =
+    ceil((len - chunk)/stride) + 1, short tail kept), so chunking runs
+    at scan speed with zero shuffle before the per-doc stats
+    aggregation. The overlap bookkeeping (sum of per-chunk token
+    counts, tail truncation) is integer math — exact in both engines.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    ws = F.split("text", " ")
+    n = F.size(ws).cast("long")
+    n_chunks = (
+        F.greatest(
+            F.ceil((n - CHUNK_TOKENS) / float(CHUNK_STRIDE)), F.lit(0)
+        )
+        + 1
+    )
+    chunked = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("long"))).alias(
+            "chunk_idx"
+        ),
+    )
+    chunk_len = F.least(
+        F.lit(CHUNK_TOKENS).cast("long"),
+        F.col("n_tokens") - F.col("chunk_idx") * CHUNK_STRIDE,
+    )
+    return chunked.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(chunk_len).alias("chunk_tokens_total"),
+    )

@@ -561,3 +561,68 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         F.avg("d2").alias("avg_d2"),
     )
+
+
+@query(
+    "embed_int8_quantize_audit",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), scaled AS (
+      SELECT vec_id, label,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale, e
+      FROM v
+    ), err AS (
+      SELECT vec_id, label, scale,
+             list_max(list_transform(e,
+               x -> abs(floor(x / scale + 0.5) * scale - x))) AS max_abs_err
+      FROM scaled
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           max(max_abs_err) AS worst_err,
+           max(max_abs_err / (scale * 127.0)) AS worst_rel_err,
+           CAST(max(max_abs_err <= scale * 0.5 + 1e-12) AS INT)
+             AS bound_holds
+    FROM err GROUP BY label
+    """,
+)
+def embed_int8_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization audit: per-vector max-abs scaling
+    (scale = max|x| / 127), half-up rounding to the int8 grid, and the
+    reconstruction-error bound check (error <= scale/2) per label.
+
+    The storage story for 100 TB of embeddings: int8 cuts the vector
+    footprint 4x and the audit proves the worst-case error every vector
+    incurs before ANN recall is affected. All arithmetic is row-local
+    list algebra in identical element order, and rounding is the
+    explicit half-up idiom (floor(x/s + 0.5)) — both engines quantize
+    to bit-identical grids.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    scale = (
+        F.array_max(F.transform(e, lambda x: F.abs(x))) / F.lit(127.0)
+    )
+    base = emb.select("vec_id", "label", e.alias("e"), scale.alias("scale"))
+    max_err = F.array_max(
+        F.transform(
+            F.col("e"),
+            lambda x: F.abs(
+                F.floor(x / F.col("scale") + F.lit(0.5)) * F.col("scale") - x
+            ),
+        )
+    )
+    audited = base.select("label", "scale", max_err.alias("max_abs_err"))
+    return audited.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.max("max_abs_err").alias("worst_err"),
+        F.max(F.col("max_abs_err") / (F.col("scale") * 127.0)).alias(
+            "worst_rel_err"
+        ),
+        F.max(
+            (F.col("max_abs_err") <= F.col("scale") * 0.5 + 1e-12).cast("int")
+        ).alias("bound_holds"),
+    )
