@@ -851,3 +851,106 @@ def ts_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("last_error_ts").isNotNull() & fresh).cast("int")
         .alias("has_recent_error"),
     )
+
+
+@query(
+    "scd2_user_event_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, ts FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                AS INT) AS is_current
+    FROM changes
+    """,
+)
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension type 2 built from an event log: one
+    validity interval per run of equal attribute values, closed by the
+    next change's timestamp, open (is_current) on the last.
+
+    The warehouse-dimension pattern: lag() finds change points, lead()
+    closes the interval — two windows over the SAME (user_id) hash
+    partitioning, so the whole history build is one shuffle. Ordering
+    is total via (ts, event_id), making run boundaries deterministic.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", "ts")
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts")
+    valid_to = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().cast("int").alias("is_current"),
+    )
+
+
+@query(
+    "session_path_analysis",
+    oracle="""
+    WITH paths AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    )
+    SELECT path,
+           count(*) AS n_sessions,
+           count(DISTINCT user_id) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 15
+    """,
+)
+def session_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the most common within-day event-type sequences.
+
+    The clickstream staple behind funnel discovery. The per-session
+    path is an ORDERED aggregation — Spark's collect_list is
+    order-nondeterministic, so the path is built by sorting
+    (ts, event_id, type) structs AFTER collection (the
+    agg_collect_sorted idiom), which is deterministic under any
+    partitioning. Two aggregations, both map-side combinable; top-k
+    tie-breaks on the path text.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    path = F.concat_ws(
+        ">",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s.event_type,
+        ),
+    )
+    paths = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(path.alias("path"))
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(15)
+    )
