@@ -467,3 +467,59 @@ def curate_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_chunks"),
         F.sum(chunk_len).alias("chunk_tokens_total"),
     )
+
+
+@query(
+    "tombstone_cascade_audit",
+    oracle="""
+    WITH tombstones AS (
+      SELECT c_custkey AS k FROM customer
+      WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) = '0'
+    )
+    SELECT 'customer' AS table_name,
+           (SELECT count(*) FROM customer) AS n_rows,
+           (SELECT count(*) FROM customer JOIN tombstones ON c_custkey = k)
+             AS n_tombstoned
+    UNION ALL
+    SELECT 'orders',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders JOIN tombstones ON o_custkey = k)
+    UNION ALL
+    SELECT 'events',
+           (SELECT count(*) FROM events),
+           (SELECT count(*) FROM events JOIN tombstones ON user_id = k)
+    """,
+)
+def tombstone_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-propagation audit: given a tombstone set of subject
+    keys (here: a deterministic md5-bucket sample standing in for a
+    GDPR erasure list), count the rows each downstream table must drop.
+
+    The compliance pre-flight before a cascade delete: tombstones
+    broadcast to every fact scan (they are always small relative to the
+    data), each table reports its blast radius in one semi-join pass,
+    and the actual deletion is then an anti-join rewrite per table.
+    Hash-derived tombstones make the audit reproducible across engines
+    and runs.
+    """
+    cust = load_table(spark, "customer", sf_dir)
+    tomb = cust.where(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1) == "0"
+    ).select(F.col("c_custkey").alias("k"))
+
+    def audit(df: DataFrame, key: str, name: str) -> DataFrame:
+        hit = df.join(
+            F.broadcast(tomb), df[key] == tomb["k"], "left_semi"
+        )
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count("*").alias("n_rows"),
+        ).crossJoin(hit.agg(F.count("*").alias("n_tombstoned")))
+
+    orders = load_table(spark, "orders", sf_dir)
+    events = load_table(spark, "events", sf_dir)
+    return (
+        audit(cust, "c_custkey", "customer")
+        .unionByName(audit(orders, "o_custkey", "orders"))
+        .unionByName(audit(events, "user_id", "events"))
+    )
