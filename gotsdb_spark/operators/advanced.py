@@ -961,3 +961,80 @@ def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(term).alias("content_digest"),
     )
+
+
+@query(
+    "union_schema_evolution",
+    oracle="""
+    WITH old_gen AS (
+      SELECT doc_id, source, NULL AS lang FROM documents
+      WHERE doc_id % 2 = 0
+    ), new_gen AS (
+      SELECT doc_id, source, lang FROM documents WHERE doc_id % 2 = 1
+    ), unioned AS (
+      SELECT * FROM old_gen UNION ALL SELECT * FROM new_gen
+    )
+    SELECT coalesce(lang, '<missing>') AS lang,
+           count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources
+    FROM unioned GROUP BY 1
+    """,
+)
+def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: an old data generation lacking a column
+    merges with the new generation via unionByName with
+    allowMissingColumns — NULL-filled, position-independent.
+
+    The ingestion reality at scale: producers add columns over years
+    and the reader must union a decade of layouts. unionByName matches
+    on NAME (positional UNION silently mismatches reordered columns);
+    allowMissingColumns NULL-fills the old generation. The NULL class
+    is first-class in the downstream aggregate.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    old_gen = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "source")
+    new_gen = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", "lang"
+    )
+    unioned = old_gen.unionByName(new_gen, allowMissingColumns=True)
+    return unioned.groupBy(
+        F.coalesce("lang", F.lit("<missing>")).alias("lang")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "tz_local_day_activity",
+    oracle="""
+    -- Fixture events all fall in January 2024, where America/New_York
+    -- is a constant UTC-5 (no DST transition inside the window), so
+    -- the oracle states the civil-time shift literally. The Spark side
+    -- resolves the SAME instants through the real tz database.
+    SELECT date_trunc('day', ts - INTERVAL 5 HOUR) AS local_day,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def tz_local_day_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Civil-time bucketing: daily activity in the America/New_York
+    local calendar, computed from UTC instants via the IANA tz database
+    (from_utc_timestamp), not a hardcoded offset.
+
+    The TSDB footgun this query pins: "daily" rollups for a US product
+    must bucket by civil local time or every day boundary is off by
+    5 hours (and wrong twice a year under DST). Row-local conversion,
+    one aggregation shuffle. The oracle can hardcode UTC-5 only because
+    the fixture window contains no DST transition — the engine side
+    never does.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    local = F.from_utc_timestamp("ts", "America/New_York")
+    return ev.groupBy(
+        F.date_trunc("day", local).alias("local_day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
