@@ -1038,3 +1038,110 @@ def tz_local_day_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "market_basket_part_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders_together
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders_together DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the part pairs most often bought in
+    the same order.
+
+    The association-mining first step. The self-join is keyed on
+    l_orderkey, so the pair blow-up is bounded by basket size squared
+    (TPC-H: <= 7 lines/order → <= 21 pairs), NEVER by table size — the
+    same bounded-candidate argument as the LSH band join. The a < b
+    canonical ordering halves the pairs and makes the key total; top-k
+    tie-breaks on the pair itself.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        "l_orderkey", F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        "l_orderkey", F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders_together"))
+        .orderBy(
+            F.desc("n_orders_together"), F.asc("part_a"), F.asc("part_b")
+        )
+        .limit(20)
+    )
+
+
+@query(
+    "rfm_customer_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey,
+             CAST(ntile(4) OVER (ORDER BY last_order, o_custkey) AS INT)
+               AS r_score,
+             CAST(ntile(4) OVER (ORDER BY frequency, o_custkey) AS INT)
+               AS f_score,
+             CAST(ntile(4) OVER (ORDER BY monetary_cents, o_custkey) AS INT)
+               AS m_score
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_customers
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quartile scores for recency, frequency, and
+    monetary value per customer, then segment population counts.
+
+    The retention-marketing classic. Each ntile ORDER BY ends in the
+    unique customer key, so quartile boundaries are total — the
+    difference between a reproducible segmentation and one that
+    reshuffles customers every run. Money is fixed-point cents;
+    the three global sorts run over one row per customer (already
+    aggregated), not the fact table.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "monetary_cents"
+        ),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(4)
+        .over(W.orderBy("last_order", "o_custkey"))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(W.orderBy("frequency", "o_custkey"))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(W.orderBy("monetary_cents", "o_custkey"))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers")
+    )
