@@ -954,3 +954,95 @@ def session_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(15)
     )
+
+
+@query(
+    "ts_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ), islands AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INT)
+                   * INTERVAL 1 DAY AS island
+      FROM days
+    ), streaks AS (
+      SELECT user_id, island, count(*) AS streak_days FROM islands
+      GROUP BY user_id, island
+    )
+    SELECT CAST(streak_days AS INT) AS streak_days,
+           count(*) AS n_streaks,
+           count(DISTINCT user_id) AS n_users
+    FROM streaks GROUP BY 1
+    """,
+)
+def ts_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-day activity streak distribution.
+
+    The canonical SQL islands trick — day minus the per-user row_number
+    is constant exactly within a consecutive run, so one window plus
+    one groupBy finds every streak with no self-join and no iteration.
+    Both the window and the island aggregation share the user_id
+    partitioning: one shuffle, then the small histogram rollup.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+    islands = days.withColumn(
+        "island", F.date_sub(F.col("day").cast("date"), rn)
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").cast("int").alias("streak_days")
+    )
+    return streaks.groupBy("streak_days").agg(
+        F.count("*").alias("n_streaks"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "orders_mom_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue_cents,
+           lag(revenue_cents) OVER (ORDER BY month) AS prev_cents,
+           revenue_cents * 1.0
+             / lag(revenue_cents) OVER (ORDER BY month) - 1.0 AS mom_growth
+    FROM monthly
+    """,
+)
+def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: the BI time-series staple.
+
+    lag() over the MONTHLY series — a handful of rows after the
+    aggregation, so the unpartitioned window is trivially safe (the
+    anti-pattern is lag over the raw fact table). Fixed-point cents
+    make consecutive months' ratios identical across engines; the
+    first month's growth is NULL by construction.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "revenue_cents"
+        )
+    )
+    w = W.orderBy("month")
+    prev = F.lag("revenue_cents").over(w)
+    return monthly.select(
+        "month",
+        "revenue_cents",
+        prev.alias("prev_cents"),
+        (F.col("revenue_cents") / prev.cast("double") - 1.0).alias(
+            "mom_growth"
+        ),
+    )
