@@ -1046,3 +1046,106 @@ def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mom_growth"
         ),
     )
+
+
+@query(
+    "ts_error_burst_detection",
+    oracle="""
+    WITH buckets AS (
+      SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 600) AS BIGINT) * 600)
+               AT TIME ZONE 'UTC' AS TIMESTAMP) AS bucket,
+             count(*) AS n_errors
+      FROM events WHERE event_type = 'error'
+      GROUP BY 1
+    ), stats AS (
+      SELECT avg(n_errors) AS mu, stddev_samp(n_errors) AS sigma
+      FROM buckets
+    )
+    SELECT bucket, n_errors
+    FROM buckets, stats
+    WHERE n_errors > mu + 2.0 * sigma
+    """,
+)
+def ts_error_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-burst (anomaly) detection: 10-minute error-count buckets
+    exceeding mean + 2 sigma of the whole series.
+
+    The alerting primitive: bucket counts are one partial+final
+    aggregation; the global (mu, sigma) is a 1-row aggregate broadcast
+    back over the buckets (a scalar cross join, not a self-join per
+    row). Counts are integers, so only the final threshold comparison
+    touches floats — identical inputs to stddev in both engines, drift
+    orders of magnitude below any count's distance from the threshold.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    bucket = F.to_timestamp(
+        F.floor(F.unix_timestamp("ts") / 600).cast("long") * 600
+    )
+    buckets = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n_errors"))
+    )
+    stats = buckets.agg(
+        F.avg("n_errors").alias("mu"),
+        F.stddev_samp("n_errors").alias("sigma"),
+    )
+    return (
+        buckets.crossJoin(F.broadcast(stats))
+        .where(F.col("n_errors") > F.col("mu") + 2.0 * F.col("sigma"))
+        .select("bucket", "n_errors")
+    )
+
+
+@query(
+    "division_full_coverage_suppliers",
+    oracle="""
+    WITH months AS (
+      SELECT DISTINCT date_trunc('month', o_orderdate) AS m
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1996-01-01'
+    ), supplier_months AS (
+      SELECT DISTINCT l.l_suppkey,
+             date_trunc('month', o.o_orderdate) AS m
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate < TIMESTAMP '1996-01-01'
+    )
+    SELECT l_suppkey AS suppkey,
+           count(*) AS n_months
+    FROM supplier_months
+    GROUP BY l_suppkey
+    HAVING count(*) = (SELECT count(*) FROM months)
+    """,
+)
+def division_full_coverage_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Relational division: suppliers active in EVERY month of 1995 —
+    the 'for all' quantifier, answered with count-distinct equality
+    instead of nested NOT EXISTS.
+
+    Division's scalable form: distinct (supplier, month) pairs (one
+    dedup shuffle), a count per supplier, and a 1-row scalar subquery
+    for the divisor cardinality — no double-negated correlated
+    subquery, which Spark would execute as a per-row re-scan shape.
+    """
+    orders = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    month = F.date_trunc("month", "o_orderdate")
+    months = orders.select(month.alias("m")).distinct()
+    sm = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select("l_suppkey", month.alias("m"))
+        .distinct()
+    )
+    n_months = months.count()
+    return (
+        sm.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count("*").alias("n_months"))
+        .where(F.col("n_months") == n_months)
+    )
