@@ -1149,3 +1149,47 @@ def division_full_coverage_suppliers(
         .agg(F.count("*").alias("n_months"))
         .where(F.col("n_months") == n_months)
     )
+
+
+@query(
+    "ts_inter_arrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           count(gap_us) AS n_gaps,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+           quantile_cont(gap_us, 0.5) AS median_gap_us,
+           quantile_cont(gap_us, 0.99) AS p99_gap_us
+    FROM gaps GROUP BY event_type
+    """,
+)
+def ts_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per event stream: min/max/median
+    /p99 gaps in microseconds.
+
+    The workload-characterization query behind capacity planning and
+    SLO burn alerts. Gaps are integer microsecond diffs over a total
+    (ts, event_id) order — one window shuffle on the stream key, then a
+    partial+final stats aggregation. Exact interpolated percentiles
+    over integer inputs are bit-identical across engines (same
+    a + (b-a)*f arithmetic on the same sorted values).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.percentile("gap_us", 0.5).alias("median_gap_us"),
+        F.percentile("gap_us", 0.99).alias("p99_gap_us"),
+    )
