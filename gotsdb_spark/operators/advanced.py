@@ -1145,3 +1145,70 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_customers")
     )
+
+
+@query(
+    "concurrent_open_orders",
+    oracle="""
+    WITH intervals AS (
+      SELECT o.o_orderkey,
+             date_trunc('day', o.o_orderdate) AS start_day,
+             date_trunc('day', max(l.l_shipdate)) + INTERVAL 1 DAY
+               AS end_day
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ), deltas AS (
+      SELECT start_day AS day, 1 AS delta FROM intervals
+      UNION ALL
+      SELECT end_day, -1 FROM intervals
+    ), net AS (
+      SELECT day, CAST(sum(delta) AS BIGINT) AS net FROM deltas GROUP BY day
+    ), running AS (
+      SELECT day,
+             sum(net) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS open_orders
+      FROM net
+    )
+    SELECT date_trunc('month', day) AS month,
+           CAST(max(open_orders) AS BIGINT) AS peak_open_orders
+    FROM running GROUP BY 1
+    """,
+)
+def concurrent_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency: peak number of simultaneously open
+    orders per month (open = orderdate through last line shipment).
+
+    The interval-overlap classic, solved without an interval self-join:
+    +1/-1 boundary deltas, collapsed per day, then ONE running sum over
+    the ~2.4k-day aggregated series (a deliberately tiny
+    single-partition window — the fact tables never enter a global
+    sort). Used everywhere capacity questions appear: concurrent
+    sessions, licenses, connections, open tickets.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    intervals = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.date_trunc("day", "o_orderdate").alias("start_day"),
+            F.date_add(
+                F.date_trunc("day", "last_ship").cast("date"), 1
+            ).cast("timestamp").alias("end_day"),
+        )
+    )
+    deltas = intervals.select(
+        F.col("start_day").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        intervals.select(
+            F.col("end_day").alias("day"), F.lit(-1).alias("delta")
+        )
+    )
+    net = deltas.groupBy("day").agg(F.sum("delta").alias("net"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    running = net.select("day", F.sum("net").over(w).alias("open_orders"))
+    return running.groupBy(
+        F.date_trunc("month", "day").alias("month")
+    ).agg(F.max("open_orders").alias("peak_open_orders"))
