@@ -333,3 +333,52 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("bg"))
         .limit(25)
     )
+
+
+@query(
+    "text_zipf_slope",
+    oracle="""
+    WITH tokens AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), freqs AS (
+      SELECT w, count(*) AS f FROM tokens GROUP BY w
+    ), ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r FROM freqs
+    )
+    SELECT count(*) AS vocab_size,
+           regr_slope(ln(f), ln(r)) AS zipf_slope,
+           regr_r2(ln(f), ln(r)) AS fit_r2
+    FROM ranked
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: regression slope of
+    log-frequency on log-rank (natural text ~ -1).
+
+    The corpus-health statistic: a slope far from -1 or a poor fit
+    flags synthetic, templated, or boilerplate-heavy data before it
+    trains anything. One count aggregation keyed by word, one
+    rank window over the vocabulary (already aggregated), and a
+    regression aggregate — regr_slope/regr_r2 are map-side-combinable
+    moment sums in both engines. Rank ties break on the word for a
+    total order.
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    freqs = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    ranked = freqs.select(
+        "f",
+        F.row_number()
+        .over(W.orderBy(F.desc("f"), F.asc("w")))
+        .alias("r"),
+    )
+    return ranked.agg(
+        F.count("*").alias("vocab_size"),
+        F.regr_slope(F.log("f"), F.log("r")).alias("zipf_slope"),
+        F.regr_r2(F.log("f"), F.log("r")).alias("fit_r2"),
+    )
