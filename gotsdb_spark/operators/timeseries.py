@@ -1193,3 +1193,57 @@ def ts_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("gap_us", 0.5).alias("median_gap_us"),
         F.percentile("gap_us", 0.99).alias("p99_gap_us"),
     )
+
+
+@query(
+    "ts_user_activity_entropy",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS c FROM events
+      GROUP BY user_id, event_type
+    ), totals AS (
+      SELECT user_id, CAST(sum(c) AS BIGINT) AS total FROM counts
+      GROUP BY user_id
+    ), ent AS (
+      SELECT c.user_id,
+             -sum((c.c * 1.0 / t.total) * ln(c.c * 1.0 / t.total))
+               AS entropy
+      FROM counts c JOIN totals t ON c.user_id = t.user_id
+      GROUP BY c.user_id
+    )
+    SELECT CAST(floor(entropy * 10) AS INT) AS entropy_decile,
+           count(*) AS n_users,
+           min(entropy) AS min_entropy,
+           max(entropy) AS max_entropy
+    FROM ent GROUP BY 1
+    """,
+)
+def ts_user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity: Shannon entropy of each user's event-type
+    mix, bucketed into a distribution.
+
+    The bot/power-user separator (entropy ~0 = single-action automation,
+    high = diverse organic use). The p·ln(p) sum runs over at most 5
+    event types per user — a tiny, fixed-order-insensitive sum (5 terms
+    cannot drift past the gate's rounding) — and the per-user entropy
+    then rolls into a decile histogram: two shuffles total, both
+    map-side combinable.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    totals = counts.groupBy("user_id").agg(F.sum("c").alias("total"))
+    p = F.col("c") / F.col("total")
+    ent = (
+        counts.join(totals, "user_id")
+        .groupBy("user_id")
+        .agg((-F.sum(p * F.log(p))).alias("entropy"))
+    )
+    return ent.groupBy(
+        F.floor(F.col("entropy") * 10).cast("int").alias("entropy_decile")
+    ).agg(
+        F.count("*").alias("n_users"),
+        F.min("entropy").alias("min_entropy"),
+        F.max("entropy").alias("max_entropy"),
+    )
