@@ -1212,3 +1212,113 @@ def concurrent_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running.groupBy(
         F.date_trunc("month", "day").alias("month")
     ).agg(F.max("open_orders").alias("peak_open_orders"))
+
+
+@query(
+    "pareto_revenue_parts",
+    oracle="""
+    WITH part_rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, rev_cents,
+             sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum_cents,
+             sum(rev_cents) OVER () AS total_cents,
+             row_number() OVER (ORDER BY rev_cents DESC, l_partkey) AS rnk
+      FROM part_rev
+    )
+    SELECT count(*) AS n_parts,
+           CAST(min(CASE WHEN cum_cents * 1.0 / total_cents >= 0.8
+                         THEN rnk END) AS BIGINT) AS parts_for_80pct,
+           min(CASE WHEN cum_cents * 1.0 / total_cents >= 0.8
+                    THEN cum_cents * 1.0 / total_cents END)
+             AS share_at_cutoff
+    FROM ranked
+    """,
+)
+def pareto_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) analysis: how many parts carry 80% of revenue.
+
+    The concentration question behind inventory and catalog decisions.
+    Revenue aggregates per part first (fixed-point cents), then ONE
+    ranked running sum over the aggregated part series finds the
+    cutoff — the global sort touches one row per part, never the fact
+    table, and the (rev, partkey) tie-break makes the ranking total.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    part_rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        ).alias("rev_cents")
+    )
+    w_cum = W.orderBy(F.desc("rev_cents"), F.asc("l_partkey")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = part_rev.select(
+        "rev_cents",
+        F.sum("rev_cents").over(w_cum).alias("cum_cents"),
+        F.sum("rev_cents").over(W.partitionBy()).alias("total_cents"),
+        F.row_number()
+        .over(W.orderBy(F.desc("rev_cents"), F.asc("l_partkey")))
+        .alias("rnk"),
+    )
+    share = F.col("cum_cents") / F.col("total_cents")
+    return ranked.agg(
+        F.count("*").alias("n_parts"),
+        F.min(F.when(share >= 0.8, F.col("rnk"))).alias("parts_for_80pct"),
+        F.min(F.when(share >= 0.8, share)).alias("share_at_cutoff"),
+    )
+
+
+@query(
+    "markov_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type, next_type, count(*) AS n FROM seq
+      WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT event_type, next_type, n,
+           n * 1.0 / sum(n) OVER (PARTITION BY event_type)
+             AS transition_prob
+    FROM pairs
+    """,
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral Markov chain: the event-type transition
+    matrix with per-state probabilities.
+
+    What powers next-action prediction and anomalous-sequence alerts.
+    One window (lead over the per-user total order) shares its shuffle
+    key with nothing downstream heavier than a 25-cell matrix: the
+    probability normalization is a window over the AGGREGATED pairs.
+    Integer counts divide identically in both engines.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    pairs = seq.groupBy("event_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    return pairs.select(
+        "event_type",
+        "next_type",
+        "n",
+        (
+            F.col("n")
+            / F.sum("n").over(W.partitionBy("event_type")).cast("double")
+        ).alias("transition_prob"),
+    )
