@@ -1247,3 +1247,33 @@ def ts_user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("entropy").alias("min_entropy"),
         F.max("entropy").alias("max_entropy"),
     )
+
+
+@query(
+    "ts_weekday_seasonality",
+    oracle="""
+    SELECT CAST(isodow(o_orderdate) AS INT) AS iso_weekday,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders GROUP BY 1
+    """,
+)
+def ts_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile of order volume and revenue.
+
+    The seasonality baseline every forecast subtracts first. Weekday
+    numbering is a classic cross-engine trap (Spark dayofweek starts
+    Sunday=1, DuckDB dayofweek starts Sunday=0); both sides therefore
+    speak ISO — Spark weekday() (Monday=0) + 1 equals DuckDB isodow
+    (Monday=1). Row-local date math, one counter aggregation.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.groupBy(
+        (F.weekday("o_orderdate") + 1).cast("int").alias("iso_weekday")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "revenue_cents"
+        ),
+    )
