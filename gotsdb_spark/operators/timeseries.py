@@ -1277,3 +1277,48 @@ def ts_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_cents"
         ),
     )
+
+
+@query(
+    "ts_trailing_hour_rate",
+    oracle="""
+    WITH rates AS (
+      SELECT event_id, user_id,
+             count(*) OVER (PARTITION BY user_id ORDER BY ts
+                            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                            AND CURRENT ROW) AS events_last_hour
+      FROM events
+    )
+    SELECT CAST(events_last_hour AS INT) AS events_last_hour,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM rates GROUP BY 1
+    """,
+)
+def ts_trailing_hour_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour activity rate via a TIME-RANGE window
+    frame, rolled into a rate histogram.
+
+    The rate-limiter / abuse-detection primitive: every event sees how
+    many events its user produced in the preceding hour — a RANGE (not
+    ROWS) frame over event time, so ties and dense bursts are counted
+    by clock, not by row position. Spark expresses the interval frame
+    as rangeBetween(-3600, 0) over epoch seconds — semantically
+    identical to the oracle's INTERVAL frame because the fixture's
+    sub-second timestamps make microsecond epoch ordering equal to
+    timestamp ordering within each user.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    rates = ev.select(
+        F.count("*").over(w).cast("int").alias("events_last_hour"),
+        "user_id",
+    )
+    return rates.groupBy("events_last_hour").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
