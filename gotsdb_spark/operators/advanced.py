@@ -1322,3 +1322,48 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").over(W.partitionBy("event_type")).cast("double")
         ).alias("transition_prob"),
     )
+
+
+@query(
+    "iqr_outlier_suppliers",
+    oracle="""
+    WITH stats AS (
+      SELECT quantile_cont(s_acctbal, 0.25) AS q1,
+             quantile_cont(s_acctbal, 0.75) AS q3
+      FROM supplier
+    )
+    SELECT count(*) AS n_outliers,
+           CAST(min(s_suppkey) AS BIGINT) AS first_outlier_key,
+           min(s_acctbal) AS min_outlier_bal,
+           max(s_acctbal) AS max_outlier_bal
+    FROM supplier, stats
+    WHERE s_acctbal < q1 - 1.5 * (q3 - q1)
+       OR s_acctbal > q3 + 1.5 * (q3 - q1)
+    """,
+)
+def iqr_outlier_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR (box-plot) outlier detection over supplier balances: values
+    beyond 1.5 interquartile ranges from the quartiles.
+
+    The distribution-free outlier rule data-quality pipelines apply
+    before trusting numeric columns. The quartiles are a 1-row
+    aggregate broadcast back over the scan (scalar cross join); exact
+    interpolated percentiles are cross-engine-identical, so the fence
+    comparison sees the same thresholds in both engines.
+    """
+    supp = load_table(spark, "supplier", sf_dir)
+    stats = supp.agg(
+        F.percentile("s_acctbal", 0.25).alias("q1"),
+        F.percentile("s_acctbal", 0.75).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    outliers = supp.crossJoin(F.broadcast(stats)).where(
+        (F.col("s_acctbal") < F.col("q1") - 1.5 * iqr)
+        | (F.col("s_acctbal") > F.col("q3") + 1.5 * iqr)
+    )
+    return outliers.agg(
+        F.count("*").alias("n_outliers"),
+        F.min("s_suppkey").alias("first_outlier_key"),
+        F.min("s_acctbal").alias("min_outlier_bal"),
+        F.max("s_acctbal").alias("max_outlier_bal"),
+    )
