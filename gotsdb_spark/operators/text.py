@@ -382,3 +382,32 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regr_slope(F.log("f"), F.log("r")).alias("zipf_slope"),
         F.regr_r2(F.log("f"), F.log("r")).alias("fit_r2"),
     )
+
+
+@query(
+    "text_marker_position",
+    oracle="""
+    SELECT doc_id,
+           nullif(list_position(string_split(text, ' '), 'the'), 0)
+             AS the_pos,
+           nullif(list_position(string_split(text, ' '), 'spark'), 0)
+             AS spark_pos
+    FROM documents
+    """,
+)
+def text_marker_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First position of marker tokens per document (1-based).
+
+    Pins a semantic footgun shared by BOTH engines: array_position /
+    list_position return 0 (not NULL) for absent elements, silently
+    colliding with downstream "is it set" checks. The query normalizes
+    0 → NULL on both sides so 'not found' is NULL, never a valid-
+    looking index. Row-local, scan-speed.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    ws = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.nullif(F.array_position(ws, "the"), F.lit(0)).alias("the_pos"),
+        F.nullif(F.array_position(ws, "spark"), F.lit(0)).alias("spark_pos"),
+    )

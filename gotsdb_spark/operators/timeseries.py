@@ -1322,3 +1322,37 @@ def ts_trailing_hour_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "ts_value_log_histogram",
+    oracle="""
+    SELECT CAST(floor(log10(value)) AS INT) AS magnitude,
+           count(*) AS n,
+           min(value) AS min_v,
+           max(value) AS max_v
+    FROM events WHERE value > 0
+    GROUP BY 1
+    """,
+)
+def ts_value_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-of-magnitude histogram: bucket metric values by
+    floor(log10) — the first look at any long-tailed metric, where a
+    linear histogram puts everything in one bin.
+
+    Row-local math plus a counter aggregation. The positive-value guard
+    is part of the contract (log of a non-positive metric is a data
+    bug this query would surface as a missing bucket, not a NaN).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.where(F.col("value") > 0)
+        .groupBy(
+            F.floor(F.log10("value")).cast("int").alias("magnitude")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+    )
