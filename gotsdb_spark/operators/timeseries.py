@@ -1356,3 +1356,61 @@ def ts_value_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_v"),
         )
     )
+
+
+@query(
+    "ts_dau_wau_stickiness",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ), dau AS (
+      SELECT day, count(*) AS dau FROM user_days GROUP BY day
+    ), wau AS (
+      SELECT target_day AS day, count(DISTINCT user_id) AS wau FROM (
+        SELECT user_id,
+               day + unnest(list_transform(generate_series(0, 6),
+                                           i -> to_days(CAST(i AS INT)))) AS target_day
+        FROM user_days
+      ) spread
+      GROUP BY target_day
+    )
+    SELECT d.day, d.dau, w.wau,
+           d.dau * 1.0 / w.wau AS stickiness
+    FROM dau d JOIN wau w ON d.day = w.day
+    """,
+)
+def ts_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU stickiness per day.
+
+    The growth-accounting metric. COUNT DISTINCT over a sliding window
+    isn't a window function in either engine — the scalable idiom is
+    the explode trick: each (user, day) activity row fans out to the 7
+    future days whose trailing window contains it, then one
+    count-distinct per target day. Fan-out is 7x the (user, day)
+    pairs (already deduped), not 7x the events. Days with no activity
+    in the prior week simply have no row (inner join) — explicit is
+    better than a silently-zero denominator.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    user_days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    dau = user_days.groupBy("day").agg(F.count("*").alias("dau"))
+    spread = user_days.select(
+        "user_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(6)),
+                lambda i: F.timestamp_add("DAY", i, F.col("day")),
+            )
+        ).alias("day"),
+    )
+    wau = spread.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau") / F.col("wau").cast("double")).alias("stickiness"),
+    )
