@@ -1367,3 +1367,94 @@ def iqr_outlier_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("s_acctbal").alias("min_outlier_bal"),
         F.max("s_acctbal").alias("max_outlier_bal"),
     )
+
+
+@query(
+    "hhi_brand_concentration",
+    oracle="""
+    WITH brand_rev AS (
+      SELECT p.p_type, p.p_brand,
+             CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_type, p.p_brand
+    ), shares AS (
+      SELECT p_type, rev_cents * 1.0 /
+             sum(rev_cents) OVER (PARTITION BY p_type) AS share
+      FROM brand_rev
+    )
+    SELECT p_type,
+           count(*) AS n_brands,
+           sum(share * share) AS hhi
+    FROM shares GROUP BY p_type
+    """,
+)
+def hhi_brand_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index: brand revenue concentration within
+    each part type (1/n = perfect competition, 1.0 = monopoly).
+
+    The market-structure metric. Revenue aggregates to (type, brand)
+    first — fixed-point cents — so the share window and the squared-sum
+    run over a handful of rows per type; shares divide identical
+    integers, and each HHI sums at most a few dozen squared shares
+    (orders of magnitude inside the gate's rounding).
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    brand_rev = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_type", "p_brand")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("rev_cents")
+        )
+    )
+    share = F.col("rev_cents") / F.sum("rev_cents").over(
+        W.partitionBy("p_type")
+    ).cast("double")
+    return (
+        brand_rev.select("p_type", share.alias("share"))
+        .groupBy("p_type")
+        .agg(
+            F.count("*").alias("n_brands"),
+            F.sum(F.col("share") * F.col("share")).alias("hhi"),
+        )
+    )
+
+
+@query(
+    "nth_value_price_ladder",
+    oracle="""
+    SELECT DISTINCT o_orderstatus,
+           nth_value(o_totalprice, 1) OVER w AS top_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price,
+           nth_value(o_totalprice, 3) OVER w AS third_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def nth_value_price_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 price ladder per order status via nth_value over the full
+    partition frame.
+
+    The 'podium' window function: unlike row_number + pivot, nth_value
+    reads the ladder directly off the frame. The ORDER BY carries the
+    unique key tie-break and the frame is explicitly unbounded (the
+    default frame would stop at CURRENT ROW and silently return NULL
+    for future ranks — the footgun this query pins).
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderstatus",
+        F.nth_value("o_totalprice", 1).over(w).alias("top_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.nth_value("o_totalprice", 3).over(w).alias("third_price"),
+    ).distinct()
