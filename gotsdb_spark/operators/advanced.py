@@ -1458,3 +1458,34 @@ def nth_value_price_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
         F.nth_value("o_totalprice", 3).over(w).alias("third_price"),
     ).distinct()
+
+
+@query(
+    "bool_aggregates_order_flags",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(bool_and(o_totalprice > 900) AS INT) AS all_above_900,
+           CAST(bool_or(o_totalprice > 400000) AS INT) AS any_above_400k,
+           CAST(bool_and(o_custkey IS NOT NULL) AS INT) AS all_have_customer
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def bool_aggregates_order_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every / any): invariant checks expressed as
+    aggregations — the data-contract assertions a pipeline runs as
+    queries rather than row-by-row validators.
+
+    bool_and/bool_or are map-side-combinable like any other aggregate,
+    so an invariant over 100 TB costs one scan + one counter shuffle.
+    Booleans cross the oracle boundary as INT (cross-engine boolean
+    stringification differs; 0/1 does not).
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 900).cast("int")
+        .alias("all_above_900"),
+        F.bool_or(F.col("o_totalprice") > 400000).cast("int")
+        .alias("any_above_400k"),
+        F.bool_and(F.col("o_custkey").isNotNull()).cast("int")
+        .alias("all_have_customer"),
+    )

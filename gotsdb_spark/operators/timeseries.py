@@ -1414,3 +1414,31 @@ def ts_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         (F.col("dau") / F.col("wau").cast("double")).alias("stickiness"),
     )
+
+
+@query(
+    "ts_hour_weekday_heatmap",
+    oracle="""
+    SELECT CAST(isodow(ts) AS INT) AS iso_weekday,
+           CAST(hour(ts) AS INT) AS hour_of_day,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ts_hour_weekday_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap: the (weekday x hour-of-day) matrix every ops
+    dashboard opens with.
+
+    Two row-local date parts (ISO weekday numbering as in
+    ts_weekday_seasonality) and one counter aggregation over at most
+    168 cells.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy(
+        (F.weekday("ts") + 1).cast("int").alias("iso_weekday"),
+        F.hour("ts").cast("int").alias("hour_of_day"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
