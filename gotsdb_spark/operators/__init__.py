@@ -22,5 +22,6 @@ from gotsdb_spark.operators import integration  # noqa: E402,F401
 from gotsdb_spark.operators import tpch_extra  # noqa: E402,F401
 from gotsdb_spark.operators import scale_ops  # noqa: E402,F401
 from gotsdb_spark.operators import pipeline_ops  # noqa: E402,F401
+from gotsdb_spark.operators import quality  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,308 @@
+"""Data-quality operators: referential-integrity auditing over the star
+schema and corpus-quality filters over ``documents``.
+
+These are the checks a 100 TB ingestion pipeline runs continuously —
+FK orphan detection before a fact table is published, and the
+Gopher/C4-style document filters that decide what enters a training
+mix. Design rules:
+
+- Integrity checks are LEFT ANTI joins against *broadcast* dimension
+  key sets: the fact side streams map-side, nothing wide shuffles, and
+  each audit row carries only counts.
+- Document filters are pure row-local expressions (split / transform /
+  aggregate higher-order functions) — scan-speed JVM work with no
+  Python and no shuffle before the final tiny aggregate.
+- PII scrubbing is regexp work on the JVM; the synthetic PII suffix is
+  a deterministic function of ``doc_id`` so both engines see identical
+  inputs (the fixture corpus itself contains none).
+
+Reference parity: the reference engine (j0shgrant/gotsdb,
+internal/storage/engine.go:39-222) has no validation surface at all —
+values are opaque strings (internal/storage/types.go:3) — so this
+module is part of the mandated [TARGET] pipeline extension
+(SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gotsdb_spark.operators.registry import query
+from gotsdb_spark.sources.registry import load_table
+
+# (name, fact table, fk column, dim table, pk column)
+_FK_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@query(
+    "quality_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS relationship,
+           (SELECT count(*) FROM lineitem) AS fk_rows,
+           (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS null_fks,
+           (SELECT count(*) FROM lineitem l WHERE l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphans
+    UNION ALL SELECT 'lineitem.l_partkey->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL),
+           (SELECT count(*) FROM lineitem l WHERE l_partkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+    UNION ALL SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem WHERE l_suppkey IS NULL),
+           (SELECT count(*) FROM lineitem l WHERE l_suppkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL SELECT 'orders.o_custkey->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+           (SELECT count(*) FROM orders o WHERE o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL SELECT 'customer.c_nationkey->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer WHERE c_nationkey IS NULL),
+           (SELECT count(*) FROM customer c WHERE c_nationkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL SELECT 'supplier.s_nationkey->nation',
+           (SELECT count(*) FROM supplier),
+           (SELECT count(*) FROM supplier WHERE s_nationkey IS NULL),
+           (SELECT count(*) FROM supplier s WHERE s_nationkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+    UNION ALL SELECT 'nation.n_regionkey->region',
+           (SELECT count(*) FROM nation),
+           (SELECT count(*) FROM nation WHERE n_regionkey IS NULL),
+           (SELECT count(*) FROM nation n WHERE n_regionkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+    """,
+)
+def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit every FK edge of the star schema: row count, NULL FKs, orphans.
+
+    Each orphan count is a LEFT ANTI join of the fact's FK against the
+    dimension's (distinct, projected) key column. Dimensions broadcast
+    — at 100 TB the fact side never shuffles; the scan reads exactly
+    one column per audit (column pruning). The per-edge results are
+    one-row aggregates unioned into a seven-row report.
+    """
+    out: DataFrame | None = None
+    for name, fact_t, fk, dim_t, pk in _FK_EDGES:
+        fact = load_table(spark, fact_t, sf_dir).select(fk)
+        dim_keys = load_table(spark, dim_t, sf_dir).select(pk).distinct()
+        orphans = (
+            fact.where(F.col(fk).isNotNull())
+            .join(F.broadcast(dim_keys), on=fact[fk] == dim_keys[pk], how="left_anti")
+            .agg(F.count("*").alias("orphans"))
+        )
+        base = fact.agg(
+            F.count("*").alias("fk_rows"),
+            F.count(F.when(F.col(fk).isNull(), 1)).alias("null_fks"),
+        )
+        row = (
+            base.crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(name).alias("relationship"), "fk_rows", "null_fks", "orphans"
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out
+
+
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ), tri AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(w) < 3 THEN []
+                  ELSE list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+             END AS tris
+      FROM t
+    )
+    SELECT doc_id, lang,
+           len(tris) AS n_trigrams,
+           len(list_distinct(tris)) AS n_distinct_trigrams,
+           CASE WHEN len(tris) = 0 THEN 0.0
+                ELSE 1.0 - len(list_distinct(tris)) * 1.0 / len(tris)
+           END AS dup_ratio,
+           CASE WHEN len(tris) = 0 THEN FALSE
+                ELSE 1.0 - len(list_distinct(tris)) * 1.0 / len(tris) > 0.10
+           END AS flagged
+    FROM tri
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-trigram fraction per document (Gopher repetition signal).
+
+    Docs dominated by repeated n-grams are boilerplate/spam; the filter
+    is `1 - distinct(trigrams)/total(trigrams) > threshold`. Everything
+    is array higher-order functions on the JVM (`transform` over a
+    `sequence` of positions, then `array_distinct`) — a pure map with
+    no explode, so the shuffle-free scan shape survives any scale.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    w = F.split("text", " ")
+    d = docs.select("doc_id", "lang", w.alias("w"))
+    tris = F.when(F.size("w") < 3, F.array().cast("array<string>")).otherwise(
+        F.expr("transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")
+    )
+    d = d.select("doc_id", "lang", tris.alias("tris"))
+    n = F.size("tris")
+    nd = F.size(F.array_distinct("tris"))
+    dup = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - nd.cast("double") / n.cast("double")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n.cast("long").alias("n_trigrams"),
+        nd.cast("long").alias("n_distinct_trigrams"),
+        dup.alias("dup_ratio"),
+        F.when(n == 0, F.lit(False)).otherwise(dup > 0.10).alias("flagged"),
+    )
+
+
+@query(
+    "quality_gopher_rules",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w FROM documents
+    ), m AS (
+      SELECT lang,
+             len(w) AS n_words,
+             list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w) AS mean_len,
+             len(list_distinct(w)) * 1.0 / len(w) AS ttr,
+             n_chars
+      FROM t
+    ), r AS (
+      SELECT lang,
+             (n_words BETWEEN 30 AND 80) AS ok_word_count,
+             (mean_len BETWEEN 3.0 AND 10.0) AS ok_mean_word_len,
+             (ttr >= 0.45) AS ok_ttr,
+             (n_chars >= 100) AS ok_min_chars
+      FROM m
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN ok_word_count AND ok_mean_word_len
+                          AND ok_ttr AND ok_min_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(sum(CASE WHEN NOT ok_word_count THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+           CAST(sum(CASE WHEN NOT ok_mean_word_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_word_len,
+           CAST(sum(CASE WHEN NOT ok_ttr THEN 1 ELSE 0 END) AS BIGINT) AS fail_ttr,
+           CAST(sum(CASE WHEN NOT ok_min_chars THEN 1 ELSE 0 END) AS BIGINT) AS fail_min_chars
+    FROM r GROUP BY lang
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-style keep/drop rules with per-rule failure counts.
+
+    Four row-local rules (word count in range, mean word length in
+    range, type-token ratio floor, min char floor) evaluated in one
+    scan; the report aggregates keeps and per-rule failures by lang.
+    At scale this is the shape of every corpus-filter job: scan → map
+    booleans → tiny agg. Thresholds are calibrated to the fixture so
+    every rule has both passing and failing documents.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    w = F.split("text", " ")
+    n_words = F.size(w)
+    mean_len = F.expr(
+        "aggregate(split(text, ' '), 0L, (a, x) -> a + length(x))"
+    ).cast("double") / n_words.cast("double")
+    ttr = F.size(F.array_distinct(w)).cast("double") / n_words.cast("double")
+    m = docs.select(
+        "lang",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_len"),
+        ttr.alias("ttr"),
+        "n_chars",
+    )
+    ok_wc = F.col("n_words").between(30, 80)
+    ok_ml = F.col("mean_len").between(3.0, 10.0)
+    ok_ttr = F.col("ttr") >= 0.45
+    ok_mc = F.col("n_chars") >= 100
+    return (
+        m.select(
+            "lang",
+            ok_wc.alias("ok_wc"),
+            ok_ml.alias("ok_ml"),
+            ok_ttr.alias("ok_ttr"),
+            ok_mc.alias("ok_mc"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                (F.col("ok_wc") & F.col("ok_ml") & F.col("ok_ttr") & F.col("ok_mc"))
+                .cast("int")
+            ).alias("n_keep"),
+            F.sum((~F.col("ok_wc")).cast("int")).alias("fail_word_count"),
+            F.sum((~F.col("ok_ml")).cast("int")).alias("fail_mean_word_len"),
+            F.sum((~F.col("ok_ttr")).cast("int")).alias("fail_ttr"),
+            F.sum((~F.col("ok_mc")).cast("int")).alias("fail_min_chars"),
+        )
+    )
+
+
+@query(
+    "text_pii_scrub",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.com or sales' || CAST(doc_id AS VARCHAR)
+                  || '@corp.net phone 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+               AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '[a-z0-9]+@[a-z]+\\.[a-z]+')) AS n_emails,
+           len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{2,4}')) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(raw, '[a-z0-9]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g'),
+                 '[0-9]{3}-[0-9]{2,4}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM t
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect and redact email/phone PII; emit counts + scrubbed hash.
+
+    The fixture corpus contains no PII, so a deterministic synthetic
+    suffix (a pure function of ``doc_id``) is appended before scrubbing
+    — both engines construct identical inputs, and the md5 of the
+    scrubbed text proves byte-identical redaction output. All regexp
+    work is JVM-side (patterns chosen to mean the same thing in Java
+    regex and DuckDB's RE2); a pure map at any scale.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.com or sales"),
+        F.col("doc_id").cast("string"),
+        F.lit("@corp.net phone 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    d = docs.select("doc_id", raw.alias("raw"))
+    email_re = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+    phone_re = r"[0-9]{3}-[0-9]{2,4}"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("raw", email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(email_re)).cast("long").alias("n_emails"),
+        F.regexp_count("raw", F.lit(phone_re)).cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
