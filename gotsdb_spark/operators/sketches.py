@@ -1,0 +1,332 @@
+"""Probabilistic-sketch and storage-layout operators: Bloom-filter
+pre-join, count-min heavy hitters, and z-order clustering audit.
+
+The shuffle-avoidance toolkit for 100 TB joins and scans:
+
+- A Bloom filter turns a semi-join against a selective build side into
+  a *broadcastable bitset*: instead of shuffling the 100 TB fact table
+  on the join key, every map task drops non-candidates at scan speed
+  and only the tiny candidate stream reaches the real join. Spark's
+  own runtime row-group filtering does this internally; the explicit
+  operator makes the mechanism auditable (false-positive accounting).
+- A count-min sketch answers "which keys are heavy?" with a fixed
+  d x w counter grid: partial aggregation reduces every map task's
+  contribution to <= d*w rows regardless of input size, so the shuffle
+  is O(d*w * partitions), not O(rows) — the only way frequency
+  estimation survives unbounded key cardinality.
+- Z-order interleaving gives multi-dimensional data skipping: bucket
+  files by interleaved bits of two columns and BOTH columns' min/max
+  file ranges stay tight, so predicates on either prune files. The
+  audit measures per-bucket extents against a single-column sort.
+
+Every hash is md5 over an explicit string (portable across engines, no
+seed state), so the DuckDB oracles reproduce the sketches bit-for-bit.
+
+Reference parity: the reference (j0shgrant/gotsdb) has no sketches and
+no layout control — its only index is the hot-tier hash map
+(internal/storage/types.go:3); cold files are whole-collection gob
+blobs (internal/storage/cold.go:128,152). This module is part of the
+mandated [TARGET] scale surface (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from gotsdb_spark.operators.registry import query
+from gotsdb_spark.sources.registry import load_table
+
+# Bloom parameters: m bits, k hash functions.
+_BLOOM_M = 4096
+_BLOOM_K = 3
+_BLOOM_PRICE = 475000.0
+
+# Count-min parameters: d hash rows x w counters.
+_CMS_D = 4
+_CMS_W = 64
+
+
+def _md5_pos(i: int, key: Column, mod: int) -> Column:
+    """Deterministic hash position: first 4 md5 hex digits of
+    ``"{i}:{key}"`` as an integer, mod ``mod``. Identical in DuckDB as
+    ``('0x' || substr(md5(i || ':' || key), 1, 4))::BIGINT % mod``."""
+    hex4 = F.substring(F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 4)
+    return (F.conv(hex4, 16, 10).cast("long") % mod).alias(f"p{i}")
+
+
+def _duck_pos(i: int, key_sql: str, mod: int) -> str:
+    return (
+        f"('0x' || substr(md5('{i}:' || CAST({key_sql} AS VARCHAR)), 1, 4))::BIGINT % {mod}"
+    )
+
+
+@query(
+    "bloom_semi_join_audit",
+    oracle=f"""
+    WITH build AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_totalprice > {_BLOOM_PRICE}
+    ), pos AS (
+      SELECT DISTINCT {_duck_pos('0', 'k', _BLOOM_M).replace("'0:'", "CAST(i AS VARCHAR) || ':'")} AS p
+      FROM build, range({_BLOOM_K}) t(i)
+    ), bits AS (
+      SELECT list(p ORDER BY p) AS bs FROM pos
+    ), probe AS (
+      SELECT l_orderkey AS k FROM lineitem
+    ), pass AS (
+      SELECT count(*) AS n FROM probe, bits
+      WHERE list_contains(bs, {_duck_pos(0, 'k', _BLOOM_M)})
+        AND list_contains(bs, {_duck_pos(1, 'k', _BLOOM_M)})
+        AND list_contains(bs, {_duck_pos(2, 'k', _BLOOM_M)})
+    ), tru AS (
+      SELECT count(*) AS n FROM probe WHERE k IN (SELECT k FROM build)
+    )
+    SELECT (SELECT count(*) FROM build) AS n_build_keys,
+           (SELECT count(*) FROM pos) AS n_bits_set,
+           (SELECT count(*) FROM probe) AS n_probe_rows,
+           (SELECT n FROM pass) AS n_bloom_pass,
+           (SELECT n FROM tru) AS n_true_match,
+           (SELECT n FROM pass) - (SELECT n FROM tru) AS n_false_positives
+    """,
+)
+def bloom_semi_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filtered semi-join of lineitem against expensive orders,
+    with exact false-positive accounting.
+
+    Build side: orders with o_totalprice > {price} (selective). Its
+    {k} md5 hash positions over an m={m}-bit space form the filter —
+    collected as a sorted distinct-position array (<= m values, a few
+    KB) and broadcast. Probe side: every lineitem row passes iff all
+    {k} of its positions are set. Bloom guarantees no false negatives,
+    so false positives = bloom_pass - true_match, measured here by
+    running the exact broadcast semi-join next to the filter.
+
+    At 100 TB: the fact table never shuffles — the filter rides to the
+    map tasks as a broadcast variable and candidates alone continue.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    build = (
+        orders.where(F.col("o_totalprice") > _BLOOM_PRICE)
+        .select("o_orderkey")
+        .distinct()
+    )
+    key = F.col("o_orderkey")
+    bits = (
+        build.select(
+            F.explode(
+                F.array(*[_md5_pos(i, key, _BLOOM_M) for i in range(_BLOOM_K)])
+            ).alias("p")
+        )
+        .distinct()
+        .agg(F.sort_array(F.collect_list("p")).alias("bs"))
+    )
+    probe = lineitem.select(F.col("l_orderkey").alias("k"))
+    pk = F.col("k")
+    passed = (
+        probe.crossJoin(F.broadcast(bits))
+        .where(
+            F.array_contains("bs", _md5_pos(0, pk, _BLOOM_M))
+            & F.array_contains("bs", _md5_pos(1, pk, _BLOOM_M))
+            & F.array_contains("bs", _md5_pos(2, pk, _BLOOM_M))
+        )
+        .agg(F.count("*").alias("n_bloom_pass"))
+    )
+    true_m = probe.join(
+        F.broadcast(build), pk == F.col("o_orderkey"), "left_semi"
+    ).agg(F.count("*").alias("n_true_match"))
+    meta = build.agg(F.count("*").alias("n_build_keys")).crossJoin(
+        bits.select(F.size("bs").cast("long").alias("n_bits_set"))
+    ).crossJoin(probe.agg(F.count("*").alias("n_probe_rows")))
+    return (
+        meta.crossJoin(F.broadcast(passed))
+        .crossJoin(F.broadcast(true_m))
+        .select(
+            "n_build_keys",
+            "n_bits_set",
+            "n_probe_rows",
+            "n_bloom_pass",
+            "n_true_match",
+            (F.col("n_bloom_pass") - F.col("n_true_match")).alias(
+                "n_false_positives"
+            ),
+        )
+    )
+
+
+bloom_semi_join_audit.__doc__ = bloom_semi_join_audit.__doc__.format(
+    price=int(_BLOOM_PRICE), k=_BLOOM_K, m=_BLOOM_M
+)
+
+
+@query(
+    "heavy_hitters_countmin",
+    oracle=f"""
+    WITH counters AS (
+      SELECT i, {_duck_pos('0', 'l_partkey', _CMS_W).replace("'0:'", "CAST(i AS VARCHAR) || ':'")} AS pos,
+             count(*) AS cnt
+      FROM lineitem, range({_CMS_D}) t(i)
+      GROUP BY 1, 2
+    ), exact AS (
+      SELECT l_partkey, count(*) AS exact_cnt FROM lineitem GROUP BY 1
+    ), keyed AS (
+      SELECT e.l_partkey, e.exact_cnt, t.i,
+             ('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':' || CAST(e.l_partkey AS VARCHAR)), 1, 4))::BIGINT % {_CMS_W} AS pos
+      FROM exact e, range({_CMS_D}) t(i)
+    ), est AS (
+      SELECT k.l_partkey, k.exact_cnt, min(c.cnt) AS est_cnt
+      FROM keyed k JOIN counters c ON c.i = k.i AND c.pos = k.pos
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT l_partkey, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+             CAST(est_cnt AS BIGINT) AS est_cnt,
+             CAST(est_cnt - exact_cnt AS BIGINT) AS overcount,
+             row_number() OVER (ORDER BY est_cnt DESC, exact_cnt DESC, l_partkey) AS rn
+      FROM est
+    )
+    SELECT l_partkey, exact_cnt, est_cnt, overcount FROM ranked WHERE rn <= 10
+    """,
+)
+def heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters over lineitem part keys, with the
+    exact counts alongside to exhibit the one-sided error (est >= exact).
+
+    The sketch is a d={d} x w={w} counter grid: one scan computes all
+    d positions per row and partially aggregates per map task, so each
+    task ships <= d*w counter rows into the shuffle no matter how many
+    input rows or distinct keys it saw — frequency estimation with a
+    shuffle footprint independent of data size. Estimates join the
+    (broadcast, {d}x{w}-row) grid and take the min across rows; the
+    report is the top 10 by estimate with deterministic tie-breaks.
+    """
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    key = F.col("l_partkey")
+    pos_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"), _md5_pos(i, key, _CMS_W).alias("pos")
+            )
+            for i in range(_CMS_D)
+        ]
+    )
+    counters = (
+        lineitem.select(F.explode(pos_structs).alias("ip"))
+        .select("ip.i", "ip.pos")
+        .groupBy("i", "pos")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = lineitem.groupBy("l_partkey").agg(F.count("*").alias("exact_cnt"))
+    keyed = exact.select(
+        "l_partkey", "exact_cnt", F.explode(pos_structs).alias("ip")
+    ).select("l_partkey", "exact_cnt", "ip.i", "ip.pos")
+    est = (
+        keyed.join(F.broadcast(counters), on=["i", "pos"])
+        .groupBy("l_partkey", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.desc("est_cnt"), F.desc("exact_cnt"), F.asc("l_partkey")
+    )
+    return (
+        est.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select(
+            "l_partkey",
+            "exact_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+        )
+    )
+
+
+heavy_hitters_countmin.__doc__ = heavy_hitters_countmin.__doc__.format(
+    d=_CMS_D, w=_CMS_W
+)
+
+
+def _z_expr_spark(xcol: str, ycol: str, nbits: int = 8) -> Column:
+    """Bit-interleave two columns (msb-aligned, y in the low lane) with
+    pure arithmetic — `(v div 2^b) % 2` — so the same formula runs
+    unchanged in DuckDB."""
+    z = F.lit(0)
+    for b in range(nbits):
+        xbit = (F.col(xcol) / (1 << b)).cast("long") % 2
+        ybit = (F.col(ycol) / (1 << b)).cast("long") % 2
+        z = z + xbit * (1 << (2 * b + 1)) + ybit * (1 << (2 * b))
+    return z
+
+
+def _z_expr_duck(x: str, y: str, nbits: int = 8) -> str:
+    terms = []
+    for b in range(nbits):
+        terms.append(f"(({x} // {1 << b}) % 2) * {1 << (2 * b + 1)}")
+        terms.append(f"(({y} // {1 << b}) % 2) * {1 << (2 * b)}")
+    return " + ".join(terms)
+
+
+@query(
+    "layout_zorder_clustering",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_custkey % 256 AS x, dayofyear(o_orderdate) % 256 AS y
+      FROM orders
+    ), z AS (
+      SELECT x, y, {_z_expr_duck('x', 'y')} AS zval FROM t
+    ), b AS (
+      SELECT 'zorder' AS layout, CAST(zval * 16 // 65536 AS BIGINT) AS bucket, x, y FROM z
+      UNION ALL
+      SELECT 'xsort', CAST(x * 16 // 256 AS BIGINT), x, y FROM t
+    )
+    SELECT layout, bucket, count(*) AS n_rows,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max,
+           CAST(max(x) - min(x) AS BIGINT) AS x_span,
+           CAST(max(y) - min(y) AS BIGINT) AS y_span
+    FROM b GROUP BY layout, bucket
+    """,
+)
+def layout_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs single-column-sort file clustering audit over orders.
+
+    Interleaves the low 8 bits of (customer key, day-of-year) into a
+    16-bit z-value and buckets rows into 16 fixed z-ranges — the static
+    analogue of `repartitionByRange(zval)` writing 16 files. The audit
+    reports each bucket's min/max extent on BOTH dimensions next to the
+    same audit for a plain x-sorted layout: under z-order both spans
+    stay ~quarter-range (so min/max file skipping prunes on either
+    column), while the x-sorted layout leaves y unclustered (full-range
+    spans — scans on y read every file). Pure map + one small agg; the
+    bucketing itself needs no sort and no shuffle.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    t = orders.select(
+        (F.col("o_custkey") % 256).alias("x"),
+        (F.dayofyear("o_orderdate") % 256).cast("long").alias("y"),
+    )
+    z = t.select("x", "y", _z_expr_spark("x", "y").alias("zval"))
+    zorder = z.select(
+        F.lit("zorder").alias("layout"),
+        (F.col("zval") * 16 / 65536).cast("long").alias("bucket"),
+        "x",
+        "y",
+    )
+    xsort = t.select(
+        F.lit("xsort").alias("layout"),
+        (F.col("x") * 16 / 256).cast("long").alias("bucket"),
+        "x",
+        "y",
+    )
+    return (
+        zorder.unionByName(xsort)
+        .groupBy("layout", "bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+            (F.max("x") - F.min("x")).alias("x_span"),
+            (F.max("y") - F.min("y")).alias("y_span"),
+        )
+    )
