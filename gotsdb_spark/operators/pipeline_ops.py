@@ -523,3 +523,59 @@ def tombstone_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit(orders, "o_custkey", "orders"))
         .unionByName(audit(events, "user_id", "events"))
     )
+
+
+@query(
+    "sample_stratified_orders",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+             ) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n_stratum
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(max(n_stratum) AS BIGINT) AS n_stratum,
+           count(*) AS n_sampled,
+           CAST(sum(price_cents) AS BIGINT) AS sum_price_cents
+    FROM ranked WHERE rn <= 100
+    GROUP BY o_orderpriority
+    """,
+)
+def sample_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k stratified sample: 100 orders per priority class, chosen
+    by md5 order so the sample is reproducible across runs and engines.
+
+    Hash-ordering inside each stratum is the deterministic substitute
+    for ORDER BY random(): the same rows are picked no matter the
+    partitioning, and an incremental re-run with appended data only
+    swaps rows at the hash boundary. One shuffle on the stratum key;
+    the rank never materializes more than k rows per stratum
+    downstream. (For unbounded strata at 100 TB you'd pre-filter with
+    an md5-threshold gate — see curate_mixture_sample — to avoid
+    ranking the full stratum.)
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
+    )
+    wc = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("price_cents"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n_stratum"),
+    )
+    return (
+        ranked.where(F.col("rn") <= 100)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("n_stratum").cast("long").alias("n_stratum"),
+            F.count("*").alias("n_sampled"),
+            F.sum("price_cents").cast("long").alias("sum_price_cents"),
+        )
+    )

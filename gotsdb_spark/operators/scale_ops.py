@@ -193,3 +193,86 @@ def orc_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("s_suppkey").alias("first_key"),
         F.max("s_suppkey").alias("last_key"),
     )
+
+
+@query(
+    "incremental_daily_agg",
+    oracle="""
+    WITH ev AS (
+      SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(floor(value * 1000) AS BIGINT) AS v_milli,
+             CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20' AS is_base
+      FROM events
+    ), base_state AS (
+      SELECT day, count(*) AS n, sum(v_milli) AS s
+      FROM ev WHERE is_base GROUP BY day
+    ), delta AS (
+      SELECT day, count(*) AS n, sum(v_milli) AS s
+      FROM ev WHERE NOT is_base GROUP BY day
+    ), merged AS (
+      SELECT day, CAST(sum(n) AS BIGINT) AS n_merged,
+             CAST(sum(s) AS BIGINT) AS sum_milli_merged
+      FROM (SELECT * FROM base_state UNION ALL SELECT * FROM delta) u
+      GROUP BY day
+    ), full_recompute AS (
+      SELECT day, count(*) AS n_full,
+             CAST(sum(v_milli) AS BIGINT) AS sum_milli_full
+      FROM ev GROUP BY day
+    )
+    SELECT m.day, m.n_merged, f.n_full, m.sum_milli_merged, f.sum_milli_full,
+           m.n_merged = f.n_full AND m.sum_milli_merged = f.sum_milli_full
+             AS consistent
+    FROM merged m JOIN full_recompute f USING (day)
+    """,
+)
+def incremental_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: merge a materialized daily-agg
+    state with a late-arriving delta and prove it equals full recompute.
+
+    The 100 TB pattern: never re-aggregate the whole history — keep the
+    per-day partial aggregate (count + integer-scaled sum, both
+    associative), aggregate only the delta partition, and combine
+    partials by key. Per-row integer scaling (floor(value*1000)) makes
+    the merge bit-exact under any partitioning or merge order, which is
+    exactly why production rollups store decimals/longs, not raw double
+    sums. The query runs both paths and emits a per-day consistency
+    verdict.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
+        (F.col("ts") < F.lit("2024-01-20").cast("timestamp")).alias("is_base"),
+    )
+    base_state = (
+        ev.where("is_base")
+        .groupBy("day")
+        .agg(F.count("*").alias("n"), F.sum("v_milli").alias("s"))
+    )
+    delta = (
+        ev.where(~F.col("is_base"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n"), F.sum("v_milli").alias("s"))
+    )
+    merged = (
+        base_state.unionByName(delta)
+        .groupBy("day")
+        .agg(
+            F.sum("n").cast("long").alias("n_merged"),
+            F.sum("s").cast("long").alias("sum_milli_merged"),
+        )
+    )
+    full = ev.groupBy("day").agg(
+        F.count("*").alias("n_full"),
+        F.sum("v_milli").cast("long").alias("sum_milli_full"),
+    )
+    return merged.join(full, "day").select(
+        "day",
+        "n_merged",
+        "n_full",
+        "sum_milli_merged",
+        "sum_milli_full",
+        (
+            (F.col("n_merged") == F.col("n_full"))
+            & (F.col("sum_milli_merged") == F.col("sum_milli_full"))
+        ).alias("consistent"),
+    )

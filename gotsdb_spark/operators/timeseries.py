@@ -1442,3 +1442,58 @@ def ts_hour_weekday_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "ts_rolling_zscore_anomaly",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, event_type, ts, value,
+             avg(value) OVER win AS mu,
+             stddev_samp(value) OVER win AS sigma,
+             count(*) OVER win AS n_win
+      FROM events
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type, ts, value,
+           (value - mu) / sigma AS zscore
+    FROM w
+    WHERE n_win >= 20 AND sigma > 0 AND abs((value - mu) / sigma) > 2.5
+    """,
+)
+def ts_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly flags: each event scored against the
+    trailing 100 events of its type (current row excluded).
+
+    The classic online z-score detector expressed as a single window
+    pass: one shuffle on event_type, then mean/stddev/count over a
+    ROWS frame ending at 1 PRECEDING (so the point never contaminates
+    its own baseline), with a 20-event warm-up guard. At scale the
+    partition key is the series id, so state per task is one frame —
+    the batch mirror of what `applyInPandasWithState` maintains in the
+    streaming path.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    win = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-100, -1)
+    )
+    mu = F.avg("value").over(win)
+    sigma = F.stddev_samp("value").over(win)
+    n_win = F.count("*").over(win)
+    z = (F.col("value") - mu) / sigma
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            n_win.alias("n_win"),
+            sigma.alias("sigma"),
+            z.alias("zscore"),
+        )
+        .where((F.col("n_win") >= 20) & (F.col("sigma") > 0) & (F.abs("zscore") > 2.5))
+        .select("event_id", "event_type", "ts", "value", "zscore")
+    )
