@@ -197,3 +197,64 @@ def test_keyset_pagination_pushes_down_and_takes_ordered(spark):
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "o_totalprice" in " ".join(pushed_filters(df)), pushed_filters(df)
+
+
+def test_bloom_probe_fact_never_shuffles(spark):
+    """The Bloom probe side (lineitem) must be filtered map-side via the
+    broadcast bitset and semi-joined via broadcast — the fact rows never
+    hash-shuffle. The 1-row scalar assemblies are broadcast nested-loop
+    joins by design; what must NOT appear is a non-broadcast
+    CartesianProduct or a SortMergeJoin on the probe key."""
+    from gotsdb_spark.plans import formatted_plan
+
+    df = QUERIES["bloom_semi_join_audit"](spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # the exact-match check is a broadcast semi-join
+    assert "BroadcastHashJoin LeftSemi" in plan
+
+
+def test_countmin_counters_partial_agg(spark):
+    """CMS counter build must partially aggregate before its shuffle —
+    each map task ships <= d*w counter rows, not raw fact rows."""
+    from gotsdb_spark.plans import formatted_plan
+
+    df = QUERIES["heavy_hitters_countmin"](spark, SF)
+    plan = formatted_plan(df)
+    # partial_count markers on both the counter and exact branches
+    assert plan.count("partial_count") >= 2 or "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_referential_integrity_broadcasts_dims(spark):
+    from gotsdb_spark.plans import formatted_plan
+
+    df = QUERIES["quality_referential_integrity"](spark, SF)
+    # every anti-join against a dimension key set must broadcast
+    assert broadcast_join_count(df) >= 7
+    assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_zorder_audit_is_scan_plus_agg(spark):
+    """Z-order bucketing is arithmetic — exactly one shuffle for the
+    final groupBy, nothing else (no sort, no range partitioning)."""
+    from gotsdb_spark.plans import formatted_plan
+
+    df = QUERIES["layout_zorder_clustering"](spark, SF)
+    plan = formatted_plan(df)
+    assert "rangepartitioning" not in plan.lower()
+    assert shuffle_count(df) == 1
+
+
+def test_rolling_zscore_single_shuffle(spark):
+    df = QUERIES["ts_rolling_zscore_anomaly"](spark, SF)
+    # one Exchange on event_type for the window; no extra shuffles
+    assert shuffle_count(df) == 1
+
+
+def test_repetition_ratio_no_explode_no_shuffle(spark):
+    """Trigram stats stay row-local (array higher-order funcs): the
+    whole query is a scan-project with zero shuffles."""
+    df = QUERIES["text_repetition_ratio"](spark, SF)
+    assert shuffle_count(df) == 0
