@@ -227,3 +227,81 @@ def streaming_append_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "window_start timestamp, event_type string, n bigint, sum_value double"
     )
+
+
+@query(
+    "streaming_interval_join",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS p_id, ts AS p_ts, user_id AS p_user
+      FROM events
+      WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-20'
+    ), e AS (
+      SELECT event_id AS e_id, ts AS e_ts, user_id AS e_user
+      FROM events
+      WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-20'
+    )
+    SELECT p.p_id, p.p_user, e.e_id
+    FROM p JOIN e
+      ON p.p_user = e.e_user
+     AND e.e_ts >= p.p_ts - INTERVAL 1 HOUR
+     AND e.e_ts <= p.p_ts
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join under the hash gate: each purchase
+    matched to same-user errors in the preceding hour, replayed as two
+    REAL file-source streams with watermarks on both sides.
+
+    Two deterministic waves per side (each fully processed before the
+    next is written, so the watermark is exact):
+
+    1. on-time purchases/errors (before Jan 20) — every legitimate
+       match emits inside its micro-batch (inner joins don't wait for
+       window close; the watermark exists to bound state);
+    2. a LATE wave on BOTH sides (the same event shapes from days 1-5,
+       re-keyed ids) — far below each side's watermark, so the
+       stream-stream join must filter them at input; any row surviving
+       would create matches the batch oracle doesn't have.
+
+    The emitted pairs must equal DuckDB's batch interval join over only
+    the on-time rows. State is bounded by the interval condition +
+    watermark — the property that keeps the join viable at 100 TB/day
+    (streaming/ingest.py:join_purchases_with_recent_errors).
+    """
+    from gotsdb_spark.streaming.ingest import join_purchases_with_recent_errors
+
+    ev = load_table(spark, "events", sf_dir)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    purchases = ev.where((F.col("event_type") == "purchase") & (F.col("ts") < cutoff))
+    errors = ev.where((F.col("event_type") == "error") & (F.col("ts") < cutoff))
+    late_cut = F.lit("2024-01-05").cast("timestamp")
+    late_p = purchases.where(F.col("ts") < late_cut).withColumn(
+        "event_id", F.col("event_id") + 10_000_000
+    )
+    late_e = errors.where(F.col("ts") < late_cut).withColumn(
+        "event_id", F.col("event_id") + 10_000_000
+    )
+
+    p_dir = tempfile.mkdtemp(prefix="gotsdb_ssj_p_")
+    e_dir = tempfile.mkdtemp(prefix="gotsdb_ssj_e_")
+    purchases.select(cols).repartition(1).write.mode("append").parquet(p_dir)
+    errors.select(cols).repartition(1).write.mode("append").parquet(e_dir)
+
+    joined = join_purchases_with_recent_errors(
+        read_events_stream(spark, p_dir, 64),
+        read_events_stream(spark, e_dir, 64),
+        horizon="1 hour",
+    ).select("p_id", "p_user", "e_id")
+
+    name = f"itg_ssj_{os.getpid()}_{next(_counter)}"
+    q = run_stream_to_memory(joined, name, output_mode="append")
+    try:
+        late_p.select(cols).repartition(1).write.mode("append").parquet(p_dir)
+        late_e.select(cols).repartition(1).write.mode("append").parquet(e_dir)
+        q.processAllAvailable()
+        out = spark.table(name).collect()
+    finally:
+        q.stop()
+    return spark.createDataFrame(out, "p_id long, p_user long, e_id long")
