@@ -305,3 +305,57 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.createDataFrame(out, "p_id long, p_user long, e_id long")
+
+
+@query(
+    "streaming_dedup_watermark",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(floor(value * 1000) AS BIGINT) AS v_milli
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-20'
+    """,
+)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingestion under the hash gate: the same on-time
+    event files are replayed TWICE through a watermarked
+    dropDuplicatesWithinWatermark stream; the emitted set must equal
+    the distinct batch rows — every redelivered row dropped, every
+    original kept, none mutated.
+
+    Wave 1 delivers the events; wave 2 redelivers byte-identical copies
+    (the at-least-once retry every real ingest pipeline sees). Dedup
+    state is keyed by event_id and bounded by the watermark horizon —
+    at 100 TB/day the state store holds one key per event inside the
+    horizon, not the full history (streaming/ingest.py:dedup_events).
+    """
+    from gotsdb_spark.streaming.ingest import dedup_events
+
+    ev = load_table(spark, "events", sf_dir)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    on_time = ev.where(F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+
+    replay = tempfile.mkdtemp(prefix="gotsdb_dedup_stream_")
+    on_time.select(cols).repartition(1).write.mode("append").parquet(replay)
+
+    deduped = dedup_events(
+        read_events_stream(spark, replay, 64), watermark="30 days"
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
+    )
+
+    name = f"itg_dedup_{os.getpid()}_{next(_counter)}"
+    q = run_stream_to_memory(deduped, name, output_mode="append")
+    try:
+        # wave 2: byte-identical redelivery — must all be dropped
+        on_time.select(cols).repartition(1).write.mode("append").parquet(replay)
+        q.processAllAvailable()
+        out = spark.table(name).collect()
+    finally:
+        q.stop()
+    return spark.createDataFrame(
+        out, "event_id long, user_id long, event_type string, v_milli long"
+    )
