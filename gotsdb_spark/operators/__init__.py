@@ -24,5 +24,6 @@ from gotsdb_spark.operators import scale_ops  # noqa: E402,F401
 from gotsdb_spark.operators import pipeline_ops  # noqa: E402,F401
 from gotsdb_spark.operators import quality  # noqa: E402,F401
 from gotsdb_spark.operators import sketches  # noqa: E402,F401
+from gotsdb_spark.operators import graph  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]
