@@ -1489,3 +1489,52 @@ def bool_aggregates_order_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("o_custkey").isNotNull()).cast("int")
         .alias("all_have_customer"),
     )
+
+
+@query(
+    "nullsafe_join_props",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             nullif(CAST(json_extract(props, '$.k') AS INT) % 8, 0) AS kb
+      FROM events
+    ), p AS (
+      SELECT kb, count(*) AS n_purchase FROM e
+      WHERE event_type = 'purchase' GROUP BY kb
+    ), r AS (
+      SELECT kb, count(*) AS n_error FROM e
+      WHERE event_type = 'error' GROUP BY kb
+    )
+    SELECT p.kb, p.n_purchase, r.n_error
+    FROM p JOIN r ON p.kb IS NOT DISTINCT FROM r.kb
+    """,
+)
+def nullsafe_join_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=>): the NULL bucket joins NULL instead of
+    vanishing, the semantic difference between `=` and IS NOT DISTINCT
+    FROM that silently drops rows in naive pipelines.
+
+    The join key is a derived bucket with a deterministic NULL class
+    (nullif(k % 8, 0)). Spark's eqNullSafe plans as a hash join exactly
+    like `=` — null-safety costs nothing — whereas the workaround
+    (coalesce to a sentinel) corrupts key spaces at scale.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    kb = F.nullif(
+        F.get_json_object("props", "$.k").cast("int") % 8, F.lit(0)
+    ).alias("kb")
+    e = ev.select("event_type", kb)
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("kb")
+        .agg(F.count("*").alias("n_purchase"))
+    )
+    r = (
+        e.where(F.col("event_type") == "error")
+        .groupBy("kb")
+        .agg(F.count("*").alias("n_error"))
+        .withColumnRenamed("kb", "kb_r")
+    )
+    return p.join(r, p.kb.eqNullSafe(F.col("kb_r"))).select(
+        "kb", "n_purchase", "n_error"
+    )

@@ -161,3 +161,51 @@ def refresh_days(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+@query(
+    "grouping_id_revenue",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def grouping_id_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with explicit grouping() / grouping_id() provenance columns.
+
+    Subtotal rows are indistinguishable from data rows whose key IS
+    NULL unless the grouping flags come along — grouping()=1 marks "this
+    column is aggregated away" and grouping_id() encodes the full level
+    bitmask, which is how downstream consumers route total vs subtotal
+    rows. Same single-shuffle rollup plan as rollup_revenue; the flags
+    are free metadata from the expand node.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "g_status",
+            "g_priority",
+            "gid",
+            "n_orders",
+            "revenue_cents",
+        )
+    )
