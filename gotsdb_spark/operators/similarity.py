@@ -626,3 +626,242 @@ def embed_int8_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("max_abs_err") <= F.col("scale") * 0.5 + 1e-12).cast("int")
         ).alias("bound_holds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC) —
+# the memory-bound tier of ANN serving: vectors compress to M subspace
+# codes (here 8 codes over 8-dim subspaces, 4 centroids each), queries
+# scan codes with a per-query lookup table instead of raw floats.
+# Codebook training is deterministic (seed groups = vec_id % K, one
+# averaging step, components half-up rounded to 1e-6) so the DuckDB
+# oracle reproduces the codebook, codes, and ADC ranking bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces
+_PQ_SUBD = 8  # dims per subspace (M * SUBD = DIM)
+_PQ_K = 4  # centroids per subspace
+_PQ_NQ = 8  # query vectors: vec_id < _PQ_NQ
+_PQ_TOPK = 5
+
+_PQ_CTES = f"""
+    comps AS (
+      SELECT vec_id, d.d, CAST(embedding[d.d] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS d) d
+    ), cb AS (
+      SELECT d, vec_id % {_PQ_K} AS g,
+             floor(avg(x) * 1e6 + 0.5) / 1e6 AS cx
+      FROM comps GROUP BY d, vec_id % {_PQ_K}
+    ), enc_d2 AS (
+      SELECT c.vec_id, cb.g, (c.d - 1) // {_PQ_SUBD} AS m,
+             sum((c.x - cb.cx) * (c.x - cb.cx)) AS d2
+      FROM comps c JOIN cb ON cb.d = c.d
+      GROUP BY c.vec_id, cb.g, (c.d - 1) // {_PQ_SUBD}
+    ), codes AS (
+      SELECT vec_id, m, g AS code FROM (
+        SELECT vec_id, m, g,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, g) AS rn
+        FROM enc_d2) t
+      WHERE rn = 1
+    ), lut AS (
+      SELECT vec_id AS q_id, m, g,
+             floor(d2 * 1e6 + 0.5) / 1e6 AS ld2
+      FROM enc_d2 WHERE vec_id < {_PQ_NQ}
+    ), adc AS (
+      SELECT l.q_id, c.vec_id AS neighbor_id, sum(l.ld2) AS adc_d2
+      FROM codes c JOIN lut l ON l.m = c.m AND l.g = c.code
+      WHERE c.vec_id <> l.q_id
+      GROUP BY l.q_id, c.vec_id
+    ), adc_ranked AS (
+      SELECT q_id, neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY adc_d2, neighbor_id) AS INT) AS rank_adc,
+             floor(adc_d2 * 1e6 + 0.5) / 1e6 AS adc_d2_r
+      FROM adc
+    )
+"""
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str):
+    """(codes, lut, subs) for the PQ pipeline — Spark side is array-
+    based (slices + zip_with, scan-speed JVM work); only codebook
+    training explodes components, as any training step must."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    comps = vecs.select("vec_id", F.posexplode("e")).select(
+        "vec_id", (F.col("pos") + 1).alias("d"), F.col("col").alias("x")
+    )
+    cb = (
+        comps.groupBy("d", (F.col("vec_id") % _PQ_K).alias("g"))
+        .agg((F.floor(F.avg("x") * 1e6 + 0.5) / 1e6).alias("cx"))
+        .groupBy("g", ((F.col("d") - 1) / _PQ_SUBD).cast("int").alias("m"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "cx"))), lambda s: s.cx
+            ).alias("cv")
+        )
+    )
+    subs = vecs.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                lambda m: F.slice(F.col("e"), m * _PQ_SUBD + 1, _PQ_SUBD),
+            )
+        ),
+    ).select("vec_id", F.col("pos").alias("m"), F.col("col").alias("sub"))
+    enc = subs.join(F.broadcast(cb), "m").select(
+        "vec_id",
+        "m",
+        "g",
+        F.aggregate(
+            F.zip_with(F.col("sub"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("d2"),
+    )
+    w_enc = W.partitionBy("vec_id", "m").orderBy("d2", "g")
+    codes = (
+        enc.withColumn("rn", F.row_number().over(w_enc))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("g").alias("code"))
+    )
+    lut = enc.where(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("m").alias("qm"),
+        F.col("g").alias("qg"),
+        (F.floor(F.col("d2") * 1e6 + 0.5) / 1e6).alias("ld2"),
+    )
+    return codes, lut, vecs
+
+
+@query(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_CTES}
+    SELECT q_id, neighbor_id, rank_adc, adc_d2_r AS adc_d2
+    FROM adc_ranked WHERE rank_adc <= {_PQ_TOPK}
+    """,
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed top-k search via asymmetric distance computation.
+
+    Vectors live as M={m} one-byte codes (a {ratio}x compression of the
+    {dim}-dim float vector); each query precomputes a {m}x{k} lookup
+    table of subspace distances to the (broadcast) codebook, and the
+    scan is a code→LUT join + per-vector sum — no float vector is ever
+    read at query time. That is the PQ promise at 100 TB: the candidate
+    scan touches bytes, the LUT rides along broadcast, and only top-k
+    rows survive. Codebook = one deterministic averaging step over
+    vec_id%{k} seed groups (components rounded 1e-6), so both engines
+    derive identical codes and rankings.
+    """
+    codes, lut, _ = _pq_codes(spark, sf_dir)
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (F.col("m") == F.col("qm")) & (F.col("code") == F.col("qg")),
+        )
+        .where(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("ld2").alias("adc_d2_raw"))
+    )
+    w = W.partitionBy("q_id").orderBy("adc_d2_raw", "neighbor_id")
+    return (
+        adc.withColumn("rank_adc", F.row_number().over(w).cast("int"))
+        .where(F.col("rank_adc") <= _PQ_TOPK)
+        .select(
+            "q_id",
+            "neighbor_id",
+            "rank_adc",
+            (F.floor(F.col("adc_d2_raw") * 1e6 + 0.5) / 1e6).alias("adc_d2"),
+        )
+    )
+
+
+ann_pq_adc_topk.__doc__ = ann_pq_adc_topk.__doc__.format(
+    m=_PQ_M, k=_PQ_K, dim=DIM, ratio=DIM * 4 // _PQ_M
+)
+
+
+@query(
+    "ann_pq_recall",
+    oracle=f"""
+    WITH {_PQ_CTES}, exact AS (
+      SELECT q.vec_id AS q_id, v.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY sum((q.x - v.x) * (q.x - v.x)), v.vec_id) AS rn
+      FROM comps q JOIN comps v ON v.d = q.d AND v.vec_id <> q.vec_id
+      WHERE q.vec_id < {_PQ_NQ}
+      GROUP BY q.vec_id, v.vec_id
+    )
+    SELECT a.q_id,
+           CAST(count(e.neighbor_id) AS BIGINT) AS n_overlap,
+           count(e.neighbor_id) / {_PQ_TOPK}.0 AS recall
+    FROM adc_ranked a
+    LEFT JOIN exact e ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
+                     AND e.rn <= {_PQ_TOPK}
+    WHERE a.rank_adc <= {_PQ_TOPK}
+    GROUP BY a.q_id
+    """,
+)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} of PQ-ADC against exact L2 — the quality audit every
+    quantized index ships with.
+
+    The exact side is the brute-force L2 top-{k} (quarantined baseline,
+    query side bounded to {nq} vectors); overlap counting is an
+    equi-join of the two top-{k} sets. The compression/recall trade-off
+    this measures is what you tune M and K against in production.
+    """
+    codes, lut, vecs = _pq_codes(spark, sf_dir)
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (F.col("m") == F.col("qm")) & (F.col("code") == F.col("qg")),
+        )
+        .where(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("ld2").alias("adc_d2_raw"))
+    )
+    w = W.partitionBy("q_id").orderBy("adc_d2_raw", "neighbor_id")
+    adc_top = adc.withColumn("rank_adc", F.row_number().over(w)).where(
+        F.col("rank_adc") <= _PQ_TOPK
+    )
+    q = vecs.where(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("e_q")
+    )
+    cand = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("e_n"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("e_q"), F.col("e_n"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    we = W.partitionBy("q_id").orderBy("d2", "neighbor_id")
+    exact_top = (
+        cand.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") <= _PQ_TOPK)
+        .select("q_id", "neighbor_id")
+    )
+    return (
+        adc_top.select("q_id", "neighbor_id")
+        .join(
+            exact_top.withColumn("hit", F.lit(1)),
+            ["q_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("hit").alias("n_overlap"),
+            (F.count("hit") / float(_PQ_TOPK)).alias("recall"),
+        )
+    )
+
+
+ann_pq_recall.__doc__ = ann_pq_recall.__doc__.format(k=_PQ_TOPK, nq=_PQ_NQ)
