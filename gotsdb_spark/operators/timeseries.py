@@ -1497,3 +1497,60 @@ def ts_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("n_win") >= 20) & (F.col("sigma") > 0) & (F.abs("zscore") > 2.5))
         .select("event_id", "event_type", "ts", "value", "zscore")
     )
+
+
+@query(
+    "ts_dpp_expensive_days",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT strftime(o_orderdate + INTERVAL 29 YEAR, '%Y-%m-%d') AS dt
+      FROM orders WHERE o_totalprice > 490000
+    )
+    SELECT e.dt, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS dt, user_id
+          FROM events) e
+    JOIN dim ON dim.dt = e.dt
+    GROUP BY e.dt
+    """,
+)
+def ts_dpp_expensive_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact scan reads only the day
+    directories that survive a runtime dimension filter.
+
+    The dim (days with a >490k order, shifted into the events calendar)
+    is only known at run time; joining it against the dt-PARTITIONED
+    events layout makes Catalyst inject a dynamicpruning subquery into
+    the scan's PartitionFilters — whole day directories are skipped
+    before a single row is read (pinned by
+    tests/test_plans.py::test_dpp_subquery_prunes_event_partitions).
+    At 100 TB this is the difference between scanning 30 days and
+    scanning 3, with no change to the query text.
+    """
+    from gotsdb_spark.sources.registry import _ensure_events_partitioned
+
+    orders = load_table(spark, "orders", sf_dir)
+    dim = (
+        orders.where(F.col("o_totalprice") > 490000)
+        .select(
+            F.date_format(
+                F.expr("o_orderdate + INTERVAL 29 YEARS"), "yyyy-MM-dd"
+            ).alias("dt")
+        )
+        .distinct()
+    )
+    part = _ensure_events_partitioned(spark, sf_dir)
+    if part is not None:
+        ev = spark.read.parquet(part).select("dt", "user_id")
+    else:  # pragma: no cover - fixture always materializes
+        ev = load_table(spark, "events", sf_dir).select(
+            F.date_format("ts", "yyyy-MM-dd").alias("dt"), "user_id"
+        )
+    return (
+        ev.join(F.broadcast(dim), "dt")
+        .groupBy("dt")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

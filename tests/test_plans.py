@@ -258,3 +258,12 @@ def test_repetition_ratio_no_explode_no_shuffle(spark):
     whole query is a scan-project with zero shuffles."""
     df = QUERIES["text_repetition_ratio"](spark, SF)
     assert shuffle_count(df) == 0
+
+
+def test_dpp_subquery_prunes_event_partitions(spark):
+    """The dt-partitioned events scan must carry a dynamicpruning
+    expression in its PartitionFilters — day directories are skipped at
+    run time based on the dim-side join keys."""
+    df = QUERIES["ts_dpp_expensive_days"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
