@@ -359,3 +359,80 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "event_id long, user_id long, event_type string, v_milli long"
     )
+
+
+@query(
+    "streaming_stateful_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS total_milli
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming under the hash gate: per-user
+    running totals held in applyInPandasWithState across TWO replay
+    waves, final state hash-matched against the batch aggregate.
+
+    The accumulator is integer-scaled (floor(value*1000) per row before
+    summing) so the state is bit-exact no matter how rows split across
+    micro-batches — the same association-safety rule every production
+    rollup follows (see incremental_daily_agg). Update mode emits a row
+    per user per batch; totals are monotone nondecreasing, so the final
+    state is the per-user max — recovered without ordering assumptions.
+    State lives in the store partitioned by user_id: each executor owns
+    its key range, nothing concentrates on the driver.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        n, t = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            t += int(pdf["v_milli"].sum())
+        state.update((n, t))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_milli": [t]}
+        )
+
+    ev = load_table(spark, "events", sf_dir)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    wave1 = ev.where(F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+    wave2 = ev.where(F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+
+    replay = tempfile.mkdtemp(prefix="gotsdb_stateful_")
+    wave1.select(cols).repartition(1).write.mode("append").parquet(replay)
+
+    stream = read_events_stream(spark, replay, 64).select(
+        "user_id", F.floor(F.col("value") * 1000).cast("long").alias("v_milli")
+    )
+    totals = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_milli bigint",
+        stateStructType="n_events bigint, total_milli bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    name = f"itg_stateful_{os.getpid()}_{next(_counter)}"
+    q = run_stream_to_memory(totals, name, output_mode="update")
+    try:
+        wave2.select(cols).repartition(1).write.mode("append").parquet(replay)
+        q.processAllAvailable()
+        out = (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("total_milli").alias("total_milli"),
+            )
+            .collect()
+        )
+    finally:
+        q.stop()
+    return spark.createDataFrame(
+        out, "user_id long, n_events long, total_milli long"
+    )
