@@ -1538,3 +1538,93 @@ def nullsafe_join_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.join(r, p.kb.eqNullSafe(F.col("kb_r"))).select(
         "kb", "n_purchase", "n_error"
     )
+
+
+@query(
+    "bitmap_distinct_users_daily",
+    oracle="""
+    SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+           count(DISTINCT user_id) AS n_users_bitmap,
+           count(DISTINCT user_id) AS n_users_exact
+    FROM events GROUP BY 1
+    """,
+)
+def bitmap_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting through bitmap aggregation — the OLAP
+    idiom that replaces count(DISTINCT) shuffles with OR-able bitmaps.
+
+    Two-level shape: keys map to (bucket, bit position), each (day,
+    bucket) group ORs its bits into one bitmap (bitmap_construct_agg),
+    and per-day distinct = sum of per-bucket popcounts. Bitmaps are
+    mergeable — partial aggregation works, re-aggregation to coarser
+    grains (day → week) is bitmap_or_agg, NOT a re-scan — which is why
+    warehouses precompute them at 100 TB. The query emits the bitmap
+    count next to count(DISTINCT) to prove exactness.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    per_bucket = (
+        ev.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.expr("bitmap_count(bitmap_construct_agg(pos))").alias("n_bits"))
+    )
+    bitmap_side = per_bucket.groupBy("day").agg(
+        F.sum("n_bits").cast("long").alias("n_users_bitmap")
+    )
+    exact_side = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    return bitmap_side.join(exact_side, "day").select(
+        "day", "n_users_bitmap", "n_users_exact"
+    )
+
+
+@query(
+    "hll_mergeable_distinct",
+    oracle="""
+    WITH per_type AS (
+      SELECT event_type AS scope, count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY event_type
+    ), total AS (
+      SELECT '_merged_total' AS scope, count(DISTINCT user_id) AS n_exact
+      FROM events
+    )
+    SELECT scope, CAST(n_exact AS BIGINT) AS n_exact, TRUE AS est_within_5pct
+    FROM (SELECT * FROM per_type UNION ALL SELECT * FROM total) u
+    """,
+)
+def hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Datasketches): per-type sketches whose
+    UNION answers the total without re-scanning — oracled as a
+    bounded-error verdict (the approx_distinct_users convention, since
+    cross-engine sketch bytes can't hash-match).
+
+    The mergeability is the 100 TB point: per-partition/per-day
+    sketches are tiny, persistable, and re-aggregable to any coarser
+    grain via hll_union_agg — the sketch algebra that powers
+    incremental distinct-count rollups. Spark's sketch is deterministic
+    for fixed input, so the ±5% verdict is stable.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    per_type = ev.groupBy(F.col("event_type").alias("scope")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    total = per_type.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+    ).crossJoin(
+        ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    ).select(F.lit("_merged_total").alias("scope"), "n_exact", "est")
+    typed = per_type.select(
+        "scope", "n_exact", F.expr("hll_sketch_estimate(sk)").alias("est")
+    )
+    return typed.unionByName(total).select(
+        "scope",
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact")) <= 0.05 * F.col("n_exact")
+        ).alias("est_within_5pct"),
+    )

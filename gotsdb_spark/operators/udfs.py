@@ -161,3 +161,99 @@ def udf_arrow_optimized_title(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = load_table(spark, "part", sf_dir)
     return part.select("p_partkey", tag("p_type").alias("tagged"))
+
+
+@query(
+    "udtf_bigram_explode",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+      WHERE doc_id < 40
+    ), bi AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+      FROM w
+    )
+    SELECT doc_id, lang, count(*) AS n_bigrams,
+           count(DISTINCT bigram) AS n_distinct
+    FROM bi GROUP BY doc_id, lang
+    """,
+)
+def udtf_bigram_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (user-defined TABLE function): one input row fans
+    out to N bigram rows via a generator `eval`, consumed with a
+    LATERAL join — the table-function extension point next to the
+    scalar/grouped UDFs in this module.
+
+    Like udf_row_at_a_time_reverse, this is the API-surface demo: the
+    UDTF runs row-at-a-time Python, so the input is gated to a bounded
+    slice (doc_id < 40) and the production equivalents of this exact
+    fan-out are the JVM-side higher-order-function shingles
+    (functions/exprs.py:word_shingles) or mapInPandas. The dataflow —
+    scan → lateral table function → aggregate — is what matters here.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram string")
+    class BigramUDTF:
+        def eval(self, text: str):
+            words = text.split(" ")
+            for a, b in zip(words, words[1:]):
+                yield (f"{a} {b}",)
+
+    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 40)
+    return (
+        docs.lateralJoin(BigramUDTF(F.col("text").outer()))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.countDistinct("bigram").alias("n_distinct"),
+        )
+    )
+
+
+@query(
+    "udf_map_in_arrow_norm",
+    oracle="""
+    SELECT vec_id,
+           floor(sqrt(list_dot_product(
+             list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(embedding, x -> CAST(x AS DOUBLE)))) * 1e6 + 0.5) / 1e6
+             AS l2_norm
+    FROM embeddings
+    """,
+)
+def udf_map_in_arrow_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy batch extension point — pyarrow
+    RecordBatches in, RecordBatches out, no pandas materialization.
+
+    The L2 norm is computed with numpy over the Arrow buffers
+    (zero-copy list flatten → reshape → vectorized reduction), the
+    right shape for numeric kernels too wide for SQL but too hot for
+    row-at-a-time Python. Each batch is independent — embarrassingly
+    parallel at any scale. Output is half-up rounded to 1e-6 to pin the
+    float-summation-order difference vs the SQL oracle.
+    """
+    import pyarrow as pa
+
+    def batches(it):
+        for batch in it:
+            tbl = pa.table(batch)
+            vec_id = tbl.column("vec_id")
+            emb = tbl.column("embedding")
+            arr = emb.combine_chunks()
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            n = len(arr)
+            mat = flat.reshape(n, -1).astype("float64")
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            norms = np.floor(norms * 1e6 + 0.5) / 1e6
+            yield pa.record_batch(
+                [vec_id.combine_chunks(), pa.array(norms, type=pa.float64())],
+                names=["vec_id", "l2_norm"],
+            )
+
+    emb = fan_out(load_table(spark, "embeddings", sf_dir)).select(
+        "vec_id", "embedding"
+    )
+    return emb.mapInArrow(batches, schema="vec_id bigint, l2_norm double")
