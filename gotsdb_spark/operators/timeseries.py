@@ -1554,3 +1554,139 @@ def ts_dpp_expensive_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "ts_seasonal_naive_forecast",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), joined AS (
+      SELECT cur.event_type, cur.n AS actual, prev.n AS forecast
+      FROM hourly cur
+      JOIN hourly prev
+        ON prev.event_type = cur.event_type
+       AND prev.h = cur.h - INTERVAL 7 DAY
+    )
+    SELECT event_type,
+           count(*) AS n_points,
+           avg(abs(actual - forecast)) AS mae,
+           avg(CAST(actual - forecast AS DOUBLE)) AS bias,
+           CAST(sum(CASE WHEN forecast = actual THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits
+    FROM joined GROUP BY event_type
+    """,
+)
+def ts_seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest: forecast each hour's event count with
+    the same hour one week earlier, score MAE/bias per series.
+
+    The baseline every forecasting system must beat — and the honest
+    way to express it on sparse series is a self-join on (series,
+    hour - 7d), not a row-offset lag (row offsets lie when hours are
+    missing). One shuffle keyed by series+hour; error metrics are
+    integer differences averaged, so they hash-match exactly.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    cur = hourly.select(
+        "event_type", "h", F.col("n").alias("actual")
+    )
+    prev = hourly.select(
+        F.col("event_type").alias("p_type"),
+        (F.col("h") + F.expr("INTERVAL 7 DAYS")).alias("p_h"),
+        F.col("n").alias("forecast"),
+    )
+    joined = cur.join(
+        prev,
+        (F.col("event_type") == F.col("p_type")) & (F.col("h") == F.col("p_h")),
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_points"),
+        F.avg(F.abs(F.col("actual") - F.col("forecast"))).alias("mae"),
+        F.avg((F.col("actual") - F.col("forecast")).cast("double")).alias("bias"),
+        F.sum(
+            F.when(F.col("forecast") == F.col("actual"), 1).otherwise(0)
+        ).cast("long").alias("n_hits"),
+    )
+
+
+@query(
+    "ts_stl_decompose",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS es,
+             avg(value) AS v
+      FROM events GROUP BY 1, 2, 3
+    ), with_trend AS (
+      SELECT event_type, h, v,
+             floor(avg(v) OVER (
+               PARTITION BY event_type ORDER BY es
+               RANGE BETWEEN 43200 PRECEDING AND 43200 FOLLOWING
+             ) * 1e6 + 0.5001) / 1e6 AS trend
+      FROM hourly
+    ), with_seasonal AS (
+      SELECT event_type, h, v, trend,
+             floor(avg(v - trend) OVER (
+               PARTITION BY event_type, extract(hour FROM h)
+             ) * 1e6 + 0.5001) / 1e6 AS seasonal
+      FROM with_trend
+    )
+    SELECT event_type, h,
+           floor(v * 1e6 + 0.5001) / 1e6 AS v,
+           trend, seasonal,
+           floor((v - trend - seasonal) * 1e6 + 0.5001) / 1e6 AS residual
+    FROM with_seasonal
+    """,
+)
+def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style decomposition: value = trend + seasonal + residual.
+
+    Trend is a centered ±12h time-RANGE moving average (range frames
+    stay correct on sparse series where row frames drift); seasonal is
+    the per-(series, hour-of-day) mean deviation from trend; residual
+    is what remains — the anomaly-detection input. Two window passes
+    over the same series partitioning plus one reuse; components are
+    half-up rounded at 1e-6 with a 1e-4 tie-nudge (floor(x*1e6+0.5001)).
+    Averages of 3-decimal inputs are small-denominator rationals: they
+    land either EXACTLY on a 0.5e-6 rounding boundary (where a 1e-16
+    summation-order difference flips the digit — the nudge resolves
+    the tie identically in both engines, and must exceed the double
+    ulp at the 1e7 magnitude, which 1e-9 did not) or at least 1/(2q)
+    away from it, far beyond the nudge — so no non-tie value can flip.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.avg("value").alias("v"))
+    hourly = hourly.withColumn("es", F.unix_timestamp("h"))
+    w_trend = (
+        W.partitionBy("event_type").orderBy("es").rangeBetween(-43200, 43200)
+    )
+    with_trend = hourly.withColumn(
+        "trend", F.floor(F.avg("v").over(w_trend) * 1e6 + 0.5001) / 1e6
+    )
+    w_season = W.partitionBy("event_type", F.hour("h"))
+    with_seasonal = with_trend.withColumn(
+        "seasonal",
+        F.floor(F.avg(F.col("v") - F.col("trend")).over(w_season) * 1e6 + 0.5001)
+        / 1e6,
+    )
+    return with_seasonal.select(
+        "event_type",
+        "h",
+        (F.floor(F.col("v") * 1e6 + 0.5001) / 1e6).alias("v"),
+        "trend",
+        "seasonal",
+        (
+            F.floor(
+                (F.col("v") - F.col("trend") - F.col("seasonal")) * 1e6 + 0.5001
+            )
+            / 1e6
+        ).alias("residual"),
+    )
