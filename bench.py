@@ -54,6 +54,17 @@ HEADLINE = [
     "kmeans_lloyd_clusters",
     "multimodal_ppm_decode",
     "curate_end_to_end",
+    # round 2 additions (second batch)
+    "bloom_semi_join_audit",
+    "heavy_hitters_countmin",
+    "quality_referential_integrity",
+    "text_repetition_ratio",
+    "graph_pagerank_nations",
+    "ann_pq_adc_topk",
+    "ts_stl_decompose",
+    "ts_rolling_zscore_anomaly",
+    "bitmap_distinct_users_daily",
+    "ts_dpp_expensive_days",
 ]
 
 

@@ -276,3 +276,60 @@ def incremental_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("sum_milli_merged") == F.col("sum_milli_full"))
         ).alias("consistent"),
     )
+
+
+@query(
+    "parquet_merge_schema_roundtrip",
+    oracle="""
+    SELECT 1 AS batch, o_orderstatus,
+           count(*) AS n,
+           CAST(NULL AS BIGINT) AS n_with_bucket
+    FROM orders WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 2, o_orderstatus, count(*),
+           count(CASE WHEN CAST(floor(o_totalprice / 100000) AS BIGINT) >= 0
+                      THEN 1 END)
+    FROM orders WHERE o_orderkey % 2 = 1
+    GROUP BY o_orderstatus
+    """,
+)
+def parquet_merge_schema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on disk: two writer generations (the second
+    adds a column) land in one dataset; a mergeSchema read unifies them
+    with NULLs for the missing column — hash-checked end to end.
+
+    The data-lake reality at 100 TB: producers upgrade schemas without
+    rewriting history. Footer-merging is metadata work (no data scan);
+    the old batches simply project NULL for the new column. Batches are
+    written under a batch= partition key, so generation provenance
+    rides the directory layout.
+    """
+    import tempfile
+
+    orders = load_table(spark, "orders", sf_dir)
+    v1 = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    v2 = orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") / 100000).cast("long").alias("rev_bucket"),
+    )
+    root = tempfile.mkdtemp(prefix="gotsdb_mergeschema_")
+    v1.write.mode("overwrite").parquet(f"{root}/batch=1")
+    v2.write.mode("overwrite").parquet(f"{root}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    return merged.groupBy("batch", "o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.count(
+            F.when(F.col("rev_bucket") >= 0, 1)
+        ).cast("long").alias("n_with_bucket"),
+    ).select(
+        F.col("batch").cast("int").alias("batch"),
+        "o_orderstatus",
+        "n",
+        F.when(F.col("batch") == 1, F.lit(None).cast("long"))
+        .otherwise(F.col("n_with_bucket"))
+        .alias("n_with_bucket"),
+    )

@@ -1690,3 +1690,130 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("residual"),
     )
+
+
+@query(
+    "scd2_asof_lookup",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, ts FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    ), dim AS (
+      SELECT user_id, event_type AS state_type,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+      FROM changes
+    )
+    SELECT e.event_id, e.user_id, e.ts, d.state_type, d.valid_from
+    FROM events e
+    JOIN dim d
+      ON d.user_id = e.user_id
+     AND d.valid_from <= e.ts
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) lookup against an SCD2 dimension: each
+    purchase joins the validity interval that contained its timestamp.
+
+    The temporal-correctness join every warehouse needs and most get
+    wrong (joining is_current leaks future state into past facts). The
+    equi-key (user_id) drives the shuffle; the interval predicate
+    selects exactly one version per fact. At 100 TB both sides
+    co-partition on the key and versions-per-key stays small, so the
+    per-key interval scan is bounded. Dimension built by
+    scd2_user_event_history's change-point windows.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    dim = scd2_user_event_history(spark, sf_dir).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state_type"),
+        F.col("valid_from"),
+        F.col("valid_to"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        purchases.join(
+            dim,
+            (F.col("user_id") == F.col("d_user"))
+            & (F.col("valid_from") <= F.col("ts"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        )
+        .select("event_id", "user_id", "ts", "state_type", "valid_from")
+    )
+
+
+@query(
+    "winsorized_value_stats",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             floor(quantile_cont(value, 0.05) * 1e6 + 0.5001) / 1e6 AS p05,
+             floor(quantile_cont(value, 0.95) * 1e6 + 0.5001) / 1e6 AS p95
+      FROM events GROUP BY event_type
+    ), clipped AS (
+      SELECT e.event_type,
+             least(greatest(e.value, q.p05), q.p95) AS v,
+             CASE WHEN e.value < q.p05 THEN 1 ELSE 0 END AS lo,
+             CASE WHEN e.value > q.p95 THEN 1 ELSE 0 END AS hi
+      FROM events e JOIN q USING (event_type)
+    )
+    SELECT event_type,
+           count(*) AS n,
+           floor(avg(v) * 1e4 + 0.5001) / 1e4 AS winsorized_mean,
+           CAST(sum(lo) AS BIGINT) AS n_clipped_low,
+           CAST(sum(hi) AS BIGINT) AS n_clipped_high
+    FROM clipped GROUP BY event_type
+    """,
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized statistics: clip each series at its own p05/p95
+    before averaging — the outlier-robust mean every metrics pipeline
+    reports next to the raw one.
+
+    Quantiles come from one percentile_cont pass per series (both
+    engines use linear interpolation over the same sorted values);
+    thresholds and the final mean are half-up rounded with the
+    ulp-exceeding tie-nudge (see ts_stl_decompose) so clip decisions
+    and output agree bit-for-bit. Two shuffles: the quantile agg and
+    the broadcast-joined clip + re-agg.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    q = ev.groupBy("event_type").agg(
+        (
+            F.floor(
+                F.expr("percentile_cont(0.05) WITHIN GROUP (ORDER BY value)")
+                * 1e6
+                + 0.5001
+            )
+            / 1e6
+        ).alias("p05"),
+        (
+            F.floor(
+                F.expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY value)")
+                * 1e6
+                + 0.5001
+            )
+            / 1e6
+        ).alias("p95"),
+    )
+    clipped = ev.join(F.broadcast(q), "event_type").select(
+        "event_type",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias("v"),
+        F.when(F.col("value") < F.col("p05"), 1).otherwise(0).alias("lo"),
+        F.when(F.col("value") > F.col("p95"), 1).otherwise(0).alias("hi"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.floor(F.avg("v") * 1e4 + 0.5001) / 1e4).alias("winsorized_mean"),
+        F.sum("lo").cast("long").alias("n_clipped_low"),
+        F.sum("hi").cast("long").alias("n_clipped_high"),
+    )
