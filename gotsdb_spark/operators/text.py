@@ -411,3 +411,83 @@ def text_marker_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nullif(F.array_position(ws, "the"), F.lit(0)).alias("the_pos"),
         F.nullif(F.array_position(ws, "spark"), F.lit(0)).alias("spark_pos"),
     )
+
+
+@query(
+    "text_lang_mixing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+    ), hits AS (
+      SELECT doc_id, lang,
+             len(list_filter(ws, x -> x IN {_LANG_MARKERS['en']})) AS h_en,
+             len(list_filter(ws, x -> x IN {_LANG_MARKERS['es']})) AS h_es,
+             len(list_filter(ws, x -> x IN {_LANG_MARKERS['fr']})) AS h_fr,
+             len(list_filter(ws, x -> x IN {_LANG_MARKERS['de']})) AS h_de
+      FROM t
+    ), scored AS (
+      SELECT doc_id, lang,
+             h_en + h_es + h_fr + h_de AS total,
+             greatest(h_en, h_es, h_fr, h_de) AS top
+      FROM hits
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN total > 0 AND total > top THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mixed,
+           CAST(sum(CASE WHEN total = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_no_signal,
+           floor(avg(CASE WHEN total > 0 THEN top * 1.0 / total END)
+                 * 1e6 + 0.5001) / 1e6 AS avg_purity
+    FROM scored GROUP BY lang
+    """,
+)
+def text_lang_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixing filter: docs whose marker tokens split across
+    languages (code-switching / concatenation artifacts) get flagged —
+    a standard corpus-curation gate next to lang-ID.
+
+    Purity = top-language marker hits / all marker hits, counted over
+    TOKENS (not distinct types, so repeated function words weigh in).
+    Row-local array filters; one tiny aggregate per labeled lang. The
+    avg is tie-nudge rounded (ratios of small ints land on exact
+    rounding boundaries — see ts_stl_decompose).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    ws = F.split("text", " ")
+
+    def _hit_counter(markers: tuple) -> "F.Column":
+        # A closure (not a default arg): higher-order-function lambdas
+        # must take exactly one parameter or PySpark binds extras as
+        # lambda variables.
+        return F.size(F.filter(ws, lambda x: x.isin(*markers))).cast("long")
+
+    hits = {lang: _hit_counter(m) for lang, m in _LANG_MARKERS.items()}
+    total = hits["en"] + hits["es"] + hits["fr"] + hits["de"]
+    top = F.greatest(hits["en"], hits["es"], hits["fr"], hits["de"])
+    scored = docs.select(
+        "lang", total.alias("total"), top.alias("top")
+    )
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when((F.col("total") > 0) & (F.col("total") > F.col("top")), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_mixed"),
+        F.sum(F.when(F.col("total") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_no_signal"),
+        (
+            F.floor(
+                F.avg(
+                    F.when(
+                        F.col("total") > 0,
+                        F.col("top").cast("double") / F.col("total"),
+                    )
+                )
+                * 1e6
+                + 0.5001
+            )
+            / 1e6
+        ).alias("avg_purity"),
+    )
