@@ -25,5 +25,6 @@ from gotsdb_spark.operators import pipeline_ops  # noqa: E402,F401
 from gotsdb_spark.operators import quality  # noqa: E402,F401
 from gotsdb_spark.operators import sketches  # noqa: E402,F401
 from gotsdb_spark.operators import graph  # noqa: E402,F401
+from gotsdb_spark.operators import statistics  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]
