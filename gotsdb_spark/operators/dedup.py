@@ -450,3 +450,103 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("canonical_id"),
         (F.col("label") == F.col("doc")).alias("is_canonical"),
     )
+
+
+_PF_T = 0.6  # Jaccard threshold shared with dedup_ngram_jaccard
+
+_PREFIX_FILTER_ORACLE = f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), shingles AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(ws) - 2, 1)),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        FROM words
+      ) raw
+    ), freq AS (
+      SELECT sh, count(*) AS f FROM shingles GROUP BY sh
+    ), ranked AS (
+      SELECT s.doc_id, s.sh,
+             row_number() OVER (PARTITION BY s.doc_id ORDER BY f.f, s.sh) AS rn,
+             count(*)    OVER (PARTITION BY s.doc_id) AS n_sh
+      FROM shingles s JOIN freq f USING (sh)
+    ), prefix AS (
+      SELECT doc_id, sh FROM ranked
+      WHERE rn <= n_sh - ceil({_PF_T} * n_sh) + 1
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ), packs AS (
+      SELECT doc_id, list(sh ORDER BY sh) AS ss, count(*) AS n_sh
+      FROM shingles GROUP BY doc_id
+    )
+    SELECT doc_a, doc_b,
+           len(list_intersect(pa.ss, pb.ss)) * 1.0
+             / (pa.n_sh + pb.n_sh - len(list_intersect(pa.ss, pb.ss))) AS jaccard
+    FROM cand
+    JOIN packs pa ON pa.doc_id = doc_a
+    JOIN packs pb ON pb.doc_id = doc_b
+    WHERE len(list_intersect(pa.ss, pb.ss)) * 1.0
+            / (pa.n_sh + pb.n_sh - len(list_intersect(pa.ss, pb.ss))) >= {_PF_T}
+"""
+
+
+@query("dedup_prefix_filter_jaccard", oracle=_PREFIX_FILTER_ORACLE)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-threshold Jaccard join via prefix filtering (PPJoin-style).
+
+    The third point in the dedup design space: dedup_ngram_jaccard is
+    the exact all-shared-shingles baseline (worst-case quadratic) and
+    dedup_minhash_lsh is approximate; prefix filtering is EXACT *and*
+    sub-quadratic. Order each doc's shingles by ascending global
+    frequency (rarest first); for Jaccard ≥ t two sets MUST share at
+    least one of each other's first n−⌈t·n⌉+1 shingles, so the
+    candidate join runs only on those prefixes — rare shingles, tiny
+    postings lists. Candidates are verified row-locally against the
+    packed sorted shingle arrays (array_intersect), so the verify
+    shuffle carries O(candidates) rows, not O(shared-shingle pairs).
+
+    At 100 TB: frequency table is a map-side-combinable groupBy, the
+    per-doc ranking windows by doc_id (partition-local), and the
+    candidate equi-join shuffles only prefix rows — the frequency
+    ordering is exactly what keeps hot shingles out of the join.
+    Same threshold as dedup_ngram_jaccard so results are comparable.
+    """
+    sh = shingle_table(spark, sf_dir).cache()
+    freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
+    ranked = sh.join(F.broadcast(freq), "sh").select(
+        "doc_id",
+        "sh",
+        F.row_number()
+        .over(W.partitionBy("doc_id").orderBy("f", "sh"))
+        .alias("rn"),
+        F.count("*").over(W.partitionBy("doc_id")).alias("n_sh"),
+    )
+    prefix = ranked.where(
+        F.col("rn") <= F.col("n_sh") - F.ceil(_PF_T * F.col("n_sh")) + 1
+    ).select("doc_id", "sh")
+    pb = prefix.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    cand = (
+        prefix.join(pb, (F.col("sh") == F.col("sh_b")) & (F.col("doc_id") < F.col("doc_b")))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    packs = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("sh")).alias("ss"), F.count("*").alias("n_sh")
+    )
+    pa = packs.select(
+        F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"), F.col("n_sh").alias("n_a")
+    )
+    pbk = packs.select(
+        F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b"), F.col("n_sh").alias("n_b")
+    )
+    n_common = F.size(F.array_intersect("ss_a", "ss_b"))
+    jaccard = n_common * F.lit(1.0) / (F.col("n_a") + F.col("n_b") - n_common)
+    return (
+        cand.join(pa, "doc_a")
+        .join(pbk, "doc_b")
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .where(F.col("jaccard") >= _PF_T)
+    )

@@ -238,3 +238,98 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_BFS_SEED = 0
+_BFS_MAX_HOPS = 3
+_BFS_FANOUT = 3
+
+
+def _bfs_oracle() -> str:
+    return f"""
+    WITH RECURSIVE flows AS ({_EDGES_SQL}),
+    sparse AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+        FROM flows WHERE src <> dst
+      ) t WHERE rn <= {_BFS_FANOUT}
+    ),
+    walk(node, hops) AS (
+      SELECT {_BFS_SEED}, 0
+      UNION ALL
+      SELECT e.dst, w.hops + 1
+      FROM walk w JOIN sparse e ON e.src = w.node
+      WHERE w.hops < {_BFS_MAX_HOPS}
+    )
+    SELECT n.n_name, w.node, CAST(min(w.hops) AS INT) AS hops
+    FROM walk w JOIN nation n ON n.n_nationkey = w.node
+    GROUP BY 1, 2
+    """
+
+
+@query("graph_reachability_hops", oracle=_bfs_oracle())
+def graph_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS: minimum hop count from nation {seed} over the sparsified
+    trade graph (top-{k} partners per nation, self-loops dropped).
+
+    The iterative-traversal companion to PageRank above — the same
+    "only the frontier moves" dataflow that powers reachability,
+    lineage, and fraud-ring queries. Each round is ONE equi-join of
+    the current frontier against the static edge table plus an anti
+    join to drop already-visited nodes; the visited set and frontier
+    are O(nodes) while the edge table never moves between rounds.
+    The driver loop holds only the round counter — no data ever
+    collects. The oracle is DuckDB's WITH RECURSIVE walk capped at
+    the same depth, reduced by min(hops).
+    """
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+
+    flows = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.count("*").alias("w"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    from pyspark.sql.window import Window
+
+    sparse = (
+        flows.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+            ),
+        )
+        .where(F.col("rn") <= _BFS_FANOUT)
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    visited = (
+        sparse.sparkSession.range(1)
+        .select(F.lit(_BFS_SEED).alias("node"), F.lit(0).cast("int").alias("hops"))
+        .localCheckpoint()
+    )
+    frontier = visited
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        reached = (
+            frontier.join(sparse, frontier.node == sparse.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(hop).cast("int"))
+            .localCheckpoint()
+        )
+        if reached.isEmpty():
+            break
+        visited = visited.unionByName(reached).localCheckpoint()
+        frontier = reached
+    return visited.join(
+        F.broadcast(load_table(spark, "nation", sf_dir)),
+        visited.node == F.col("n_nationkey"),
+    ).select("n_name", "node", "hops")

@@ -491,3 +491,97 @@ def text_lang_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("avg_purity"),
     )
+
+
+# BM25 parameters (Robertson et al. defaults) and a fixed query.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("join", "scan", "vector")
+_BM25_TOPN = 15
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+    return f"""
+    WITH q(term) AS (VALUES {terms}),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
+    ), tf AS (
+      SELECT t.doc_id, t.w AS term, count(*) AS tf
+      FROM toks t JOIN q ON q.term = t.w
+      GROUP BY 1, 2
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), contrib AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                    + {_BM25_B} * dl.dl / (s.sum_dl * 1.0 / s.n_docs)))
+               * 1e6 + 0.5001) AS BIGINT) AS c_e6
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ), scored AS (
+      SELECT doc_id, CAST(sum(c_e6) AS BIGINT) AS score_e6 FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, score_e6 FROM scored
+    ORDER BY score_e6 DESC, doc_id
+    LIMIT {_BM25_TOPN}
+    """
+
+
+@query("text_bm25_topk", oracle=_bm25_oracle())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-{n} documents for a fixed 3-term query.
+
+    The ranking function behind classical search and the usual
+    lexical arm of RAG retrieval, next to text_tfidf_top_term's
+    feature view. Term frequencies come from one (doc, term) groupBy
+    *pre-filtered to the query terms* — at 100 TB the shuffle carries
+    only matching postings, never the corpus vocabulary. Document
+    length and corpus stats (N, avgdl) are exact integer aggregates
+    broadcast back; per-term contributions are scalar double math on
+    those exact inputs, scaled to integer 1e-6 units BEFORE the
+    per-doc sum so summation order can't flip a digit (OLS/χ²
+    convention, statistics.py). Final top-k is the
+    TakeOrderedAndProject pattern — no global sort materializes.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").cast("long").alias("sum_dl")
+    )
+    tf = (
+        toks.where(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", F.col("w").alias("term"))
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    avgdl = F.col("sum_dl") * 1.0 / F.col("n_docs")
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(idf * F.col("tf") * (_BM25_K1 + 1.0) / denom * 1e6 + 0.5001)
+            .cast("long")
+            .alias("c_e6"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c_e6").cast("long").alias("score_e6"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(_BM25_TOPN)
+    )
