@@ -436,3 +436,71 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "user_id long, n_events long, total_milli long"
     )
+
+
+@query(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT date_trunc('day', e.ts) AS day,
+           n.n_name,
+           count(*) AS n,
+           CAST(sum(CAST(floor(e.value * 1000) AS BIGINT)) AS BIGINT) AS value_e3
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join under the oracle: replay purchases as a
+    micro-batched stream, enrich each micro-batch against the STATIC
+    customer→nation dimension, aggregate per (day, nation), and
+    hash-compare against DuckDB joining the same tables in batch.
+
+    The stream-static join is the canonical streaming-enrichment shape
+    (events come in hot, dimensions sit in the warehouse): Spark plans
+    the static side once per micro-batch with no state store — the
+    dimension is broadcast, so the stream side never shuffles for the
+    join, and only the windowed aggregation keeps state. Value sums
+    are integer-scaled per row, so micro-batch accumulation order
+    can't drift from DuckDB's batch sum.
+    """
+    replay = tempfile.mkdtemp(prefix="gotsdb_stream_enrich_")
+    ev = load_table(spark, "events", sf_dir).where(F.col("event_type") == "purchase")
+    ev.orderBy(F.hash("event_id")).repartition(8).write.mode("overwrite").parquet(
+        replay
+    )
+    from gotsdb_spark.streaming import read_events_stream, run_stream_to_memory
+
+    customer = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    dim = F.broadcast(
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey).select(
+            "c_custkey", "n_name"
+        )
+    )
+    stream = read_events_stream(spark, replay, 2)
+    enriched = (
+        stream.join(dim, stream.user_id == dim.c_custkey)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"), "n_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long"))
+            .cast("long")
+            .alias("value_e3"),
+        )
+        .select(F.col("w.start").alias("day"), "n_name", "n", "value_e3")
+    )
+    name = f"itg_enrich_{os.getpid()}_{next(_counter)}"
+    q = run_stream_to_memory(enriched, name, output_mode="complete")
+    try:
+        out = spark.table(name).collect()
+    finally:
+        q.stop()
+    return spark.createDataFrame(
+        out, "day timestamp, n_name string, n bigint, value_e3 bigint"
+    )
