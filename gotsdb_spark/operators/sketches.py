@@ -47,16 +47,19 @@ _CMS_W = 64
 
 
 def _md5_pos(i: int, key: Column, mod: int) -> Column:
-    """Deterministic hash position: first 4 md5 hex digits of
-    ``"{i}:{key}"`` as an integer, mod ``mod``. Identical in DuckDB as
-    ``('0x' || substr(md5(i || ':' || key), 1, 4))::BIGINT % mod``."""
-    hex4 = F.substring(F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 4)
+    """Deterministic hash position i: hex digits [1+4i, 4+4i] of ONE
+    md5(key) as an integer, mod ``mod`` — k positions cost a single
+    md5 per row (the probe side is the 100 TB fact table; hashing it
+    k times was most of the query's CPU). Identical in DuckDB as
+    ``('0x' || substr(md5(CAST(key AS VARCHAR)), 1+4i, 4))::BIGINT %
+    mod``."""
+    hex4 = F.substring(F.md5(key.cast("string")), 1 + 4 * i, 4)
     return (F.conv(hex4, 16, 10).cast("long") % mod).alias(f"p{i}")
 
 
 def _duck_pos(i: int, key_sql: str, mod: int) -> str:
     return (
-        f"('0x' || substr(md5('{i}:' || CAST({key_sql} AS VARCHAR)), 1, 4))::BIGINT % {mod}"
+        f"('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), {1 + 4 * int(i)}, 4))::BIGINT % {mod}"
     )
 
 
@@ -66,7 +69,9 @@ def _duck_pos(i: int, key_sql: str, mod: int) -> str:
     WITH build AS (
       SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_totalprice > {_BLOOM_PRICE}
     ), pos AS (
-      SELECT DISTINCT {_duck_pos('0', 'k', _BLOOM_M).replace("'0:'", "CAST(i AS VARCHAR) || ':'")} AS p
+      SELECT DISTINCT
+        ('0x' || substr(md5(CAST(k AS VARCHAR)), CAST(1 + 4 * i AS INT), 4))::BIGINT
+          % {_BLOOM_M} AS p
       FROM build, range({_BLOOM_K}) t(i)
     ), bits AS (
       SELECT list(p ORDER BY p) AS bs FROM pos
@@ -111,31 +116,56 @@ def bloom_semi_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     key = F.col("o_orderkey")
-    bits = (
-        build.select(
-            F.explode(
-                F.array(*[_md5_pos(i, key, _BLOOM_M) for i in range(_BLOOM_K)])
-            ).alias("p")
-        )
-        .distinct()
-        .agg(F.sort_array(F.collect_list("p")).alias("bs"))
+    # Pack set positions into a dense array of m/64 longs: the probe's
+    # membership test becomes one element_at + one bit shift (O(1))
+    # instead of a linear array_contains scan over up to m positions —
+    # the difference between O(probe) and O(probe·m) total work.
+    n_words = _BLOOM_M // 64
+    pos = build.select(
+        F.explode(
+            F.array(*[_md5_pos(i, key, _BLOOM_M) for i in range(_BLOOM_K)])
+        ).alias("p")
+    ).distinct()
+    words = pos.groupBy((F.col("p") / 64).cast("int").alias("word")).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))"
+        ).alias("w")
+    )
+    bits = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "w"))).alias("wm"),
+        F.sum(F.bit_count("w")).cast("long").alias("n_set"),
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {n_words - 1}),"
+            " i -> coalesce(element_at(wm, i), CAST(0 AS BIGINT)))"
+        ).alias("bs"),
+        "n_set",
     )
     probe = lineitem.select(F.col("l_orderkey").alias("k"))
     pk = F.col("k")
-    passed = (
-        probe.crossJoin(F.broadcast(bits))
-        .where(
-            F.array_contains("bs", _md5_pos(0, pk, _BLOOM_M))
-            & F.array_contains("bs", _md5_pos(1, pk, _BLOOM_M))
-            & F.array_contains("bs", _md5_pos(2, pk, _BLOOM_M))
+
+    def _bit_set(i: int) -> Column:
+        # SQL form: shiftrightunsigned takes a column shift amount
+        # there (the Python wrapper insists on a literal).
+        p = (
+            f"(CAST(conv(substring(md5(CAST(k AS STRING)), {1 + 4 * i}, 4), 16, 10)"
+            f" AS BIGINT) % {_BLOOM_M})"
         )
+        return F.expr(
+            f"(shiftrightunsigned(element_at(bs, CAST({p} DIV 64 AS INT) + 1),"
+            f" CAST({p} % 64 AS INT)) & 1) = 1"
+        )
+
+    passed = (
+        probe.crossJoin(F.broadcast(bits.select("bs")))
+        .where(_bit_set(0) & _bit_set(1) & _bit_set(2))
         .agg(F.count("*").alias("n_bloom_pass"))
     )
     true_m = probe.join(
         F.broadcast(build), pk == F.col("o_orderkey"), "left_semi"
     ).agg(F.count("*").alias("n_true_match"))
     meta = build.agg(F.count("*").alias("n_build_keys")).crossJoin(
-        bits.select(F.size("bs").cast("long").alias("n_bits_set"))
+        bits.select(F.col("n_set").alias("n_bits_set"))
     ).crossJoin(probe.agg(F.count("*").alias("n_probe_rows")))
     return (
         meta.crossJoin(F.broadcast(passed))

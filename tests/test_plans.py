@@ -267,3 +267,42 @@ def test_dpp_subquery_prunes_event_partitions(spark):
     df = QUERIES["ts_dpp_expensive_days"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_prefix_filter_jaccard_no_cartesian(spark):
+    """PPJoin-style candidates come from a prefix equi-join on shingle;
+    a CartesianProduct would mean the filter degenerated to all-pairs."""
+    df = QUERIES["dedup_prefix_filter_jaccard"](spark, SF)
+    assert not has_cartesian_product(df)
+
+
+def test_bm25_broadcasts_stats_and_df(spark):
+    """BM25's corpus stats (1 row) and per-term df (3 rows) must reach
+    the postings join as broadcasts — shuffling postings on term or
+    replicating the corpus for a 1-row stats table would be the
+    scale-killer."""
+    df = QUERIES["text_bm25_topk"](spark, SF)
+    assert not has_cartesian_product(df) or broadcast_join_count(df) >= 1
+    assert broadcast_join_count(df) >= 2
+
+
+def test_bfs_reachability_no_cartesian(spark):
+    df = QUERIES["graph_reachability_hops"](spark, SF)
+    assert not has_cartesian_product(df)
+
+
+def test_ols_trend_single_shuffle(spark):
+    """OLS reduces to 5 sufficient statistics per group: exactly one
+    map-side-combinable aggregation shuffle, nothing else."""
+    df = QUERIES["stats_ols_trend_by_type"](spark, SF)
+    assert shuffle_count(df) == 1
+
+
+def test_kmv_sketch_no_cartesian(spark):
+    """The merge row cross-joins two 1-row aggregates — that must plan
+    as a broadcast nested-loop over the 1-row side (intended), never a
+    partitioned CartesianProduct."""
+    from gotsdb_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["sketch_kmv_distinct_users"](spark, SF))
+    assert "CartesianProduct" not in plan
