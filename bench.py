@@ -65,6 +65,13 @@ HEADLINE = [
     "ts_rolling_zscore_anomaly",
     "bitmap_distinct_users_daily",
     "ts_dpp_expensive_days",
+    # round 2 additions (third batch)
+    "dedup_prefix_filter_jaccard",
+    "text_bm25_topk",
+    "stats_ols_trend_by_type",
+    "sketch_kmv_distinct_users",
+    "ts_cusum_changepoint",
+    "sample_weighted_priority",
 ]
 
 

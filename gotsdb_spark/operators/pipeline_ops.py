@@ -579,3 +579,60 @@ def sample_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_cents").cast("long").alias("sum_price_cents"),
         )
     )
+
+
+_WPS_K = 20
+_WPS_2_48 = 281474976710656.0  # 2^48
+
+
+@query(
+    "sample_weighted_priority",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT o_orderkey, o_totalprice,
+             -ln((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT
+                  + 0.5) / {_WPS_2_48}) / o_totalprice AS ekey
+      FROM orders
+    )
+    SELECT o_orderkey, o_totalprice,
+           CAST(floor(ekey * 1e9 + 0.5001) AS BIGINT) AS key_e9
+    FROM keyed
+    ORDER BY ekey, o_orderkey
+    LIMIT {_WPS_K}
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via exponential races
+    (Efraimidis–Spirakis A-ES): each order draws key = −ln(u)/w with
+    u a deterministic md5 hash fraction and w = o_totalprice; the k
+    smallest keys are a weighted sample without replacement.
+
+    The shape a mixture-weighted training-data sampler needs when
+    weights are per-ROW (importance, quality score), not per-source
+    like curate_mixture_sample's Bernoulli gates: one map to draw
+    keys, then TakeOrderedAndProject for the k smallest — no global
+    sort, no second pass, and restartable because u is a pure hash,
+    not an RNG state. Merging partial top-k lists is associative, so
+    the same two-phase plan computes it on 1000 executors.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    u = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        + 0.5
+    ) / _WPS_2_48
+    ekey = -F.log(u) / F.col("o_totalprice")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_totalprice",
+            ekey.alias("ekey"),
+        )
+        .orderBy("ekey", "o_orderkey")
+        .limit(_WPS_K)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.floor(F.col("ekey") * 1e9 + 0.5001).cast("long").alias("key_e9"),
+        )
+    )

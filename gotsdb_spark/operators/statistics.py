@@ -245,3 +245,129 @@ def ts_rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scaled.select(
         "user_id", "event_id", "v", med.alias("roll_med")
     )
+
+
+@query(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS x_e3
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT)   AS n_days,
+             CAST(sum(x_e3) AS BIGINT)  AS total
+      FROM daily GROUP BY 1
+    ), dev AS (
+      SELECT d.event_type, d.day, d.x_e3,
+             d.x_e3 * s.n_days - s.total AS d_scaled
+      FROM daily d JOIN stats s USING (event_type)
+    ), pfx0 AS (
+      SELECT event_type, day, x_e3,
+             CAST(sum(d_scaled) OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) AS prefix,
+             CAST(sum(abs(d_scaled)) OVER (PARTITION BY event_type) AS BIGINT)
+               AS sum_abs
+      FROM dev
+    ), pfx AS (
+      SELECT event_type, day, x_e3, prefix, sum_abs,
+             CAST(min(prefix) OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) AS run_min
+      FROM pfx0
+    )
+    SELECT event_type, day, x_e3,
+           prefix - run_min AS cusum_scaled,
+           4 * (prefix - run_min) > sum_abs AS flagged
+    FROM pfx
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over daily revenue per event type.
+
+    The one-sided CUSUM recurrence S_t = max(0, S_{t-1} + d_t) looks
+    sequential, but it has a closed form windows CAN express:
+    S_t = prefix_t − min_{j≤t} prefix_j (running sum minus its own
+    running minimum) — the distributed-friendly identity that turns a
+    per-row loop into two window passes. Deviations are kept as exact
+    integers (x·n − Σx, i.e. scaled by n to avoid dividing by the
+    mean), so every prefix, minimum, and flag is integer arithmetic:
+    no accumulation-order drift at any scale. A day is flagged when
+    its CUSUM exceeds a quarter of the series' total absolute
+    deviation. One shuffle for the daily rollup, one for the per-type
+    window — both partition-parallel across event types.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("long")).cast("long").alias("x_e3")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"), F.sum("x_e3").cast("long").alias("total")
+    )
+    dev = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "x_e3",
+        (F.col("x_e3") * F.col("n_days") - F.col("total")).alias("d_scaled"),
+    )
+    wo = W.partitionBy("event_type").orderBy("day")
+    wall = W.partitionBy("event_type")
+    pfx = dev.select(
+        "event_type",
+        "day",
+        "x_e3",
+        F.sum("d_scaled").over(wo).cast("long").alias("prefix"),
+        F.sum(F.abs("d_scaled")).over(wall).cast("long").alias("sum_abs"),
+    ).withColumn("run_min", F.min("prefix").over(wo).cast("long"))
+    return pfx.select(
+        "event_type",
+        "day",
+        "x_e3",
+        (F.col("prefix") - F.col("run_min")).alias("cusum_scaled"),
+        (4 * (F.col("prefix") - F.col("run_min")) > F.col("sum_abs")).alias(
+            "flagged"
+        ),
+    )
+
+
+_DISTINCT_FRAME = 10  # rows: current + 9 preceding
+
+
+@query(
+    "window_distinct_event_mix",
+    oracle=f"""
+    SELECT user_id, event_id,
+           CAST(len(list_distinct(list(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {_DISTINCT_FRAME - 1} PRECEDING AND CURRENT ROW
+           ))) AS INT) AS n_distinct_types
+    FROM events
+    WHERE user_id < 40
+    """,
+)
+def window_distinct_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct event types within each user's trailing 10 events.
+
+    COUNT(DISTINCT) isn't a window function in Spark; over a BOUNDED
+    frame the idiom is collect_list over the frame → array_distinct →
+    size, all row-local after the one window shuffle on user_id. The
+    frame bound caps both state (≤10 strings per row) and skew — this
+    is the behavioral-variety feature ("is this account a bot?") that
+    session scoring pipelines compute per interaction. The user_id
+    filter bounds checked output; the plan is identical unfiltered.
+    """
+    ev = load_table(spark, "events", sf_dir).where(F.col("user_id") < 40)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_DISTINCT_FRAME - 1), 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+        .cast("int")
+        .alias("n_distinct_types"),
+    )
