@@ -504,3 +504,81 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "day timestamp, n_name string, n bigint, value_e3 bigint"
     )
+
+
+@query(
+    "streaming_interval_join_left_outer",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS p_id, ts AS p_ts, user_id AS p_user
+      FROM events
+      WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-20'
+    ), e AS (
+      SELECT event_id AS e_id, ts AS e_ts, user_id AS e_user
+      FROM events
+      WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-20'
+    )
+    SELECT p.p_id, p.p_user, e.e_id
+    FROM p LEFT JOIN e
+      ON p.p_user = e.e_user
+     AND e.e_ts >= p.p_ts - INTERVAL 1 HOUR
+     AND e.e_ts <= p.p_ts
+    """,
+)
+def streaming_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join under the hash gate —
+    the hard semantic the inner variant (streaming_interval_join)
+    doesn't exercise: a purchase with NO same-user error in its
+    preceding hour must emit exactly once with NULL error columns,
+    and only when the error-side watermark PROVES no match can still
+    arrive. Correct outer results from unbounded inputs is the whole
+    point of the watermark machinery.
+
+    Waves: (1) on-time purchases/errors replayed as two file-source
+    streams — inner matches emit as they meet; (2) a far-future
+    sentinel on BOTH sides advances both watermarks past every
+    purchase window, expiring all buffered state; (3) a second nudge
+    wave forces one more micro-batch, because null-emission happens
+    in the batch AFTER the watermark moves. Sentinel rows are keyed
+    user_id −1 and filtered from the result; the surviving set must
+    equal DuckDB's batch LEFT JOIN over the on-time rows.
+    """
+    from gotsdb_spark.streaming.ingest import join_purchases_with_recent_errors
+
+    ev = load_table(spark, "events", sf_dir)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    purchases = ev.where((F.col("event_type") == "purchase") & (F.col("ts") < cutoff))
+    errors = ev.where((F.col("event_type") == "error") & (F.col("ts") < cutoff))
+
+    def _sentinel(eid: int, ts: str):
+        return spark.createDataFrame(
+            [(eid, ts, -1, "sentinel", 0.0, None)],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    p_dir = tempfile.mkdtemp(prefix="gotsdb_ssjo_p_")
+    e_dir = tempfile.mkdtemp(prefix="gotsdb_ssjo_e_")
+    purchases.select(cols).repartition(1).write.mode("append").parquet(p_dir)
+    errors.select(cols).repartition(1).write.mode("append").parquet(e_dir)
+
+    joined = join_purchases_with_recent_errors(
+        read_events_stream(spark, p_dir, 64),
+        read_events_stream(spark, e_dir, 64),
+        horizon="1 hour",
+        how="leftOuter",
+    ).select("p_id", "p_user", "e_id")
+
+    name = f"itg_ssjo_{os.getpid()}_{next(_counter)}"
+    q = run_stream_to_memory(joined, name, output_mode="append")
+    try:
+        for wave, ts in enumerate(["2024-03-01 00:00:00", "2024-03-02 00:00:00"]):
+            s = _sentinel(20_000_000 + wave, ts).select(cols).repartition(1)
+            s.write.mode("append").parquet(p_dir)
+            s.write.mode("append").parquet(e_dir)
+            q.processAllAvailable()
+        out = spark.table(name).where(F.col("p_user") >= 0).collect()
+    finally:
+        q.stop()
+    return spark.createDataFrame(out, "p_id long, p_user long, e_id long")
