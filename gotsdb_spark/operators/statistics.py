@@ -371,3 +371,83 @@ def window_distinct_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_distinct_types"),
     )
+
+
+_MAD_SIGMA = 1.4826  # consistency constant: MAD·1.4826 ≈ σ for normal data
+_MAD_CUT = 3.5       # Iglewicz–Hoaglin robust z cutoff
+
+
+@query(
+    "stats_mad_robust_outliers",
+    oracle=f"""
+    WITH scaled AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 1000) AS BIGINT) AS v
+      FROM events
+    ), med AS (
+      SELECT event_type, quantile_cont(v, 0.5) AS med
+      FROM scaled GROUP BY event_type
+    ), mad AS (
+      SELECT s.event_type, quantile_cont(abs(s.v - m.med), 0.5) AS mad
+      FROM scaled s JOIN med m USING (event_type)
+      GROUP BY s.event_type
+    )
+    SELECT s.event_type,
+           CAST(m.med AS DOUBLE)  AS med_e3,
+           CAST(d.mad AS DOUBLE)  AS mad_e3,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN abs(s.v - m.med) * {_MAD_SIGMA}
+                          > {_MAD_CUT} * d.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM scaled s
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    GROUP BY 1, 2, 3
+    """,
+)
+def stats_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts via median/MAD z-scores (Iglewicz–Hoaglin).
+
+    The robust-statistics complement to the mean±2σ burst detector and
+    the IQR fences: median and MAD ignore the very outliers they
+    hunt, so one fat-fingered value can't drag the threshold. Values
+    are integer-scaled per row, so both engines interpolate medians
+    over identical integers (exact double midpoints); the flag
+    compares |v−med|·1.4826 > 3.5·MAD in that same exact space. Two
+    percentile passes + one counting pass, each a per-type
+    aggregation — three shuffles of per-group scalars, no global
+    sort. At 100 TB the medians would come from percentile_approx
+    (sketch-mergeable, documented for exact_median_price too).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    scaled = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    med = scaled.groupBy("event_type").agg(F.percentile("v", 0.5).alias("med"))
+    dev = scaled.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("v") - F.col("med")), 0.5).alias("mad")
+    )
+    flagged = (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy(
+            "event_type",
+            F.col("med").cast("double").alias("med_e3"),
+            F.col("mad").cast("double").alias("mad_e3"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("v") - F.col("med")) * _MAD_SIGMA
+                    > _MAD_CUT * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+    return flagged

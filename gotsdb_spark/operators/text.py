@@ -585,3 +585,64 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_e6"), F.asc("doc_id"))
         .limit(_BM25_TOPN)
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+      SELECT w, count(*) AS c FROM toks GROUP BY w
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS total FROM freq
+    ), nll AS (
+      SELECT t.doc_id,
+             CAST(floor(-ln(f.c * 1.0 / s.total) * 1e6 + 0.5001) AS BIGINT)
+               AS nll_e6
+      FROM toks t JOIN freq f USING (w) CROSS JOIN tot s
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(nll_e6) AS BIGINT) AS sum_nll_e6,
+           CAST(floor(sum(nll_e6) * 1.0 / count(*) + 0.5001) AS BIGINT)
+             AS avg_nll_e6
+    FROM nll GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram negative log-likelihood (perplexity proxy).
+
+    The classic cheap quality score: fit a unigram LM on the corpus
+    itself (token frequency / total tokens), then score each document
+    by its mean token negative log-probability — documents full of
+    rare junk score high, fluent in-distribution text scores low.
+    This is the KenLM-style filter of pretraining pipelines reduced
+    to its Spark-native core: one vocabulary groupBy (map-side
+    combinable), the frequency table broadcast back onto the token
+    stream, and a per-doc integer sum — token NLLs are scaled to 1e-6
+    integers BEFORE summing, so accumulation order is irrelevant.
+    At 100 TB the vocabulary table is the only broadcast state and
+    the shuffle carries (doc, token-count) pairs.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    freq = toks.groupBy("w").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").cast("long").alias("total"))
+    nll = (
+        toks.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.floor(-F.log(F.col("c") * 1.0 / F.col("total")) * 1e6 + 0.5001)
+            .cast("long")
+            .alias("nll_e6"),
+        )
+    )
+    return nll.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("nll_e6").cast("long").alias("sum_nll_e6"),
+        F.floor(F.sum("nll_e6") * 1.0 / F.count("*") + 0.5001)
+        .cast("long")
+        .alias("avg_nll_e6"),
+    )
