@@ -515,8 +515,15 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same threshold as dedup_ngram_jaccard so results are comparable.
     """
     sh = shingle_table(spark, sf_dir).cache()
-    freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
-    ranked = sh.join(F.broadcast(freq), "sh").select(
+    # Global shingle frequency as a window over sh, NOT a groupBy +
+    # broadcast join: the frequency table grows with the corpus, so
+    # broadcasting it is exactly what would fall over at 100 TB — the
+    # window keeps it a co-partitioned computation (one shuffle by sh,
+    # which the candidate equi-join needs anyway).
+    with_f = sh.select(
+        "doc_id", "sh", F.count("*").over(W.partitionBy("sh")).alias("f")
+    )
+    ranked = with_f.select(
         "doc_id",
         "sh",
         F.row_number()

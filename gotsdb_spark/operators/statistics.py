@@ -451,3 +451,39 @@ def stats_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return flagged
+
+
+_LATERAL_SQL = """
+    SELECT n.n_name, s.s_name, s.s_acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT s_name, s_acctbal
+      FROM supplier
+      WHERE s_nationkey = n.n_nationkey
+      ORDER BY s_acctbal DESC, s_name
+      LIMIT 3
+    ) s
+"""
+
+
+@query(
+    "lateral_top_suppliers_per_nation",
+    oracle=_LATERAL_SQL.replace("LATERAL", "LATERAL"),
+)
+def lateral_top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-3 suppliers by balance per
+    nation, written as the SQL a warehouse user would actually type.
+
+    Spark 4 supports lateral correlated subqueries natively; Catalyst
+    decorrelates this into the same window/top-k plan as the
+    DataFrame row_number idiom (topk_orders_per_customer) — the point
+    of registering it is that the SQL surface, not just the DataFrame
+    surface, covers the per-group-top-N shape, and the decorrelation
+    is oracle-verified against DuckDB executing the identical text.
+    Total order inside the LATERAL (balance desc, name) keeps the
+    LIMIT deterministic in both engines.
+    """
+    from gotsdb_spark.sources.registry import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

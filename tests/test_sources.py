@@ -132,3 +132,35 @@ def test_compact_parquet_dir_merges_small_files(spark, tmp_path):
         .collect()[0]
     )
     assert (got["n"], round(got["s"], 4)) == (want["n"], round(want["s"], 4))
+
+
+def test_observe_metrics_match_recompute(spark):
+    """df.observe() collects pipeline metrics as a side effect of the
+    action that already runs — the zero-extra-pass way to audit row
+    counts / sums in a production job (vs a second .agg() scan). The
+    observed values must equal a recomputation."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from gotsdb_spark.sources.registry import load_table
+
+    sf = "/root/testdata/sf0.001"
+    obs = Observation("orders_audit")
+    df = load_table(spark, "orders", sf).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("sum_cents"),
+    )
+    n_via_action = df.count()
+    expected = (
+        load_table(spark, "orders", sf)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+        .collect()[0]
+    )
+    assert obs.get["n_rows"] == n_via_action == expected["n_rows"]
+    assert obs.get["sum_cents"] == expected["sum_cents"]
