@@ -257,3 +257,61 @@ def udf_map_in_arrow_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     return emb.mapInArrow(batches, schema="vec_id bigint, l2_norm double")
+
+
+@query(
+    "udf_cogrouped_purchase_error_gap",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, count(*) AS n_purchases,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS purchase_e3
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), e AS (
+      SELECT user_id, count(*) AS n_errors
+      FROM events WHERE event_type = 'error' GROUP BY user_id
+    )
+    SELECT coalesce(p.user_id, e.user_id) AS user_id,
+           CAST(coalesce(p.n_purchases, 0) AS BIGINT) AS n_purchases,
+           CAST(coalesce(e.n_errors, 0)    AS BIGINT) AS n_errors,
+           CAST(coalesce(p.purchase_e3, 0) AS BIGINT) AS purchase_e3
+    FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
+    """,
+)
+def udf_cogrouped_purchase_error_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup().applyInPandas — the two-sided grouped-map UDF shape:
+    each user's purchases AND errors arrive as two aligned pandas
+    frames in one Python call.
+
+    This is the API for per-key custom joins (as-of matching, sessions
+    × refunds reconciliation) when the logic won't fit join syntax.
+    Here each side reduces to integer counters (values pre-scaled to
+    e3 ints so pandas' summation order can't drift from SQL), making
+    the oracle a plain FULL OUTER JOIN of per-user aggregates. Scale
+    caveat mirrors applyInPandas: both groups for a key materialize on
+    one executor — keep the per-key payload bounded, or express it as
+    a join when the semantics allow (as the oracle does).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.floor(F.col("value") * 1000).cast("long").alias("v_e3")
+    )
+    errors = ev.where(F.col("event_type") == "error").select("user_id")
+
+    def gap(key, pdf_p: pd.DataFrame, pdf_e: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_purchases": [len(pdf_p)],
+                "n_errors": [len(pdf_e)],
+                "purchase_e3": [int(pdf_p["v_e3"].sum()) if len(pdf_p) else 0],
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(errors.groupBy("user_id"))
+        .applyInPandas(
+            gap,
+            "user_id bigint, n_purchases bigint, n_errors bigint, purchase_e3 bigint",
+        )
+    )
