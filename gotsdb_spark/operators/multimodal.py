@@ -502,3 +502,89 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pdf_out
 
     return payloads.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+_AUDIO_FRAME = 16  # samples per analysis frame (64 samples -> 4 frames)
+
+
+@query(
+    "multimodal_audio_framing",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, md5(text) AS hx FROM documents
+    ), idx AS (
+      SELECT doc_id, hx, unnest(generate_series(0, {WAV_N_SAMPLES - 1})) AS i
+      FROM g
+    ), vals AS (
+      SELECT doc_id, i,
+             CAST('0x' || substr(hx, 2 * ((2 * i) % 16) + 1, 2) AS INT)
+             + 256 * CAST('0x' || substr(hx, 2 * ((2 * i + 1) % 16) + 1, 2)
+                          AS INT) AS u
+      FROM idx
+    ), pcm AS (
+      SELECT doc_id, i, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+      FROM vals
+    ), lagged AS (
+      SELECT doc_id, i, CAST(i // {_AUDIO_FRAME} AS INT) AS frame_id, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      FROM pcm
+    )
+    SELECT doc_id, frame_id,
+           CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS energy,
+           CAST(sum(CASE WHEN i % {_AUDIO_FRAME} > 0
+                          AND pv * v < 0 THEN 1 ELSE 0 END) AS INT)
+             AS zero_crossings
+    FROM lagged GROUP BY doc_id, frame_id
+    """,
+)
+def multimodal_audio_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio features over the real WAV decode path:
+    16-sample frames, per-frame energy (Σv²) and zero-crossing count.
+
+    The framing step every audio featurizer (VAD, MFCC front ends,
+    silence trimming) starts with, run through the actual RIFF parser
+    in mapInPandas — one Arrow batch in, four frame rows per clip out.
+    Energy is an exact int64 (samples < 2^15, 16 terms); crossings
+    compare consecutive samples strictly inside the frame, so the
+    oracle can reconstruct both from the same little-endian int16
+    stream analytically. The per-clip row fan-out (×4) happens AFTER
+    decode inside the same Python call — no second pass over payloads,
+    no shuffle until a consumer aggregates frames.
+    """
+    import numpy as np
+
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    payloads = with_wav_payload(docs)
+    n_frames = WAV_N_SAMPLES // _AUDIO_FRAME
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_doc, out_frame, out_energy, out_zc = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                import io
+                import wave
+
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as wf:
+                    raw = wf.readframes(wf.getnframes())
+                v = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                frames = v.reshape(n_frames, _AUDIO_FRAME)
+                energy = (frames * frames).sum(axis=1)
+                signs = frames[:, :-1] * frames[:, 1:]
+                zc = (signs < 0).sum(axis=1)
+                out_doc.extend([doc_id] * n_frames)
+                out_frame.extend(range(n_frames))
+                out_energy.extend(energy.tolist())
+                out_zc.extend(zc.tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "frame_id": pd.Series(out_frame, dtype="int32"),
+                    "energy": pd.Series(out_energy, dtype="int64"),
+                    "zero_crossings": pd.Series(out_zc, dtype="int32"),
+                }
+            )
+
+    return payloads.mapInPandas(
+        batches,
+        schema="doc_id bigint, frame_id int, energy bigint, zero_crossings int",
+    )
