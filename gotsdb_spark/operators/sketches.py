@@ -192,7 +192,9 @@ bloom_semi_join_audit.__doc__ = bloom_semi_join_audit.__doc__.format(
     "heavy_hitters_countmin",
     oracle=f"""
     WITH counters AS (
-      SELECT i, {_duck_pos('0', 'l_partkey', _CMS_W).replace("'0:'", "CAST(i AS VARCHAR) || ':'")} AS pos,
+      SELECT i,
+             ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
+                             CAST(1 + 4 * i AS INT), 4))::BIGINT % {_CMS_W} AS pos,
              count(*) AS cnt
       FROM lineitem, range({_CMS_D}) t(i)
       GROUP BY 1, 2
@@ -200,7 +202,8 @@ bloom_semi_join_audit.__doc__ = bloom_semi_join_audit.__doc__.format(
       SELECT l_partkey, count(*) AS exact_cnt FROM lineitem GROUP BY 1
     ), keyed AS (
       SELECT e.l_partkey, e.exact_cnt, t.i,
-             ('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':' || CAST(e.l_partkey AS VARCHAR)), 1, 4))::BIGINT % {_CMS_W} AS pos
+             ('0x' || substr(md5(CAST(e.l_partkey AS VARCHAR)),
+                             CAST(1 + 4 * t.i AS INT), 4))::BIGINT % {_CMS_W} AS pos
       FROM exact e, range({_CMS_D}) t(i)
     ), est AS (
       SELECT k.l_partkey, k.exact_cnt, min(c.cnt) AS est_cnt
