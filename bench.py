@@ -3,6 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+The driver captures only the last ~2000 chars of stdout, so the JSON
+line is kept compact (< ~1 KB: totals + the slowest-query subset) and
+printed LAST; the full per-query map and round-over-round deltas go to
+the ``bench_full.json`` sidecar next to this file (round 2's 47-query
+line overflowed the capture window and was recorded as parsed:null).
+
 Each query executes through a noop sink (`format("noop")`) so the full
 physical plan runs — shuffles, windows, Pandas UDFs — without paying
 driver-side collection, which is what a cluster deployment would also
@@ -75,20 +81,29 @@ HEADLINE = [
 ]
 
 
-def _prev_bench() -> dict:
-    """Latest BENCH_r*.json next to this file (round-over-round deltas)."""
+def _prev_bench(sf_val: object = None) -> dict:
+    """Previous full per-query timings for round-over-round deltas.
+
+    Prefers the committed ``bench_full.json`` sidecar (complete map),
+    falling back to the latest parseable BENCH_r*.json from the driver
+    (whose "parsed" payload only carries the slowest-query subset since
+    round 3).
+    """
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    for path in reversed(paths):
+    candidates = [os.path.join(here, "bench_full.json")]
+    candidates += list(reversed(sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))))
+    for path in candidates:
         try:
             with open(path) as fh:
                 prev = json.load(fh)
             # The driver wraps our JSON line under "parsed".
             if isinstance(prev.get("parsed"), dict):
                 prev = prev["parsed"]
-            if isinstance(prev.get("queries"), dict):
+            if isinstance(prev.get("queries"), dict) and (
+                sf_val is None or prev.get("sf") == sf_val
+            ):
                 return prev
         except (OSError, ValueError):
             continue
@@ -114,23 +129,48 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
-    prev = _prev_bench().get("queries", {})
+    sf_probe = float(sf) if sf.replace(".", "").isdigit() else sf
+    prev = _prev_bench(sf_probe).get("queries", {})
     vs_prev = {
         name: round(sec - prev[name], 3) for name, sec in timings.items() if name in prev
     }
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full record → sidecar (committed; next round's vs_prev anchor).
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_full.json"), "w") as fh:
+        json.dump(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "runs_per_query": 2,
+                "n_queries": len(timings),
                 "vs_prev": vs_prev,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "sf": sf_val,
+            },
+            fh,
+            indent=1,
         )
-    )
+    # Compact line → stdout, LAST, under the driver's ~2000-char tail
+    # capture: totals plus only the slowest queries (drop entries, never
+    # truncate mid-JSON).
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
+    line = ""
+    for keep in (12, 8, 5, 3, 0):
+        payload = {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": dict(list(slowest.items())[:keep]),
+            "runs_per_query": 2,
+            "n_queries": len(timings),
+            "sf": sf_val,
+        }
+        line = json.dumps(payload)
+        if len(line) <= 1000:
+            break
+    print(line)
 
 
 if __name__ == "__main__":

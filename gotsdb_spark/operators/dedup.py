@@ -515,14 +515,16 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same threshold as dedup_ngram_jaccard so results are comparable.
     """
     sh = shingle_table(spark, sf_dir).cache()
-    # Global shingle frequency as a window over sh, NOT a groupBy +
-    # broadcast join: the frequency table grows with the corpus, so
-    # broadcasting it is exactly what would fall over at 100 TB — the
-    # window keeps it a co-partitioned computation (one shuffle by sh,
-    # which the candidate equi-join needs anyway).
-    with_f = sh.select(
-        "doc_id", "sh", F.count("*").over(W.partitionBy("sh")).alias("f")
-    )
+    # Global shingle frequency as a map-side-combinable groupBy joined
+    # back on sh — NOT a window over PARTITION BY sh: shingle frequency
+    # is Zipfian, and a window shuffle puts every row of a hot shingle
+    # into one task with no remedy (AQE can split skewed joins but not
+    # skewed windows). The groupBy's partial aggregation absorbs hot
+    # keys map-side, the freq table is one tiny row per key, and the
+    # join back is an equi-join where AQE skew handling applies. (Not
+    # broadcast either: the frequency table grows with the corpus.)
+    freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
+    with_f = sh.join(freq, "sh").select("doc_id", "sh", "f")
     ranked = with_f.select(
         "doc_id",
         "sh",

@@ -1464,19 +1464,105 @@ def ts_hour_weekday_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-style anomaly flags: each event scored against the
-    trailing 100 events of its type (current row excluded).
+    trailing 100 events of its type (current row excluded), with a
+    20-event warm-up guard.
 
-    The classic online z-score detector expressed as a single window
-    pass: one shuffle on event_type, then mean/stddev/count over a
-    ROWS frame ending at 1 PRECEDING (so the point never contaminates
-    its own baseline), with a 20-event warm-up guard. At scale the
-    partition key is the series id, so state per task is one frame —
-    the batch mirror of what `applyInPandasWithState` maintains in the
-    streaming path.
+    Scale-safe plan: a single `PARTITION BY event_type` window would
+    collapse parallelism to the event-type cardinality (~5) — at 100×
+    the data each partition is billions of rows sorted in one task. So
+    the bounded ROWS frame is computed per (event_type, day-bucket)
+    with an EXACT overlap carry: per-bucket row positions plus a tiny
+    per-bucket count table determine, from cumulative offsets alone,
+    which tail rows of earlier buckets fall inside a later bucket's
+    100-row lookback; those rows are duplicated into that bucket
+    (handles buckets smaller than the frame, which need carry from
+    several buckets back). The final window partitions on
+    (event_type, bucket) — cardinality grows with the time range, and
+    the bucket granularity (day here) is the knob to match ingest
+    rate. Carry volume is ≤ 100 rows per (type, bucket): bounded
+    because the frame is bounded. Results are identical to the global
+    window, which is exactly what the unchanged single-window oracle
+    checks.
     """
-    ev = load_table(spark, "events", sf_dir)
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "ts", "value", F.to_date("ts").alias("bkt")
+    )
+    # Intra-bucket position: window key (event_type, bkt) scales.
+    pos = ev.withColumn(
+        "j",
+        F.row_number().over(
+            W.partitionBy("event_type", "bkt").orderBy("ts", "event_id")
+        ),
+    )
+    # Tiny per-bucket metadata: row count + cumulative rows before it.
+    meta = pos.groupBy("event_type", "bkt").agg(F.count("*").alias("cnt"))
+    cum = F.coalesce(
+        F.sum("cnt").over(
+            W.partitionBy("event_type")
+            .orderBy("bkt")
+            .rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    meta = meta.withColumn("cum_before", cum)
+    # (src bucket → home bucket) carry pairs: src's rows overlap home's
+    # 100-row lookback iff src ends after home_start - 100. The pairs
+    # table is O(n_buckets) rows — broadcastable by construction.
+    home = meta.select(
+        "event_type",
+        F.col("bkt").alias("home_bkt"),
+        F.col("cum_before").alias("home_cum"),
+    )
+    src = meta.select(
+        "event_type",
+        F.col("bkt").alias("src_bkt"),
+        F.col("cum_before").alias("src_cum"),
+        F.col("cnt").alias("src_cnt"),
+    )
+    pairs = (
+        home.join(src, "event_type")
+        .where(
+            (F.col("src_bkt") < F.col("home_bkt"))
+            & (F.col("src_cum") + F.col("src_cnt") > F.col("home_cum") - 100)
+        )
+        # A src row at intra position j has global position src_cum + j;
+        # it belongs in home's lookback iff that is ≥ home_cum - 100.
+        .select(
+            F.col("event_type").alias("p_et"),
+            "home_bkt",
+            F.col("src_bkt").alias("p_bkt"),
+            (F.col("home_cum") - 100 - F.col("src_cum")).alias("min_j_excl"),
+        )
+    )
+    carry = (
+        pos.join(
+            F.broadcast(pairs),
+            on=[
+                F.col("event_type") == F.col("p_et"),
+                F.col("bkt") == F.col("p_bkt"),
+            ],
+        )
+        .where(F.col("j") > F.col("min_j_excl"))
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            F.col("home_bkt").alias("grp"),
+            F.lit(0).alias("is_home"),
+        )
+    )
+    homes = pos.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.col("bkt").alias("grp"),
+        F.lit(1).alias("is_home"),
+    )
+    ext = homes.unionByName(carry)
     win = (
-        W.partitionBy("event_type")
+        W.partitionBy("event_type", "grp")
         .orderBy("ts", "event_id")
         .rowsBetween(-100, -1)
     )
@@ -1485,16 +1571,22 @@ def ts_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_win = F.count("*").over(win)
     z = (F.col("value") - mu) / sigma
     return (
-        ev.select(
+        ext.select(
             "event_id",
             "event_type",
             "ts",
             "value",
+            "is_home",
             n_win.alias("n_win"),
             sigma.alias("sigma"),
             z.alias("zscore"),
         )
-        .where((F.col("n_win") >= 20) & (F.col("sigma") > 0) & (F.abs("zscore") > 2.5))
+        .where(
+            (F.col("is_home") == 1)
+            & (F.col("n_win") >= 20)
+            & (F.col("sigma") > 0)
+            & (F.abs("zscore") > 2.5)
+        )
         .select("event_id", "event_type", "ts", "value", "zscore")
     )
 

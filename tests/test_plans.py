@@ -247,10 +247,44 @@ def test_zorder_audit_is_scan_plus_agg(spark):
     assert shuffle_count(df) == 1
 
 
-def test_rolling_zscore_single_shuffle(spark):
+def test_rolling_zscore_window_key_scales(spark):
+    """The scoring window must partition on (event_type, day-bucket),
+    never on event_type alone: with ~5 event types a bare event_type
+    window collapses parallelism to 5 tasks regardless of data size.
+    Every Window node in the physical plan must carry a multi-column
+    partition spec that includes the bucket column."""
+    import re
+
     df = QUERIES["ts_rolling_zscore_anomaly"](spark, SF)
-    # one Exchange on event_type for the window; no extra shuffles
-    assert shuffle_count(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # (function list, partition spec) per Window node; the scoring
+    # windows are the ones computing avg/stddev over the event stream.
+    # (The cumulative-offset window over the per-bucket metadata table
+    # legitimately partitions on event_type alone — it sees one row per
+    # bucket, not per event.)
+    nodes = re.findall(r"Window \[([^\]]*)\], \[([^\]]*)\]", plan)
+    scoring = [spec for fns, spec in nodes if "avg(" in fns or "stddev" in fns]
+    assert scoring, plan[:2000]
+    for spec in scoring:
+        cols = [c.strip().split("#")[0] for c in spec.split(",")]
+        assert "grp" in cols and len(cols) >= 2, (
+            f"scoring window not bucketed: {spec}"
+        )
+
+
+def test_prefix_filter_shingle_freq_not_windowed(spark):
+    """Shingle frequency must come from a map-side-combinable groupBy
+    joined back on sh, not `count(*) OVER (PARTITION BY sh)`: shingle
+    frequency is Zipfian and AQE can split skewed joins but not skewed
+    windows. No Window node in the plan may partition on sh."""
+    import re
+
+    df = QUERIES["dedup_prefix_filter_jaccard"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        cols = [c.strip().split("#")[0] for c in spec.split(",")]
+        assert "sh" not in cols, f"window partitions on sh: {spec}"
+    assert re.search(r"HashAggregate.*keys=\[sh#\d+\]", plan), plan[:2000]
 
 
 def test_repetition_ratio_no_explode_no_shuffle(spark):
