@@ -487,3 +487,54 @@ def lateral_top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFr
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "observe_pipeline_metrics",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS max_cents,
+           count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def observe_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline metrics via df.observe(): audit counters collected as a
+    side effect of the action that already runs, not a second scan.
+
+    A production job writing curated data wants row counts / checksums
+    of what it ACTUALLY wrote; `observe` attaches accumulator-backed
+    aggregates to the plan so the one pass both writes (noop sink here)
+    and audits. The returned frame is the 4 observed counters — the
+    only driver-side materialization is metrics-sized, never
+    data-sized. Money is audited in integer cents (floor(price*100)):
+    association-safe, so the checksum is bit-identical regardless of
+    partitioning — exactly what you need to compare a Spark run
+    against any other engine's recomputation (here: the DuckDB
+    oracle recomputes the same four aggregates from the raw table).
+    """
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderstatus") == "F"
+    )
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    obs = Observation("pipeline_audit")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents).alias("sum_cents"),
+        F.max(cents).alias("max_cents"),
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias(
+            "n_urgent"
+        ),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    row = obs.get
+    return spark.createDataFrame(
+        [(row["n_rows"], row["sum_cents"], row["max_cents"], row["n_urgent"])],
+        "n_rows bigint, sum_cents bigint, max_cents bigint, n_urgent bigint",
+    )

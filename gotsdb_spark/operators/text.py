@@ -225,20 +225,29 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: most characteristic term per document.
 
     tf is a per-doc count; df a per-term distinct-doc count; idf the
-    smoothed log ratio. Both aggregations are map-side-combinable and
-    the df table is broadcast back — at 100 TB the only large shuffle
-    is the (doc, term) tf aggregation. Deterministic tie-break on the
-    term string.
+    smoothed log ratio. Both aggregations are map-side-combinable. The
+    vocabulary (df) table grows with the corpus — sublinearly but
+    unboundedly — so it is joined back with a shuffle-hash equi-join on
+    the term, NOT broadcast (a corpus-growing broadcast is a driver
+    OOM at 100 TB). The only broadcast is the 1-row corpus size, kept
+    lazy as an aggregate frame instead of a driver-side count().
+    Deterministic tie-break on the term string.
     """
     docs = load_table(spark, "documents", sf_dir)
     tokens = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     tf = tokens.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     df = tokens.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
-    scored = tf.join(F.broadcast(df), "w").select(
-        "doc_id",
-        "w",
-        (F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0))).alias("tfidf"),
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df.hint("shuffle_hash"), "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "w",
+            (
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+            ).alias("tfidf"),
+        )
     )
     from pyspark.sql.window import Window as W
 

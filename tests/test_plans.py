@@ -340,3 +340,37 @@ def test_kmv_sketch_no_cartesian(spark):
 
     plan = formatted_plan(QUERIES["sketch_kmv_distinct_users"](spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_tfidf_vocab_join_not_broadcast(spark):
+    """The per-term document-frequency table grows with the corpus, so
+    it must reach the tf join as a shuffle join, never a broadcast
+    (driver OOM at scale). The only broadcast allowed is the 1-row
+    corpus-size frame."""
+    df = QUERIES["text_tfidf_top_term"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan[:2000]
+    # one BroadcastNestedLoopJoin for the 1-row n_docs frame; the df
+    # aggregate itself must not appear under a BroadcastExchange.
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
+
+
+def test_registry_ledger_consistency():
+    """Every registered query must be in the verify ledger (else it
+    never enters the driver's 50-entry rotation window) and every
+    oracle key must name a registered query — a registration slip
+    would otherwise silently shrink the correctness gate."""
+    import json
+    import os
+
+    from gotsdb_spark.operators import ORACLES, QUERIES
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "tools", "verify_ledger.json")) as fh:
+        ledger = json.load(fh)
+    missing = [n for n in QUERIES if n not in ledger]
+    assert not missing, f"queries absent from ledger (run tools/update_coverage.py): {missing}"
+    stale = [n for n in ledger if n not in QUERIES]
+    assert not stale, f"ledger names no longer registered: {stale}"
+    orphans = [n for n in ORACLES if n not in QUERIES]
+    assert not orphans, f"oracles without queries: {orphans}"
