@@ -263,22 +263,22 @@ def ts_asof_join_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark lacks a native ASOF JOIN; the scalable idiom is union+window:
     tag both sides, union, sort within user_id by ts, and carry the last
     right-side timestamp forward. O(n log n) per key, one shuffle — never
-    the O(n·m) pairwise range join.
+    the O(n·m) pairwise range join. Both "sides" come from the same
+    table here, so the union is expressed as ONE scan with an
+    In-pushdown filter and conditional columns, not two scans of
+    events.
     """
     ev = load_table(spark, "events", sf_dir)
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "ts", "user_id", "value", F.lit(1).alias("is_left")
-    )
-    errors = ev.where(F.col("event_type") == "error").select(
-        F.lit(None).cast("long").alias("event_id"),
-        "ts",
-        "user_id",
-        F.lit(None).cast("double").alias("value"),
-        F.lit(0).alias("is_left"),
-    )
+    is_left = (F.col("event_type") == "purchase").cast("int")
     # Right rows sort before left rows at equal ts (is_left ASC) so an
     # error at exactly p.ts is visible to the purchase (>= semantics).
-    unioned = purchases.unionByName(errors)
+    unioned = ev.where(F.col("event_type").isin("purchase", "error")).select(
+        F.when(is_left == 1, F.col("event_id")).alias("event_id"),
+        "ts",
+        "user_id",
+        F.when(is_left == 1, F.col("value")).alias("value"),
+        is_left.alias("is_left"),
+    )
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "is_left")
