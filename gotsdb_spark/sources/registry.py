@@ -66,17 +66,37 @@ def events_partitioned_path(sf_dir: str) -> str:
 # values each), far inside the rounding tolerance.
 
 
-def _load_events_single_file(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Runtime-set (not only in our session factory): the driver may
-    # hand us a session built without this flag, and without it the
-    # TIMESTAMP(NANOS) column fails the read outright.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(df.dtypes).get("ts") == "bigint":
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Pin `events.ts` to plain TIMESTAMP whatever the fixture encodes.
+
+    The fixture generation has shipped `ts` as parquet TIMESTAMP(NANOS)
+    (read as bigint under the legacy flag) and as TIMESTAMP(MICROS) with
+    isAdjustedToUTC=false (read by Spark 4 as TIMESTAMP_NTZ, which cannot
+    be cast to numeric and broke four time-series queries in round 3).
+    Every downstream operator assumes session-tz TIMESTAMP; normalizing
+    here — the single scan choke point — keeps that contract true for
+    all of them at once.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         # Integer `div`, not `/`: float division of int64 nanos loses
         # precision (2^53 < 1.7e18) and corrupts microseconds.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        # Value-preserving under the pinned UTC session timezone
+        # (session.py sets spark.sql.session.timeZone=UTC): the wall
+        # clock reinterpreted as UTC instant matches DuckDB's read of
+        # the same unadjusted micros.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def _load_events_single_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Runtime-set (not only in our session factory): the driver may
+    # hand us a session built without this flag, and without it a
+    # TIMESTAMP(NANOS) column would fail the read outright.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _normalize_ts(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
 
 
 def _ensure_events_partitioned(spark: SparkSession, sf_dir: str) -> str | None:
@@ -87,7 +107,16 @@ def _ensure_events_partitioned(spark: SparkSession, sf_dir: str) -> str | None:
     processes can't observe a half-written copy."""
     path = events_partitioned_path(sf_dir)
     if os.path.isfile(os.path.join(path, "_SUCCESS")):
-        return path
+        try:
+            if dict(spark.read.parquet(path).dtypes).get("ts") == "timestamp":
+                return path
+            # Stale copy baking TIMESTAMP_NTZ (written before the fixture
+            # encoding changed) — rebuild from the normalized scan.
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+        except Exception:  # noqa: BLE001 — unreadable copy: rebuild below
+            pass
     try:
         tmp = path + ".tmp"
         ev = _load_events_single_file(spark, sf_dir)
@@ -126,7 +155,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if name == "events":
         part = _ensure_events_partitioned(spark, sf_dir)
         if part is not None:
-            return spark.read.parquet(part).drop("dt")
+            return _normalize_ts(spark.read.parquet(part).drop("dt"))
         return _load_events_single_file(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -143,7 +172,7 @@ def load_events_range(
     part = _ensure_events_partitioned(spark, sf_dir)
     lo_c, hi_c = F.lit(lo).cast("timestamp"), F.lit(hi).cast("timestamp")
     if part is not None:
-        df = spark.read.parquet(part)
+        df = _normalize_ts(spark.read.parquet(part))
         return (
             df.where(
                 (F.col("dt") >= F.date_format(lo_c, "yyyy-MM-dd"))
