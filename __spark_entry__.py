@@ -31,14 +31,17 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-def _driver_green_names() -> set[str]:
-    """Query names that already have a fully-green driver CORRECTNESS row
-    (rows+schema+hash) in any prior round's CORRECTNESS_r*.json."""
+def _driver_green_rounds() -> dict[str, int]:
+    """Latest round in which each query name had a fully-green driver
+    CORRECTNESS row (rows+schema+hash) in CORRECTNESS_r*.json."""
     import glob
     import json
+    import re
 
-    green: set[str] = set()
+    green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -51,7 +54,7 @@ def _driver_green_names() -> set[str]:
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
-                green.add(name)
+                green[name] = max(green.get(name, 0), rnd)
     return green
 
 
@@ -73,16 +76,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver verifies the first 50 entries per round; with more than
     50 registered queries we rotate so names without a prior fully-green
     driver row come first, OLDEST registration round first (the ledger),
-    then registration order; already-verified names come last. Oldest-
-    first matters: without it, a burst of new operators would push
-    longer-waiting unverified queries out of the window indefinitely.
-    Over successive rounds every query lands inside the window.
+    then registration order. Already-green names fill the rest of the
+    window oldest-last-green-round first, so a green row is periodically
+    re-falsified instead of being trusted forever — round 3 proved the
+    forever-green ordering wrong when two round-1 greens silently
+    stopped building and the rotation could never notice.
     """
-    green = _driver_green_names()
+    green = _driver_green_rounds()
     age = _ledger_age()
     order = {name: i for i, name in enumerate(QUERIES)}
     ordered = sorted(
-        QUERIES, key=lambda n: (n in green, age.get(n, 1 << 30), order[n])
+        QUERIES,
+        key=lambda n: (n in green, green.get(n, 0), age.get(n, 1 << 30), order[n]),
     )
     return {name: QUERIES[name] for name in ordered}
 
