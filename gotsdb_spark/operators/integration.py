@@ -13,6 +13,7 @@ from __future__ import annotations
 import itertools
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,6 +29,27 @@ from gotsdb_spark.streaming import (
 )
 
 _counter = itertools.count()
+
+
+@contextmanager
+def _replay_partitions(spark: SparkSession, n: int = 8):
+    """Pin spark.sql.shuffle.partitions for the lifetime of a stateful
+    replay, restoring the caller's value afterwards.
+
+    These replays process a few thousand rows per micro-batch, so their
+    cost is dominated by per-partition state-store commits (32 stores ×
+    several stateful operators × several batches), not data: the
+    left-outer interval join drops 40s → 11s at sf0.01 with 8
+    partitions, results unchanged (hash-verified). This mirrors the
+    production knob — shuffle partitions sized to per-batch stream
+    volume, not to the batch-analytics default.
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @query(
@@ -82,15 +104,18 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         replay
     )
     name = f"itg_stream_{os.getpid()}_{next(_counter)}"
-    q = run_stream_to_memory(
-        windowed_event_counts(read_events_stream(spark, replay, 2), watermark="1 hour"),
-        name,
-        output_mode="complete",
-    )
-    try:
-        out = spark.table(name).collect()
-    finally:
-        q.stop()
+    with _replay_partitions(spark):
+        q = run_stream_to_memory(
+            windowed_event_counts(
+                read_events_stream(spark, replay, 2), watermark="1 hour"
+            ),
+            name,
+            output_mode="complete",
+        )
+        try:
+            out = spark.table(name).collect()
+        finally:
+            q.stop()
     return spark.createDataFrame(
         out, "window_start timestamp, event_type string, n bigint, sum_value double"
     )
@@ -148,13 +173,14 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_stream(spark, replay, 64), gap="30 minutes", watermark="2 hours"
     )
     ev.select(cols).repartition(1).write.mode("append").parquet(replay)
-    q = run_stream_to_memory(stream, name, output_mode="append")
-    try:
-        sentinel.select(cols).repartition(1).write.mode("append").parquet(replay)
-        q.processAllAvailable()
-        out = spark.table(name).collect()
-    finally:
-        q.stop()
+    with _replay_partitions(spark):
+        q = run_stream_to_memory(stream, name, output_mode="append")
+        try:
+            sentinel.select(cols).repartition(1).write.mode("append").parquet(replay)
+            q.processAllAvailable()
+            out = spark.table(name).collect()
+        finally:
+            q.stop()
     return spark.createDataFrame(
         out,
         "session_start timestamp, session_end timestamp, user_id long,"
@@ -215,15 +241,16 @@ def streaming_append_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_stream(spark, replay, 64), window="1 hour", watermark="1 hour"
     )
     on_time.select(cols).repartition(1).write.mode("append").parquet(replay)
-    q = run_stream_to_memory(stream, name, output_mode="append")
-    try:
-        late.select(cols).repartition(1).write.mode("append").parquet(replay)
-        q.processAllAvailable()
-        sentinel.select(cols).repartition(1).write.mode("append").parquet(replay)
-        q.processAllAvailable()
-        out = spark.table(name).collect()
-    finally:
-        q.stop()
+    with _replay_partitions(spark):
+        q = run_stream_to_memory(stream, name, output_mode="append")
+        try:
+            late.select(cols).repartition(1).write.mode("append").parquet(replay)
+            q.processAllAvailable()
+            sentinel.select(cols).repartition(1).write.mode("append").parquet(replay)
+            q.processAllAvailable()
+            out = spark.table(name).collect()
+        finally:
+            q.stop()
     return spark.createDataFrame(
         out, "window_start timestamp, event_type string, n bigint, sum_value double"
     )
@@ -296,14 +323,15 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_id", "p_user", "e_id")
 
     name = f"itg_ssj_{os.getpid()}_{next(_counter)}"
-    q = run_stream_to_memory(joined, name, output_mode="append")
-    try:
-        late_p.select(cols).repartition(1).write.mode("append").parquet(p_dir)
-        late_e.select(cols).repartition(1).write.mode("append").parquet(e_dir)
-        q.processAllAvailable()
-        out = spark.table(name).collect()
-    finally:
-        q.stop()
+    with _replay_partitions(spark):
+        q = run_stream_to_memory(joined, name, output_mode="append")
+        try:
+            late_p.select(cols).repartition(1).write.mode("append").parquet(p_dir)
+            late_e.select(cols).repartition(1).write.mode("append").parquet(e_dir)
+            q.processAllAvailable()
+            out = spark.table(name).collect()
+        finally:
+            q.stop()
     return spark.createDataFrame(out, "p_id long, p_user long, e_id long")
 
 
@@ -348,14 +376,15 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     name = f"itg_dedup_{os.getpid()}_{next(_counter)}"
-    q = run_stream_to_memory(deduped, name, output_mode="append")
-    try:
-        # wave 2: byte-identical redelivery — must all be dropped
-        on_time.select(cols).repartition(1).write.mode("append").parquet(replay)
-        q.processAllAvailable()
-        out = spark.table(name).collect()
-    finally:
-        q.stop()
+    with _replay_partitions(spark):
+        q = run_stream_to_memory(deduped, name, output_mode="append")
+        try:
+            # wave 2: byte-identical redelivery — must all be dropped
+            on_time.select(cols).repartition(1).write.mode("append").parquet(replay)
+            q.processAllAvailable()
+            out = spark.table(name).collect()
+        finally:
+            q.stop()
     return spark.createDataFrame(
         out, "event_id long, user_id long, event_type string, v_milli long"
     )
@@ -418,21 +447,22 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     name = f"itg_stateful_{os.getpid()}_{next(_counter)}"
-    q = run_stream_to_memory(totals, name, output_mode="update")
-    try:
-        wave2.select(cols).repartition(1).write.mode("append").parquet(replay)
-        q.processAllAvailable()
-        out = (
-            spark.table(name)
-            .groupBy("user_id")
-            .agg(
-                F.max("n_events").alias("n_events"),
-                F.max("total_milli").alias("total_milli"),
+    with _replay_partitions(spark):
+        q = run_stream_to_memory(totals, name, output_mode="update")
+        try:
+            wave2.select(cols).repartition(1).write.mode("append").parquet(replay)
+            q.processAllAvailable()
+            out = (
+                spark.table(name)
+                .groupBy("user_id")
+                .agg(
+                    F.max("n_events").alias("n_events"),
+                    F.max("total_milli").alias("total_milli"),
+                )
+                .collect()
             )
-            .collect()
-        )
-    finally:
-        q.stop()
+        finally:
+            q.stop()
     return spark.createDataFrame(
         out, "user_id long, n_events long, total_milli long"
     )
@@ -496,11 +526,12 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("day"), "n_name", "n", "value_e3")
     )
     name = f"itg_enrich_{os.getpid()}_{next(_counter)}"
-    q = run_stream_to_memory(enriched, name, output_mode="complete")
-    try:
-        out = spark.table(name).collect()
-    finally:
-        q.stop()
+    with _replay_partitions(spark):
+        q = run_stream_to_memory(enriched, name, output_mode="complete")
+        try:
+            out = spark.table(name).collect()
+        finally:
+            q.stop()
     return spark.createDataFrame(
         out, "day timestamp, n_name string, n bigint, value_e3 bigint"
     )
@@ -571,14 +602,17 @@ def streaming_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> Data
     ).select("p_id", "p_user", "e_id")
 
     name = f"itg_ssjo_{os.getpid()}_{next(_counter)}"
-    q = run_stream_to_memory(joined, name, output_mode="append")
-    try:
-        for wave, ts in enumerate(["2024-03-01 00:00:00", "2024-03-02 00:00:00"]):
-            s = _sentinel(20_000_000 + wave, ts).select(cols).repartition(1)
-            s.write.mode("append").parquet(p_dir)
-            s.write.mode("append").parquet(e_dir)
-            q.processAllAvailable()
-        out = spark.table(name).where(F.col("p_user") >= 0).collect()
-    finally:
-        q.stop()
+    with _replay_partitions(spark):
+        q = run_stream_to_memory(joined, name, output_mode="append")
+        try:
+            for wave, ts in enumerate(
+                ["2024-03-01 00:00:00", "2024-03-02 00:00:00"]
+            ):
+                s = _sentinel(20_000_000 + wave, ts).select(cols).repartition(1)
+                s.write.mode("append").parquet(p_dir)
+                s.write.mode("append").parquet(e_dir)
+                q.processAllAvailable()
+            out = spark.table(name).where(F.col("p_user") >= 0).collect()
+        finally:
+            q.stop()
     return spark.createDataFrame(out, "p_id long, p_user long, e_id long")
