@@ -95,12 +95,18 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermarked tumbling windows, and compare the complete-mode result
     against DuckDB aggregating the same data in batch. This is the
     batch↔stream equivalence guarantee, enforced by the same hash gate
-    as every batch operator."""
+    as every batch operator.
+
+    Replay layout: 4 shuffled files at 2 per trigger = 2 micro-batches.
+    Complete-mode aggregation only needs >1 batch to prove cross-batch
+    state accumulation (watermark state-dropping is exercised by the
+    append-mode queries); each extra micro-batch costs a full stateful
+    plan execution, so the wave count stays minimal."""
     replay = tempfile.mkdtemp(prefix="gotsdb_stream_itg_")
     ev = load_table(spark, "events", sf_dir).where(
         F.col("event_type").isin("purchase", "signup")
     )
-    ev.orderBy(F.hash("event_id")).repartition(8).write.mode("overwrite").parquet(
+    ev.orderBy(F.hash("event_id")).repartition(4).write.mode("overwrite").parquet(
         replay
     )
     name = f"itg_stream_{os.getpid()}_{next(_counter)}"
