@@ -61,9 +61,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CTE chain shared by the pair query and the cluster query below (the
-# cluster oracle extends it with a recursive component search).
-_MINHASH_CTES = f"""words AS (
+# Shingle→signature→band CTE prefix, shared by the pair/cluster oracles
+# below AND the incremental-corpus oracle (which swaps in its own
+# candidate generation between delta and corpus partitions).
+_MINHASH_BANDS_CTES = f"""words AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
     ), shingles AS (
       SELECT DISTINCT doc_id, sh FROM (
@@ -82,7 +83,11 @@ _MINHASH_CTES = f"""words AS (
       SELECT doc_id, seed // {BAND_SIZE} AS band_id,
              string_agg(mh, '|' ORDER BY seed) AS sig
       FROM sigs GROUP BY doc_id, seed // {BAND_SIZE}
-    ), cand AS (
+    )"""
+
+# CTE chain shared by the pair query and the cluster query below (the
+# cluster oracle extends it with a recursive component search).
+_MINHASH_CTES = _MINHASH_BANDS_CTES + f""", cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
@@ -109,25 +114,16 @@ _MINHASH_ORACLE = f"""
 """
 
 
-@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup detection, Jaccard-verified.
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Packed shingle arrays (cached) + the LSH band table.
 
-    Pipeline: 3-word shingles → 8 md5-min signatures → 4 bands of 2 →
-    equi-join on (band, signature) for candidates → exact Jaccard on the
-    candidates only → threshold 0.6.
-
-    This is the 100 TB dedup path: signature computation is a map-side
-    groupBy per doc; the candidate join is an equi-join on short strings;
-    verification touches only the candidate pairs (≈25 at sf0.01, not
-    the 125k all-pairs space).
+    Shingles stay PACKED as an array per doc — signatures and Jaccard
+    are row-local array expressions (array_min over transform,
+    array_intersect on candidate pairs). Nothing explodes; the only
+    shuffles left are the tiny band-bucket and candidate joins. This
+    is the shape that survives 100 TB: per-doc work is a map, shuffle
+    volume is O(docs), never O(shingles).
     """
-    # Shingles stay PACKED as an array per doc — signatures and Jaccard
-    # are row-local array expressions (array_min over transform,
-    # array_intersect on candidate pairs). Nothing explodes; the only
-    # shuffles left are the tiny band-bucket and candidate joins. This
-    # is the shape that survives 100 TB: per-doc work is a map, shuffle
-    # volume is O(docs), never O(shingles).
     docs = fan_out(load_table(spark, "documents", sf_dir)).select(
         "doc_id", word_shingles(F.col("text")).alias("sh_arr")
     ).cache()
@@ -161,6 +157,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select(
         "doc_id", F.explode(band_sigs).alias("bs")
     ).select("doc_id", F.col("bs.band_id").alias("band_id"), F.col("bs.sig").alias("sig"))
+    return docs, bands
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection, Jaccard-verified.
+
+    Pipeline: 3-word shingles → 8 md5-min signatures → 4 bands of 2 →
+    equi-join on (band, signature) for candidates → exact Jaccard on the
+    candidates only → threshold 0.6.
+
+    This is the 100 TB dedup path: signature computation is a map-side
+    groupBy per doc; the candidate join is an equi-join on short strings;
+    verification touches only the candidate pairs (≈25 at sf0.01, not
+    the 125k all-pairs space).
+    """
+    docs, bands = _minhash_bands(spark, sf_dir)
     b2 = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("band_id").alias("band_id2"), F.col("sig").alias("sig2")
     )
@@ -449,6 +462,132 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc").alias("doc_id"),
         F.col("label").alias("canonical_id"),
         (F.col("label") == F.col("doc")).alias("is_canonical"),
+    )
+
+
+_INCREMENTAL_ORACLE = f"""
+    WITH {_MINHASH_BANDS_CTES}, cand AS (
+      SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.sig = b.sig
+      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    ), packs AS (
+      SELECT doc_id, list(sh ORDER BY sh) AS ss, count(*) AS n_sh
+      FROM shingles GROUP BY doc_id
+    )
+    SELECT new_id, corpus_id,
+           len(list_intersect(pa.ss, pb.ss)) * 1.0
+             / (pa.n_sh + pb.n_sh - len(list_intersect(pa.ss, pb.ss))) AS jaccard
+    FROM cand
+    JOIN packs pa ON pa.doc_id = new_id
+    JOIN packs pb ON pb.doc_id = corpus_id
+    WHERE len(list_intersect(pa.ss, pb.ss)) * 1.0
+            / (pa.n_sh + pb.n_sh - len(list_intersect(pa.ss, pb.ss))) >= 0.6
+"""
+
+
+@query("dedup_incremental_corpus", oracle=_INCREMENTAL_ORACLE)
+def dedup_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-vs-corpus) near-dup detection — the ingestion
+    path of a living training corpus.
+
+    At 100 TB you never re-dedup the whole corpus when a crawl lands:
+    the corpus's LSH band table is a persisted index; only the delta's
+    signatures are computed, and the candidate join is delta-bands ⋈
+    corpus-bands — shuffle volume proportional to the DELTA, not the
+    corpus (the corpus side is a bucketed/sorted index lookup on a real
+    deployment). Simulated here by partitioning the fixture on
+    doc_id % 10: every 10th doc is the incoming batch, the rest are the
+    corpus. Candidates are verified with exact Jaccard on packed
+    shingle arrays (row-local), threshold 0.6 — same verify step as
+    dedup_minhash_lsh, so a delta doc is flagged iff a full-corpus
+    re-dedup would have flagged it against an existing doc.
+    """
+    docs, bands = _minhash_bands(spark, sf_dir)
+    delta = bands.where(F.col("doc_id") % 10 == 0)
+    corpus = bands.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("band_id").alias("band_id2"),
+        F.col("sig").alias("sig2"),
+    ).where(F.col("corpus_id") % 10 != 0)
+    cand = (
+        delta.join(
+            corpus,
+            (delta.band_id == corpus.band_id2) & (delta.sig == corpus.sig2),
+        )
+        .select(F.col("doc_id").alias("new_id"), "corpus_id")
+        .distinct()
+    )
+    pa = docs.select(F.col("doc_id").alias("new_id"), F.col("sh_arr").alias("arr_a"))
+    pb = docs.select(
+        F.col("doc_id").alias("corpus_id"), F.col("sh_arr").alias("arr_b")
+    )
+    n_common = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b")))
+    n_union = F.size(F.array_union(F.col("arr_a"), F.col("arr_b")))
+    return (
+        cand.join(pa, "new_id")
+        .join(pb, "corpus_id")
+        .withColumn("jaccard", n_common / n_union)
+        .where(F.col("jaccard") >= 0.6)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
+_KEEP_BEST_ORACLE = f"""
+    WITH clusters AS ({_CLUSTER_ORACLE}),
+    ranked AS (
+      SELECT cl.doc_id, cl.canonical_id, d.n_chars,
+             row_number() OVER (
+               PARTITION BY cl.canonical_id
+               ORDER BY d.n_chars DESC, cl.doc_id
+             ) AS rn
+      FROM clusters cl JOIN documents d USING (doc_id)
+    )
+    SELECT canonical_id AS cluster_id,
+           CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS kept_doc,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS kept_chars
+    FROM ranked GROUP BY canonical_id
+"""
+
+
+@query("dedup_keep_best_quality", oracle=_KEEP_BEST_ORACLE)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical SELECTION policy: per near-dup cluster, keep the
+    highest-quality member, not the arbitrary min-id one.
+
+    dedup_cluster_canonical answers "which docs form one cluster";
+    this answers the question a curation pipeline actually acts on —
+    which copy to KEEP. Quality here is n_chars (longest variant
+    wins; doc_id breaks ties deterministically), standing in for a
+    model-scored quality column. One extra window over the cluster
+    assignment (partitioned by cluster — bounded groups, no skew: a
+    near-dup cluster is a handful of docs) plus a key join back to
+    `documents`; the expensive part (component search) is shared with
+    the cluster query. Oracle re-derives the same clusters via
+    DuckDB's recursive transitive closure and applies the same keep
+    rule."""
+    clusters = dedup_cluster_canonical(spark, sf_dir).select(
+        "doc_id", "canonical_id"
+    )
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    ranked = (
+        clusters.join(docs, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("canonical_id").orderBy(
+                    F.col("n_chars").desc(), F.col("doc_id")
+                )
+            ),
+        )
+    )
+    return ranked.groupBy(F.col("canonical_id").alias("cluster_id")).agg(
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc"),
+        F.count("*").cast("long").alias("n_members"),
+        F.min(F.when(F.col("rn") == 1, F.col("n_chars")))
+        .cast("long")
+        .alias("kept_chars"),
     )
 
 

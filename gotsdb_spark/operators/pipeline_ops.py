@@ -636,3 +636,80 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("ekey") * 1e9 + 0.5001).cast("long").alias("key_e9"),
         )
     )
+
+
+@query(
+    "curate_dataset_card",
+    oracle="""
+    WITH lang_counts AS (
+      SELECT source, lang, count(*) AS n_lang
+      FROM documents GROUP BY source, lang
+    ), top_lang AS (
+      SELECT source, lang
+      FROM (
+        SELECT source, lang,
+               row_number() OVER (
+                 PARTITION BY source ORDER BY n_lang DESC, lang
+               ) AS rn
+        FROM lang_counts
+      ) r WHERE rn = 1
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+           min(t.lang) AS top_lang,
+           CAST(count(*) - count(DISTINCT md5(d.text)) AS BIGINT)
+             AS n_exact_dups,
+           CAST(sum(d.n_chars) * 100 // count(*) AS BIGINT) AS avg_chars_x100
+    FROM documents d JOIN top_lang t ON t.source = d.source
+    GROUP BY d.source
+    """,
+)
+def curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the datasheet a curation pipeline
+    publishes alongside every corpus release: volume (docs, tokens),
+    composition (language count + dominant language), integrity
+    (exact-dup count), and a scale-free size signature (avg chars,
+    integer-scaled).
+
+    One aggregation pass over `documents` plus a broadcast join of the
+    tiny per-source dominant-language table (rows = sources, not
+    docs). Token totals come from whitespace split length (the same
+    tokenization the packing/chunking operators use) computed
+    row-locally before the shuffle, so the aggregate moves one long
+    per doc, never the text. Average chars uses integer div on the
+    scaled sum — no float crosses the engine boundary.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    lang_counts = docs.groupBy("source", "lang").agg(F.count("*").alias("n_lang"))
+    top_lang = (
+        lang_counts.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("n_lang").desc(), F.col("lang")
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    per_source = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        (F.count("*") - F.countDistinct(F.md5("text")))
+        .cast("long")
+        .alias("n_exact_dups"),
+        F.expr("sum(n_chars) * 100 div count(*)").cast("long").alias("avg_chars_x100"),
+    )
+    return per_source.join(F.broadcast(top_lang), "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "n_langs",
+        "top_lang",
+        "n_exact_dups",
+        "avg_chars_x100",
+    )

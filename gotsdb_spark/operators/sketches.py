@@ -476,3 +476,91 @@ def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.5 * F.col("exact_distinct")
         ).alias("within_bound"),
     )
+
+
+# Equi-width histogram sketch: bucket width 4.0 (exact in binary — the
+# bucket assignment floor(value/4.0) is bit-identical across engines);
+# estimates are reported in centi-units at the bucket midpoint, so the
+# whole pipeline stays in integer arithmetic end to end.
+_HIST_W = 4.0
+
+
+@query(
+    "sketch_histogram_quantiles",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(floor(value / 4.0) AS BIGINT) AS bucket,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), merged AS (
+      SELECT day, bucket, cnt FROM b
+      UNION ALL
+      SELECT CAST(NULL AS TIMESTAMP), bucket, sum(cnt) FROM b GROUP BY bucket
+    ), cum AS (
+      SELECT day, bucket, cnt,
+             sum(cnt) OVER (PARTITION BY day ORDER BY bucket) AS c,
+             sum(cnt) OVER (PARTITION BY day) AS n
+      FROM merged
+    )
+    SELECT day,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(min(CASE WHEN c >= (n + 1) // 2 THEN bucket END) * 400 + 200
+                AS BIGINT) AS p50_centi,
+           CAST(min(CASE WHEN c >= (19 * n + 19) // 20 THEN bucket END) * 400
+                + 200 AS BIGINT) AS p95_centi
+    FROM cum GROUP BY day
+    """,
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram → per-day p50/p95 plus the merged
+    global row (day = NULL), the quantile analog of the KMV sketch.
+
+    Exact percentiles need a full sort (or all values in one place);
+    a histogram sketch needs ONE shuffle of (day, bucket, count) rows —
+    bounded by days x buckets no matter how many raw events exist, so
+    it survives 100 TB unchanged. The killer property mirrors KMV:
+    bucket counts merge losslessly by addition, so the global row is
+    computed from the per-day SKETCHES, never re-touching raw data —
+    while the DuckDB oracle derives the same global from the raw table,
+    proving the merge exact. Estimates are step-function midpoints
+    (bucket*400+200 centi-units) with integer target ranks
+    ceil(q*n) = (q_num*n + q_den - 1) div q_den, so no float crosses
+    an engine boundary.
+    """
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    sk = (
+        ev.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.floor(F.col("value") / _HIST_W).cast("long").alias("bucket"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .cache()
+    )
+    merged = (
+        sk.groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(F.lit(None).cast("timestamp").alias("day"), "bucket", "cnt")
+    )
+    both = sk.unionByName(merged)
+    wday = W.partitionBy("day")
+    cum = both.select(
+        "day",
+        "bucket",
+        F.sum("cnt").over(wday.orderBy("bucket")).alias("c"),
+        F.sum("cnt").over(wday).alias("n"),
+    )
+    p50_target = F.expr("(n + 1) div 2")
+    p95_target = F.expr("(19 * n + 19) div 20")
+    return cum.groupBy("day").agg(
+        F.max("n").cast("long").alias("n"),
+        (F.min(F.when(F.col("c") >= p50_target, F.col("bucket"))) * 400 + 200)
+        .cast("long")
+        .alias("p50_centi"),
+        (F.min(F.when(F.col("c") >= p95_target, F.col("bucket"))) * 400 + 200)
+        .cast("long")
+        .alias("p95_centi"),
+    )
