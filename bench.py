@@ -93,6 +93,11 @@ HEADLINE = [
     "incremental_daily_agg",
     "hll_mergeable_distinct",
     "text_unigram_logprob",
+    # round 4 operators
+    "dedup_incremental_corpus",
+    "dedup_keep_best_quality",
+    "sketch_histogram_quantiles",
+    "curate_dataset_card",
 ]
 
 # Streaming replays + the KV engine roundtrip execute real multi-wave
