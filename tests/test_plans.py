@@ -374,3 +374,33 @@ def test_registry_ledger_consistency():
     assert not stale, f"ledger names no longer registered: {stale}"
     orphans = [n for n in ORACLES if n not in QUERIES]
     assert not orphans, f"oracles without queries: {orphans}"
+
+
+def test_incremental_corpus_equi_join_no_cartesian(spark):
+    """Delta-vs-corpus candidates must come from the band equi-join —
+    shuffle ∝ delta, never an all-pairs product."""
+    df = QUERIES["dedup_incremental_corpus"](spark, SF)
+    assert not has_cartesian_product(df)
+
+
+def test_histogram_sketch_shuffles_counts_not_rows(spark):
+    """The sketch shuffle moves (day, bucket, count) rows — partial
+    aggregation must reduce map output before the exchange, and the
+    merged global row adds no extra scan of the raw table."""
+    from gotsdb_spark.plans import formatted_plan
+
+    df = QUERIES["sketch_histogram_quantiles"](spark, SF)
+    plan = formatted_plan(df)
+    # both the per-day branch and the global merge read the CACHED
+    # sketch (InMemoryTableScan), never the raw table twice — the merge
+    # is computed from sketches, which is the operator's whole claim
+    assert "InMemoryTableScan" in plan
+    assert "partial" in plan.lower()  # map-side combine before the shuffle
+
+
+def test_dataset_card_broadcasts_top_lang(spark):
+    """The dominant-language table is rows-per-source tiny and must
+    broadcast; the documents side never shuffles for that join."""
+    df = QUERIES["curate_dataset_card"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+    assert not has_cartesian_product(df)
