@@ -115,3 +115,24 @@ def compact_parquet_dir(
     df = spark.read.parquet(in_path)
     df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
     return n_files
+
+
+def retention_prune(path: str, cutoff_dt: str) -> list[str]:
+    """Drop `dt=` partitions strictly older than ``cutoff_dt``
+    (YYYY-MM-DD); returns the partition dates removed.
+
+    The other half of warehouse maintenance next to compaction:
+    time-series retention on a dt-partitioned layout is a pure
+    directory operation — no scan, no rewrite, no transaction on the
+    surviving data — which is exactly why the events table is laid out
+    by day (SURVEY.md §4.3). At 100 TB dropping a day is one recursive
+    delete per expired directory; on object storage the same loop is a
+    prefix delete. Lexicographic comparison is correct because the
+    partition value is zero-padded ISO dates.
+    """
+    import shutil
+
+    removed = [d for d in list_partitions(path) if d < cutoff_dt]
+    for d in removed:
+        shutil.rmtree(os.path.join(path, f"dt={d}"))
+    return removed

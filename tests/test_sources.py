@@ -164,3 +164,24 @@ def test_observe_metrics_match_recompute(spark):
     )
     assert obs.get["n_rows"] == n_via_action == expected["n_rows"]
     assert obs.get["sum_cents"] == expected["sum_cents"]
+
+
+def test_retention_prune_drops_only_expired_days(spark, tmp_path):
+    """Retention removes exactly the partitions before the cutoff; the
+    surviving data is untouched (same rows as a ts-filter on the raw
+    table) and re-running is a no-op."""
+    from gotsdb_spark.sources.formats import retention_prune
+
+    out = write_events_partitioned(spark, SF, str(tmp_path / "events_ret"))
+    days = list_partitions(out)
+    cutoff = days[len(days) // 2]
+
+    removed = retention_prune(out, cutoff)
+    assert removed == [d for d in days if d < cutoff]
+    assert list_partitions(out) == [d for d in days if d >= cutoff]
+
+    ev = load_table(spark, "events", SF)
+    want = ev.where(F.date_format("ts", "yyyy-MM-dd") >= cutoff).count()
+    assert read_events_partitioned(spark, out).count() == want
+
+    assert retention_prune(out, cutoff) == []  # idempotent
