@@ -306,3 +306,49 @@ def test_outer_stream_stream_join_emits_nulls_after_watermark(spark, tmp_path):
     }
     assert got == want
     assert any(eid is None for _, eid in got)  # NULL emission really happened
+
+
+def test_progress_metrics_account_for_all_input_rows(spark, tmp_path):
+    """Operational observability: the query's progress log must account
+    for every source row (sum of numInputRows) and expose state-store
+    size for the stateful operator — the numbers an on-call engineer
+    alarms on. Uses recentProgress (synchronous after
+    processAllAvailable) rather than a listener, so the check is
+    deterministic."""
+    from pyspark.sql import functions as F
+
+    from gotsdb_spark.sources.registry import load_table
+    from gotsdb_spark.streaming import (
+        read_events_stream,
+        windowed_event_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "src")
+    ev = load_table(spark, "events", sf).where(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    n_src = ev.count()
+    ev.repartition(2).write.mode("append").parquet(src)
+
+    stream = windowed_event_counts(
+        read_events_stream(spark, src, 1), watermark="1 hour"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("obs_metrics")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = q.recentProgress
+        assert sum(p["numInputRows"] for p in progress) == n_src
+        state_ops = [p for p in progress if p.get("stateOperators")]
+        assert state_ops, "no state operator metrics reported"
+        last_state = state_ops[-1]["stateOperators"][0]
+        # state rows = number of open (window, event_type) groups
+        got_rows = spark.table("obs_metrics").count()
+        assert last_state["numRowsTotal"] == got_rows
+    finally:
+        q.stop()
