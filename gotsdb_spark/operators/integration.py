@@ -625,8 +625,7 @@ def streaming_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> Data
 
 
 _TWS_ORACLE = """
-    SELECT user_id, count(*) AS n_events,
-           CAST(max(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS max_milli
+    SELECT user_id, count(*) AS n_events, max(value) AS max_value
     FROM events GROUP BY user_id
     """
 
@@ -637,39 +636,17 @@ def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFram
     keeps covering the legacy one): typed state variables fetched from
     a StatefulProcessorHandle instead of one opaque tuple, an explicit
     processor lifecycle (init/handleInputRows/close), and native TTL
-    support. Per-user (n_events, max_milli) accumulates in a ValueState
-    across two replay waves; update-mode emissions are monotone, so the
-    final state is recovered per user with max() and must equal the
-    batch aggregate over all events. State is partitioned by user_id in
-    the state store — each executor owns its key range, same 100 TB
-    shape as every stateful operator here.
+    support. Reuses the library processor
+    (streaming/stateful.py:UserPeakProcessor, unit-tested for
+    cross-batch convergence): per-user (n_events, max_value)
+    accumulates in a ValueState across two replay waves; update-mode
+    emissions are monotone (count grows, max is order-insensitive over
+    doubles), so the final state recovered per user with max() must
+    equal the batch aggregate. State is partitioned by user_id in the
+    state store — each executor owns its key range, same 100 TB shape
+    as every stateful operator here.
     """
-    import pandas as pd
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
-    class PerUserStats(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._state = handle.getValueState(
-                "stats", "n_events bigint, max_milli bigint"
-            )
-
-        def handleInputRows(self, key, rows, timerValues):
-            prev = self._state.get()
-            n, mx = prev if prev is not None else (0, None)
-            for pdf in rows:
-                n += len(pdf)
-                batch_max = int(pdf["v_milli"].max())
-                mx = batch_max if mx is None else max(mx, batch_max)
-            self._state.update((n, mx))
-            yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "max_milli": [mx]}
-            )
-
-        def close(self) -> None:
-            pass
+    from gotsdb_spark.streaming.stateful import running_user_peaks
 
     ev = load_table(spark, "events", sf_dir)
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -679,15 +656,7 @@ def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFram
     replay = tempfile.mkdtemp(prefix="gotsdb_tws_")
     wave1.select(cols).repartition(1).write.mode("append").parquet(replay)
 
-    stream = read_events_stream(spark, replay, 64).select(
-        "user_id", F.floor(F.col("value") * 1000).cast("long").alias("v_milli")
-    )
-    stats = stream.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=PerUserStats(),
-        outputStructType="user_id bigint, n_events bigint, max_milli bigint",
-        outputMode="Update",
-        timeMode="None",
-    )
+    stats = running_user_peaks(read_events_stream(spark, replay, 64))
 
     name = f"itg_tws_{os.getpid()}_{next(_counter)}"
     with _replay_partitions(spark):
@@ -700,14 +669,14 @@ def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFram
                 .groupBy("user_id")
                 .agg(
                     F.max("n_events").alias("n_events"),
-                    F.max("max_milli").alias("max_milli"),
+                    F.max("max_value").alias("max_value"),
                 )
                 .collect()
             )
         finally:
             q.stop()
     return spark.createDataFrame(
-        out, "user_id long, n_events long, max_milli long"
+        out, "user_id long, n_events long, max_value double"
     )
 
 
