@@ -158,28 +158,27 @@ def main() -> None:
     # single AnalysisException). Failures are recorded and skipped.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+
+    def _time_query(name: str, runs: int) -> float:
         best = float("inf")
-        try:
-            for _ in range(2):
-                t0 = time.time()
-                QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                best = min(best, time.time() - t0)
-            timings[name] = round(best, 3)
-        except Exception as exc:  # noqa: BLE001 — isolate, record, continue
-            errors[name] = f"{type(exc).__name__}: {exc}"[:160]
-    secondary: dict[str, float] = {}
-    for name in SECONDARY:
-        try:
+        for _ in range(runs):
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            secondary[name] = round(time.time() - t0, 3)
-        except Exception as exc:  # noqa: BLE001
-            errors[name] = f"{type(exc).__name__}: {exc}"[:160]
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    def _run_list(names: list[str], runs: int, out: dict[str, float]) -> None:
+        for name in names:
+            try:
+                out[name] = _time_query(name, runs)
+            except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+                errors[name] = f"{type(exc).__name__}: {exc}"[:160]
+
+    _run_list(HEADLINE, 2, timings)
+    secondary: dict[str, float] = {}
+    _run_list(SECONDARY, 1, secondary)
     total = round(sum(timings.values()), 3)
     sf_probe = float(sf) if sf.replace(".", "").isdigit() else sf
     prev = _prev_bench(sf_probe).get("queries", {})

@@ -18,7 +18,7 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gotsdb_spark.operators.registry import query
+from gotsdb_spark.operators.registry import GATED_QUERIES, query
 from gotsdb_spark.sources.registry import load_table
 from gotsdb_spark.storage.engine import Engine
 from gotsdb_spark.streaming import (
@@ -693,6 +693,7 @@ def _register_transform_with_state() -> None:
     becomes live automatically on any cluster whose Python env has
     protobuf (every stock Spark 4 deployment).
     """
+    GATED_QUERIES.add("streaming_transform_with_state")
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError:

@@ -52,6 +52,10 @@ def events_partitioned_path(sf_dir: str) -> str:
     )
 
 
+# Partitioned copies whose ts schema this process has already verified.
+_VALIDATED_PARTITIONED: set[str] = set()
+
+
 # NOTE on fact-table layout: lineitem/orders fixtures are a SINGLE
 # parquet row group, so their scans run as one task locally. A
 # range-partitioned multi-file copy (repartitionByRange on the time
@@ -93,9 +97,12 @@ def _normalize_ts(df: DataFrame) -> DataFrame:
 
 def _load_events_single_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Runtime-set (not only in our session factory): the driver may
-    # hand us a session built without this flag, and without it a
-    # TIMESTAMP(NANOS) column would fail the read outright.
+    # hand us a session built without these. Without the nanos flag a
+    # TIMESTAMP(NANOS) column fails the read outright; without the UTC
+    # pin the ntz→timestamp normalization (and every oracle's civil-
+    # time arithmetic) would reinterpret wall clocks in local time.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return _normalize_ts(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
 
 
@@ -107,16 +114,24 @@ def _ensure_events_partitioned(spark: SparkSession, sf_dir: str) -> str | None:
     processes can't observe a half-written copy."""
     path = events_partitioned_path(sf_dir)
     if os.path.isfile(os.path.join(path, "_SUCCESS")):
+        if path in _VALIDATED_PARTITIONED:
+            return path
+        import shutil
+
         try:
             if dict(spark.read.parquet(path).dtypes).get("ts") == "timestamp":
+                # Schema probe runs once per process per path; within a
+                # process the copy can't regress, so memoize.
+                _VALIDATED_PARTITIONED.add(path)
                 return path
             # Stale copy baking TIMESTAMP_NTZ (written before the fixture
             # encoding changed) — rebuild from the normalized scan.
-            import shutil
-
-            shutil.rmtree(path, ignore_errors=True)
         except Exception:  # noqa: BLE001 — unreadable copy: rebuild below
             pass
+        # Either way the existing dir is unusable; remove it so the
+        # rebuild's rename can land (a lingering dir would make rename
+        # fail and be misread as losing the build race).
+        shutil.rmtree(path, ignore_errors=True)
     try:
         tmp = path + ".tmp"
         ev = _load_events_single_file(spark, sf_dir)
@@ -135,7 +150,11 @@ def _ensure_events_partitioned(spark: SparkSession, sf_dir: str) -> str | None:
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
-        return path if os.path.isfile(os.path.join(path, "_SUCCESS")) else None
+        if os.path.isfile(os.path.join(path, "_SUCCESS")):
+            # Fresh copies are normalized by construction.
+            _VALIDATED_PARTITIONED.add(path)
+            return path
+        return None
     except Exception:  # noqa: BLE001 — fall back to the single-file scan
         return None
 

@@ -363,14 +363,15 @@ def test_registry_ledger_consistency():
     import json
     import os
 
-    from gotsdb_spark.operators import ORACLES, QUERIES
+    from gotsdb_spark.operators import GATED_QUERIES, ORACLES, QUERIES
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(here, "tools", "verify_ledger.json")) as fh:
         ledger = json.load(fh)
     missing = [n for n in QUERIES if n not in ledger]
     assert not missing, f"queries absent from ledger (run tools/update_coverage.py): {missing}"
-    stale = [n for n in ledger if n not in QUERIES]
+    # gated names stay ledgered even on hosts where they don't register
+    stale = [n for n in ledger if n not in QUERIES and n not in GATED_QUERIES]
     assert not stale, f"ledger names no longer registered: {stale}"
     orphans = [n for n in ORACLES if n not in QUERIES]
     assert not orphans, f"oracles without queries: {orphans}"

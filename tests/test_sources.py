@@ -185,3 +185,27 @@ def test_retention_prune_drops_only_expired_days(spark, tmp_path):
     assert read_events_partitioned(spark, out).count() == want
 
     assert retention_prune(out, cutoff) == []  # idempotent
+
+
+def test_corrupt_warehouse_copy_is_rebuilt(spark, tmp_path, monkeypatch):
+    """A partitioned events copy with _SUCCESS but unreadable data must
+    be torn down and rebuilt, not returned broken or mistaken for a
+    concurrent build winning the rename race."""
+    from gotsdb_spark.sources import registry
+
+    monkeypatch.setattr(registry, "WAREHOUSE_DIR", str(tmp_path / "wh"))
+    monkeypatch.setattr(registry, "_VALIDATED_PARTITIONED", set())
+    path = registry.events_partitioned_path(SF)
+    import os as _os
+
+    _os.makedirs(path)
+    (tmp_path / "wh" / "sf0.001" / "events_dt" / "_SUCCESS").write_text("")
+    (tmp_path / "wh" / "sf0.001" / "events_dt" / "part-00000.parquet").write_bytes(
+        b"not a parquet file"
+    )
+
+    df = registry.load_table(spark, "events", SF)
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.count() == 1000
+    # the copy was rebuilt in place and is now valid + memoized
+    assert path in registry._VALIDATED_PARTITIONED
