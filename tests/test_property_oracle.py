@@ -229,3 +229,50 @@ def test_random_joins_agree(spark, spark_join_views, duck_join, jt, cp, op):
     got = spark.sql(sql).collect()[0]
     want = duck_join.execute(sql).fetchone()
     assert (got["n"], got["checksum"]) == (want[0], want[1]), sql
+
+
+_SET_OPS = st.sampled_from(
+    ["UNION", "UNION ALL", "INTERSECT", "EXCEPT", "EXCEPT ALL", "INTERSECT ALL"]
+)
+
+
+@given(p1=predicate(depth=1), p2=predicate(depth=1), op=_SET_OPS)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_set_ops_agree(spark, spark_lineitem, duck, p1, p2, op):
+    """Set operations fuzz: the DATAFRAME set-op API (union/intersect/
+    exceptAll and their distinct variants) over two random predicate
+    subsets must equal DuckDB evaluating the same set-op in SQL —
+    including multiset (ALL) semantics, which count duplicates."""
+    from pyspark.sql import functions as F
+
+    keys = ["l_orderkey", "l_linenumber"]
+    a = spark_lineitem.where(p1).select(*keys)
+    b = spark_lineitem.where(p2).select(*keys)
+    sdf = {
+        "UNION": lambda: a.union(b).distinct(),
+        "UNION ALL": lambda: a.union(b),
+        "INTERSECT": lambda: a.intersect(b),
+        "INTERSECT ALL": lambda: a.intersectAll(b),
+        # SQL EXCEPT = distinct rows of a absent from b
+        "EXCEPT": lambda: a.distinct().join(b, keys, "left_anti"),
+        "EXCEPT ALL": lambda: a.exceptAll(b),
+    }[op]()
+    s = sdf.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.col("l_orderkey") * 7 + F.col("l_linenumber")), F.lit(0)).alias(
+            "checksum"
+        ),
+    ).first()
+    sql = (
+        "SELECT count(*) AS n, "
+        "coalesce(sum(l_orderkey * 7 + l_linenumber), 0) AS checksum FROM ("
+        f"SELECT l_orderkey, l_linenumber FROM lineitem WHERE {p1} "
+        f"{op} "
+        f"SELECT l_orderkey, l_linenumber FROM lineitem WHERE {p2})"
+    )
+    d = duck.execute(sql).fetchone()
+    assert (s["n"], s["checksum"]) == (d[0], d[1]), f"{op}: {p1} / {p2}"
