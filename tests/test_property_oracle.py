@@ -276,3 +276,58 @@ def test_random_set_ops_agree(spark, spark_lineitem, duck, p1, p2, op):
     )
     d = duck.execute(sql).fetchone()
     assert (s["n"], s["checksum"]) == (d[0], d[1]), f"{op}: {p1} / {p2}"
+
+
+@st.composite
+def scalar_expr(draw):
+    """A dialect-neutral scalar expression over lineitem columns.
+
+    Restricted to constructs with identical semantics in Spark SQL and
+    DuckDB: 1-based substr with positive args, upper/lower/length,
+    || concatenation, integer arithmetic, year/month/day extraction.
+    """
+    kind = draw(st.integers(0, 4))
+    if kind == 0:
+        start = draw(st.integers(1, 3))
+        n = draw(st.integers(1, 5))
+        return (
+            "substr(l_returnflag || l_linestatus || "
+            f"CAST(l_orderkey AS STRING), {start}, {n})"
+        )
+    if kind == 1:
+        f = draw(st.sampled_from(["upper", "lower"]))
+        return f"{f}(l_returnflag || l_linestatus)"
+    if kind == 2:
+        # integer-backed string: double→string formatting is not
+        # dialect-neutral, but bigint→string is
+        return "length(CAST(l_partkey AS STRING))"
+    if kind == 3:
+        a = draw(st.integers(2, 9))
+        b = draw(st.integers(1, 99))
+        return f"(l_orderkey * {a} + l_linenumber * {b}) % 1000"
+    part = draw(st.sampled_from(["year", "month", "day"]))
+    return f"{part}(l_shipdate)"
+
+
+@given(expr=scalar_expr(), pred=predicate(depth=1))
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_scalar_functions_agree(spark, spark_lineitem, duck, expr, pred):
+    """Scalar-function fuzz: random dialect-neutral expressions must
+    produce identical value multisets (compared as sorted strings) in
+    Spark and DuckDB over the same filtered rows."""
+    sql = (
+        f"SELECT CAST({expr} AS STRING) AS v FROM lineitem "
+        f"WHERE {pred} ORDER BY v LIMIT 500"
+    )
+    s = [r["v"] for r in spark.sql(sql).collect()]
+    d = [
+        str(row[0]) if row[0] is not None else None
+        for row in duck.execute(
+            sql.replace("AS STRING", "AS VARCHAR")
+        ).fetchall()
+    ]
+    assert s == d, f"{expr} WHERE {pred}"
