@@ -13,6 +13,7 @@ for free — none of which the reference has.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -116,8 +117,6 @@ def _ensure_events_partitioned(spark: SparkSession, sf_dir: str) -> str | None:
     if os.path.isfile(os.path.join(path, "_SUCCESS")):
         if path in _VALIDATED_PARTITIONED:
             return path
-        import shutil
-
         try:
             if dict(spark.read.parquet(path).dtypes).get("ts") == "timestamp":
                 # Schema probe runs once per process per path; within a
@@ -147,8 +146,6 @@ def _ensure_events_partitioned(spark: SparkSession, sf_dir: str) -> str | None:
             os.rename(tmp, path)
         except OSError:
             # Another process won the race; use theirs.
-            import shutil
-
             shutil.rmtree(tmp, ignore_errors=True)
         if os.path.isfile(os.path.join(path, "_SUCCESS")):
             # Fresh copies are normalized by construction.
