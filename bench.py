@@ -98,6 +98,8 @@ HEADLINE = [
     "dedup_keep_best_quality",
     "sketch_histogram_quantiles",
     "curate_dataset_card",
+    "dedup_source_overlap_matrix",
+    "text_token_drift_snapshots",
 ]
 
 # Streaming replays + the KV engine roundtrip execute real multi-wave

@@ -698,3 +698,44 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .where(F.col("jaccard") >= _PF_T)
     )
+
+
+_SOURCE_OVERLAP_ORACLE = f"""
+    WITH {_MINHASH_CTES}
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    GROUP BY 1, 2
+"""
+
+
+@query("dedup_source_overlap_matrix", oracle=_SOURCE_OVERLAP_ORACLE)
+def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair duplication matrix: how many near-dup pairs each
+    pair of sources shares — the audit that tells a corpus owner which
+    crawls/dumps are re-scraping each other (and whether a new source
+    adds anything beyond what existing sources already contain).
+
+    Pure composition over the MinHash pair graph: join each pair end
+    to its source (broadcastable doc→source projection at fixture
+    scale; a key equi-join at 100 TB), canonicalize the unordered pair
+    with least/greatest so the matrix has one row per source pair, and
+    count. Cost is O(dup pairs), not O(docs²) — the LSH candidate
+    generation already did the hard part.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    src = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_dup_pairs"))
+    )

@@ -655,3 +655,77 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("avg_nll_e6"),
     )
+
+
+@query(
+    "text_token_drift_snapshots",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id % 2 AS snap, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), counts AS (
+      SELECT term,
+             sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS old_n,
+             sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS new_n
+      FROM toks GROUP BY term
+    ), totals AS (
+      SELECT sum(old_n) AS old_total, sum(new_n) AS new_total FROM counts
+    ), scored AS (
+      SELECT term, CAST(old_n AS BIGINT) AS old_n, CAST(new_n AS BIGINT) AS new_n,
+             CAST(floor(1e6 * ln((new_n * old_total * 1.0)
+                                 / (old_n * new_total))) AS BIGINT) AS drift_e6
+      FROM counts, totals
+      WHERE old_n >= 3 AND new_n >= 3
+    )
+    SELECT term, old_n, new_n, drift_e6 FROM scored
+    ORDER BY abs(drift_e6) DESC, term LIMIT 20
+    """,
+)
+def text_token_drift_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-frequency drift between two corpus snapshots — the
+    distribution-shift monitor a training pipeline runs when a corpus
+    is refreshed (did the new crawl change the language mix? did one
+    template explode?).
+
+    Snapshots are simulated by doc_id parity. Per-term counts come
+    from one conditional aggregation over the exploded token table
+    (single shuffle of (term, partial counts) — map-side combine
+    absorbs the Zipf head); the two corpus totals are a broadcast
+    1-row frame. Drift is the log frequency ratio, integer-scaled:
+    the ratio's numerator/denominator are exact integer products
+    (< 2^53), so both engines take ln of the identical double and the
+    floor is bit-stable. Top-20 by absolute drift with a total-order
+    tiebreak; terms below 3 occurrences in either snapshot are
+    excluded (rare-term ratios are noise, and at scale the filter
+    prunes the long tail before the sort)."""
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("snap"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0)).alias("old_n"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0)).alias("new_n"),
+    )
+    totals = counts.agg(
+        F.sum("old_n").alias("old_total"), F.sum("new_n").alias("new_total")
+    )
+    scored = (
+        counts.where((F.col("old_n") >= 3) & (F.col("new_n") >= 3))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            F.col("old_n").cast("long").alias("old_n"),
+            F.col("new_n").cast("long").alias("new_n"),
+            F.floor(
+                1e6
+                * F.log(
+                    (F.col("new_n") * F.col("old_total") * F.lit(1.0))
+                    / (F.col("old_n") * F.col("new_total"))
+                )
+            )
+            .cast("long")
+            .alias("drift_e6"),
+        )
+    )
+    return scored.orderBy(F.abs("drift_e6").desc(), "term").limit(20)
