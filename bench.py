@@ -106,7 +106,7 @@ HEADLINE = [
 # streams / engine state, so they run ONCE (no min-of-2) and are
 # recorded in the bench_full.json sidecar only — they'd otherwise
 # dominate the headline line with fixed trigger latency, not plan cost.
-SECONDARY = [
+SECONDARY_REPLAYS = [
     "kv_roundtrip_snapshot",
     "streaming_windowed_counts",
     "streaming_append_late_data",
@@ -114,6 +114,19 @@ SECONDARY = [
     "streaming_interval_join",
     "streaming_static_enrich",
 ]
+
+
+def secondary_names() -> list[str]:
+    """Every registered query not in HEADLINE, replays first.
+
+    The long tail (~150 cheap variants) runs ONCE each so bench_full.json
+    carries a time for ALL registered queries — a regression in an
+    untimed query was previously invisible to round-over-round deltas.
+    """
+    rest = sorted(
+        n for n in QUERIES if n not in HEADLINE and n not in SECONDARY_REPLAYS
+    )
+    return [n for n in SECONDARY_REPLAYS if n in QUERIES] + rest
 
 
 def _prev_bench(sf_val: object = None) -> dict:
@@ -180,7 +193,7 @@ def main() -> None:
 
     _run_list(HEADLINE, 2, timings)
     secondary: dict[str, float] = {}
-    _run_list(SECONDARY, 1, secondary)
+    _run_list(secondary_names(), 1, secondary)
     total = round(sum(timings.values()), 3)
     sf_probe = float(sf) if sf.replace(".", "").isdigit() else sf
     prev = _prev_bench(sf_probe).get("queries", {})
@@ -195,13 +208,19 @@ def main() -> None:
             {
                 "metric": "headline_queries_total",
                 "value": total,
+                # A round where any headline query threw sums only the
+                # survivors — flag it so a smaller total is never read
+                # as a speedup against prior rounds.
+                "partial": any(n in errors for n in HEADLINE),
+                "n_err": len(errors),
                 "unit": "sec",
                 "queries": timings,
                 "secondary_run_once": secondary,
                 "errors": errors,
                 "runs_per_query": 2,
                 "n_queries": len(timings),
-                "vs_prev": vs_prev,
+                "n_timed": len(timings) + len(secondary),
+                "vs_prev": {} if any(n in errors for n in HEADLINE) else vs_prev,
                 "sf": sf_val,
             },
             fh,

@@ -25,7 +25,7 @@ from pyspark.sql.window import Window as W
 
 from gotsdb_spark.functions import word_shingles
 from gotsdb_spark.operators.registry import query
-from gotsdb_spark.sources.registry import fan_out, load_table
+from gotsdb_spark.sources.registry import fan_out, load_table, shared_cache
 
 N_MINHASH = 8  # permutations (seeds)
 BAND_SIZE = 2  # seeds per LSH band → 4 bands; P(candidate) = 1-(1-J^2)^4
@@ -124,13 +124,18 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     is the shape that survives 100 TB: per-doc work is a map, shuffle
     volume is O(docs), never O(shingles).
     """
-    docs = fan_out(load_table(spark, "documents", sf_dir)).select(
-        "doc_id", word_shingles(F.col("text")).alias("sh_arr")
-    ).cache()
-    # Materialize eagerly: the shingle arrays feed three branches (sigs,
-    # and both sides of the Jaccard join); lazy caching would recompute
-    # the shingling once per branch before the cache wins.
-    docs.count()
+    # Shared per (app, sf_dir): the shingle arrays feed three branches
+    # here (sigs + both sides of the Jaccard join) AND four registered
+    # queries transitively — a per-invocation cache leaked one dead
+    # entry per call across sweep/bench runs.
+    docs = shared_cache(
+        spark,
+        sf_dir,
+        "packed_shingles",
+        lambda: fan_out(load_table(spark, "documents", sf_dir)).select(
+            "doc_id", word_shingles(F.col("text")).alias("sh_arr")
+        ),
+    )
     sigs = docs.select(
         "doc_id",
         *[
@@ -313,7 +318,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING). Worst-case quadratic — kept as the correctness baseline;
     production scale uses dedup_minhash_lsh.
     """
-    sh = shingle_table(spark, sf_dir).cache()
+    sh = shared_cache(
+        spark, sf_dir, "shingle_table", lambda: shingle_table(spark, sf_dir)
+    )
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = (
         sh.join(sb, (F.col("sh") == F.col("sh_b")) & (F.col("doc_id") < F.col("doc_b")))
@@ -653,7 +660,9 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering is exactly what keeps hot shingles out of the join.
     Same threshold as dedup_ngram_jaccard so results are comparable.
     """
-    sh = shingle_table(spark, sf_dir).cache()
+    sh = shared_cache(
+        spark, sf_dir, "shingle_table", lambda: shingle_table(spark, sf_dir)
+    )
     # Global shingle frequency as a map-side-combinable groupBy joined
     # back on sh — NOT a window over PARTITION BY sh: shingle frequency
     # is Zipfian, and a window shuffle puts every row of a hot shingle

@@ -333,3 +333,63 @@ def parquet_merge_schema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         .otherwise(F.col("n_with_bucket"))
         .alias("n_with_bucket"),
     )
+
+
+@query(
+    "layout_range_scan_q1_cents",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_price_cents,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS sum_disc_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1995-04-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def layout_range_scan_q1_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-shape aggregation over the RANGE-PARTITIONED multi-file
+    lineitem layout, in integer cents — the query that oracle-verifies
+    the 100-TB fact layout itself, not just single-file fixtures.
+
+    `sources/registry.py` documents why the fixtures stay single-file:
+    repartitionByRange changes the association order of large double
+    sums beyond the oracle's rounding. The dodge is to make the measures
+    association-order-INVARIANT — quantize to integer cents BEFORE the
+    sum (floor(x*100+0.5) is bit-deterministic on both engines: both
+    read identical IEEE doubles from the same parquet and the scale/
+    round ops are exact-width double arithmetic) — after which ANY
+    partitioning of the scan yields identical sums. The Spark side
+    scans the 8-file repartitionByRange(l_shipdate) warehouse copy with
+    a one-quarter predicate, so per-file min/max on the range key skips
+    ~7 of 8 files at planning time; the oracle scans the original
+    single-file fixture. Hash equality proves the layout + file
+    skipping is semantics-preserving.
+    """
+    from gotsdb_spark.sources.registry import ensure_lineitem_range_partitioned
+
+    path = ensure_lineitem_range_partitioned(spark, sf_dir)
+    if path is not None:
+        li = spark.read.parquet(path)
+    else:  # warehouse unavailable (read-only dir?) — fixture fallback
+        li = load_table(spark, "lineitem", sf_dir)
+    cents = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_price_cents"),
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "sum_disc_cents"
+            ),
+        )
+    )

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from gotsdb_spark.operators.registry import query
-from gotsdb_spark.sources.registry import load_table
+from gotsdb_spark.sources.registry import load_table, shared_cache
 
 # Bloom parameters: m bits, k hash functions.
 _BLOOM_M = 4096
@@ -439,7 +439,12 @@ def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(W.partitionBy("day").orderBy("h")).alias("rn"),
         F.count("*").over(W.partitionBy("day")).alias("n_h"),
     )
-    kmin = ranked.where(F.col("rn") <= _KMV_K).cache()
+    kmin = shared_cache(
+        spark,
+        sf_dir,
+        "kmv_kmin",
+        lambda: ranked.where(F.col("rn") <= _KMV_K),
+    )
     est = F.when(
         F.max("n_h") >= _KMV_K,
         F.floor((_KMV_K - 1) / (F.max("h") / _KMV_2_32) * 1e3 + 0.5001),
@@ -531,14 +536,16 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     ev = load_table(spark, "events", sf_dir)
-    sk = (
-        ev.select(
+    sk = shared_cache(
+        spark,
+        sf_dir,
+        "hist_day_bucket",
+        lambda: ev.select(
             F.date_trunc("day", "ts").alias("day"),
             F.floor(F.col("value") / _HIST_W).cast("long").alias("bucket"),
         )
         .groupBy("day", "bucket")
-        .agg(F.count("*").alias("cnt"))
-        .cache()
+        .agg(F.count("*").alias("cnt")),
     )
     merged = (
         sk.groupBy("bucket")

@@ -673,7 +673,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), scored AS (
       SELECT term, CAST(old_n AS BIGINT) AS old_n, CAST(new_n AS BIGINT) AS new_n,
              CAST(floor(1e6 * ln((new_n * old_total * 1.0)
-                                 / (old_n * new_total))) AS BIGINT) AS drift_e6
+                                 / (old_n * new_total)) + 0.5001) AS BIGINT) AS drift_e6
       FROM counts, totals
       WHERE old_n >= 3 AND new_n >= 3
     )
@@ -693,8 +693,13 @@ def text_token_drift_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     absorbs the Zipf head); the two corpus totals are a broadcast
     1-row frame. Drift is the log frequency ratio, integer-scaled:
     the ratio's numerator/denominator are exact integer products
-    (< 2^53), so both engines take ln of the identical double and the
-    floor is bit-stable. Top-20 by absolute drift with a total-order
+    (< 2^53), so both engines take ln of the identical double — but
+    each engine's ln is only ~1-ulp accurate, so the file's +0.5001
+    epsilon guard keeps the floor away from the one realistic
+    boundary (ratio exactly 1 → ln = 0, where a 1-ulp wobble would
+    flip floor between 0 and -1 and reshuffle the top-20 membership
+    the ORDER BY abs() depends on). Top-20 by absolute drift with a
+    total-order
     tiebreak; terms below 3 occurrences in either snapshot are
     excluded (rare-term ratios are noise, and at scale the filter
     prunes the long tail before the sort)."""
@@ -723,6 +728,7 @@ def text_token_drift_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("new_n") * F.col("old_total") * F.lit(1.0))
                     / (F.col("old_n") * F.col("new_total"))
                 )
+                + 0.5001
             )
             .cast("long")
             .alias("drift_e6"),

@@ -412,15 +412,24 @@ class Engine:
         Hot overlay (read-your-writes) → cached base filter → cold
         promotion on miss → error parity: missing key in a hot
         collection vs missing collection are distinct (hot.go:43 vs
-        engine.go:172)."""
+        engine.go:172).
+
+        The check-promote-lookup runs under ONE lock hold (RLock, so
+        the nested load_collection re-acquires): dropping the lock
+        between promotion and lookup let a concurrent flush demote the
+        collection in the gap, and the lookup then misread "no hot
+        dict, no base" as key-missing while the value sat in the cold
+        log — a lost read-your-write under write/flush concurrency
+        (caught by tests/test_property_kv.py's 8-thread hammer). Only
+        the large-collection base probe (a Spark job over the promote-
+        time file snapshot, which any later append only extends) runs
+        outside the lock."""
         with self._lock:
-            hot = id in self._hot_base
-        if not hot:
-            if self._cold_exists(id):
-                self.load_collection(id)  # engine.go:150-169: promote all
-            else:
-                raise _err_not_found_any(id)
-        with self._lock:
+            if id not in self._hot_base:
+                if self._cold_exists(id):
+                    self.load_collection(id)  # engine.go:150-169: promote all
+                else:
+                    raise _err_not_found_any(id)
             pending = self._pending.get(id, {})
             if key in pending:
                 return pending[key]
@@ -445,9 +454,11 @@ class Engine:
         """Write-through-to-hot (engine.go:175-185): ensure loaded /
         auto-create, then upsert the overlay. Durability deferred to
         flush, matching the reference (engine.go:184 writes memory
-        only)."""
-        self.load_collection_if_not_present(id)
+        only). Ensure-loaded and the overlay upsert happen under one
+        lock hold — a flush sneaking between them strands the write in
+        an orphaned pending entry for a demoted collection."""
         with self._lock:
+            self.load_collection_if_not_present(id)
             self._pending.setdefault(id, {})[key] = value
 
     # -- create / drop --------------------------------------------------

@@ -405,3 +405,89 @@ def test_dataset_card_broadcasts_top_lang(spark):
     df = QUERIES["curate_dataset_card"](spark, SF)
     assert broadcast_join_count(df) >= 1
     assert not has_cartesian_product(df)
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """Skew-join rehearsal: prove AQE's skew handling actually fires on
+    this build, next to the salting path (skew_salted_event_segment_
+    counts) that covers the cases AQE can't see.
+
+    A deliberately Zipfian build side (90% of rows on one key) is
+    sort-merge-joined under thresholds scaled down to fixture size;
+    after execution the adaptive plan must mark the join's skewed side
+    (SortMergeJoin ... skew=true / isSkew=true in the final plan), i.e.
+    the straggler partition was split at runtime. At 100 TB the same
+    mechanism splits hot key partitions without any code change — this
+    pins that the engine-level remedy is actually available and not
+    silently disabled by session config.
+    """
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # low enough that the hot partition qualifies even after shuffle
+        # compression (repeated keys compress ~40x)
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        # allow the split even where it costs an extra shuffle downstream
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 90% of 60k left rows share key 0; right side is uniform.
+        left = spark.range(60_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.concat(F.lit("v" * 64), F.col("id")).alias("payload"),
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("k"), F.col("id").alias("dim")
+        )
+        # Global aggregate: partial aggregation is partition-local with
+        # no required distribution, so the skew-split rule is free to
+        # break the join's output partitioning (a groupBy on the join
+        # key would inhibit the split — co-partitioning would need to
+        # be preserved).
+        # sum(length(payload)) keeps the 64-byte payload column flowing
+        # through the shuffle — with keys alone, column pruning shrinks
+        # the hot partition below any realistic skew threshold
+        joined = left.join(right, "k").agg(
+            F.count("*").alias("n"), F.sum(F.length("payload")).alias("s")
+        )
+        joined.collect()  # AQE re-plans at runtime; inspect the FINAL plan
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan or "isSkew=true" in plan, plan[:4000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_range_layout_multifile_and_pushdown(spark):
+    """The range-partitioned lineitem copy must actually be multi-file
+    (repartitionByRange(8) → 8 range-sorted files) and the quarter
+    predicate must reach the parquet scan, where per-file min/max on
+    the range key skips the other files at planning time."""
+    import glob
+    import os
+
+    from gotsdb_spark.plans import pushed_filters
+    from gotsdb_spark.sources.registry import lineitem_range_path
+
+    df = QUERIES["layout_range_scan_q1_cents"](spark, SF)
+    path = lineitem_range_path(SF)
+    assert os.path.isfile(os.path.join(path, "_SUCCESS"))
+    parts = glob.glob(os.path.join(path, "part-*.parquet"))
+    assert len(parts) >= 2, parts  # single-file would defeat the layout
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf, pf
