@@ -865,3 +865,137 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ann_pq_recall.__doc__ = ann_pq_recall.__doc__.format(k=_PQ_TOPK, nq=_PQ_NQ)
+
+
+_SEMANTIC_DEDUP_T = 0.30
+
+_SEMANTIC_DEDUP_ORACLE = f"""
+    WITH comps AS (
+      SELECT vec_id, label, d.d, CAST(embedding[d.d] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS d) d
+    ), centroids AS (
+      SELECT label AS c_label, d, avg(x) AS cx FROM comps GROUP BY label, d
+    ), dists AS (
+      SELECT v.vec_id, c.c_label, sum((v.x - c.cx) * (v.x - c.cx)) AS d2
+      FROM comps v JOIN centroids c USING (d)
+      GROUP BY v.vec_id, c.c_label
+    ), assigned AS (
+      SELECT vec_id, c_label AS list_id FROM (
+        SELECT vec_id, c_label,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+        FROM dists) t WHERE rn = 1
+    ), emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), dup_pairs AS (
+      SELECT a.list_id, a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM assigned a
+      JOIN assigned b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+      JOIN emb ea ON ea.vec_id = a.vec_id
+      JOIN emb eb ON eb.vec_id = b.vec_id
+      WHERE list_dot_product(ea.e, eb.e) /
+              (sqrt(list_dot_product(ea.e, ea.e)) *
+               sqrt(list_dot_product(eb.e, eb.e))) >= {_SEMANTIC_DEDUP_T}
+    ), members AS (
+      SELECT list_id, CAST(count(*) AS BIGINT) AS n_members
+      FROM assigned GROUP BY list_id
+    ), dupstats AS (
+      SELECT list_id, CAST(count(*) AS BIGINT) AS n_dup_pairs,
+             CAST(count(DISTINCT vec_b) AS BIGINT) AS n_dropped
+      FROM dup_pairs GROUP BY list_id
+    )
+    SELECT m.list_id, m.n_members,
+           CAST(COALESCE(d.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+           CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped
+    FROM members m LEFT JOIN dupstats d USING (list_id)
+"""
+
+
+@query("dedup_semantic_clusters", oracle=_SEMANTIC_DEDUP_ORACLE)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: centroid-cluster the
+    embedding space, then search for near-duplicate pairs ONLY within
+    each cluster and drop all but one representative per pair.
+
+    The fourth point in the embedding-dedup design space (after the
+    LSH-bucketed dedup_embedding_cosine): clustering-scoped candidate
+    generation is how the published SemDeDup recipe bounds the pair
+    search — two semantically-duplicate documents land in the same
+    centroid cell, so the quadratic cosine search runs per cluster,
+    never across the corpus. Per cluster it reports members, dup pairs
+    over the 0.30 threshold, and how many docs a keep-lowest-id policy
+    would drop.
+
+    Scale shape: centroids are a broadcast k-row table; assignment
+    shuffles (vec_id, list_id) only; the candidate join is an equi-join
+    on list_id so pair count is sum over clusters of |c|^2, controlled
+    by k — at 100 TB you raise k (nlist ~ sqrt(n), the IVF sizing rule)
+    and the per-cluster search stays bounded while the plan is
+    unchanged. Integer-only output avoids cross-engine float hashing.
+    """
+    emb = fan_out(load_table(spark, "embeddings", sf_dir))
+    comps = emb.select("vec_id", "label", F.posexplode("embedding")).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("d"),
+        F.col("col").cast("double").alias("x"),
+    )
+    cvec = (
+        comps.groupBy(F.col("label").alias("c_label"), "d")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("c_label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "cx"))), lambda s: s.cx
+            ).alias("cv")
+        )
+    )
+    vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    dists = vecs.crossJoin(F.broadcast(cvec)).select(
+        "vec_id",
+        "c_label",
+        F.aggregate(
+            F.zip_with(F.col("e"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("d2"),
+    )
+    w_assign = W.partitionBy("vec_id").orderBy("d2", "c_label")
+    assigned = (
+        dists.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("c_label").alias("list_id"))
+        # (vec_id, list_id) feeds three branches (both pair sides +
+        # member counts); checkpoint the tiny assignment table so the
+        # explode→centroid→crossJoin→window pipeline runs once, not 3x
+        .localCheckpoint()
+    )
+    a = assigned.select(F.col("vec_id").alias("vec_a"), "list_id")
+    b = assigned.select(F.col("vec_id").alias("vec_b"), F.col("list_id").alias("list_b"))
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    dup_pairs = (
+        a.join(b, (F.col("list_id") == F.col("list_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .where(cosine(F.col("e_a"), F.col("e_b")) >= _SEMANTIC_DEDUP_T)
+        .select("list_id", "vec_a", "vec_b")
+    )
+    per_cluster_dups = dup_pairs.groupBy("list_id").agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.countDistinct("vec_b").alias("n_dropped"),
+    )
+    members = assigned.groupBy("list_id").agg(
+        F.countDistinct("vec_id").alias("n_members")
+    )
+    return (
+        members.join(per_cluster_dups, "list_id", "left")
+        .select(
+            "list_id",
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+        )
+    )

@@ -104,7 +104,14 @@ def main() -> int:
         import json
         import os
 
-        out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "oracle_sweep.json")
+        # sf0.01 keeps the historical artifact name; other scale factors
+        # get their own file (sf0.1 → oracle_sweep_sf01.json) so a
+        # volume sweep never clobbers the canonical one.
+        base = os.path.basename(os.path.normpath(sf_dir))
+        suffix = "" if base == "sf0.01" else "_" + base.replace(".", "")
+        out = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), f"oracle_sweep{suffix}.json"
+        )
         with open(out, "w") as fh:
             json.dump(
                 {
