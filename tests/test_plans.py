@@ -491,3 +491,19 @@ def test_range_layout_multifile_and_pushdown(spark):
     assert len(parts) >= 2, parts  # single-file would defeat the layout
     pf = " ".join(pushed_filters(df))
     assert "l_shipdate" in pf, pf
+
+
+def test_semantic_dedup_cluster_scoped_no_cartesian(spark):
+    """SemDeDup candidate generation must stay an equi-join on list_id
+    (within-cluster pairs) — the only allowed nested-loop is the k-row
+    broadcast centroid crossJoin for assignment; an accidental
+    corpus-level pair join would be O(n^2) and shows up here as a
+    cartesian over the non-broadcast sides."""
+    from gotsdb_spark.plans import formatted_plan
+
+    df = QUERIES["dedup_semantic_clusters"](spark, SF)
+    plan = formatted_plan(df)
+    # the assignment crossJoin against broadcast centroids is fine; a
+    # CartesianProduct node (non-broadcast nested loop) is not
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert broadcast_join_count(df) >= 1

@@ -209,3 +209,24 @@ def test_corrupt_warehouse_copy_is_rebuilt(spark, tmp_path, monkeypatch):
     assert df.count() == 1000
     # the copy was rebuilt in place and is now valid + memoized
     assert path in registry._VALIDATED_PARTITIONED
+
+
+def test_events_load_pins_utc_even_with_existing_copy(spark):
+    """The UTC session pin must apply on EVERY events read path — in
+    particular the fast path where the dt-partitioned warehouse copy
+    already exists and the single-file loader never runs (a driver-
+    supplied non-UTC session previously got session-local civil-time
+    arithmetic there, diverging from the UTC-based DuckDB oracles)."""
+    from gotsdb_spark.sources import registry
+
+    # ensure the partitioned copy exists so load_table takes the
+    # already-materialized branch
+    assert registry._ensure_events_partitioned(spark, SF) is not None
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = registry.load_table(spark, "events", SF)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert dict(df.dtypes)["ts"] == "timestamp"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
