@@ -748,3 +748,72 @@ def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n_dup_pairs"))
     )
+
+
+_SPAN_K = 6  # words per span — long enough that sharing one is not chance
+_SPAN_CAP = 20  # spans in more docs than this are boilerplate, not copying
+
+_EXACT_SUBSTRING_ORACLE = f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), spans AS (
+      SELECT DISTINCT doc_id, sp FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(ws) - {_SPAN_K - 1}, 1)),
+                 i -> array_to_string(ws[i:i+{_SPAN_K - 1}], ' '))) AS sp
+        FROM words
+      ) raw
+    ), keep AS (
+      SELECT sp FROM spans GROUP BY sp
+      HAVING count(*) BETWEEN 2 AND {_SPAN_CAP}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared_spans
+    FROM spans a JOIN keep USING (sp)
+    JOIN spans b ON a.sp = b.sp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+"""
+
+
+@query("dedup_exact_substring_spans", oracle=_EXACT_SUBSTRING_ORACLE)
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication: doc pairs sharing a verbatim K-word
+    span, with the count of distinct shared spans per pair.
+
+    The span-level complement to whole-document dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): two
+    documents can be globally dissimilar yet share a long verbatim
+    quote that memorization-prone training should see once. K-word
+    sliding spans (K=6 here) stand in for the suffix-array substrings
+    of the paper — equi-joinable, so the whole pipeline is shuffle-
+    on-span-key instead of a cross join.
+
+    Scale design: span → doc-frequency via one map-side-combinable
+    groupBy; spans in > {_SPAN_CAP} docs are dropped BEFORE the pair
+    join (they are boilerplate, and each contributes O(df²) pairs —
+    the cap bounds the quadratic term per span, exactly the hot-key
+    guard an equi-join self-pairing needs at 100 TB). Surviving
+    postings lists are ≤ {_SPAN_CAP} docs, so the pair fan-out per
+    span is bounded and the shuffle carries (span, doc_id) rows only —
+    document text never moves past the scan.
+    """
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    spans = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), k=_SPAN_K)).alias("sp")
+    )
+    keep = (
+        spans.groupBy("sp")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df").between(2, _SPAN_CAP))
+        .select("sp")
+    )
+    narrowed = spans.join(keep, "sp")
+    b = narrowed.select(F.col("doc_id").alias("doc_b"), F.col("sp").alias("sp_b"))
+    return (
+        narrowed.join(
+            b, (F.col("sp") == F.col("sp_b")) & (F.col("doc_id") < F.col("doc_b"))
+        )
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared_spans"))
+    )

@@ -306,3 +306,58 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("raw", F.lit(phone_re)).cast("long").alias("n_phones"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
+
+
+_LINKAGE_MAX_DIST = 2
+
+_FUZZY_LINKAGE_ORACLE = f"""
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           a.p_brand, a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+     AND a.p_name <> b.p_name
+     AND levenshtein(a.p_name, b.p_name) <= {_LINKAGE_MAX_DIST}
+"""
+
+
+@query("linkage_fuzzy_name_match", oracle=_FUZZY_LINKAGE_ORACLE)
+def linkage_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage: near-identical catalog entries.
+
+    The classic entity-resolution shape — find records that are the
+    same real-world thing spelled slightly differently (typos, OCR
+    noise, vendor feeds). Candidate generation is a BLOCKED self-join:
+    records only compare within a blocking key (brand), turning the
+    O(n²) all-pairs distance matrix into per-block products; the
+    within-block filter is Levenshtein ≤ {_LINKAGE_MAX_DIST} on the
+    JVM (both engines implement the standard unit-cost edit distance,
+    so the oracle matches exactly). Identical names are excluded —
+    those are exact duplicates, a groupBy's job, not linkage's.
+
+    At 100 TB: the block key is the shuffle key (equi-join → hash
+    co-location, AQE skew-split applies to hot brands) and the
+    quadratic term is bounded per block. Production systems tune the
+    block to keep per-block cardinality flat (brand+size, sorted
+    -neighborhood windows); the plan shape is the same.
+    """
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_name", "p_brand")
+    a = part.select(
+        F.col("p_partkey").alias("part_a"), F.col("p_name").alias("name_a"), "p_brand"
+    )
+    b = part.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("p_brand") == F.col("brand_b"))
+            & (F.col("part_a") < F.col("part_b"))
+            & (F.col("name_a") != F.col("name_b")),
+        )
+        .withColumn("lev_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .where(F.col("lev_dist") <= _LINKAGE_MAX_DIST)
+        .select("part_a", "part_b", "p_brand", "name_a", "name_b", "lev_dist")
+    )

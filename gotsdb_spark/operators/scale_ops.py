@@ -393,3 +393,157 @@ def layout_range_scan_q1_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_KEY_SKEW_ORACLE = """
+    WITH per_key AS (
+      SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(max(cnt) AS BIGINT) AS max_key_rows,
+             CAST(floor(max(cnt) * 1000000.0 / sum(cnt)) AS BIGINT)
+               AS top1_share_e6,
+             CAST(floor(quantile_cont(cnt, 0.5) * 1e3 + 0.5001) AS BIGINT)
+               AS p50_e3,
+             CAST(floor(quantile_cont(cnt, 0.99) * 1e3 + 0.5001) AS BIGINT)
+               AS p99_e3
+      FROM per_key
+    )
+    SELECT *, CAST(floor(p99_e3 * 1000.0 / p50_e3) AS BIGINT)
+                AS skew_p99_over_p50_e3
+    FROM stats
+"""
+
+
+@query("audit_key_skew", oracle=_KEY_SKEW_ORACLE)
+def audit_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostic: the measurement you run BEFORE
+    reaching for salting or AQE skew hints.
+
+    Produces the one-row distribution profile of rows-per-key for the
+    fact table's hot join key (events.user_id): key count, total rows,
+    the heaviest key's row count and share, and the p99/p50 ratio of
+    the per-key distribution. A top1 share near 1/n_partitions or a
+    p99/p50 ratio in the hundreds is the signature of a straggler
+    task; `skew_salted_event_segment_counts` is the remedy this audit
+    justifies (and `test_aqe_skew_join_split_fires` proves the AQE
+    alternative).
+
+    Scale design: per-key counts are ONE map-side-combinable groupBy
+    (the only full shuffle, carrying (key, partial-count) pairs); the
+    summary aggregates the per-key frame — n_keys rows, not n_rows —
+    into a single row. Percentiles over per-key counts are exact
+    (Spark `percentile` / DuckDB `quantile_cont`, both type-7 linear
+    interpolation), guarded with the e3 floor-epsilon convention
+    against cross-engine ulp drift; ratios are derived from the
+    already-floored integers so no double flows between engines.
+    """
+    ev = load_table(spark, "events", sf_dir).select("user_id")
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    stats = per_key.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_key_rows"),
+        F.floor(F.max("cnt") * 1000000.0 / F.sum("cnt"))
+        .cast("long")
+        .alias("top1_share_e6"),
+        F.floor(F.expr("percentile(cnt, 0.5)") * 1e3 + 0.5001)
+        .cast("long")
+        .alias("p50_e3"),
+        F.floor(F.expr("percentile(cnt, 0.99)") * 1e3 + 0.5001)
+        .cast("long")
+        .alias("p99_e3"),
+    )
+    return stats.withColumn(
+        "skew_p99_over_p50_e3",
+        F.floor(F.col("p99_e3") * 1000.0 / F.col("p50_e3")).cast("long"),
+    )
+
+
+_MERGE_ORACLE = """
+    WITH delta AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, 'N',
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 13 = 0
+    ), merged AS (
+      SELECT coalesce(d.o_orderkey, b.o_orderkey) AS o_orderkey,
+             coalesce(d.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+             coalesce(d.o_totalprice, b.o_totalprice) AS o_totalprice,
+             (d.o_orderkey IS NOT NULL) AS from_delta
+      FROM orders b FULL OUTER JOIN delta d USING (o_orderkey)
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(sum(CASE WHEN from_delta THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_from_delta
+    FROM merged GROUP BY o_orderstatus
+"""
+
+
+@query("warehouse_merge_upsert", oracle=_MERGE_ORACLE)
+def warehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (Delta/Iceberg-style upsert) as a keyed
+    full-outer join: WHEN MATCHED update, WHEN NOT MATCHED insert.
+
+    The delta batch is derived deterministically from the fixture so
+    both engines see identical input: every 7th order arrives updated
+    (price bumped 10%, status 'U'), every 13th arrives as a brand-new
+    order under a shifted key. The merge resolves per-key with
+    delta-wins-else-base coalesce — exactly the row-level semantics a
+    lakehouse MERGE compiles to — and the result is fingerprinted by
+    status with integer-cent sums (association-order-safe under any
+    partitioning, per the layout NOTE in sources/registry.py).
+
+    At 100 TB: MERGE is a shuffle-on-key full-outer join; when the
+    delta is small relative to the snapshot (the common CDC case) the
+    physical win is partition pruning on the base side — only files
+    whose key ranges intersect the delta are rewritten. Spark's plan
+    here is the generic sort-merge form; the cents fingerprint is what
+    lets the rewritten snapshot be verified cheaply afterwards.
+    """
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    base = load_table(spark, "orders", sf_dir).select(*cols)
+    updates = base.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    inserts = base.where(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    delta = updates.unionByName(inserts)
+    d = delta.select(
+        F.col("o_orderkey"),
+        F.col("o_orderstatus").alias("d_status"),
+        F.col("o_totalprice").alias("d_price"),
+    )
+    merged = base.join(d, "o_orderkey", "full_outer").select(
+        F.coalesce("d_status", "o_orderstatus").alias("o_orderstatus"),
+        F.coalesce("d_price", "o_totalprice").alias("o_totalprice"),
+        F.col("d_status").isNotNull().alias("from_delta"),
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("long")
+        .alias("total_cents"),
+        F.sum(F.when(F.col("from_delta"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_from_delta"),
+    )

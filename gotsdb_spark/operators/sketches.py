@@ -571,3 +571,119 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p95_centi"),
     )
+
+
+_KMV_JOIN_ORACLE = f"""
+    WITH ha AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM events
+    ), hb AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM customer
+    ), ka AS (
+      SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) rn FROM ha)
+      WHERE rn <= {_KMV_K}
+    ), kb AS (
+      SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) rn FROM hb)
+      WHERE rn <= {_KMV_K}
+    ), ku AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) rn
+        FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+      ) WHERE rn <= {_KMV_K}
+    ), ests AS (
+      SELECT
+        (SELECT CAST(floor(({_KMV_K}-1) / (max(h) / {_KMV_2_32}) * 1e3 + 0.5001)
+                AS BIGINT) FROM ka) AS est_a_e3,
+        (SELECT CAST(floor(({_KMV_K}-1) / (max(h) / {_KMV_2_32}) * 1e3 + 0.5001)
+                AS BIGINT) FROM kb) AS est_b_e3,
+        (SELECT CAST(floor(({_KMV_K}-1) / (max(h) / {_KMV_2_32}) * 1e3 + 0.5001)
+                AS BIGINT) FROM ku) AS est_union_e3,
+        (SELECT CAST(count(*) AS BIGINT) FROM ha) AS exact_a,
+        (SELECT CAST(count(*) AS BIGINT) FROM hb) AS exact_b,
+        (SELECT CAST(count(*) AS BIGINT)
+         FROM ha JOIN hb USING (h)) AS exact_overlap
+    )
+    SELECT exact_a, exact_b, exact_overlap, est_a_e3, est_b_e3, est_union_e3,
+           greatest(est_a_e3 + est_b_e3 - est_union_e3, 0) AS est_overlap_e3
+    FROM ests
+"""
+
+
+@query("sketch_kmv_key_overlap", oracle=_KMV_JOIN_ORACLE)
+def sketch_kmv_key_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join key-overlap estimation from mergeable KMV sketches —
+    the planner-style cardinality probe you run BEFORE committing to a
+    100 TB join strategy.
+
+    Each side's distinct join keys are summarized by its k smallest
+    hash values (k={_KMV_K}); the union sketch is computable from the
+    two k-sets alone (KMV's lossless merge), and inclusion–exclusion
+    |A∩B| ≈ |A|+|B|−|A∪B| prices the key overlap without either side
+    shuffling raw keys to the other. Two tiny sketches answer "is this
+    join selective, and which side is the subset?" — the input to
+    broadcast-vs-shuffle and join-order decisions. Exact counts ride
+    along to exhibit the estimate quality; the estimator can go
+    negative on tiny overlaps, clamped at 0 (both engines).
+
+    Scale: each sketch is one scan + one {_KMV_K}-row reduction;
+    nothing else moves. md5-prefix hashing keeps the sketch
+    bit-identical across engines (no seeded hash state).
+    """
+    from pyspark.sql.window import Window as W
+
+    def kmv(df: DataFrame, col: str) -> DataFrame:
+        return (
+            df.select(
+                F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
+                .cast("long")
+                .alias("h")
+            )
+            .distinct()
+        )
+
+    ha = shared_cache(
+        spark, sf_dir, "kmv_overlap_ha",
+        lambda: kmv(load_table(spark, "events", sf_dir), "user_id"),
+    )
+    hb = shared_cache(
+        spark, sf_dir, "kmv_overlap_hb",
+        lambda: kmv(load_table(spark, "customer", sf_dir), "c_custkey"),
+    )
+
+    def ksmall(df: DataFrame) -> DataFrame:
+        return (
+            df.select("h", F.row_number().over(W.orderBy("h")).alias("rn"))
+            .where(F.col("rn") <= _KMV_K)
+            .select("h")
+        )
+
+    def est(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.floor((_KMV_K - 1) / (F.max("h") / _KMV_2_32) * 1e3 + 0.5001)
+            .cast("long")
+            .alias(name)
+        )
+
+    ka, kb = ksmall(ha), ksmall(hb)
+    ku = ksmall(ka.unionByName(kb).distinct())
+    ea, eb, eu = est(ka, "est_a_e3"), est(kb, "est_b_e3"), est(ku, "est_union_e3")
+    xa = ha.agg(F.count("*").cast("long").alias("exact_a"))
+    xb = hb.agg(F.count("*").cast("long").alias("exact_b"))
+    xo = ha.join(hb, "h").agg(F.count("*").cast("long").alias("exact_overlap"))
+    row = (
+        xa.crossJoin(F.broadcast(xb))
+        .crossJoin(F.broadcast(xo))
+        .crossJoin(F.broadcast(ea))
+        .crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+    )
+    return row.select(
+        "exact_a", "exact_b", "exact_overlap", "est_a_e3", "est_b_e3",
+        "est_union_e3",
+        F.greatest(
+            F.col("est_a_e3") + F.col("est_b_e3") - F.col("est_union_e3"), F.lit(0)
+        ).cast("long").alias("est_overlap_e3"),
+    )

@@ -735,3 +735,74 @@ def text_token_drift_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.abs("drift_e6").desc(), "term").limit(20)
+
+
+_BOILER_DF = 50  # shingles in ≥ this many docs are template/boilerplate
+
+_BOILERPLATE_ORACLE = f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), shingles AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(ws) - 2, 1)),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        FROM words
+      ) raw
+    ), freq AS (
+      SELECT sh FROM shingles GROUP BY sh HAVING count(*) >= {_BOILER_DF}
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_sh,
+           CAST(count(f.sh) AS BIGINT) AS n_boiler,
+           CAST(floor(count(f.sh) * 1000000.0 / count(*)) AS BIGINT)
+             AS boiler_share_e6
+    FROM shingles s LEFT JOIN freq f USING (sh)
+    GROUP BY s.doc_id
+"""
+
+
+@query("text_boilerplate_share", oracle=_BOILERPLATE_ORACLE)
+def text_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate ratio: the share of a doc's distinct
+    3-word shingles that are corpus-wide templates (document frequency
+    ≥ {_BOILER_DF}).
+
+    The CCNet/C4-style signal that separates navigation chrome, license
+    headers and scraped templates from original prose — a doc whose
+    shingles are mostly corpus-frequent adds nothing to a training mix
+    even if it is not an exact duplicate of any single other doc.
+
+    Scale design: shingle document-frequency is one map-side-combinable
+    groupBy (hot shingles absorbed map-side — never a window over the
+    Zipfian shingle key); the boilerplate set is a one-column frame
+    joined back on the shingle key where AQE skew-split applies; the
+    final per-doc rollup shuffles (doc_id, flag) pairs only. The ratio
+    is exact integer arithmetic (n*1e6 is exact in double far below
+    2^53 and IEEE division is correctly rounded, so floor is
+    cross-engine stable).
+    """
+    from gotsdb_spark.operators.dedup import shingle_table
+    from gotsdb_spark.sources.registry import shared_cache
+
+    sh = shared_cache(
+        spark, sf_dir, "shingle_table", lambda: shingle_table(spark, sf_dir)
+    )
+    boiler = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= _BOILER_DF)
+        .select("sh", F.lit(1).alias("is_boiler"))
+    )
+    return (
+        sh.join(boiler, "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sh"),
+            F.count("is_boiler").cast("long").alias("n_boiler"),
+            F.floor(F.count("is_boiler") * 1000000.0 / F.count("*"))
+            .cast("long")
+            .alias("boiler_share_e6"),
+        )
+    )

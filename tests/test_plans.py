@@ -507,3 +507,68 @@ def test_semantic_dedup_cluster_scoped_no_cartesian(spark):
     # CartesianProduct node (non-broadcast nested loop) is not
     assert "CartesianProduct" not in plan, plan[:2000]
     assert broadcast_join_count(df) >= 1
+
+
+def test_exact_substring_spans_no_cartesian_and_partial_agg(spark):
+    """Span candidates must come from the span equi-join (df-capped
+    postings), never an all-pairs product; span doc-frequency must be a
+    map-side-combinable HashAggregate on the span key."""
+    import re
+
+    df = QUERIES["dedup_exact_substring_spans"](spark, SF)
+    assert not has_cartesian_product(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"HashAggregate.*keys=\[sp#\d+\]", plan), plan[:2000]
+
+
+def test_boilerplate_share_no_window_on_shingle(spark):
+    """Boilerplate doc-frequency must be a groupBy joined back on sh —
+    a window over the Zipfian shingle key has no skew remedy."""
+    import re
+
+    df = QUERIES["text_boilerplate_share"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:2000]
+    assert not has_cartesian_product(df)
+
+
+def test_fuzzy_linkage_blocked_equi_join(spark):
+    """Record linkage must join on the blocking key (brand equi-join);
+    a cartesian/BNLJ product means blocking degenerated to all-pairs."""
+    df = QUERIES["linkage_fuzzy_name_match"](spark, SF)
+    assert not has_cartesian_product(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_key_skew_audit_two_shuffles_and_pruned_scan(spark):
+    """Per-key counts are one keyed shuffle; the single-row summary
+    adds one SinglePartition exchange; the events scan reads only the
+    key column."""
+    df = QUERIES["audit_key_skew"](spark, SF)
+    assert shuffle_count(df) <= 2
+    scans = read_schema_columns(df)
+    assert scans and all(cols == ["user_id"] for cols in scans), scans
+
+
+def test_kmv_key_overlap_no_cartesian_and_cache_reuse(spark):
+    """The sketch assembly row uses deliberate 1-row broadcast joins
+    (BNLJ is expected); what must never appear is a real
+    CartesianProduct, and each side's hashed key set must be built
+    once and reused from cache across the sketch/exact branches."""
+    from gotsdb_spark.plans import formatted_plan
+
+    df = QUERIES["sketch_kmv_key_overlap"](spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+
+
+def test_merge_upsert_is_keyed_full_outer(spark):
+    """MERGE must resolve rows via a keyed full-outer join (shuffle on
+    the merge key), never a cartesian, and the rollup keeps partial
+    aggregation."""
+    df = QUERIES["warehouse_merge_upsert"](spark, SF)
+    assert not has_cartesian_product(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan, plan[:2000]
