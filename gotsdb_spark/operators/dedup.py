@@ -817,3 +817,95 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
         .agg(F.count("*").cast("long").alias("n_shared_spans"))
     )
+
+
+_FUZZY_CONTAM_T = 0.5
+
+_FUZZY_CONTAM_ORACLE = f"""
+    WITH {_MINHASH_BANDS_CTES}, split AS (
+      SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_eval
+      FROM documents
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS eval_doc, b.doc_id AS train_doc
+      FROM bands a JOIN split sa ON sa.doc_id = a.doc_id AND sa.is_eval
+      JOIN bands b ON a.band_id = b.band_id AND a.sig = b.sig
+                  AND a.doc_id <> b.doc_id
+      JOIN split sb ON sb.doc_id = b.doc_id AND NOT sb.is_eval
+    ), inter AS (
+      SELECT eval_doc, train_doc, count(*) AS n_common
+      FROM cand
+      JOIN shingles se ON se.doc_id = eval_doc
+      JOIN shingles st ON st.doc_id = train_doc AND se.sh = st.sh
+      GROUP BY eval_doc, train_doc
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+    ), near AS (
+      SELECT eval_doc, train_doc,
+             n_common * 1.0 / (ze.n_sh + zt.n_sh - n_common) AS j
+      FROM inter
+      JOIN sizes ze ON ze.doc_id = eval_doc
+      JOIN sizes zt ON zt.doc_id = train_doc
+      WHERE n_common * 1.0 / (ze.n_sh + zt.n_sh - n_common) >= {_FUZZY_CONTAM_T}
+    )
+    SELECT eval_doc,
+           CAST(count(*) AS BIGINT) AS n_near_train_docs,
+           CAST(max(CAST(floor(j * 1e6 + 0.5001) AS BIGINT)) AS BIGINT)
+             AS max_jaccard_e6
+    FROM near GROUP BY eval_doc
+"""
+
+
+@query("curate_fuzzy_contamination", oracle=_FUZZY_CONTAM_ORACLE)
+def curate_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate train/eval decontamination: held-out docs whose
+    best training-set match clears Jaccard ≥ {_FUZZY_CONTAM_T}, found
+    through MinHash bands rather than exact shingle identity.
+
+    curate_contamination (pipeline_ops.py) flags exact shared
+    shingles; real leakage is usually a lightly-edited copy that
+    shares FEW exact shingles per doc but high overall similarity —
+    the case only fuzzy matching catches. Candidates come from the
+    same banded-signature equi-join as dedup_minhash_lsh, restricted
+    to eval-side × train-side (the same deterministic md5 1/16
+    holdout as the hash-split primitive), then verified exactly on
+    the packed shingle arrays. Scale shape is inherited: shuffle is
+    O(band matches), the packed arrays never explode, and the doc
+    split is a row-local hash — no join against a split table.
+    """
+    docs, bands = _minhash_bands(spark, sf_dir)
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    eb = bands.where(is_eval).select(
+        F.col("doc_id").alias("eval_doc"), "band_id", "sig"
+    )
+    tb = bands.where(~is_eval).select(
+        F.col("doc_id").alias("train_doc"),
+        F.col("band_id").alias("band_t"),
+        F.col("sig").alias("sig_t"),
+    )
+    cand = (
+        eb.join(
+            tb,
+            (F.col("band_id") == F.col("band_t"))
+            & (F.col("sig") == F.col("sig_t"))
+            & (F.col("eval_doc") != F.col("train_doc")),
+        )
+        .select("eval_doc", "train_doc")
+        .distinct()
+    )
+    de = docs.select(F.col("doc_id").alias("eval_doc"), F.col("sh_arr").alias("sh_e"))
+    dt = docs.select(F.col("doc_id").alias("train_doc"), F.col("sh_arr").alias("sh_t"))
+    n_common = F.size(F.array_intersect("sh_e", "sh_t"))
+    j = n_common * F.lit(1.0) / (F.size("sh_e") + F.size("sh_t") - n_common)
+    return (
+        cand.join(de, "eval_doc")
+        .join(dt, "train_doc")
+        .withColumn("j", j)
+        .where(F.col("j") >= _FUZZY_CONTAM_T)
+        .groupBy("eval_doc")
+        .agg(
+            F.count("*").cast("long").alias("n_near_train_docs"),
+            F.max(F.floor(F.col("j") * 1e6 + 0.5001).cast("long")).alias(
+                "max_jaccard_e6"
+            ),
+        )
+    )

@@ -337,27 +337,59 @@ def linkage_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: the block key is the shuffle key (equi-join → hash
     co-location, AQE skew-split applies to hot brands) and the
-    quadratic term is bounded per block. Production systems tune the
-    block to keep per-block cardinality flat (brand+size, sorted
-    -neighborhood windows); the plan shape is the same.
+    quadratic term is bounded per block. The expensive distance runs
+    on the DICTIONARY, not the rows: parts are grouped to one row per
+    (brand, name) first, so Levenshtein evaluates once per distinct
+    ordered name pair per block (records repeat names; the distinct
+    domain is orders of magnitude smaller than the row-pair space —
+    8M row pairs vs ~100k name pairs at sf0.1), bounded by the
+    threshold form (early-exit banded DP, returns -1 past the bound).
+    Surviving name pairs explode their grouped key lists back into
+    record pairs — output work is O(matches), not O(candidates).
     """
     part = load_table(spark, "part", sf_dir).select("p_partkey", "p_name", "p_brand")
-    a = part.select(
-        F.col("p_partkey").alias("part_a"), F.col("p_name").alias("name_a"), "p_brand"
+    by_name = part.groupBy("p_brand", "p_name").agg(
+        F.collect_list("p_partkey").alias("keys")
     )
-    b = part.select(
-        F.col("p_partkey").alias("part_b"),
-        F.col("p_name").alias("name_b"),
+    a = by_name.select(
+        "p_brand", F.col("p_name").alias("name_a"), F.col("keys").alias("keys_a")
+    )
+    b = by_name.select(
         F.col("p_brand").alias("brand_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("keys").alias("keys_b"),
     )
-    return (
+    # Ordered name pairs (both directions) so name_a always labels the
+    # lower-key part after the part_a < part_b filter below.
+    near = (
         a.join(
             b,
             (F.col("p_brand") == F.col("brand_b"))
-            & (F.col("part_a") < F.col("part_b"))
             & (F.col("name_a") != F.col("name_b")),
         )
-        .withColumn("lev_dist", F.levenshtein("name_a", "name_b").cast("long"))
-        .where(F.col("lev_dist") <= _LINKAGE_MAX_DIST)
+        .withColumn(
+            "lev_dist",
+            F.levenshtein("name_a", "name_b", _LINKAGE_MAX_DIST).cast("long"),
+        )
+        .where(F.col("lev_dist") >= 1)
+    )
+    return (
+        near.select(
+            "p_brand",
+            "name_a",
+            "name_b",
+            "lev_dist",
+            F.explode("keys_a").alias("part_a"),
+            "keys_b",
+        )
+        .select(
+            "p_brand",
+            "name_a",
+            "name_b",
+            "lev_dist",
+            "part_a",
+            F.explode("keys_b").alias("part_b"),
+        )
+        .where(F.col("part_a") < F.col("part_b"))
         .select("part_a", "part_b", "p_brand", "name_a", "name_b", "lev_dist")
     )

@@ -887,15 +887,17 @@ _SEMANTIC_DEDUP_ORACLE = f"""
     ), emb AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings
+    ), nemb AS (
+      SELECT vec_id,
+             list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS en
+      FROM emb
     ), dup_pairs AS (
       SELECT a.list_id, a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM assigned a
       JOIN assigned b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
-      JOIN emb ea ON ea.vec_id = a.vec_id
-      JOIN emb eb ON eb.vec_id = b.vec_id
-      WHERE list_dot_product(ea.e, eb.e) /
-              (sqrt(list_dot_product(ea.e, ea.e)) *
-               sqrt(list_dot_product(eb.e, eb.e))) >= {_SEMANTIC_DEDUP_T}
+      JOIN nemb ea ON ea.vec_id = a.vec_id
+      JOIN nemb eb ON eb.vec_id = b.vec_id
+      WHERE list_dot_product(ea.en, eb.en) >= {_SEMANTIC_DEDUP_T}
     ), members AS (
       SELECT list_id, CAST(count(*) AS BIGINT) AS n_members
       FROM assigned GROUP BY list_id
@@ -974,13 +976,32 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = assigned.select(F.col("vec_id").alias("vec_a"), "list_id")
     b = assigned.select(F.col("vec_id").alias("vec_b"), F.col("list_id").alias("list_b"))
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    # Normalize ONCE per vector so the per-pair check is a single array
+    # traversal (dot of unit vectors) instead of three (dot + two
+    # norms): higher-order lambdas are interpreted, not codegen'd, so
+    # per-pair work is the whole cost here. The unit-vector table is
+    # vectors-sized (tiny next to the pair set) and joins into the
+    # narrow id-pair stream as a broadcast — the 64-dim arrays never
+    # ride the pair shuffle. At 100 TB the same two joins stay
+    # equi-joins on vec_id, just not broadcast.
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with("e", "e", lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+        )
+    )
+    nemb = vecs.withColumn("nrm", nrm).select(
+        "vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("en")
+    )
+    ea = nemb.select(F.col("vec_id").alias("vec_a"), F.col("en").alias("en_a"))
+    eb = nemb.select(F.col("vec_id").alias("vec_b"), F.col("en").alias("en_b"))
+    unit_dot = F.aggregate(
+        F.zip_with("en_a", "en_b", lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
     dup_pairs = (
         a.join(b, (F.col("list_id") == F.col("list_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .where(cosine(F.col("e_a"), F.col("e_b")) >= _SEMANTIC_DEDUP_T)
+        .join(F.broadcast(ea), "vec_a")
+        .join(F.broadcast(eb), "vec_b")
+        .where(unit_dot >= _SEMANTIC_DEDUP_T)
         .select("list_id", "vec_a", "vec_b")
     )
     per_cluster_dups = dup_pairs.groupBy("list_id").agg(

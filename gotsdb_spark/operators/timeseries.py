@@ -420,12 +420,19 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation of purchase values onto a 6-hour grid.
 
-    The union+window idiom again: tag grid points and samples, sort
-    once, carry the previous sample (last ignorenulls, backward) and
-    the next sample (first ignorenulls, forward) to every grid point,
-    interpolate row-locally. O(n log n) on one sorted stream — never a
-    range join of grid × samples. Per-key variants add partitionBy on
-    the series key.
+    The union+window idiom, made scale-safe: tag grid points and
+    samples, and find each grid point's flanking samples (previous and
+    next) with windows partitioned BY DAY — never a global
+    unpartitioned sort (the naive form funnels every sample into one
+    task; the oracle runs exactly that naive form, proving this
+    decomposition result-identical). Cross-day flanks are carried
+    through a days-sized summary frame: each day's first/last sample
+    is one row, the summary window costs O(days), and a left join on
+    the day key (broadcastable) hands every grid row the latest
+    earlier / earliest later sample when its own day has none before/
+    after it. Same exact-overlap-carry pattern as the rolling-zscore
+    anomaly scorer — window-key cardinality grows with the time range
+    instead of collapsing to one task.
     """
     ev = load_table(spark, "events", sf_dir)
     samples = ev.where(F.col("event_type") == "purchase").select("ts", "value")
@@ -436,18 +443,58 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 6 HOUR"))).alias("ts")
     ).select("ts", F.lit(None).cast("double").alias("value"), F.lit(1).alias("is_grid"))
-    tagged = samples.select("ts", "value", F.lit(0).alias("is_grid")).unionByName(grid)
-    wb = W.orderBy("ts", "is_grid").rowsBetween(W.unboundedPreceding, W.currentRow)
-    wf = W.orderBy("ts", "is_grid").rowsBetween(W.currentRow, W.unboundedFollowing)
+    tagged = (
+        samples.select("ts", "value", F.lit(0).alias("is_grid"))
+        .unionByName(grid)
+        .withColumn("day", F.date_trunc("day", "ts"))
+    )
+    wb = (
+        W.partitionBy("day")
+        .orderBy("ts", "is_grid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("day")
+        .orderBy("ts", "is_grid")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
     sample_t = F.when(F.col("is_grid") == 0, F.col("ts").cast("double"))
     sample_v = F.when(F.col("is_grid") == 0, F.col("value"))
     flanked = tagged.select(
         "ts",
         "is_grid",
-        F.last(sample_t, ignorenulls=True).over(wb).alias("t0"),
-        F.last(sample_v, ignorenulls=True).over(wb).alias("v0"),
-        F.first(sample_t, ignorenulls=True).over(wf).alias("t1"),
-        F.first(sample_v, ignorenulls=True).over(wf).alias("v1"),
+        "day",
+        F.last(sample_t, ignorenulls=True).over(wb).alias("t0d"),
+        F.last(sample_v, ignorenulls=True).over(wb).alias("v0d"),
+        F.first(sample_t, ignorenulls=True).over(wf).alias("t1d"),
+        F.first(sample_v, ignorenulls=True).over(wf).alias("v1d"),
+    )
+    # One row per day that HAS samples: its first/last sample. Carried
+    # across the (tiny) day spine so a grid row whose own day lacks a
+    # flanking sample inherits the nearest one from an adjacent day.
+    day_sum = samples.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.min(F.col("ts").cast("double")).alias("first_t"),
+        F.min_by("value", "ts").alias("first_v"),
+        F.max(F.col("ts").cast("double")).alias("last_t"),
+        F.max_by("value", "ts").alias("last_v"),
+    )
+    spine = tagged.select("day").distinct().join(day_sum, "day", "left")
+    wprev = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    wnext = W.orderBy("day").rowsBetween(1, W.unboundedFollowing)
+    carried = spine.select(
+        "day",
+        F.last("last_t", ignorenulls=True).over(wprev).alias("prev_t"),
+        F.last("last_v", ignorenulls=True).over(wprev).alias("prev_v"),
+        F.first("first_t", ignorenulls=True).over(wnext).alias("next_t"),
+        F.first("first_v", ignorenulls=True).over(wnext).alias("next_v"),
+    )
+    full = flanked.join(F.broadcast(carried), "day").select(
+        "ts",
+        "is_grid",
+        F.coalesce("t0d", "prev_t").alias("t0"),
+        F.coalesce("v0d", "prev_v").alias("v0"),
+        F.coalesce("t1d", "next_t").alias("t1"),
+        F.coalesce("v1d", "next_v").alias("v1"),
     )
     interp = F.when(F.col("t1") == F.col("t0"), F.col("v0")).otherwise(
         F.col("v0")
@@ -456,7 +503,7 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("t1") - F.col("t0"))
     )
     return (
-        flanked.where(
+        full.where(
             (F.col("is_grid") == 1) & F.col("t0").isNotNull() & F.col("t1").isNotNull()
         )
         .select(F.col("ts").alias("grid_ts"), interp.alias("interp"))

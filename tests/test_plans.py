@@ -572,3 +572,10 @@ def test_merge_upsert_is_keyed_full_outer(spark):
     assert not has_cartesian_product(df)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FullOuter" in plan, plan[:2000]
+
+
+def test_fuzzy_contamination_band_equi_join(spark):
+    """Eval×train candidates must come from the banded-signature
+    equi-join (shuffle O(band matches)), never an all-pairs product."""
+    df = QUERIES["curate_fuzzy_contamination"](spark, SF)
+    assert not has_cartesian_product(df)
