@@ -654,11 +654,11 @@ def sketch_kmv_key_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ksmall(df: DataFrame) -> DataFrame:
-        return (
-            df.select("h", F.row_number().over(W.orderBy("h")).alias("rn"))
-            .where(F.col("rn") <= _KMV_K)
-            .select("h")
-        )
+        # orderBy+limit plans as TakeOrderedAndProject: each partition
+        # keeps its k smallest, the driver merges — never a global sort
+        # (a row_number window here would funnel every distinct hash
+        # into one task).
+        return df.orderBy("h").limit(_KMV_K)
 
     def est(df: DataFrame, name: str) -> DataFrame:
         return df.agg(

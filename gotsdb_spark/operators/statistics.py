@@ -538,3 +538,70 @@ def observe_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(row["n_rows"], row["sum_cents"], row["max_cents"], row["n_urgent"])],
         "n_rows bigint, sum_cents bigint, max_cents bigint, n_urgent bigint",
     )
+
+
+_GRAM_DIM = 64
+
+_GRAM_ORACLE = f"""
+    WITH comps AS (
+      SELECT vec_id, d.d AS d, CAST(embedding[d.d] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(generate_series(1, {_GRAM_DIM})) AS d) d
+    )
+    SELECT CAST(a.d AS INT) AS i, CAST(b.d AS INT) AS j,
+           CAST(sum(CAST(floor(a.x * b.x * 1e6 + 0.5001) AS BIGINT)) AS BIGINT)
+             AS gram_e6
+    FROM comps a JOIN comps b ON a.vec_id = b.vec_id AND a.d <= b.d
+    GROUP BY a.d, b.d
+"""
+
+
+@query("stats_embedding_gram", oracle=_GRAM_ORACLE)
+def stats_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix (XᵀX upper triangle) over the embedding
+    corpus — the sufficient statistic behind PCA / covariance /
+    whitening at scale.
+
+    The execution pattern is the one that matters at 100 TB: each
+    Arrow batch computes its LOCAL d×d matrix of integer-scaled
+    products in numpy (vectorized einsum over the batch), and only the
+    d(d+1)/2-row partial matrices shuffle — map-side matrix combining,
+    so shuffle volume is O(d² · partitions) regardless of row count.
+    A row-space formulation (explode to (vec, i, j, x·y)) would
+    shuffle n·d² rows. Products are floored to integer 1e-6 units
+    BEFORE summation, making the sums association-order-invariant —
+    any partitioning yields bit-identical results to DuckDB's
+    sequential scan (same trick as the integer-cents fact sums).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from gotsdb_spark.sources.registry import fan_out
+
+    emb = fan_out(load_table(spark, "embeddings", sf_dir)).select("embedding")
+    iu = np.triu_indices(_GRAM_DIM)
+
+    def gram_partials(batches):
+        total = np.zeros((_GRAM_DIM, _GRAM_DIM), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # Per-ROW outer products floored individually (parity with
+            # the per-pair floor in SQL), then integer-summed.
+            prods = np.einsum("ni,nj->nij", x, x)
+            total += np.floor(prods * 1e6 + 0.5001).astype(np.int64).sum(axis=0)
+            seen = True
+        if seen:
+            yield pd.DataFrame(
+                {
+                    "i": (iu[0] + 1).astype("int32"),
+                    "j": (iu[1] + 1).astype("int32"),
+                    "partial": total[iu],
+                }
+            )
+
+    partials = emb.mapInPandas(gram_partials, "i int, j int, partial long")
+    return partials.groupBy("i", "j").agg(
+        F.sum("partial").cast("long").alias("gram_e6")
+    )

@@ -1956,3 +1956,63 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("lo").cast("long").alias("n_clipped_low"),
         F.sum("hi").cast("long").alias("n_clipped_high"),
     )
+
+
+_MOTIF = "vcp"  # view → click → purchase, strictly adjacent
+
+_MOTIF_ORACLE = f"""
+    WITH seqs AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST((len(seq) - len(replace(seq, '{_MOTIF}', '')))
+                // {len(_MOTIF)} AS BIGINT) AS n_motifs
+    FROM seqs
+"""
+
+
+@query("ts_sequence_motif_counts", oracle=_MOTIF_ORACLE)
+def ts_sequence_motif_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: count strictly-adjacent event motifs
+    (view→click→purchase) per user.
+
+    Funnels (ts_funnel_viewcartpurchase) ask "did each stage EVER
+    happen in order"; this asks for CONSECUTIVE pattern occurrences —
+    the sequenced-behavior primitive behind conversion-path and
+    bot-detection queries that SQL row patterns (MATCH_RECOGNIZE)
+    express on engines that have it. Here the per-user event stream
+    collapses to a compact symbol string (one char per event, ordered
+    by (ts, event_id) — a deterministic total order), and the
+    non-overlapping motif count is exact string arithmetic:
+    (len − len(replace(seq, motif, ''))) / |motif|, identical
+    left-to-right semantics in both engines.
+
+    Scale: one shuffle keyed by user; per-user state is that user's
+    event count (the same bound every sessionization carries. At
+    100 TB you'd collapse per (user, session) — same plan, smaller
+    strings). The string build is array_sort over a collected struct
+    array — row-local JVM work after the shuffle, no window, no
+    explode.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("ini")
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "ini"))),
+                lambda s: s.ini,
+            ),
+        ).alias("seq"),
+    )
+    n_motifs = (
+        (F.length("seq") - F.length(F.replace(F.col("seq"), F.lit(_MOTIF))))
+        / len(_MOTIF)
+    ).cast("long")
+    return seqs.select("user_id", "n_events", n_motifs.alias("n_motifs"))

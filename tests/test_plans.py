@@ -562,6 +562,9 @@ def test_kmv_key_overlap_no_cartesian_and_cache_reuse(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+    # k-smallest must be the distributed top-k (per-partition k + driver
+    # merge), never a global-sort row_number window over all hashes
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
 
 
 def test_merge_upsert_is_keyed_full_outer(spark):
@@ -579,3 +582,28 @@ def test_fuzzy_contamination_band_equi_join(spark):
     equi-join (shuffle O(band matches)), never an all-pairs product."""
     df = QUERIES["curate_fuzzy_contamination"](spark, SF)
     assert not has_cartesian_product(df)
+
+
+def test_embedding_gram_mapinpandas_partials(spark):
+    """The Gram matrix must aggregate map-side in Arrow batches: plan
+    shows MapInPandas feeding one grouped shuffle of d^2-row partials —
+    never an explode of per-row (i, j) products."""
+    from gotsdb_spark.plans import formatted_plan
+
+    df = QUERIES["stats_embedding_gram"](spark, SF)
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan, plan[:2000]
+    assert "Generate" not in plan, plan[:2000]  # no explode
+    assert shuffle_count(df) <= 2  # fan_out + the partial-sum groupBy
+
+
+def test_sequence_motif_single_user_shuffle(spark):
+    """Motif counting is one user-keyed shuffle + row-local string
+    work: no window, no explode."""
+    from gotsdb_spark.plans import formatted_plan
+
+    df = QUERIES["ts_sequence_motif_counts"](spark, SF)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan[:2000]
+    assert "Generate" not in plan, plan[:2000]
+    assert shuffle_count(df) == 1
