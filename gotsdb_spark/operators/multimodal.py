@@ -588,3 +588,96 @@ def multimodal_audio_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches,
         schema="doc_id bigint, frame_id int, energy bigint, zero_crossings int",
     )
+
+
+_AC_MAX_LAG = 16
+
+_AUTOCORR_ORACLE = f"""
+    WITH g AS (
+      SELECT doc_id, md5(text) AS hx FROM documents
+    ), idx AS (
+      SELECT doc_id, hx, unnest(generate_series(0, {WAV_N_SAMPLES - 1})) AS i
+      FROM g
+    ), vals AS (
+      SELECT doc_id, i,
+             CAST('0x' || substr(hx, 2 * ((2 * i) % 16) + 1, 2) AS INT)
+             + 256 * CAST('0x' || substr(hx, 2 * ((2 * i + 1) % 16) + 1, 2)
+                          AS INT) AS u
+      FROM idx
+    ), pcm AS (
+      SELECT doc_id, i,
+             CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS BIGINT) AS v
+      FROM vals
+    ), r0 AS (
+      SELECT doc_id, sum(v * v) AS r0 FROM pcm GROUP BY doc_id
+    ), lagged AS (
+      SELECT a.doc_id, l.lag, sum(a.v * b.v) AS r
+      FROM (SELECT unnest(generate_series(1, {_AC_MAX_LAG})) AS lag) l,
+           pcm a JOIN pcm b ON b.doc_id = a.doc_id AND b.i = a.i + l.lag
+      GROUP BY a.doc_id, l.lag
+    ), best AS (
+      SELECT doc_id, lag, r,
+             row_number() OVER (PARTITION BY doc_id ORDER BY r DESC, lag)
+               AS rn
+      FROM lagged
+    )
+    SELECT b.doc_id, CAST(b.lag AS INT) AS best_lag,
+           CAST(b.r AS BIGINT) AS r_best, CAST(r0.r0 AS BIGINT) AS r0,
+           CAST((b.r * 1000000) // r0.r0 AS BIGINT) AS strength_e6
+    FROM best b JOIN r0 USING (doc_id) WHERE rn = 1
+"""
+
+
+@query("multimodal_audio_autocorr", oracle=_AUTOCORR_ORACLE)
+def multimodal_audio_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pitch detection by autocorrelation over the decoded WAV corpus:
+    per clip, the lag in 1..{_AC_MAX_LAG} whose raw autocorrelation
+    R[L] = Σ x[i]·x[i+L] is largest, with its periodicity strength
+    R[best]/R[0].
+
+    The first DSP feature extractor over the audio payloads (decode →
+    amplitude stats existed; this analyzes STRUCTURE): autocorrelation
+    peak-picking is the classic O(n·maxlag) pitch estimator, and the
+    md5-cycled fixtures have an exact period of 8 samples, which the
+    estimator must discover from the waveform alone. All arithmetic is
+    int64 (int16 products summed, strength as integer-scaled division)
+    so the DuckDB oracle — which recomputes the PCM stream analytically
+    from the md5 bytes and autocorrelates in SQL — matches bit-exactly.
+
+    Scale shape: identical to every codec op here — payload decode and
+    the full R[1..{_AC_MAX_LAG}] loop run inside one Arrow batch in
+    numpy (row-local, no shuffle at all); the cluster cost is the scan.
+    """
+    import numpy as np
+
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    payloads = with_wav_payload(docs)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                import io
+                import wave
+
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as wf:
+                    raw = wf.readframes(wf.getnframes())
+                x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                r0 = int(np.dot(x, x))
+                rs = [int(np.dot(x[:-lag], x[lag:])) for lag in range(1, _AC_MAX_LAG + 1)]
+                best = max(range(_AC_MAX_LAG), key=lambda k: (rs[k], -k))
+                rows.append(
+                    (doc_id, best + 1, rs[best], r0, rs[best] * 1000000 // r0)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "best_lag", "r_best", "r0", "strength_e6"]
+            ).astype(
+                {"doc_id": "int64", "best_lag": "int32", "r_best": "int64",
+                 "r0": "int64", "strength_e6": "int64"}
+            )
+
+    return payloads.mapInPandas(
+        batches,
+        schema="doc_id bigint, best_lag int, r_best bigint, r0 bigint,"
+        " strength_e6 bigint",
+    )

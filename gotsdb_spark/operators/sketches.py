@@ -632,7 +632,6 @@ def sketch_kmv_key_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing else moves. md5-prefix hashing keeps the sketch
     bit-identical across engines (no seeded hash state).
     """
-    from pyspark.sql.window import Window as W
 
     def kmv(df: DataFrame, col: str) -> DataFrame:
         return (

@@ -607,3 +607,24 @@ def test_sequence_motif_single_user_shuffle(spark):
     assert "Window" not in plan, plan[:2000]
     assert "Generate" not in plan, plan[:2000]
     assert shuffle_count(df) == 1
+
+
+def test_audio_autocorr_row_local_no_shuffle(spark):
+    """Decode + the full autocorrelation loop run inside one Arrow
+    batch: the plan is scan → MapInPandas with zero Exchanges beyond
+    the deliberate fan_out repartition."""
+    from gotsdb_spark.plans import formatted_plan
+
+    df = QUERIES["multimodal_audio_autocorr"](spark, SF)
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan, plan[:2000]
+    assert shuffle_count(df) <= 1  # fan_out only
+
+
+def test_incremental_join_view_delta_joins_broadcast(spark):
+    """The IVM refresh must run as separate delta-sized joins with the
+    dim side broadcast — no cartesian, no single monolithic re-join
+    shape (>= 4 joins: three delta terms + full recompute)."""
+    df = QUERIES["incremental_join_view"](spark, SF)
+    assert not has_cartesian_product(df)
+    assert broadcast_join_count(df) >= 4
