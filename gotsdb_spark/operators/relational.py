@@ -1080,3 +1080,167 @@ def cross_join_region_brand_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region").select("r_name")
     brands = _t(spark, sf_dir, "part").select("p_brand").distinct()
     return region.crossJoin(brands)
+
+
+_BASKET_TOPK = 20
+
+_BASKET_ORACLE = f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_orders AS (
+      SELECT count(DISTINCT l_orderkey) AS n FROM items
+    ), support AS (
+      SELECT l_partkey, count(*) AS s FROM items GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_pair
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, CAST(n_pair AS BIGINT) AS n_pair,
+           CAST((n_pair * n.n * 1000000) // (sa.s * sb.s) AS BIGINT)
+             AS lift_e6
+    FROM pairs
+    JOIN support sa ON sa.l_partkey = part_a
+    JOIN support sb ON sb.l_partkey = part_b
+    CROSS JOIN n_orders n
+    ORDER BY n_pair DESC, part_a, part_b
+    LIMIT {_BASKET_TOPK}
+"""
+
+
+@query("basket_part_pair_lift", oracle=_BASKET_ORACLE)
+def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining: the top-{_BASKET_TOPK} part
+    pairs bought together, with association lift.
+
+    The A-priori-style first step (frequent 2-itemsets) as dataflow:
+    pair candidates come from a self-equi-join on the basket key — the
+    quadratic term is bounded by basket SIZE (≤7 lines per TPC-H
+    order), never corpus size, which is what makes co-occurrence
+    mining tractable at any scale. Lift = P(a,b)/(P(a)·P(b)) is
+    computed in exact integer arithmetic (n_pair·n_orders·1e6 //
+    s_a·s_b) and the top-k is a TakeOrderedAndProject with a total
+    tiebreak (n_pair desc, part_a, part_b) so the cut is
+    deterministic. Supports join back as map-side lookups; the scalar
+    order count broadcasts.
+    """
+    items = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n")
+    )
+    support = items.groupBy("l_partkey").agg(F.count("*").alias("s"))
+    b = items.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        items.join(
+            b,
+            (F.col("l_orderkey") == F.col("ok_b"))
+            & (F.col("l_partkey") < F.col("part_b")),
+        )
+        .groupBy(F.col("l_partkey").alias("part_a"), "part_b")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+    )
+    sa = support.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("s_a"))
+    sb = support.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("s_b"))
+    return (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            F.expr("n_pair * n * 1000000 div (s_a * s_b)").alias("lift_e6"),
+        )
+        .orderBy(F.desc("n_pair"), "part_a", "part_b")
+        .limit(_BASKET_TOPK)
+    )
+
+
+_CHECKSUM_ORACLE = """
+    WITH o AS (
+      SELECT ('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+               CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+             ), 1, 15))::BIGINT AS h
+      FROM orders
+    ), l AS (
+      SELECT ('0x' || substr(md5(
+               CAST(l_orderkey AS VARCHAR) || '|' ||
+               CAST(l_linenumber AS VARCHAR) || '|' ||
+               CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+             ), 1, 15))::BIGINT AS h
+      FROM lineitem
+    )
+    SELECT 'orders' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(CAST(sum(h) AS DECIMAL(38,0)) AS VARCHAR) AS checksum FROM o
+    UNION ALL
+    SELECT 'lineitem', CAST(count(*) AS BIGINT),
+           CAST(CAST(sum(h) AS DECIMAL(38,0)) AS VARCHAR)
+    FROM l
+"""
+
+
+@query("audit_content_checksum", oracle=_CHECKSUM_ORACLE)
+def audit_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprints: per-row md5 over a
+    canonical field encoding, integer-summed into one checksum per
+    table.
+
+    The anti-entropy primitive behind replica comparison, migration
+    sign-off and backup verification at 100 TB: because the combine
+    (integer sum of 60-bit hash prefixes) is commutative and
+    associative, ANY partitioning, scan order or engine produces the
+    same fingerprint — two sides compare one row per table instead of
+    shipping data. Fields are canonicalized explicitly ('|' delimiter,
+    money as integer cents) because a checksum is only as portable as
+    its encoding; the 60-bit terms accumulate in a DECIMAL(38,0) sum
+    (both engines), which holds ~1e19 rows without overflow while
+    staying exactly comparable (emitted as a string — the exact
+    integer is the artifact). Pure scan+map+aggregate: no shuffle
+    beyond the 2-row final combine.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+
+    def prefix60(col):
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+    o_h = prefix60(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").cast("string"),
+        )
+    )
+    l_h = prefix60(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("l_quantity").cast("long").cast("string"),
+        )
+    )
+    o_sum = orders.select(o_h.alias("h")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("h").cast("decimal(20,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("checksum"),
+    ).select(F.lit("orders").alias("tbl"), "n_rows", "checksum")
+    l_sum = li.select(l_h.alias("h")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("h").cast("decimal(20,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("checksum"),
+    ).select(F.lit("lineitem").alias("tbl"), "n_rows", "checksum")
+    return o_sum.unionByName(l_sum)

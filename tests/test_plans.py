@@ -628,3 +628,25 @@ def test_incremental_join_view_delta_joins_broadcast(spark):
     df = QUERIES["incremental_join_view"](spark, SF)
     assert not has_cartesian_product(df)
     assert broadcast_join_count(df) >= 4
+
+
+def test_basket_pairs_equi_join_take_ordered(spark):
+    """Pair candidates come from the basket-key equi-join (bounded by
+    basket size) and the top-k cut is TakeOrderedAndProject — never a
+    cartesian or a global sort."""
+    from gotsdb_spark.plans import formatted_plan
+
+    df = QUERIES["basket_part_pair_lift"](spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_content_checksum_scan_plus_agg(spark):
+    """Fingerprinting is scan+map+aggregate: only the two final
+    single-row combines shuffle, and each scan reads just the three
+    canonicalized columns."""
+    df = QUERIES["audit_content_checksum"](spark, SF)
+    assert shuffle_count(df) <= 2
+    scans = read_schema_columns(df)
+    assert scans and all(len(cols) <= 3 for cols in scans), scans
