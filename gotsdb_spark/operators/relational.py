@@ -1112,14 +1112,18 @@ _BASKET_ORACLE = f"""
 
 @query("basket_part_pair_lift", oracle=_BASKET_ORACLE)
 def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket co-occurrence mining: the top-{_BASKET_TOPK} part
-    pairs bought together, with association lift.
+    """Market-basket association strength: the top-{_BASKET_TOPK} part
+    pairs bought together, scored by LIFT — the statistical layer on
+    top of market_basket_part_pairs (advanced.py), which reports raw
+    co-occurrence counts only. Raw counts rank popular-with-everything
+    items first; lift = P(a,b)/(P(a)·P(b)) corrects for individual
+    popularity and is what an association-rule miner actually ranks by.
 
-    The A-priori-style first step (frequent 2-itemsets) as dataflow:
-    pair candidates come from a self-equi-join on the basket key — the
-    quadratic term is bounded by basket SIZE (≤7 lines per TPC-H
-    order), never corpus size, which is what makes co-occurrence
-    mining tractable at any scale. Lift = P(a,b)/(P(a)·P(b)) is
+    Pair candidates come from the same bounded self-equi-join on the
+    basket key (quadratic term bounded by basket SIZE, ≤7 lines per
+    TPC-H order, never corpus size); the additions are the per-item
+    support table joined back and the scalar basket count broadcast
+    into the lift arithmetic. Lift is
     computed in exact integer arithmetic (n_pair·n_orders·1e6 //
     s_a·s_b) and the top-k is a TakeOrderedAndProject with a total
     tiebreak (n_pair desc, part_a, part_b) so the cut is

@@ -491,6 +491,10 @@ _MERGE_ORACLE = """
 def warehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics (Delta/Iceberg-style upsert) as a keyed
     full-outer join: WHEN MATCHED update, WHEN NOT MATCHED insert.
+    Complements merge_upsert_segments (advanced.py), which covers the
+    update-only dimension upsert via the anti-join+union rewrite; this
+    one exercises the full two-clause MERGE — inserts under shifted
+    keys included — through the delta-wins coalesce formulation.
 
     The delta batch is derived deterministically from the fixture so
     both engines see identical input: every 7th order arrives updated

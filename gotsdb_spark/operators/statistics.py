@@ -605,3 +605,65 @@ def stats_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partials.groupBy("i", "j").agg(
         F.sum("partial").cast("long").alias("gram_e6")
     )
+
+
+_WMEDIAN_ORACLE = """
+    WITH wpk AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT l_returnflag, price_cents, w,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY price_cents) AS cw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS total_w
+      FROM wpk
+    )
+    SELECT l_returnflag,
+           CAST(min(price_cents) AS BIGINT) AS wmedian_cents,
+           CAST(min(total_w) AS BIGINT) AS total_weight
+    FROM cum WHERE 2 * cw >= total_w
+    GROUP BY l_returnflag
+"""
+
+
+@query("stats_weighted_median_price", oracle=_WMEDIAN_ORACLE)
+def stats_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price per return flag — the
+    lower weighted median: the smallest price whose cumulative weight
+    reaches half the total.
+
+    Plain median() can't weight, and percentile_approx trades
+    exactness away; the exact-at-scale formulation is the dictionary
+    trick used across this repo: collapse rows to one (group, distinct
+    price) row with summed weight FIRST (map-side-combinable groupBy —
+    row count becomes the distinct-price domain), then a cumulative
+    window over that compact domain finds the crossing point. The
+    window partitions by group over distinct VALUES, so its cost is
+    value-domain-sized, not fact-table-sized — a direct window over
+    raw rows would funnel a third of the fact table through each
+    group's task. All arithmetic is integer (cents, int64 weights):
+    no cross-engine float risk anywhere.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    wpk = li.groupBy(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("price_cents"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("w"))
+    wflag = W.partitionBy("l_returnflag")
+    cum = wpk.select(
+        "l_returnflag",
+        "price_cents",
+        F.sum("w").over(wflag.orderBy("price_cents")).alias("cw"),
+        F.sum("w").over(wflag).alias("total_w"),
+    )
+    return (
+        cum.where(2 * F.col("cw") >= F.col("total_w"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price_cents").cast("long").alias("wmedian_cents"),
+            F.min("total_w").cast("long").alias("total_weight"),
+        )
+    )

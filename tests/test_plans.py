@@ -650,3 +650,20 @@ def test_content_checksum_scan_plus_agg(spark):
     assert shuffle_count(df) <= 2
     scans = read_schema_columns(df)
     assert scans and all(len(cols) <= 3 for cols in scans), scans
+
+
+def test_weighted_median_windows_dictionary_domain(spark):
+    """The cumulative window must run over the collapsed (group,
+    distinct price) frame — a HashAggregate keyed on the pair feeds the
+    Window — never over raw fact rows."""
+    import re
+
+    df = QUERIES["stats_weighted_median_price"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # two-key partial aggregate (flag, price-cents grouping expression)
+    # below the flag-partitioned window
+    assert re.search(r"HashAggregate\(keys=\[l_returnflag#\d+, \S+\]", plan), (
+        plan[:2000]
+    )
+    assert re.search(r"Window .*\[l_returnflag#\d+\]", plan), plan[:2000]
+    assert shuffle_count(df) <= 3
