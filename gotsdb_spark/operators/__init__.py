@@ -26,5 +26,7 @@ from gotsdb_spark.operators import quality  # noqa: E402,F401
 from gotsdb_spark.operators import sketches  # noqa: E402,F401
 from gotsdb_spark.operators import graph  # noqa: E402,F401
 from gotsdb_spark.operators import statistics  # noqa: E402,F401
+from gotsdb_spark.operators import inference  # noqa: E402,F401
+from gotsdb_spark.operators import filesources  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "GATED_QUERIES", "query"]

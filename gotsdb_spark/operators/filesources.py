@@ -1,0 +1,183 @@
+"""File-based ingestion sources beyond columnar formats: Spark's
+``binaryFile`` reader for opaque per-object payloads (the multimodal
+object-store pattern) and the line-oriented ``text`` source/sink pair
+(the log-drop / TSV-feed pattern).
+
+Both queries are ROUND TRIPS under the hash gate: the data leaves the
+fixture table through a distributed writer, comes back through the
+Spark source under test, and is aggregated; the DuckDB oracle computes
+the same aggregates from the ORIGINAL table, so hash equality proves
+the source loses nothing (bytes, for binaryFile, via md5 checksums;
+fields, for text, via parse-back).
+
+Scale design:
+- The per-object writer runs as ``foreachPartition`` on executors —
+  each task writes only its partition's objects (on a cluster this is
+  the shared object store), no driver loop, no collect.
+- ``binaryFile`` lists and reads files in parallel and exposes
+  (path, length, content); the checksum aggregate is order-independent
+  (an integer SUM of per-file md5-prefix values), so it is insensitive
+  to listing order and partitioning — the same trick the anti-entropy
+  table checksums use.
+- The text pair uses Spark's built-in text sink/source (one string
+  column per line, splittable files, trivially parallel on read).
+
+Reference parity: the reference (j0shgrant/gotsdb) persists opaque
+per-key payloads as files under a data dir (cold.go:72 — one file per
+store) and has no other source formats; binaryFile is the Spark-native
+generalization of that layout (SURVEY.md §2.3 row 2, sources/sinks).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gotsdb_spark.operators.registry import query
+from gotsdb_spark.sources.registry import load_table
+
+# Bound the object count: one file per documents row with doc_id % 7 == 0
+# (~1/7 of the corpus) so the roundtrip exercises many-small-files
+# listing without writing thousands of inodes per bench run.
+_DOC_MOD = 7
+
+
+def _write_doc_objects(docs: DataFrame, root: str) -> None:
+    """Write one `<doc_id>.bin` (utf-8 text bytes) per row, executor-side."""
+
+    def write_partition(rows) -> None:
+        os.makedirs(root, exist_ok=True)
+        for row in rows:
+            tmp = os.path.join(root, f".{row['doc_id']}.tmp")
+            dst = os.path.join(root, f"{row['doc_id']}.bin")
+            with open(tmp, "wb") as fh:
+                fh.write(row["text"].encode("utf-8"))
+            os.replace(tmp, dst)  # atomic: readers never see partial files
+
+    docs.foreachPartition(write_partition)
+
+
+@query(
+    "binaryfile_ingest_checksums",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_files,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
+                AS BIGINT) AS checksum
+    FROM documents
+    WHERE doc_id % {_DOC_MOD} = 0
+    GROUP BY lang
+    """,
+)
+def binaryfile_ingest_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-store ingestion via the ``binaryFile`` source: documents
+    are materialized as one binary object each (executor-side writer),
+    read back with ``spark.read.format("binaryFile")``, joined to their
+    metadata by the id parsed from the path, and checksummed per lang.
+
+    The checksum is a commutative integer sum of each object's md5
+    prefix, so it is independent of file listing order AND proves the
+    content bytes round-tripped exactly (the oracle hashes the original
+    utf-8 text). total_bytes cross-checks the source's `length` metadata
+    column against the original byte counts.
+
+    Scale: binaryFile parallelizes over files; the id comes from the
+    path (regexp on the filename — no content parsing needed to join);
+    the lang dimension joins broadcast from the metadata table. The
+    per-file md5 is a JVM built-in over the content column. On a
+    cluster the same code points at an object-store prefix.
+    """
+    import tempfile
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("doc_id") % _DOC_MOD == 0)
+        .select("doc_id", "text", "lang")
+    )
+    root = tempfile.mkdtemp(prefix="gotsdb_binfiles_")
+    _write_doc_objects(docs.select("doc_id", "text"), root)
+    meta = docs.select("doc_id", "lang")
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(root)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length").cast("bigint").alias("nbytes"),
+            F.conv(F.substring(F.md5(F.col("content")), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    return (
+        files.join(F.broadcast(meta), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("nbytes").cast("bigint").alias("total_bytes"),
+            F.sum("h").cast("bigint").alias("checksum"),
+        )
+    )
+
+
+@query(
+    "textfile_ingest_roundtrip",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_lines,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def textfile_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented interchange under the hash gate: document metadata
+    leaves as tab-separated lines through the built-in text sink and
+    comes back through ``spark.read.text`` + split-and-cast — the
+    contract needed before trusting TSV/log drops from external
+    producers.
+
+    The oracle aggregates the ORIGINAL table, so equality proves the
+    serialize → line files → parse pipeline loses no fields and no rows
+    (including that no field value injects a delimiter or newline —
+    which is exactly what this gate would catch).
+
+    Scale: the text sink writes one splittable file per partition; the
+    text source reads them back in parallel with no schema inference
+    pass; parsing is JVM-side split/cast (no Python). Shuffle is the
+    single map-side-combinable groupBy on lang.
+    """
+    import tempfile
+
+    docs = load_table(spark, "documents", sf_dir)
+    path = tempfile.mkdtemp(prefix="gotsdb_textlines_")
+    lines = docs.select(
+        F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            F.col("lang"),
+            F.col("n_chars").cast("string"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    back = spark.read.text(path).select(
+        F.split(F.col("value"), "\t").alias("f")
+    )
+    parsed = back.select(
+        F.col("f").getItem(0).cast("bigint").alias("doc_id"),
+        F.col("f").getItem(1).alias("lang"),
+        F.col("f").getItem(2).cast("bigint").alias("n_chars"),
+    )
+    return parsed.groupBy("lang").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )

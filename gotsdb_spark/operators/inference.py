@@ -1,0 +1,614 @@
+"""Statistical-inference operators: two-sample KS distance, G-test
+mutual information, distributed Poisson bootstrap CIs, a Benford
+first-digit audit, and lagged cross-correlation between event series.
+
+These are the distribution-level checks a training-data pipeline runs
+between ingestion and training: "did this source's distribution shift?"
+(KS), "are these two attributes dependent?" (G-test/MI), "how uncertain
+is this aggregate?" (bootstrap), "do these amounts look fabricated?"
+(Benford), "does one stream lead another?" (cross-correlation).
+
+Scale design (shared by all five):
+- Every statistic reduces to exact integer sufficient statistics via a
+  single map-side-combinable groupBy before any floating point happens;
+  transcendental functions (ln, sqrt) are applied exactly once per
+  OUTPUT row on those exact integers, so summation order can never flip
+  a digit and both engines round identically.
+- Where a cumulative distribution is needed (KS), the window runs over
+  the COMPACT distinct-value domain (the dictionary trick shared with
+  stats_weighted_median_price), never over raw rows: the fact table is
+  collapsed to (group, value, count) first, so the window input is
+  bounded by the value domain (a price grid saturates long before
+  100 TB) regardless of fact-table row count.
+- The bootstrap is the Poisson/online-bootstrap construction (Chamandy
+  et al., "Estimating Uncertainty for Massively Parallel Algorithms",
+  Google 2012): each row's per-replicate multiplicity is a pure hash
+  function of (row id, replicate), so resampling is one stateless map +
+  one partial-aggregated shuffle whose size is groups x replicates —
+  independent of input rows — and results are bit-reproducible across
+  runs, engines, and retries (no RNG state anywhere).
+
+Reference parity: the reference (j0shgrant/gotsdb) has no statistical
+surface (SURVEY.md §2.2 — a 611-line KV store); this module extends the
+mandated analytics block (SURVEY.md §2.3 rows 41/47) with the
+inference-grade checks next to the point estimators already present.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from gotsdb_spark.operators.registry import query
+from gotsdb_spark.sources.registry import load_table
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov, exact integers end to end.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_ks_priority_price",
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderpriority AS prio,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ), cnt AS (
+      SELECT prio, v, count(*) AS cin FROM pts GROUP BY prio, v
+    ), tot AS (
+      SELECT v, count(*) AS ctot FROM pts GROUP BY v
+    ), grid AS (
+      SELECT p.prio, t.v, t.ctot, COALESCE(c.cin, 0) AS cin
+      FROM (SELECT DISTINCT prio FROM pts) p
+      CROSS JOIN tot t
+      LEFT JOIN cnt c ON c.prio = p.prio AND c.v = t.v
+    ), cum AS (
+      SELECT prio,
+             sum(cin)  OVER (PARTITION BY prio ORDER BY v) AS ccin,
+             sum(ctot - cin) OVER (PARTITION BY prio ORDER BY v) AS ccout,
+             sum(cin)  OVER (PARTITION BY prio) AS n_in,
+             sum(ctot - cin) OVER (PARTITION BY prio) AS n_out
+      FROM grid
+    )
+    SELECT prio,
+           CAST(max(n_in) AS BIGINT)  AS n_in,
+           CAST(max(n_out) AS BIGINT) AS n_out,
+           CAST(max(abs(ccin * n_out - ccout * n_in)) AS BIGINT) AS d_num,
+           CAST(max(abs(ccin * n_out - ccout * n_in)) * 1000000
+                // (max(n_in) * max(n_out)) AS BIGINT) AS d_e6
+    FROM cum
+    GROUP BY prio
+    """,
+)
+def stats_ks_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS distance: each order priority's price
+    distribution vs the complement (all other priorities).
+
+    The KS statistic D = sup_v |F_in(v) - F_out(v)| is computed with NO
+    floating point: both empirical CDFs are integer cumulative counts
+    over the shared distinct-price domain, and the supremum is taken on
+    the cross-multiplied integer |ccin*n_out - ccout*n_in| (the exact
+    numerator of the CDF gap over the common denominator n_in*n_out).
+    d_e6 is that exact rational floored to 1e-6 via BIGINT division —
+    no engine-dependent rounding anywhere.
+
+    Scale: the fact table collapses to (priority, price, count) and
+    (price, count) via two map-side-combinable groupBys; the cumulative
+    window then runs per priority over the compact price domain
+    (dictionary trick — window input is bounded by the price grid, not
+    by order count). The 5-row priority list is broadcast onto the
+    domain. At 100 TB the domain saturates while counts grow, so the
+    window input size is flat.
+    """
+    pts = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    cnt = pts.groupBy("prio", "v").agg(F.count("*").alias("cin"))
+    tot = pts.groupBy("v").agg(F.count("*").alias("ctot"))
+    prios = pts.select("prio").distinct()
+    grid = (
+        tot.crossJoin(F.broadcast(prios))
+        .join(cnt, ["prio", "v"], "left")
+        .select(
+            "prio",
+            "v",
+            "ctot",
+            F.coalesce(F.col("cin"), F.lit(0)).alias("cin"),
+        )
+    )
+    wcum = W.partitionBy("prio").orderBy("v")
+    wall = W.partitionBy("prio")
+    cum = grid.select(
+        "prio",
+        F.sum("cin").over(wcum).alias("ccin"),
+        F.sum(F.col("ctot") - F.col("cin")).over(wcum).alias("ccout"),
+        F.sum("cin").over(wall).alias("n_in"),
+        F.sum(F.col("ctot") - F.col("cin")).over(wall).alias("n_out"),
+    )
+    return cum.groupBy("prio").agg(
+        F.max("n_in").cast("bigint").alias("n_in"),
+        F.max("n_out").cast("bigint").alias("n_out"),
+        F.max(
+            F.abs(F.col("ccin") * F.col("n_out") - F.col("ccout") * F.col("n_in"))
+        )
+        .cast("bigint")
+        .alias("d_num"),
+        F.expr(
+            "CAST(max(abs(ccin * n_out - ccout * n_in)) * 1000000"
+            " DIV (max(n_in) * max(n_out)) AS BIGINT)"
+        ).alias("d_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G-test / mutual information between two categoricals.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_mutual_info_type_daypart",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(extract(hour FROM ts) AS BIGINT) // 6 AS daypart,
+             count(*) AS o
+      FROM events GROUP BY 1, 2
+    ), marg AS (
+      SELECT event_type, daypart, o,
+             sum(o) OVER (PARTITION BY event_type) AS r,
+             sum(o) OVER (PARTITION BY daypart)    AS c,
+             sum(o) OVER ()                        AS n
+      FROM cells
+    ), contrib AS (
+      SELECT n,
+             CAST(floor(2.0 * o * ln((o * 1.0 * n) / (r * 1.0 * c))
+                        * 1e6 + 0.5001) AS BIGINT) AS cell_g_e6,
+             event_type, daypart
+      FROM marg
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT daypart) - 1) AS BIGINT) AS dof,
+           CAST(sum(cell_g_e6) AS BIGINT) AS g_e6,
+           CAST(sum(cell_g_e6) // (2 * max(n)) AS BIGINT) AS mi_e6
+    FROM contrib
+    """,
+)
+def stats_mutual_info_type_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test of independence (equivalently 2N·MI in nats) between
+    event_type and 6-hour daypart — the leakage/dependence check run
+    before treating two attributes as independent features.
+
+    G = 2·Σ o·ln(oN/rc). Each cell's contribution is floored to an
+    integer e6 FIRST (one ln per cell on exact integer counts — both
+    engines evaluate the identical double expression once), then the
+    integer contributions are summed, so the cross-engine result is
+    independent of summation order. mi_e6 = g_e6/(2N) by exact BIGINT
+    division.
+
+    Scale: one map-side-combinable groupBy produces the contingency
+    table (|types|×|dayparts| ≤ 20 cells at any data size); margins are
+    window sums over those 20 rows. Everything after the first shuffle
+    is O(cells), independent of event count.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    cells = (
+        ev.select(
+            "event_type",
+            (F.hour("ts").cast("bigint") / 6).cast("bigint").alias("daypart"),
+        )
+        .groupBy("event_type", "daypart")
+        .agg(F.count("*").alias("o"))
+    )
+    marg = cells.select(
+        "event_type",
+        "daypart",
+        "o",
+        F.sum("o").over(W.partitionBy("event_type")).alias("r"),
+        F.sum("o").over(W.partitionBy("daypart")).alias("c"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    contrib = marg.select(
+        "event_type",
+        "daypart",
+        "n",
+        F.floor(
+            2.0
+            * F.col("o")
+            * F.log((F.col("o") * 1.0 * F.col("n")) / (F.col("r") * 1.0 * F.col("c")))
+            * 1e6
+            + 0.5001
+        )
+        .cast("bigint")
+        .alias("cell_g_e6"),
+    )
+    return contrib.agg(
+        F.max("n").cast("bigint").alias("n"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("daypart") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+        F.sum("cell_g_e6").cast("bigint").alias("g_e6"),
+        F.expr("CAST(sum(cell_g_e6) DIV (2 * max(n)) AS BIGINT)").alias("mi_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence intervals (hash-deterministic).
+# ---------------------------------------------------------------------------
+
+# Poisson(1) inverse-CDF thresholds scaled to 16^7 = 268435456 (the
+# range of a 7-hex-digit md5 prefix). Bucket b maps to the smallest k
+# with b < threshold[k]; the ~8e-5 tail above k=6 truncates to 6 —
+# identically in both engines, so determinism is unaffected and the
+# resampling bias is negligible and shared.
+_POIS_THRESHOLDS = [98751885, 197503771, 246879713, 263338361, 267453023, 268275955]
+_N_REPS = 48  # replicates 1..48; replicate 0 is the point estimate
+
+
+def _poisson_case_sql(bucket_expr: str) -> str:
+    """CASE expression mapping a [0, 16^7) hash bucket to Poisson(1)."""
+    whens = " ".join(
+        f"WHEN {bucket_expr} < {t} THEN {k}"
+        for k, t in enumerate(_POIS_THRESHOLDS)
+    )
+    return f"CASE {whens} ELSE 6 END"
+
+
+@query(
+    "stats_bootstrap_ci_segment_price",
+    oracle=f"""
+    WITH base AS (
+      SELECT c.c_mktsegment AS segment,
+             o.o_orderkey,
+             CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), expanded AS (
+      SELECT segment, cents, r.rep,
+             CASE WHEN r.rep = 0 THEN 1 ELSE
+               {_poisson_case_sql(
+                   "CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)"
+                   " || ':' || CAST(r.rep AS VARCHAR)), 1, 7) AS BIGINT)"
+               )}
+             END AS k
+      FROM base CROSS JOIN (SELECT unnest(range(0, {_N_REPS + 1})) AS rep) r
+    ), reps AS (
+      SELECT segment, rep,
+             sum(k) AS sw,
+             sum(k * cents) AS swc
+      FROM expanded GROUP BY segment, rep
+    ), means AS (
+      SELECT segment, rep, sw,
+             swc // NULLIF(sw, 0) AS mean_c,
+             CASE WHEN rep > 0 THEN
+               row_number() OVER (
+                 PARTITION BY segment, (rep > 0)
+                 ORDER BY swc // NULLIF(sw, 0), rep)
+             END AS rn
+      FROM reps
+    )
+    SELECT segment,
+           CAST(max(CASE WHEN rep = 0 THEN sw END) AS BIGINT) AS n_orders,
+           CAST(max(CASE WHEN rep = 0 THEN mean_c END) AS BIGINT)
+             AS mean_cents,
+           CAST(max(CASE WHEN rn = 2 THEN mean_c END) AS BIGINT)
+             AS lo_cents,
+           CAST(max(CASE WHEN rn = {_N_REPS - 1} THEN mean_c END) AS BIGINT)
+             AS hi_cents
+    FROM means
+    GROUP BY segment
+    """,
+)
+def stats_bootstrap_ci_segment_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~95% Poisson-bootstrap CI for mean order price per market
+    segment — the uncertainty quantification a pipeline attaches to any
+    aggregate it reports.
+
+    Classic row-resampling bootstrap is impossible at scale (it needs N
+    draws per replicate from a global table). The Poisson bootstrap
+    (Chamandy et al. 2012) replaces it: each row independently
+    contributes Poisson(1) copies to each replicate, and the count is
+    derived here from md5(o_orderkey:rep) — a pure function, so the
+    "resample" is one stateless map with NO RNG state, reproducible
+    across engines, runs, partitionings and retries. Replicate 0 pins
+    k=1 (the point estimate) so estimate and CI come from one plan.
+
+    Replicate means are exact BIGINT cents (floor division of two
+    integer sums); the CI bounds are order statistics 2 and 47 of the
+    48 replicate means, selected by row_number with a deterministic
+    (mean, rep) tie-break — no float percentile interpolation to
+    diverge between engines.
+
+    Scale: the ×49 expansion happens map-side and collapses immediately
+    through a partial-aggregated groupBy(segment, rep) — the shuffle
+    carries |segments|×49 partial rows per map task, independent of
+    order count. The customer dim joins broadcast. At 100 TB this is
+    the only bootstrap construction that works at all.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    base = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    expanded = base.select(
+        "segment",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_REPS))).alias("rep"),
+        "o_orderkey",
+    ).select(
+        "segment",
+        "cents",
+        "rep",
+        F.expr(
+            "CASE WHEN rep = 0 THEN 1 ELSE "
+            + _poisson_case_sql(
+                "CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING),"
+                " ':', CAST(rep AS STRING))), 1, 7), 16, 10) AS BIGINT)"
+            )
+            + " END"
+        ).alias("k"),
+    )
+    reps = expanded.groupBy("segment", "rep").agg(
+        F.sum("k").alias("sw"),
+        F.sum(F.col("k") * F.col("cents")).alias("swc"),
+    )
+    means = reps.select(
+        "segment",
+        "rep",
+        "sw",
+        F.expr("swc DIV NULLIF(sw, 0)").alias("mean_c"),
+    ).withColumn(
+        "rn",
+        F.when(
+            F.col("rep") > 0,
+            F.row_number().over(
+                W.partitionBy("segment", F.col("rep") > 0).orderBy("mean_c", "rep")
+            ),
+        ),
+    )
+    return means.groupBy("segment").agg(
+        F.max(F.when(F.col("rep") == 0, F.col("sw")))
+        .cast("bigint")
+        .alias("n_orders"),
+        F.max(F.when(F.col("rep") == 0, F.col("mean_c")))
+        .cast("bigint")
+        .alias("mean_cents"),
+        F.max(F.when(F.col("rn") == 2, F.col("mean_c")))
+        .cast("bigint")
+        .alias("lo_cents"),
+        F.max(F.when(F.col("rn") == _N_REPS - 1, F.col("mean_c")))
+        .cast("bigint")
+        .alias("hi_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit.
+# ---------------------------------------------------------------------------
+
+# floor(log10(1 + 1/d) * 1e6 + 0.5001), precomputed so both engines
+# compare the same integer constants (no per-engine log10 at all).
+_BENFORD_E6 = {
+    1: 301030,
+    2: 176091,
+    3: 124939,
+    4: 96910,
+    5: 79181,
+    6: 66947,
+    7: 57992,
+    8: 51153,
+    9: 45757,
+}
+
+
+def _benford_case_sql(digit_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {digit_expr} = {d} THEN {e6}" for d, e6 in _BENFORD_E6.items()
+    )
+    return f"CASE {whens} END"
+
+
+@query(
+    "quality_benford_price_audit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+    ), obs AS (
+      SELECT digit, count(*) AS n_obs FROM digits GROUP BY digit
+    )
+    SELECT digit,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(n_obs * 1000000 // (sum(n_obs) OVER ()) AS BIGINT)
+             AS obs_freq_e6,
+           CAST({_benford_case_sql("digit")} AS BIGINT) AS benford_e6,
+           CAST(n_obs * 1000000 // (sum(n_obs) OVER ())
+                - {_benford_case_sql("digit")} AS BIGINT) AS dev_e6
+    FROM obs
+    """,
+)
+def quality_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order prices —
+    the classic fabricated-data / unit-mixing detector for numeric
+    columns arriving from external producers.
+
+    Observed digit frequencies are exact integer counts; the observed
+    share and its deviation from the Benford expectation are exact
+    BIGINT divisions against PRECOMPUTED integer constants (log10
+    evaluated once at module load, embedded as literals), so neither
+    engine computes a logarithm at query time and the comparison is
+    bit-exact by construction.
+
+    Scale: a pure map (leading digit of integer cents) into a 9-row
+    map-side-combinable groupBy; the window margin runs over 9 rows.
+    Shuffle carries ≤ 9 rows per map task at any data size.
+    """
+    digits = load_table(spark, "orders", sf_dir).select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    wall = W.partitionBy()
+    benford = F.expr(_benford_case_sql("digit")).cast("bigint")
+    return obs.select(
+        "digit",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        F.expr("CAST(n_obs * 1000000 DIV (sum(n_obs) OVER ()) AS BIGINT)").alias(
+            "obs_freq_e6"
+        ),
+        benford.alias("benford_e6"),
+        (
+            F.expr("n_obs * 1000000 DIV (sum(n_obs) OVER ())") - benford
+        )
+        .cast("bigint")
+        .alias("dev_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lagged cross-correlation between two event streams.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_cross_correlation_types",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ), bounds AS (
+      SELECT min(h) AS h0, max(h) AS h1 FROM hourly
+    ), grid AS (
+      SELECT g.h, COALESCE(hr.x, 0) AS x, COALESCE(hr.y, 0) AS y
+      FROM (SELECT unnest(range(h0, h1 + 1)) AS h FROM bounds) g
+      LEFT JOIN hourly hr ON hr.h = g.h
+    ), pairs AS (
+      SELECT l.lag, a.x, b.y
+      FROM (SELECT unnest(range(0, 7)) AS lag) l
+      JOIN grid a ON TRUE
+      JOIN grid b ON b.h = a.h + l.lag
+    ), suff AS (
+      SELECT lag, count(*) AS n,
+             CAST(sum(x) AS BIGINT)     AS sx,
+             CAST(sum(y) AS BIGINT)     AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT lag, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS denx,
+           CAST(n * syy - sy * sy AS BIGINT) AS deny,
+           CAST(floor((n * 1.0 * sxy - sx * 1.0 * sy)
+                      / sqrt((n * 1.0 * sxx - sx * 1.0 * sx)
+                             * (n * 1.0 * syy - sy * 1.0 * sy))
+                      * 1e6 + 0.5001) AS BIGINT) AS corr_e6
+    FROM suff
+    ORDER BY lag
+    """,
+)
+def ts_cross_correlation_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson cross-correlation of hourly 'click' vs 'purchase'
+    volumes at lags 0..6 h — "does one stream lead the other, and by
+    how much?", the lead-lag scan behind forecasting-feature selection.
+
+    For each lag the correlation reduces to six exact integer
+    sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) over the aligned
+    hour pairs; the single sqrt/divide happens once per output row on
+    those integers (same double expression in both engines), with the
+    exact integer numerator/denominators emitted alongside so the float
+    is auditable.
+
+    Scale: raw events collapse to one row per hour via a map-side-
+    combinable groupBy (720 rows/month regardless of event volume); the
+    dense hour grid comes from exploding sequence(min,max) off a 1-row
+    bounds frame; lag alignment is an equi-join of the grid against
+    itself on h+lag with the 7-row lag frame broadcast. Everything
+    after the first shuffle is O(hours), not O(events).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    hourly = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+            "event_type",
+        )
+        .groupBy("h")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        bounds.select(F.explode(F.sequence("h0", "h1")).alias("h"))
+        .join(hourly, "h", "left")
+        .select(
+            "h",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    lags = spark.range(0, 7).select(F.col("id").cast("bigint").alias("lag"))
+    a = grid.select(F.col("h").alias("ah"), "x")
+    b = grid.select(F.col("h").alias("bh"), "y")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("bh", F.col("ah") + F.col("lag"))
+        .join(b, "bh")
+    )
+    suff = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return suff.select(
+        "lag",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("bigint")
+        .alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("bigint")
+        .alias("denx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("bigint")
+        .alias("deny"),
+        F.floor(
+            (F.col("n") * 1.0 * F.col("sxy") - F.col("sx") * 1.0 * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * 1.0 * F.col("sxx") - F.col("sx") * 1.0 * F.col("sx"))
+                * (F.col("n") * 1.0 * F.col("syy") - F.col("sy") * 1.0 * F.col("sy"))
+            )
+            * 1e6
+            + 0.5001
+        )
+        .cast("bigint")
+        .alias("corr_e6"),
+    ).orderBy("lag")
