@@ -100,6 +100,13 @@ HEADLINE = [
     "curate_dataset_card",
     "dedup_source_overlap_matrix",
     "text_token_drift_snapshots",
+    # round 5 operators: the inference/retrieval/graph additions with
+    # non-trivial plans (the rest of the round-5 set is timed by the
+    # run-once secondary pass like every registered query)
+    "stats_ks_priority_price",
+    "stats_bootstrap_ci_segment_price",
+    "graph_components_star_contraction",
+    "text_rrf_fusion",
 ]
 
 # Streaming replays + the KV engine roundtrip execute real multi-wave

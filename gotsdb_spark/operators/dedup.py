@@ -909,3 +909,103 @@ def curate_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_CONTAINMENT_ORACLE = f"""
+    WITH {_MINHASH_BANDS_CTES}, cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ), inter AS (
+      SELECT doc_a, doc_b, count(*) AS n_common
+      FROM cand
+      JOIN shingles sa ON sa.doc_id = doc_a
+      JOIN shingles sb ON sb.doc_id = doc_b AND sa.sh = sb.sh
+      GROUP BY doc_a, doc_b
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(za.n_sh AS BIGINT) AS n_a,
+           CAST(zb.n_sh AS BIGINT) AS n_b,
+           CAST(n_common * 1000000 // za.n_sh AS BIGINT) AS cont_a_e6,
+           CAST(n_common * 1000000 // zb.n_sh AS BIGINT) AS cont_b_e6,
+           (n_common * 10 >= 9 * least(za.n_sh, zb.n_sh)
+            AND n_common * 10 < 6 * (za.n_sh + zb.n_sh - n_common))
+             AS is_quote
+    FROM inter
+    JOIN sizes za ON za.doc_id = doc_a
+    JOIN sizes zb ON zb.doc_id = doc_b
+"""
+
+
+@query("dedup_containment_quotes", oracle=_CONTAINMENT_ORACLE)
+def dedup_containment_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT per candidate pair — the quote /
+    inclusion detector Jaccard structurally misses.
+
+    Jaccard |A∩B|/|A∪B| goes to zero when a short document is quoted
+    verbatim inside a much longer one, even though containment
+    |A∩B|/|A| is 1.0 — exactly the "boilerplate header pasted into
+    every page" / "eval question embedded in a web dump" case a
+    curation pipeline must catch. This emits both directed containments
+    for every LSH candidate pair as exact integer e6 ratios (BIGINT
+    floor division — no floats), plus an is_quote flag (one side ≥90%
+    contained while the symmetric Jaccard is <60%) decided by pure
+    integer cross-multiplication so both engines agree bit-for-bit.
+
+    Scale: candidates come from the banded MinHash equi-join (shared
+    with dedup_minhash_lsh — never all-pairs); the intersect runs
+    row-locally on the cached packed shingle arrays. Marginal cost over
+    the LSH pass is O(candidate pairs). For recall on extreme length
+    skew, production pairs this with a band scheme on the SHORT side's
+    signature only (containment LSH); the verification stage here is
+    unchanged under either candidate generator.
+    """
+    docs, bands = _minhash_bands(spark, sf_dir)
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band_id").alias("band_id2"),
+        F.col("sig").alias("sig2"),
+    )
+    cand = (
+        bands.join(
+            b2,
+            (bands.band_id == b2.band_id2)
+            & (bands.sig == b2.sig2)
+            & (bands.doc_id < b2.doc_b),
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b"))
+    n_common = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b"))).cast("bigint")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_common.alias("n_common"),
+            F.size("arr_a").cast("bigint").alias("n_a"),
+            F.size("arr_b").cast("bigint").alias("n_b"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.expr("CAST(n_common * 1000000 DIV n_a AS BIGINT)").alias("cont_a_e6"),
+            F.expr("CAST(n_common * 1000000 DIV n_b AS BIGINT)").alias("cont_b_e6"),
+            (
+                (F.col("n_common") * 10 >= 9 * F.least(F.col("n_a"), F.col("n_b")))
+                & (
+                    F.col("n_common") * 10
+                    < 6 * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+                )
+            ).alias("is_quote"),
+        )
+    )

@@ -333,3 +333,110 @@ def graph_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(load_table(spark, "nation", sf_dir)),
         visited.node == F.col("n_nationkey"),
     ).select("n_name", "node", "hops")
+
+
+_STAR_CC_ORACLE = """
+    WITH RECURSIVE {ctes},
+    uedges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, root) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM uedges) t
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN uedges e ON e.a = r.doc
+    ),
+    labels AS (
+      SELECT doc, min(root) AS canonical FROM reach GROUP BY doc
+    )
+    SELECT CAST(canonical AS BIGINT) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM labels GROUP BY canonical
+"""
+
+
+def _star_cc_oracle() -> str:
+    from gotsdb_spark.operators.dedup import _MINHASH_CTES
+
+    return _STAR_CC_ORACLE.format(ctes=_MINHASH_CTES)
+
+
+@query("graph_components_star_contraction", oracle=_star_cc_oracle())
+def graph_components_star_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") over the MinHash near-dup pair graph — component id + size.
+
+    dedup_cluster_canonical finds the same components by min-label
+    propagation, which needs O(component diameter) rounds; on a
+    100 TB-scale graph with a long-chain component (crawl rings,
+    citation chains) that is the difference between 5 rounds and 500.
+    Star contraction converges in O(log n) rounds REGARDLESS of
+    diameter: large-star hangs every higher-numbered neighbor off the
+    local minimum, small-star flattens the resulting trees, and the
+    fixpoint is the canonical star (every node → component min). Both
+    operators sharing one oracle family means the two algorithms
+    cross-check each other AND DuckDB's recursive closure — three
+    independent routes to the same fixpoint.
+
+    Scale: each half-round is one groupBy-min plus one equi-join on the
+    CURRENT edge set (which only shrinks toward one edge per node —
+    never grows past 2|E|); nothing iterates on the driver but the
+    round counter and a 1-row convergence signature (count + order-
+    independent xxhash checksum — used ONLY for early exit, never in
+    the result). localCheckpoint truncates lineage per round.
+    """
+    from gotsdb_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(12):  # ⌈log2⌉ bound for any plausible component count
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        # large-star: hang every neighbor v > u off m = min(N(u) ∪ {u})
+        lmins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        lmins = lmins.select("u", F.least("mn", F.col("u")).alias("m"))
+        ls = (
+            sym.join(lmins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: flatten — point every smaller neighbor (and u) at
+        # the minimum of u's smaller neighborhood
+        dire = ls.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        smins = dire.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            dire.join(smins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(smins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = tuple(
+            ss.agg(
+                F.count("*").alias("n"),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+            ).collect()[0]
+        )
+        edges = ss
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # Fixpoint is a star: u → component-min v. Size = members + the root.
+    return edges.groupBy(F.col("v").alias("canonical_id")).agg(
+        (F.count("*") + F.lit(1)).cast("bigint").alias("n_members")
+    )

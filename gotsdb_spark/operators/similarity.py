@@ -1020,3 +1020,105 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
         )
     )
+
+
+@query(
+    "sim_centroid_separation",
+    oracle="""
+    WITH comps AS (
+      SELECT label, d.d,
+             CAST(floor(CAST(embedding[d.d] AS DOUBLE) * 1e6) AS BIGINT) AS x
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS d) d
+    ), sums AS (
+      SELECT label, d, CAST(sum(x) AS BIGINT) AS s
+      FROM comps GROUP BY label, d
+    ), norms AS (
+      SELECT label,
+             CAST(sum(CAST(s AS DECIMAL(38, 0)) * s) AS DECIMAL(38, 0)) AS nrm2,
+             count(*) AS dim
+      FROM sums GROUP BY label
+    ), dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(sum(CAST(a.s AS DECIMAL(38, 0)) * b.s) AS DECIMAL(38, 0)) AS dot
+      FROM sums a JOIN sums b ON a.d = b.d AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT d.label_a, d.label_b,
+           CAST(floor(CAST(d.dot AS DOUBLE)
+                      / (sqrt(CAST(na.nrm2 AS DOUBLE))
+                         * sqrt(CAST(nb.nrm2 AS DOUBLE)))
+                      * 1e6 + 0.5001) AS BIGINT) AS cos_e6
+    FROM dots d
+    JOIN norms na ON na.label = d.label_a
+    JOIN norms nb ON nb.label = d.label_b
+    """,
+)
+def sim_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label centroids — the embedding-space
+    separation/drift audit (are two sources' embedding distributions
+    collapsing onto each other?), and the diagnostic that says whether
+    an IVF coarse quantizer's cells are actually distinguishable.
+
+    cos(centroid_a, centroid_b) = cos(sum_a, sum_b) because the 1/n
+    factors cancel — so the whole statistic reduces to per-(label, dim)
+    integer sums of 1e6-scaled components (association-order-proof
+    BIGINT adds), pairwise dot products accumulated in DECIMAL(38,0)
+    (a label-sum can reach ~5e9 at sf0.1; squared products overflow
+    int64, the decimal accumulator is the anti-entropy-checksum
+    convention), and ONE double division+sqrt per output row.
+
+    Scale: posexplode → groupBy(label, dim) is map-side combinable —
+    the shuffle carries |labels|×64 partial sums per map task no matter
+    how many vectors exist; the pair join fans those |labels|×64 rows
+    into |labels|²/2×64 products, still tiny. The corpus is read once.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    comps = emb.select("label", F.posexplode("embedding")).select(
+        "label",
+        (F.col("pos") + 1).alias("d"),
+        F.floor(F.col("col").cast("double") * 1e6).cast("bigint").alias("x"),
+    )
+    # |labels|×64 rows feed FOUR branches (both join sides + both norm
+    # lookups); checkpointing the tiny reduced frame keeps the corpus
+    # scan single-pass instead of re-deriving the sums per branch.
+    sums = (
+        comps.groupBy("label", "d")
+        .agg(F.sum("x").cast("bigint").alias("s"))
+        .localCheckpoint()
+    )
+    dec = F.col("s").cast("decimal(38,0)")
+    norms = sums.groupBy("label").agg(
+        F.sum(dec * F.col("s")).cast("decimal(38,0)").alias("nrm2")
+    )
+    sa = sums.select(F.col("label").alias("label_a"), "d", F.col("s").alias("s_a"))
+    sb = sums.select(F.col("label").alias("label_b"), "d", F.col("s").alias("s_b"))
+    dots = (
+        sa.join(sb, (sa.d == sb.d) & (F.col("label_a") < F.col("label_b")))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("s_a").cast("decimal(38,0)") * F.col("s_b"))
+            .cast("decimal(38,0)")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("nrm2").alias("nrm2_a"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("nrm2").alias("nrm2_b"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.floor(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("nrm2_a").cast("double"))
+                    * F.sqrt(F.col("nrm2_b").cast("double"))
+                )
+                * 1e6
+                + 0.5001
+            )
+            .cast("bigint")
+            .alias("cos_e6"),
+        )
+    )

@@ -806,3 +806,112 @@ def text_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("boiler_share_e6"),
         )
     )
+
+
+_RRF_K = 60
+_RRF_DEPTH = 15  # per-arm candidate depth (matches the BM25 top-k)
+
+
+def _rrf_oracle() -> str:
+    return f"""
+    WITH lex AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id)
+                  AS BIGINT) AS rank_lex
+      FROM ({_bm25_oracle()}) b
+    ), emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), qv AS (
+      SELECT e AS qe FROM emb WHERE vec_id = 0
+    ), sem_scored AS (
+      SELECT vec_id AS doc_id,
+             CAST(floor(list_dot_product(qe, e)
+                        / (sqrt(list_dot_product(qe, qe))
+                           * sqrt(list_dot_product(e, e)))
+                        * 1e6 + 0.5001) AS BIGINT) AS cos_e6
+      FROM emb CROSS JOIN qv WHERE vec_id <> 0
+    ), sem AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cos_e6 DESC, doc_id)
+                  AS BIGINT) AS rank_sem
+      FROM sem_scored ORDER BY cos_e6 DESC, doc_id LIMIT {_RRF_DEPTH}
+    )
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           l.rank_lex, s.rank_sem,
+           CAST(COALESCE(1000000 // ({_RRF_K} + l.rank_lex), 0)
+                + COALESCE(1000000 // ({_RRF_K} + s.rank_sem), 0)
+                AS BIGINT) AS rrf_e6
+    FROM lex l FULL OUTER JOIN sem s ON s.doc_id = l.doc_id
+    """
+
+
+@query("text_rrf_fusion", oracle=_rrf_oracle())
+def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the lexical (BM25) and semantic
+    (embedding-cosine) retrieval arms — the standard hybrid-search
+    combiner (Cormack et al. 2009) behind most production RAG stacks.
+
+    RRF(d) = Σ_arms 1/(k + rank_arm(d)), k=60. Ranks are deterministic
+    (score desc, doc_id) over each arm's top-15; the fused
+    score is an exact integer sum of BIGINT floor divisions, so no
+    float ever crosses the engine boundary. The cosine itself is
+    floored to e6 BEFORE ranking (one expression per row), making the
+    rank ulp-proof.
+
+    Scale: each arm ends in a TakeOrderedAndProject top-k (partial
+    top-k per partition merged on the driver — no global sort); the
+    rank window then runs over k rows. The fusion is a full outer join
+    of two k-row frames. The BM25 arm shares text_bm25_topk's
+    query-term-filtered postings plan; the semantic arm is one
+    broadcast of the query vector against the corpus scan.
+    """
+    from pyspark.sql.window import Window as W
+
+    from gotsdb_spark.operators.similarity import cosine
+
+    lex = (
+        text_bm25_topk(spark, sf_dir)
+        .withColumn(
+            "rank_lex",
+            F.row_number()
+            .over(W.orderBy(F.desc("score_e6"), F.asc("doc_id")))
+            .cast("bigint"),
+        )
+        .select("doc_id", "rank_lex")
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    sem_scored = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.floor(cosine(F.col("q_emb"), F.col("embedding")) * 1e6 + 0.5001)
+            .cast("bigint")
+            .alias("cos_e6"),
+        )
+    )
+    sem = (
+        sem_scored.orderBy(F.desc("cos_e6"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+        .withColumn(
+            "rank_sem",
+            F.row_number()
+            .over(W.orderBy(F.desc("cos_e6"), F.asc("doc_id")))
+            .cast("bigint"),
+        )
+        .select("doc_id", "rank_sem")
+    )
+    fused = lex.join(sem, "doc_id", "full_outer")
+    return fused.select(
+        "doc_id",
+        "rank_lex",
+        "rank_sem",
+        (
+            F.coalesce(F.expr(f"1000000 DIV ({_RRF_K} + rank_lex)"), F.lit(0))
+            + F.coalesce(F.expr(f"1000000 DIV ({_RRF_K} + rank_sem)"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("rrf_e6"),
+    )
