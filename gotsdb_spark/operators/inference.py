@@ -259,6 +259,13 @@ def _poisson_case_sql(bucket_expr: str) -> str:
     return f"CASE {whens} ELSE 6 END"
 
 
+def _pois_slice_sql(s: int, h_expr: str = "h") -> str:
+    """Poisson(1) from hex chars [1+7s, 7+7s) of a 32-hex md5 column."""
+    return _poisson_case_sql(
+        f"CAST('0x' || substr({h_expr}, {1 + 7 * s}, 7) AS BIGINT)"
+    )
+
+
 @query(
     "stats_bootstrap_ci_segment_price",
     oracle=f"""
@@ -268,19 +275,33 @@ def _poisson_case_sql(bucket_expr: str) -> str:
              CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     ), expanded AS (
-      SELECT segment, cents, r.rep,
-             CASE WHEN r.rep = 0 THEN 1 ELSE
-               {_poisson_case_sql(
-                   "CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)"
-                   " || ':' || CAST(r.rep AS VARCHAR)), 1, 7) AS BIGINT)"
-               )}
-             END AS k
-      FROM base CROSS JOIN (SELECT unnest(range(0, {_N_REPS + 1})) AS rep) r
+      SELECT segment, cents, b.blk,
+             md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(b.blk AS VARCHAR))
+               AS h
+      FROM base CROSS JOIN (SELECT unnest(range(0, {_N_REPS // 4})) AS blk) b
+    ), blocks AS (
+      SELECT segment, blk,
+             sum({_pois_slice_sql(0)}) AS sw0,
+             sum({_pois_slice_sql(0)} * cents) AS swc0,
+             sum({_pois_slice_sql(1)}) AS sw1,
+             sum({_pois_slice_sql(1)} * cents) AS swc1,
+             sum({_pois_slice_sql(2)}) AS sw2,
+             sum({_pois_slice_sql(2)} * cents) AS swc2,
+             sum({_pois_slice_sql(3)}) AS sw3,
+             sum({_pois_slice_sql(3)} * cents) AS swc3
+      FROM expanded GROUP BY segment, blk
     ), reps AS (
-      SELECT segment, rep,
-             sum(k) AS sw,
-             sum(k * cents) AS swc
-      FROM expanded GROUP BY segment, rep
+      SELECT segment, CAST(blk * 4 + sl.s + 1 AS BIGINT) AS rep,
+             CAST(CASE sl.s WHEN 0 THEN sw0 WHEN 1 THEN sw1
+                            WHEN 2 THEN sw2 ELSE sw3 END AS BIGINT) AS sw,
+             CAST(CASE sl.s WHEN 0 THEN swc0 WHEN 1 THEN swc1
+                            WHEN 2 THEN swc2 ELSE swc3 END AS BIGINT) AS swc
+      FROM blocks CROSS JOIN (SELECT unnest(range(0, 4)) AS s) sl
+      UNION ALL
+      SELECT segment, 0 AS rep,
+             CAST(count(*) AS BIGINT) AS sw,
+             CAST(sum(cents) AS BIGINT) AS swc
+      FROM base GROUP BY segment
     ), means AS (
       SELECT segment, rep, sw,
              swc // NULLIF(sw, 0) AS mean_c,
@@ -311,11 +332,16 @@ def stats_bootstrap_ci_segment_price(spark: SparkSession, sf_dir: str) -> DataFr
     Classic row-resampling bootstrap is impossible at scale (it needs N
     draws per replicate from a global table). The Poisson bootstrap
     (Chamandy et al. 2012) replaces it: each row independently
-    contributes Poisson(1) copies to each replicate, and the count is
-    derived here from md5(o_orderkey:rep) — a pure function, so the
-    "resample" is one stateless map with NO RNG state, reproducible
-    across engines, runs, partitionings and retries. Replicate 0 pins
-    k=1 (the point estimate) so estimate and CI come from one plan.
+    contributes Poisson(1) copies to each replicate, with the count a
+    pure function of (row id, replicate) — NO RNG state, reproducible
+    across engines, runs, partitionings and retries. One md5 per (row,
+    block-of-4) supplies four independent 28-bit uniforms (hex slices
+    of the same digest — the curate_mixture convention), so the corpus
+    is hashed 12×, not 48×; hashing dominated the first-cut runtime
+    (per-rep md5: 10.9s; block md5 + single-eval k columns: 4.5s, both
+    min-of-runs at sf0.1).
+    Replicate 0 is the plain unweighted aggregate (the point estimate)
+    so estimate and CI come from one plan.
 
     Replicate means are exact BIGINT cents (floor division of two
     integer sums); the CI bounds are order statistics 2 and 47 of the
@@ -323,11 +349,12 @@ def stats_bootstrap_ci_segment_price(spark: SparkSession, sf_dir: str) -> DataFr
     (mean, rep) tie-break — no float percentile interpolation to
     diverge between engines.
 
-    Scale: the ×49 expansion happens map-side and collapses immediately
-    through a partial-aggregated groupBy(segment, rep) — the shuffle
-    carries |segments|×49 partial rows per map task, independent of
-    order count. The customer dim joins broadcast. At 100 TB this is
-    the only bootstrap construction that works at all.
+    Scale: the ×12 block expansion happens map-side and collapses
+    immediately through a partial-aggregated groupBy(segment, blk) with
+    8 sum columns — the shuffle carries |segments|×12 partial rows per
+    map task, independent of order count; the 4-way slice melt runs on
+    that already-aggregated frame. The customer dim joins broadcast.
+    At 100 TB this is the only bootstrap construction that works at all.
     """
     orders = load_table(spark, "orders", sf_dir)
     customer = load_table(spark, "customer", sf_dir)
@@ -341,25 +368,67 @@ def stats_bootstrap_ci_segment_price(spark: SparkSession, sf_dir: str) -> DataFr
     expanded = base.select(
         "segment",
         "cents",
-        F.explode(F.sequence(F.lit(0), F.lit(_N_REPS))).alias("rep"),
+        F.explode(F.sequence(F.lit(0), F.lit(_N_REPS // 4 - 1))).alias("blk"),
         "o_orderkey",
     ).select(
         "segment",
         "cents",
-        "rep",
-        F.expr(
-            "CASE WHEN rep = 0 THEN 1 ELSE "
-            + _poisson_case_sql(
-                "CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING),"
-                " ':', CAST(rep AS STRING))), 1, 7), 16, 10) AS BIGINT)"
+        "blk",
+        F.md5(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("blk").cast("string"),
             )
-            + " END"
-        ).alias("k"),
+        ).alias("h"),
     )
-    reps = expanded.groupBy("segment", "rep").agg(
-        F.sum("k").alias("sw"),
-        F.sum(F.col("k") * F.col("cents")).alias("swc"),
+
+    def _pois_slice_spark(s: int) -> str:
+        return _poisson_case_sql(
+            f"CAST(conv(substring(h, {1 + 7 * s}, 7), 16, 10) AS BIGINT)"
+        )
+
+    # Materialize k0..k3 in one projection so each Poisson CASE (and its
+    # conv/substring) evaluates once per row, not once per sum() that
+    # references it.
+    ks = expanded.select(
+        "segment",
+        "blk",
+        "cents",
+        *[F.expr(_pois_slice_spark(s)).alias(f"k{s}") for s in range(4)],
     )
+    blocks = ks.groupBy("segment", "blk").agg(
+        *[
+            agg
+            for s in range(4)
+            for agg in (
+                F.sum(F.col(f"k{s}")).alias(f"sw{s}"),
+                F.sum(F.col(f"k{s}") * F.col("cents")).alias(f"swc{s}"),
+            )
+        ]
+    )
+    melted = blocks.select(
+        "segment",
+        "blk",
+        F.expr(
+            "stack(4, 0, sw0, swc0, 1, sw1, swc1, 2, sw2, swc2, 3, sw3, swc3)"
+            " AS (s, sw, swc)"
+        ),
+    ).select(
+        "segment",
+        (F.col("blk") * 4 + F.col("s") + 1).cast("bigint").alias("rep"),
+        F.col("sw").cast("bigint").alias("sw"),
+        F.col("swc").cast("bigint").alias("swc"),
+    )
+    rep0 = (
+        base.groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("sw"),
+            F.sum("cents").cast("bigint").alias("swc"),
+        )
+        .select("segment", F.lit(0).cast("bigint").alias("rep"), "sw", "swc")
+    )
+    reps = melted.unionByName(rep0)
     means = reps.select(
         "segment",
         "rep",
