@@ -48,6 +48,51 @@ from gotsdb_spark.sources.registry import load_table
 # ---------------------------------------------------------------------------
 
 
+def ks_dnum_by_group(pts: DataFrame) -> DataFrame:
+    """Exact group-vs-complement KS distances from a (prio, v) frame.
+
+    Shared by the registered query and the property-based differential
+    test (tests/test_property_inference.py), so the construction under
+    test is the construction that ships. See stats_ks_priority_price
+    for the numeric and scale rationale.
+    """
+    cnt = pts.groupBy("prio", "v").agg(F.count("*").alias("cin"))
+    tot = pts.groupBy("v").agg(F.count("*").alias("ctot"))
+    prios = pts.select("prio").distinct()
+    grid = (
+        tot.crossJoin(F.broadcast(prios))
+        .join(cnt, ["prio", "v"], "left")
+        .select(
+            "prio",
+            "v",
+            "ctot",
+            F.coalesce(F.col("cin"), F.lit(0)).alias("cin"),
+        )
+    )
+    wcum = W.partitionBy("prio").orderBy("v")
+    wall = W.partitionBy("prio")
+    cum = grid.select(
+        "prio",
+        F.sum("cin").over(wcum).alias("ccin"),
+        F.sum(F.col("ctot") - F.col("cin")).over(wcum).alias("ccout"),
+        F.sum("cin").over(wall).alias("n_in"),
+        F.sum(F.col("ctot") - F.col("cin")).over(wall).alias("n_out"),
+    )
+    return cum.groupBy("prio").agg(
+        F.max("n_in").cast("bigint").alias("n_in"),
+        F.max("n_out").cast("bigint").alias("n_out"),
+        F.max(
+            F.abs(F.col("ccin") * F.col("n_out") - F.col("ccout") * F.col("n_in"))
+        )
+        .cast("bigint")
+        .alias("d_num"),
+        F.expr(
+            "CAST(max(abs(ccin * n_out - ccout * n_in)) * 1000000"
+            " DIV (max(n_in) * max(n_out)) AS BIGINT)"
+        ).alias("d_e6"),
+    )
+
+
 @query(
     "stats_ks_priority_price",
     oracle="""
@@ -106,41 +151,7 @@ def stats_ks_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("prio"),
         F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
     )
-    cnt = pts.groupBy("prio", "v").agg(F.count("*").alias("cin"))
-    tot = pts.groupBy("v").agg(F.count("*").alias("ctot"))
-    prios = pts.select("prio").distinct()
-    grid = (
-        tot.crossJoin(F.broadcast(prios))
-        .join(cnt, ["prio", "v"], "left")
-        .select(
-            "prio",
-            "v",
-            "ctot",
-            F.coalesce(F.col("cin"), F.lit(0)).alias("cin"),
-        )
-    )
-    wcum = W.partitionBy("prio").orderBy("v")
-    wall = W.partitionBy("prio")
-    cum = grid.select(
-        "prio",
-        F.sum("cin").over(wcum).alias("ccin"),
-        F.sum(F.col("ctot") - F.col("cin")).over(wcum).alias("ccout"),
-        F.sum("cin").over(wall).alias("n_in"),
-        F.sum(F.col("ctot") - F.col("cin")).over(wall).alias("n_out"),
-    )
-    return cum.groupBy("prio").agg(
-        F.max("n_in").cast("bigint").alias("n_in"),
-        F.max("n_out").cast("bigint").alias("n_out"),
-        F.max(
-            F.abs(F.col("ccin") * F.col("n_out") - F.col("ccout") * F.col("n_in"))
-        )
-        .cast("bigint")
-        .alias("d_num"),
-        F.expr(
-            "CAST(max(abs(ccin * n_out - ccout * n_in)) * 1000000"
-            " DIV (max(n_in) * max(n_out)) AS BIGINT)"
-        ).alias("d_e6"),
-    )
+    return ks_dnum_by_group(pts)
 
 
 # ---------------------------------------------------------------------------

@@ -41,35 +41,13 @@ def test_ks_bounds_and_partition_totals(spark):
 def test_ks_identical_distribution_is_zero(spark):
     """KS of a distribution against itself must be exactly 0 — feed a
     frame where in-group == out-group by duplicating every value."""
+    from gotsdb_spark.operators.inference import ks_dnum_by_group
+
     df = spark.createDataFrame(
         [("A", v) for v in (100, 200, 300)] + [("B", v) for v in (100, 200, 300)],
         "prio string, v long",
     )
-    # reuse the query's construction inline: complement CDF of A is B's
-    from pyspark.sql.window import Window as W
-
-    cnt = df.groupBy("prio", "v").agg(F.count("*").alias("cin"))
-    tot = df.groupBy("v").agg(F.count("*").alias("ctot"))
-    grid = (
-        tot.crossJoin(df.select("prio").distinct())
-        .join(cnt, ["prio", "v"], "left")
-        .select("prio", "v", "ctot", F.coalesce("cin", F.lit(0)).alias("cin"))
-    )
-    w = W.partitionBy("prio").orderBy("v")
-    wall = W.partitionBy("prio")
-    cum = grid.select(
-        "prio",
-        F.sum("cin").over(w).alias("ccin"),
-        F.sum(F.col("ctot") - F.col("cin")).over(w).alias("ccout"),
-        F.sum("cin").over(wall).alias("n_in"),
-        F.sum(F.col("ctot") - F.col("cin")).over(wall).alias("n_out"),
-    )
-    d = cum.groupBy("prio").agg(
-        F.max(
-            F.abs(F.col("ccin") * F.col("n_out") - F.col("ccout") * F.col("n_in"))
-        ).alias("d_num")
-    )
-    assert all(r["d_num"] == 0 for r in d.collect())
+    assert all(r["d_num"] == 0 for r in ks_dnum_by_group(df).collect())
 
 
 # ---------------------------------------------------------------------------
