@@ -193,3 +193,24 @@ def test_textfile_roundtrip_counts(spark):
     rows = QUERIES["textfile_ingest_roundtrip"](spark, SF).collect()
     docs = load_table(spark, "documents", SF)
     assert sum(r["n_lines"] for r in rows) == docs.count()
+
+
+def test_ks_window_is_partitioned_by_group(spark):
+    """The KS cumulative windows must hash-partition on the group key —
+    an unpartitioned (SinglePartition) window here would serialize the
+    whole value domain through one task at scale."""
+    from gotsdb_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["stats_ks_priority_price"](spark, SF))
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(prio" in plan
+
+
+def test_binaryfile_single_shuffle_broadcast_meta(spark):
+    """binaryFile ingestion: the only Exchange is the final lang groupBy;
+    the doc-metadata join must broadcast (never shuffle the file scan)."""
+    from gotsdb_spark.plans import broadcast_join_count, shuffle_count
+
+    df = QUERIES["binaryfile_ingest_checksums"](spark, SF)
+    assert shuffle_count(df) == 1
+    assert broadcast_join_count(df) >= 1

@@ -104,3 +104,13 @@ def test_containment_quote_flag_on_synthetic_inclusion(spark):
     union = n_a + n_b - n_common
     assert n_common * 10 >= 9 * min(n_a, n_b)  # ≥90% contained
     assert n_common * 10 < 6 * union  # jaccard < 0.6
+
+
+def test_star_cc_final_plan_single_shuffle(spark):
+    """After convergence the component summary is ONE groupBy over the
+    checkpointed star edges — per-round lineage must not leak into the
+    returned plan (localCheckpoint truncation)."""
+    from gotsdb_spark.plans import shuffle_count
+
+    df = QUERIES["graph_components_star_contraction"](spark, SF)
+    assert shuffle_count(df) <= 1
