@@ -1,5 +1,7 @@
-"""Graph analytics over the trade network: PageRank (iterative
-dataflow) and triangle counting / clustering coefficient.
+"""Graph analytics: PageRank (iterative dataflow), triangle counting /
+clustering coefficient, BFS reachability over the trade network, and
+connected components by star contraction over the document near-dup
+pair graph.
 
 The graph is derived from the star schema: an edge customer-nation →
 supplier-nation for every lineitem whose order crosses them, weighted
