@@ -686,3 +686,84 @@ def sketch_kmv_key_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("est_a_e3") + F.col("est_b_e3") - F.col("est_union_e3"), F.lit(0)
         ).cast("long").alias("est_overlap_e3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SpaceSaving / Misra–Gries guaranteed heavy hitters (two-pass exact).
+#
+# NOT yet registered as a query — the round-5 driver verification
+# window is at capacity (49 never-green names for 50 slots); round 6
+# adds the @query decorator + DuckDB oracle:
+#   SELECT key, count(*) AS cnt FROM t GROUP BY key
+#   HAVING count(*) * K > (SELECT count(*) FROM t)
+# ---------------------------------------------------------------------------
+
+_SS_CAPACITY = 1000  # sketch capacity K: guarantees items with share > 1/K
+
+
+def heavy_hitters_spacesaving(
+    spark: SparkSession, sf_dir: str, capacity: int = _SS_CAPACITY
+) -> DataFrame:
+    """EXACT guaranteed heavy hitters via a Misra–Gries candidate pass
+    plus an exact recount — the two-pass pattern that finds every key
+    with frequency share > 1/capacity without ever shuffling the full
+    key domain.
+
+    Why this shape at 100 TB: a plain groupBy(key) shuffles every
+    distinct key (billions for user-ids/URLs). Misra–Gries per
+    partition keeps only `capacity` counters; the union of per-
+    partition candidate sets PROVABLY contains every item with global
+    count > n/capacity (per-partition undercount is ≤ n_p/capacity;
+    summed over partitions ≤ n/capacity, so a global heavy hitter
+    survives with positive merged weight in ≥ 1 partition). The second
+    pass recounts ONLY the candidates — a broadcast semi-join then a
+    groupBy over candidate rows — and the final HAVING (count×capacity
+    > n, integer cross-multiplication) makes the OUTPUT exact and
+    independent of partitioning, file splits, and sketch tie-breaking,
+    even though the intermediate sketch is not. That invariance is
+    what lets a DuckDB GROUP BY/HAVING oracle hash-match it.
+
+    Unlike heavy_hitters_countmin (estimates with bounded error), this
+    returns exact counts with a completeness guarantee — the form a
+    skew audit or a salting decision actually needs.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("user_id").cast("bigint").alias("key")
+    )
+
+    def mg_partition(batches):
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            for key in pdf["key"]:
+                k = int(key)
+                if k in counters:
+                    counters[k] += 1
+                elif len(counters) < capacity:
+                    counters[k] = 1
+                else:
+                    # decrement-all step, dropping zeros
+                    dead = []
+                    for c in counters:
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            dead.append(c)
+                    for c in dead:
+                        del counters[c]
+        yield pd.DataFrame({"key": list(counters.keys())})
+
+    candidates = ev.mapInPandas(mg_partition, "key bigint").distinct()
+    total = ev.count()
+    exact = (
+        ev.join(F.broadcast(candidates), "key")
+        .groupBy("key")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") * capacity > F.lit(total))
+        .select(
+            "key",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.expr(f"CAST(cnt * 1000000 DIV {total} AS BIGINT)").alias("share_e6"),
+        )
+    )
+    return exact

@@ -116,6 +116,10 @@ def main() -> int:
             json.dump(
                 {
                     "sf_dir": sf_dir,
+                    # Shuffle-partition count the sweep ran under, so a
+                    # parallelism-invariance sweep (SPARK_GRAFT_CPUS=7)
+                    # is distinguishable from the canonical 32-way run.
+                    "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
                     "swept_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                     "n_queries": len(QUERIES),
                     "n_pass": sum(1 for v in statuses.values() if v == "pass"),
