@@ -681,3 +681,117 @@ def multimodal_audio_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, best_lag int, r_best bigint, r0 bigint,"
         " strength_e6 bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Image average-hash (aHash) near-dup buckets — round-6 queue.
+#
+# NOT yet registered as a query (round-5 driver window at capacity);
+# tests/test_multimodal_ahash.py already runs the full DuckDB oracle
+# comparison, so round 6 only adds the @query decorator.
+# ---------------------------------------------------------------------------
+
+AHASH_SCHEMA = "doc_id bigint, width int, height int, ahash bigint"
+
+IMAGE_AHASH_ORACLE = """
+    WITH g AS (
+      SELECT doc_id, md5(text) AS hx,
+             CAST(doc_id % 8 + 2 AS INT) AS width,
+             CAST((doc_id // 8) % 6 + 2 AS INT) AS height
+      FROM documents
+    ), px AS (
+      SELECT doc_id, hx, width, height,
+             unnest(generate_series(0, width * height - 1)) AS p
+      FROM g
+    ), gray AS (
+      SELECT doc_id, width, height, p,
+             (CAST('0x' || substr(hx, 2 * ((3 * p) % 16) + 1, 2) AS INT)
+              + CAST('0x' || substr(hx, 2 * ((3 * p + 1) % 16) + 1, 2) AS INT)
+              + CAST('0x' || substr(hx, 2 * ((3 * p + 2) % 16) + 1, 2) AS INT)
+             ) // 3 AS gv
+      FROM px
+    ), tot AS (
+      SELECT doc_id, sum(gv) AS tg, count(*) AS npix FROM gray GROUP BY doc_id
+    ), bits AS (
+      SELECT gray.doc_id, width, height,
+             CAST(sum(CASE WHEN gv * npix > tg
+                           THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+                  AS BIGINT) AS ahash
+      FROM gray JOIN tot USING (doc_id)
+      GROUP BY gray.doc_id, width, height
+    )
+    SELECT doc_id, width, height, ahash,
+           CAST(count(*) OVER (PARTITION BY width, height, ahash) AS BIGINT)
+             AS n_same_hash
+    FROM bits
+"""
+
+
+def image_ahash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash per image + same-hash bucket sizes — the
+    image twin of dedup_simhash: images whose pixels sit on the same
+    side of their own mean collapse to one 64-bit key, so near-dup
+    candidate generation is a groupBy on the hash, never pixel-space
+    pairwise comparison.
+
+    The hash is computed from the REAL decoded pixel buffer (the same
+    netpbm parser as multimodal_ppm_decode) with pure integer math:
+    gray = (r+g+b) DIV 3, bit_p = gray_p * npix > Σgray (integer
+    cross-multiplication instead of comparing against a rounded mean),
+    hash = Σ 2^p over the row-major native grid (≤ 63 px → fits
+    BIGINT). The DuckDB oracle recomputes the identical hash
+    analytically from the md5 byte cycle — any decoder offset/stride
+    bug flips bits and fails the gate.
+
+    Scale: decode + hash is a stateless Arrow-batched map (zero
+    shuffle); the bucket count is one window over (width, height,
+    hash) — at 100 TB the only thing that shuffles is a 64-bit key per
+    image.
+    """
+    import numpy as np
+
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    payloads = with_ppm_payload(docs)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def ahash(b: bytes) -> tuple[int, int, int]:
+            if not b.startswith(b"P6\n"):
+                raise ValueError("not a P6 PPM payload")
+            dims, rest = b[3:].split(b"\n", 1)
+            width, height = (int(x) for x in dims.split())
+            _, rest = rest.split(b"\n", 1)
+            px = np.frombuffer(rest, dtype=np.uint8).reshape(height, width, 3)
+            gray = px.astype(np.int64).sum(axis=2) // 3
+            flat = gray.flatten()  # row-major == payload byte order
+            npix = flat.size
+            tg = int(flat.sum())
+            h = 0
+            for p, gv in enumerate(flat):
+                if int(gv) * npix > tg:
+                    h |= 1 << p
+            return width, height, h
+
+        for pdf in it:
+            decoded = pdf["payload"].map(lambda b: ahash(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": decoded.map(lambda t: t[0]).astype("int32"),
+                    "height": decoded.map(lambda t: t[1]).astype("int32"),
+                    "ahash": decoded.map(lambda t: t[2]).astype("int64"),
+                }
+            )
+
+    hashed = payloads.mapInPandas(batches, schema=AHASH_SCHEMA)
+    from pyspark.sql.window import Window as W
+
+    return hashed.select(
+        "doc_id",
+        "width",
+        "height",
+        "ahash",
+        F.count("*")
+        .over(W.partitionBy("width", "height", "ahash"))
+        .cast("bigint")
+        .alias("n_same_hash"),
+    )
