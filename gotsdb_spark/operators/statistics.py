@@ -667,3 +667,133 @@ def stats_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("total_w").cast("long").alias("total_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust slope — round-6 queue.
+#
+# NOT yet registered (round-5 driver window at capacity);
+# tests/test_theil_sen.py already runs the full DuckDB oracle
+# comparison, so round 6 only adds the @query decorator with
+# THEIL_SEN_ORACLE.
+# ---------------------------------------------------------------------------
+
+# Slope offset: slopes are signed, but Spark's DIV truncates toward
+# zero while floor-division semantics can differ across engines for
+# negative numerators. Adding K days-of-slope before the division makes
+# every numerator provably nonnegative (|Δdaily-mean| ≤ max(value)*1e3
+# ≈ 5e5 << K, volume-independent), so truncation == floor on both
+# engines; K*1e6 is subtracted back after the median. Bounds:
+# K*(dx)*1e6 ≤ 1e9*30*1e6 = 3e16 — comfortably inside BIGINT.
+_TS_SLOPE_OFFSET = 1_000_000_000
+
+THEIL_SEN_ORACLE = f"""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '{_OLS_ORIGIN}', CAST(ts AS DATE)) AS x,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) // count(*)
+                  AS BIGINT) AS y_e3
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type,
+             CAST(((b.y_e3 - a.y_e3) + {_TS_SLOPE_OFFSET} * (b.x - a.x))
+                  * 1000000 // (b.x - a.x) AS BIGINT) AS slope_off_e6,
+             a.x AS xa, b.x AS xb
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.x > a.x
+    ), ranked AS (
+      SELECT event_type, slope_off_e6,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY slope_off_e6, xa, xb) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_pairs
+      FROM pairs
+    )
+    SELECT event_type,
+           CAST(max(n_pairs) AS BIGINT) AS n_pairs,
+           CAST(max(CASE WHEN rn = (n_pairs + 1) // 2
+                         THEN slope_off_e6 END)
+                - CAST({_TS_SLOPE_OFFSET} AS BIGINT) * 1000000
+                AS BIGINT) AS slope_e6
+    FROM ranked
+    GROUP BY event_type
+"""
+
+
+def stats_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen estimator: the MEDIAN of all pairwise slopes of the
+    daily value series per event_type — the robust drift detector that
+    shrugs off the outlier days that drag stats_ols_trend_by_type's
+    least-squares line around (breakdown point 29% vs 0%).
+
+    Exactness: each pairwise slope is one BIGINT floor division of
+    integer daily MEANS (e3-scaled; the mean keeps magnitudes
+    volume-independent, so the sign-safety bound below holds at any
+    scale factor — daily totals would outgrow the offset), made
+    sign-safe by the
+    {_TS_SLOPE_OFFSET}-per-day offset so both engines truncate
+    identically; the median is an order statistic selected by
+    row_number with a (slope, xa, xb) tie-break — no float percentile
+    anywhere.
+
+    Scale: the O(n²) pair space is taken over the DAILY aggregate —
+    the dictionary trick again: the fact table collapses through one
+    map-side-combinable groupBy to ≤ |days| rows per group (bounded by
+    the calendar, not by event volume), so the self-join is |days|²/2
+    per group regardless of input size. The per-group median window
+    runs over those bounded pairs.
+    """
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit(_OLS_ORIGIN).cast("date")).alias(
+                "x"
+            ),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("v_e3"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.expr("CAST(sum(v_e3) DIV count(*) AS BIGINT)").alias("y_e3"))
+    )
+    a = daily.select(
+        "event_type", F.col("x").alias("xa"), F.col("y_e3").alias("ya")
+    )
+    b = daily.select(
+        F.col("event_type").alias("event_type_b"),
+        F.col("x").alias("xb"),
+        F.col("y_e3").alias("yb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("event_type") == F.col("event_type_b")) & (F.col("xb") > F.col("xa")),
+    ).select(
+        "event_type",
+        "xa",
+        "xb",
+        F.expr(
+            f"CAST(((yb - ya) + {_TS_SLOPE_OFFSET}L * (xb - xa)) * 1000000L"
+            " DIV (xb - xa) AS BIGINT)"
+        ).alias("slope_off_e6"),
+    )
+    ranked = pairs.select(
+        "event_type",
+        "slope_off_e6",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("slope_off_e6", "xa", "xb"))
+        .alias("rn"),
+        F.count("*").over(W.partitionBy("event_type")).alias("n_pairs"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n_pairs").cast("bigint").alias("n_pairs"),
+        (
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n_pairs + 1) DIV 2"),
+                    F.col("slope_off_e6"),
+                )
+            )
+            - F.lit(_TS_SLOPE_OFFSET).cast("bigint") * F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("slope_e6"),
+    )
