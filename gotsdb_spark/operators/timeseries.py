@@ -2016,3 +2016,74 @@ def ts_sequence_motif_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         / len(_MOTIF)
     ).cast("long")
     return seqs.select("user_id", "n_events", n_motifs.alias("n_motifs"))
+
+
+# ---------------------------------------------------------------------------
+# Quantified sequence patterns (MATCH_RECOGNIZE A B+ C) — round-6 queue.
+#
+# NOT yet registered (round-5 driver window at capacity);
+# tests/test_pattern_quantified.py runs the full DuckDB oracle
+# comparison, so round 6 only adds the @query decorator.
+# ---------------------------------------------------------------------------
+
+_QPATTERN = "vc+p"  # view → one-or-more clicks → purchase
+
+QUANTIFIED_PATTERN_ORACLE = f"""
+    WITH seqs AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(len(regexp_extract_all(seq, '{_QPATTERN}')) AS BIGINT)
+             AS n_matches,
+           CAST(COALESCE(
+             (SELECT max(len(m))
+              FROM unnest(regexp_extract_all(seq, 'c+')) AS t(m)), 0)
+             AS BIGINT) AS longest_click_run
+    FROM seqs
+"""
+
+
+def ts_pattern_quantified_funnels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with a quantifier: count per user of the row
+    pattern view (click)+ purchase — 'one or more clicks between a view
+    and a purchase', the shape `A B+ C` that strict-adjacency motif
+    counting (ts_sequence_motif_counts) cannot express — plus the
+    longest click run as the quantifier's witness.
+
+    Same compact-symbol-string construction as the motif query (one
+    deterministic (ts, event_id)-ordered char per event, built
+    row-locally after one user-keyed shuffle); the pattern is then a
+    leftmost non-overlapping greedy regex count, semantics identical in
+    Spark (regexp_count) and DuckDB (len(regexp_extract_all)) for this
+    backtracking-free pattern.
+
+    Scale: identical to the motif query — one shuffle keyed by user,
+    per-user state bounded by that user's event count (session-scoped
+    at warehouse scale), regex evaluated row-locally JVM-side.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("ini")
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "ini"))),
+                lambda s: s.ini,
+            ),
+        ).alias("seq"),
+    )
+    runs = F.expr("regexp_extract_all(seq, 'c+', 0)")
+    return seqs.select(
+        "user_id",
+        "n_events",
+        F.expr(f"regexp_count(seq, '{_QPATTERN}')").cast("long").alias("n_matches"),
+        F.coalesce(F.array_max(F.transform(runs, F.length)), F.lit(0))
+        .cast("long")
+        .alias("longest_click_run"),
+    )
