@@ -2087,3 +2087,121 @@ def ts_pattern_quantified_funnels(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("longest_click_run"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend exponential smoothing — round-6 queue.
+#
+# NOT yet registered (round-5 driver window at capacity);
+# tests/test_holt_trend.py runs the full DuckDB oracle comparison, so
+# round 6 only adds the @query decorator.
+# ---------------------------------------------------------------------------
+
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+
+HOLT_TREND_ORACLE = f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2025-01-01', CAST(ts AS DATE)) AS x,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) // count(*)
+                  AS BIGINT) / 1000.0 AS y
+      FROM events GROUP BY 1, 2
+    ), idxd AS (
+      SELECT event_type, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY x) AS i,
+             count(*) OVER (PARTITION BY event_type) AS n_days
+      FROM daily
+    ), hw(event_type, i, n_days, l, b) AS (
+      SELECT a.event_type, 2, a.n_days,
+             floor(b.y * 1e9 + 0.5) / 1e9,
+             floor((b.y - a.y) * 1e9 + 0.5) / 1e9
+      FROM idxd a JOIN idxd b ON b.event_type = a.event_type AND b.i = 2
+      WHERE a.i = 1
+      UNION ALL
+      SELECT hw.event_type, hw.i + 1, hw.n_days,
+             floor(({_HOLT_ALPHA} * d.y
+                    + (1 - {_HOLT_ALPHA}) * (hw.l + hw.b)) * 1e9 + 0.5) / 1e9,
+             floor(({_HOLT_BETA} * (floor(({_HOLT_ALPHA} * d.y
+                      + (1 - {_HOLT_ALPHA}) * (hw.l + hw.b)) * 1e9 + 0.5) / 1e9
+                      - hw.l)
+                    + (1 - {_HOLT_BETA}) * hw.b) * 1e9 + 0.5) / 1e9
+      FROM hw JOIN idxd d
+        ON d.event_type = hw.event_type AND d.i = hw.i + 1
+    )
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(floor(l * 1e6 + 0.5001) AS BIGINT) AS level_e6,
+           CAST(floor(b * 1e6 + 0.5001) AS BIGINT) AS trend_e6,
+           CAST(floor((l + b) * 1e6 + 0.5001) AS BIGINT) AS forecast_e6
+    FROM hw WHERE i = n_days
+"""
+
+
+def ts_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) of the daily
+    mean series per event_type, with a one-step-ahead forecast — the
+    trend-aware upgrade of ts_ewma_final that SQL window functions
+    cannot express (the state is a coupled two-term recurrence).
+
+    Construction: the per-type daily series collapses via one
+    map-side-combinable groupBy, is collected into a (day-ordered)
+    array per type, and the recurrence runs as a JVM higher-order
+    F.aggregate fold over that array — no driver loop, no Python, no
+    per-step join. Both states are floored to the 1e-9 grid after
+    every step (the graph_pagerank_nations convention), so the fold's
+    floating point cannot drift between engines; the DuckDB oracle is
+    a recursive CTE stepping the identical formulas — a genuinely
+    different evaluation strategy (row recursion vs array fold)
+    reaching the same fixed sequence.
+
+    Scale: one shuffle keyed by event_type; per-group state is the
+    day array (bounded by the calendar — the same dictionary-trick
+    bound as Theil–Sen). At 100 TB this is the shape for thousands of
+    independent per-key forecasts: fold per key, never iterate on the
+    driver.
+    """
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2025-01-01").cast("date")
+            ).alias("x"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("v_e3"),
+        )
+        .groupBy("event_type", "x")
+        .agg((F.expr("CAST(sum(v_e3) DIV count(*) AS BIGINT)") / 1000.0).alias("y"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("x", "y"))), lambda s: s.y
+        ).alias("ys"),
+    )
+    r9 = lambda c: F.floor(c * 1e9 + 0.5) / 1e9  # noqa: E731
+    a, bcoef = _HOLT_ALPHA, _HOLT_BETA
+    init = F.struct(
+        r9(F.col("ys").getItem(1)).alias("l"),
+        r9(F.col("ys").getItem(1) - F.col("ys").getItem(0)).alias("b"),
+    )
+
+    def step(acc, y):
+        new_l = r9(a * y + (1 - a) * (acc.l + acc.b))
+        return F.struct(
+            new_l.alias("l"),
+            r9(bcoef * (new_l - acc.l) + (1 - bcoef) * acc.b).alias("b"),
+        )
+
+    state = F.aggregate(
+        F.slice(F.col("ys"), 3, F.greatest(F.size("ys") - 2, F.lit(0))),
+        init,
+        step,
+    )
+    return series.where(F.size("ys") >= 2).select(
+        "event_type",
+        "n_days",
+        F.floor(state.l * 1e6 + 0.5001).cast("bigint").alias("level_e6"),
+        F.floor(state.b * 1e6 + 0.5001).cast("bigint").alias("trend_e6"),
+        F.floor((state.l + state.b) * 1e6 + 0.5001).cast("bigint").alias("forecast_e6"),
+    )
