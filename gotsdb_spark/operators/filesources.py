@@ -191,3 +191,68 @@ def textfile_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("first_doc"),
         F.max("doc_id").cast("bigint").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# XML interchange roundtrip — round-6 queue.
+#
+# Spark 4 ships the (formerly external) spark-xml source in core; this
+# completes the interchange-format set next to CSV/JSON/ORC/text.
+# NOT yet registered (round-5 driver window at capacity);
+# tests/test_xml_roundtrip.py runs the DuckDB oracle comparison, so
+# round 6 only adds the @query decorator.
+# ---------------------------------------------------------------------------
+
+XML_ROUNDTRIP_ORACLE = """
+    SELECT s_nationkey,
+           count(*) AS n_suppliers,
+           CAST(sum(CAST(floor(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS balance_cents,
+           CAST(min(s_suppkey) AS BIGINT) AS first_key,
+           CAST(max(s_suppkey) AS BIGINT) AS last_key
+    FROM supplier
+    GROUP BY s_nationkey
+"""
+
+
+def xml_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML interchange under the hash gate: supplier rows leave through
+    Spark 4's built-in XML sink and come back through the XML source
+    with an EXPLICIT schema (no inference pass), then aggregate; the
+    oracle reads the original parquet, so equality proves the
+    element-per-row encode/parse loses nothing — the B2B/legacy-feed
+    contract, next to the CSV/JSON/ORC/text roundtrips.
+
+    Money crosses as integer cents (text formatting of raw doubles is
+    not ulp-guaranteed; integers always are — the CSV-roundtrip
+    convention). Scale: the sink writes one splittable file per
+    partition; the source parses rowTag elements in parallel JVM-side;
+    the single shuffle is the map-side-combinable nation groupBy.
+    """
+    import tempfile
+
+    sup = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey",
+        "s_nationkey",
+        F.floor(F.col("s_acctbal") * 100).cast("bigint").alias("balance_cents"),
+    )
+    path = tempfile.mkdtemp(prefix="gotsdb_xml_itg_")
+    (
+        sup.write.format("xml")
+        .option("rootTag", "suppliers")
+        .option("rowTag", "supplier")
+        .mode("overwrite")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema("s_suppkey bigint, s_nationkey bigint, balance_cents bigint")
+        .load(path)
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("balance_cents").cast("bigint").alias("balance_cents"),
+        F.min("s_suppkey").cast("bigint").alias("first_key"),
+        F.max("s_suppkey").cast("bigint").alias("last_key"),
+    )
