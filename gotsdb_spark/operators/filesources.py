@@ -215,6 +215,7 @@ XML_ROUNDTRIP_ORACLE = """
 """
 
 
+@query("xml_interchange_roundtrip", oracle=XML_ROUNDTRIP_ORACLE)
 def xml_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML interchange under the hash gate: supplier rows leave through
     Spark 4's built-in XML sink and come back through the XML source

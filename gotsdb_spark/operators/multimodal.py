@@ -727,6 +727,7 @@ IMAGE_AHASH_ORACLE = """
 """
 
 
+@query("image_ahash_buckets", oracle=IMAGE_AHASH_ORACLE)
 def image_ahash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual average-hash per image + same-hash bucket sizes — the
     image twin of dedup_simhash: images whose pixels sit on the same

@@ -691,16 +691,25 @@ def sketch_kmv_key_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # SpaceSaving / Misra–Gries guaranteed heavy hitters (two-pass exact).
 #
-# NOT yet registered as a query — the round-5 driver verification
-# window is at capacity (49 never-green names for 50 slots); round 6
-# adds the @query decorator + DuckDB oracle:
-#   SELECT key, count(*) AS cnt FROM t GROUP BY key
-#   HAVING count(*) * K > (SELECT count(*) FROM t)
+# Registered in round 6 (held back in round 5 while the driver
+# verification window was at capacity).
 # ---------------------------------------------------------------------------
 
 _SS_CAPACITY = 1000  # sketch capacity K: guarantees items with share > 1/K
 
+SPACESAVING_ORACLE = f"""
+    WITH tot AS (SELECT count(*) AS n FROM events)
+    SELECT CAST(user_id AS BIGINT) AS key,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(count(*) * 1000000 // (SELECT n FROM tot) AS BIGINT)
+             AS share_e6
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) * {_SS_CAPACITY} > (SELECT n FROM tot)
+"""
 
+
+@query("heavy_hitters_spacesaving", oracle=SPACESAVING_ORACLE)
 def heavy_hitters_spacesaving(
     spark: SparkSession, sf_dir: str, capacity: int = _SS_CAPACITY
 ) -> DataFrame:

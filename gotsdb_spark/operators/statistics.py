@@ -672,10 +672,8 @@ def stats_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Theil–Sen robust slope — round-6 queue.
 #
-# NOT yet registered (round-5 driver window at capacity);
-# tests/test_theil_sen.py already runs the full DuckDB oracle
-# comparison, so round 6 only adds the @query decorator with
-# THEIL_SEN_ORACLE.
+# Registered in round 6; tests/test_theil_sen.py also runs the full
+# DuckDB oracle comparison.
 # ---------------------------------------------------------------------------
 
 # Slope offset: slopes are signed, but Spark's DIV truncates toward
@@ -720,6 +718,7 @@ THEIL_SEN_ORACLE = f"""
 """
 
 
+@query("stats_theil_sen_slope", oracle=THEIL_SEN_ORACLE)
 def stats_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil–Sen estimator: the MEDIAN of all pairwise slopes of the
     daily value series per event_type — the robust drift detector that

@@ -2047,6 +2047,7 @@ QUANTIFIED_PATTERN_ORACLE = f"""
 """
 
 
+@query("ts_pattern_quantified_funnels", oracle=QUANTIFIED_PATTERN_ORACLE)
 def ts_pattern_quantified_funnels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATCH_RECOGNIZE with a quantifier: count per user of the row
     pattern view (click)+ purchase — 'one or more clicks between a view
@@ -2138,6 +2139,7 @@ HOLT_TREND_ORACLE = f"""
 """
 
 
+@query("ts_holt_linear_trend", oracle=HOLT_TREND_ORACLE)
 def ts_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt double-exponential smoothing (level + trend) of the daily
     mean series per event_type, with a one-step-ahead forecast — the
