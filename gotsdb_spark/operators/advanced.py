@@ -97,16 +97,49 @@ def correlated_exists_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_range_frame_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame over a numeric ordering: how many orders fall within
-    ±1000 of each order's price. (Unpartitioned window — fine while the
-    output is one value per row of a single sortable stream; a 100 TB
-    variant partitions by a coarse price bucket first.)"""
-    orders = _t(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice").rangeBetween(-1000, 1000)
-    return orders.select(
+    ±1000 of each order's price — WITHOUT the global unpartitioned
+    window (which hauls every order to one executor for the sort).
+
+    Bucket-partitioned rewrite: with bucket width 2000 = band width,
+    every row's ±1000 band spans EXACTLY two adjacent buckets
+    (floor((p+1000)/2000) − floor((p−1000)/2000) = 1 identically), so
+    each order is replicated into its own bucket and the next one
+    (weight 1), probes carry weight 0 in bucket floor((p+1000)/2000),
+    and a bucket-partitioned RANGE window summing weights sees every
+    in-band neighbor exactly once (the two copies land in different
+    buckets, so no double count). 2× row replication + one shuffle
+    keyed by a bounded-width price bucket replaces the single-partition
+    sort; per-bucket load is the order density of a $4000 price span.
+    """
+    band, width = 1000, 2000
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    bucket = F.floor(F.col("o_totalprice") / width)
+    data = orders.select(
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("long").alias("o_custkey"),
+        "o_totalprice",
+        F.explode(F.array(bucket, bucket + 1)).alias("g"),
+        F.lit(1).alias("wt"),
+    )
+    probe = orders.select(
         "o_orderkey",
         "o_custkey",
         "o_totalprice",
-        F.count("*").over(w).alias("n_in_band"),
+        F.floor((F.col("o_totalprice") + band) / width).alias("g"),
+        F.lit(0).alias("wt"),
+    )
+    w = (
+        W.partitionBy("g")
+        .orderBy("o_totalprice")
+        .rangeBetween(-band, band)
+    )
+    return (
+        data.unionByName(probe)
+        .withColumn("n_in_band", F.sum("wt").over(w).cast("long"))
+        .where(F.col("wt") == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "n_in_band")
     )
 
 
@@ -122,15 +155,37 @@ def window_range_frame_price_band(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def window_ntile_percentrank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution window functions: ntile / percent_rank / cume_dist."""
-    cust = _t(spark, sf_dir, "customer")
-    w = W.orderBy("c_acctbal", "c_custkey")
-    return cust.select(
-        "c_custkey",
-        "c_acctbal",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+    """Distribution window functions: ntile / percent_rank / cume_dist —
+    reconstructed from a distributed global rank (dist_rank: range
+    partition → local rank → broadcast offsets) instead of the built-in
+    unpartitioned window that would serialize every customer through
+    one executor.
+
+    The ORDER BY ends in the unique customer key, so the order is
+    total: rank == row_number == dense peer group of size 1, hence
+    percent_rank = (rnk−1)/(n−1) and cume_dist = rnk/n exactly (both a
+    single IEEE division of exact integers — bit-identical in DuckDB's
+    built-ins, which compute the same quotients), and ntile comes from
+    ntile_from_rank's integer tile algebra. n is a 1-row broadcast.
+    """
+    from gotsdb_spark.operators.distrank import dist_rank, ntile_from_rank
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    total = cust.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ranked = dist_rank(cust, ["c_acctbal", "c_custkey"], rank_col="_rnk")
+    r, n = F.col("_rnk"), F.col("_n")
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            ntile_from_rank(r, n, 4).alias("quartile"),
+            # n = 1 ⇒ the engines define percent_rank as 0, not 0/0.
+            F.when(n > 1, (r - 1) / (n - 1)).otherwise(F.lit(0.0)).alias(
+                "pct_rank"
+            ),
+            (r / n).alias("cume"),
+        )
     )
 
 
@@ -1118,10 +1173,16 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     The retention-marketing classic. Each ntile ORDER BY ends in the
     unique customer key, so quartile boundaries are total — the
     difference between a reproducible segmentation and one that
-    reshuffles customers every run. Money is fixed-point cents;
-    the three global sorts run over one row per customer (already
-    aggregated), not the fact table.
+    reshuffles customers every run. Money is fixed-point cents.
+
+    Each quartile score comes from a distributed rank (dist_rank:
+    range partition → local rank → broadcast offsets) plus
+    ntile_from_rank's integer tile algebra — three linear shuffles of
+    the one-row-per-customer frame instead of three single-partition
+    global sorts through one executor.
     """
+    from gotsdb_spark.operators.distrank import dist_rank, ntile_from_rank
+
     orders = load_table(spark, "orders", sf_dir)
     rfm = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -1130,17 +1191,18 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents"
         ),
     )
-    scored = rfm.select(
+    total = rfm.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ranked = dist_rank(rfm, ["last_order", "o_custkey"], rank_col="_r_rnk")
+    ranked = dist_rank(ranked, ["frequency", "o_custkey"], rank_col="_f_rnk")
+    ranked = dist_rank(
+        ranked, ["monetary_cents", "o_custkey"], rank_col="_m_rnk"
+    )
+    n = F.col("_n")
+    scored = ranked.crossJoin(F.broadcast(total)).select(
         "o_custkey",
-        F.ntile(4)
-        .over(W.orderBy("last_order", "o_custkey"))
-        .alias("r_score"),
-        F.ntile(4)
-        .over(W.orderBy("frequency", "o_custkey"))
-        .alias("f_score"),
-        F.ntile(4)
-        .over(W.orderBy("monetary_cents", "o_custkey"))
-        .alias("m_score"),
+        ntile_from_rank(F.col("_r_rnk"), n, 4).alias("r_score"),
+        ntile_from_rank(F.col("_f_rnk"), n, 4).alias("f_score"),
+        ntile_from_rank(F.col("_m_rnk"), n, 4).alias("m_score"),
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_customers")
@@ -1244,11 +1306,15 @@ def pareto_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto (80/20) analysis: how many parts carry 80% of revenue.
 
     The concentration question behind inventory and catalog decisions.
-    Revenue aggregates per part first (fixed-point cents), then ONE
-    ranked running sum over the aggregated part series finds the
-    cutoff — the global sort touches one row per part, never the fact
-    table, and the (rev, partkey) tie-break makes the ranking total.
+    Revenue aggregates per part first (fixed-point cents); the ranked
+    running sum over the aggregated part series comes from dist_rank
+    (range partition on (rev desc, partkey) → partition-local rank +
+    running sum → broadcast count/sum offsets), so no single executor
+    ever sorts the whole part keyspace; total revenue is a 1-row
+    broadcast. The (rev, partkey) tie-break makes the ranking total.
     """
+    from gotsdb_spark.operators.distrank import dist_rank
+
     li = load_table(spark, "lineitem", sf_dir)
     part_rev = li.groupBy("l_partkey").agg(
         F.sum(
@@ -1257,17 +1323,13 @@ def pareto_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint")
         ).alias("rev_cents")
     )
-    w_cum = W.orderBy(F.desc("rev_cents"), F.asc("l_partkey")).rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    ranked = part_rev.select(
-        "rev_cents",
-        F.sum("rev_cents").over(w_cum).alias("cum_cents"),
-        F.sum("rev_cents").over(W.partitionBy()).alias("total_cents"),
-        F.row_number()
-        .over(W.orderBy(F.desc("rev_cents"), F.asc("l_partkey")))
-        .alias("rnk"),
-    )
+    total = part_rev.agg(F.sum("rev_cents").cast("long").alias("total_cents"))
+    ranked = dist_rank(
+        part_rev,
+        [F.desc("rev_cents"), F.asc("l_partkey")],
+        rank_col="rnk",
+        sum_cols={"cum_cents": "rev_cents"},
+    ).crossJoin(F.broadcast(total))
     share = F.col("cum_cents") / F.col("total_cents")
     return ranked.agg(
         F.count("*").alias("n_parts"),

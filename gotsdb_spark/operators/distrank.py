@@ -1,0 +1,163 @@
+"""Distributed global rank / running sum without a single-partition
+window.
+
+`Window.orderBy(...)` with no partitionBy makes Spark move EVERY row to
+one partition (`WindowExec: No Partition Defined ... Moving all data to
+a single partition`) — invisible at sf0.1, fatal at 100 TB where one
+executor would sort the whole keyspace. The classic distributed-rank
+pattern removes it:
+
+1. `repartitionByRange` on the sort expressions — the range partitioner
+   assigns contiguous sorted key ranges to ascending partition ids, so
+   every row in partition i precedes every row in partition i+1 in the
+   total order.
+2. Stamp `spark_partition_id()` and compute partition-LOCAL
+   `row_number` (and running sums) with `Window.partitionBy(pid)` —
+   every frame is partition-local. (Spark colocates by hash(pid) for
+   the window — a second linear shuffle of the already-aggregated
+   frame. Two linear shuffles beat one single-partition sort at any
+   scale; the alternative, deriving local ranks from
+   `monotonically_increasing_id` evaluation order, saves the shuffle
+   but rides on Catalyst not reordering a nondeterministic projection
+   around a sort — too fragile to pin correctness on.)
+3. Per-partition (count, sum...) totals — ≤ one row per shuffle
+   partition — are collect_list-packed into ONE row, exploded back,
+   and each partition's start offset is an `F.aggregate` fold over the
+   packed array restricted to earlier pids. O(P²) integer adds for P
+   partitions, all JVM-side, and crucially NO unpartitioned window at
+   any row count: the `WindowExec: No Partition Defined` warning the
+   plan audit greps for cannot appear.
+4. Broadcast-hash-join the offsets back on pid:
+   global_rank = offset + local_rank.
+
+Correctness does not depend on where the range sampler places the
+boundaries: any split of the total order gives the same offsets+locals
+sum, so the result is partition-count invariant (pinned by the
+SPARK_GRAFT_CPUS sweep). The sort expressions must form a TOTAL order
+(end in a unique tie-break column) — the same requirement cross-engine
+determinism already imposes on every ranked query in this repo.
+
+Running sums are folded as BIGINTs (`sum_cols` sources must be
+integral) — the repo's fixed-point convention; float folds would not
+commute across partition boundaries.
+
+Reference parity: the reference (j0shgrant/gotsdb) has no ranking or
+windowing surface at all (SURVEY.md §2.2 — internal/storage/types.go:3
+is its whole data model); this is [TARGET] scale machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+# Internal column names; callers keep their own schema untouched.
+_PID = "__dr_pid"
+_LRN = "__dr_lrn"
+_OFF = "__dr_off"
+_ARR = "__dr_arr"
+
+
+def dist_rank(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    rank_col: str = "rnk",
+    sum_cols: dict[str, str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append a global 1-based ``rank_col`` (row_number over the total
+    order ``order_cols``) and, for each ``sum_cols[out_name] = in_col``,
+    a global running sum (UNBOUNDED PRECEDING..CURRENT ROW) — with no
+    data-sized single-partition stage anywhere in the plan.
+
+    ``order_cols`` must define a total order (include a unique
+    tie-break) or ranks are nondeterministic — same contract as
+    ``row_number`` itself. ``sum_cols`` sources must be integral.
+    """
+    sum_cols = sum_cols or {}
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    part = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    ).withColumn(_PID, F.spark_partition_id())
+
+    w_rank = W.partitionBy(_PID).orderBy(*cols)
+    w_run = w_rank.rowsBetween(W.unboundedPreceding, W.currentRow)
+    loc = part.withColumn(_LRN, F.row_number().over(w_rank))
+    for out, src in sum_cols.items():
+        loc = loc.withColumn(
+            f"__dr_lcs_{out}", F.sum(F.col(src).cast("long")).over(w_run)
+        )
+
+    # Per-partition totals → one packed row → per-pid offsets. The
+    # stats branch re-reads the range exchange (ReusedExchange), so the
+    # base df is shuffled once, not computed twice.
+    aggs = [F.count(F.lit(1)).cast("long").alias("__dr_n")] + [
+        F.sum(F.col(src).cast("long")).alias(f"__dr_s_{out}")
+        for out, src in sum_cols.items()
+    ]
+    stats = part.groupBy(_PID).agg(*aggs)
+    packed = stats.agg(
+        F.collect_list(
+            F.struct(_PID, "__dr_n", *[f"__dr_s_{o}" for o in sum_cols])
+        ).alias(_ARR)
+    )
+
+    def _fold(field: str, pid: Column) -> Column:
+        earlier = F.filter(F.col(_ARR), lambda x: x[_PID] < pid)
+        return F.aggregate(
+            earlier, F.lit(0).cast("long"), lambda acc, x: acc + x[field]
+        )
+
+    exploded = packed.select(_ARR, F.explode(_ARR).alias("__dr_s"))
+    pid = F.col(f"__dr_s.{_PID}")
+    offsets = exploded.select(
+        pid.alias(_PID),
+        _fold("__dr_n", pid).alias(_OFF),
+        *[_fold(f"__dr_s_{o}", pid).alias(f"__dr_soff_{o}") for o in sum_cols],
+    )
+
+    out_df = loc.join(F.broadcast(offsets), _PID)
+    out_df = out_df.withColumn(
+        rank_col, (F.col(_OFF) + F.col(_LRN)).cast("long")
+    )
+    for out in sum_cols:
+        out_df = out_df.withColumn(
+            out, (F.col(f"__dr_soff_{out}") + F.col(f"__dr_lcs_{out}")).cast("long")
+        )
+    drop = [_PID, _LRN, _OFF]
+    drop += [f"__dr_lcs_{o}" for o in sum_cols]
+    drop += [f"__dr_soff_{o}" for o in sum_cols]
+    return out_df.drop(*drop)
+
+
+def ntile_from_rank(rank: Column, n: Column, buckets: int) -> Column:
+    """SQL ``ntile(buckets)`` reconstructed from a total-order global
+    rank and the total row count — exact integer arithmetic identical
+    to the engine built-in: the first ``n % buckets`` tiles carry
+    ``n div buckets + 1`` rows, the rest ``n div buckets``.
+    """
+
+    def iceil(a: Column, b: Column) -> Column:
+        # Exact ceil(a/b) for positive integers: the numerator is
+        # rounded down to an exact multiple of b first, so the double
+        # division is exact for any value < 2^53 (no float-boundary
+        # off-by-one, which would flip a tile edge vs the built-in).
+        m = a + b - F.lit(1)
+        return ((m - m % b) / b).cast("long")
+
+    nn = n.cast("long")
+    r = rank.cast("long")
+    rem = (nn % buckets).cast("long")
+    size = ((nn - rem) / buckets).cast("long")  # exact multiple ⇒ exact
+    big = rem * (size + 1)  # rows covered by the (size+1)-row tiles
+    # size = 0 (fewer rows than buckets) ⇒ every row is in the `big`
+    # region, so the otherwise-branch divisor is never used; nullif
+    # keeps the eager evaluation NULL-safe rather than div-by-zero.
+    return (
+        F.when(r <= big, iceil(r, size + 1))
+        .otherwise(rem + iceil(r - big, F.nullif(size, F.lit(0))))
+        .cast("int")
+    )

@@ -438,6 +438,29 @@ def graph_components_star_contraction(spark: SparkSession, sf_dir: str) -> DataF
         if sig == prev_sig:
             break
         prev_sig = sig
+    else:
+        # The 12-round ⌈log2⌉ bound is a heuristic, not a proof: if the
+        # loop exhausts without the signature reaching a fixpoint, the
+        # edge set may still contain non-star edges and the groupBy
+        # below would silently report wrong canonical ids. Fail loudly
+        # instead — a star is exactly "every u appears once, pointing
+        # at a node that is never itself a source".
+        non_star = (
+            edges.alias("e1")
+            .join(
+                edges.alias("e2"),
+                F.col("e1.v") == F.col("e2.u"),
+                "left_semi",
+            )
+            .limit(1)
+            .count()
+        )
+        if non_star:
+            raise RuntimeError(
+                "star contraction did not converge within 12 rounds: "
+                "edge set still contains chains (v appearing as a "
+                "source); raise the round bound"
+            )
     # Fixpoint is a star: u → component-min v. Size = members + the root.
     return edges.groupBy(F.col("v").alias("canonical_id")).agg(
         (F.count("*") + F.lit(1)).cast("bigint").alias("n_members")

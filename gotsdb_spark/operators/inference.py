@@ -78,17 +78,39 @@ def ks_dnum_by_group(pts: DataFrame) -> DataFrame:
         F.sum("cin").over(wall).alias("n_in"),
         F.sum(F.col("ctot") - F.col("cin")).over(wall).alias("n_out"),
     )
-    return cum.groupBy("prio").agg(
+    # The cross-multiplied numerator |ccin·n_out − ccout·n_in| is
+    # bounded by n_in·n_out — ~1e13 already at single-digit scale
+    # factors, so the ×1e6 step (and at ~3e9 rows/group the product
+    # itself) overflows int64: Spark (non-ANSI) would wrap silently
+    # while DuckDB raises — a silent cross-engine divergence. All
+    # products therefore accumulate in DECIMAL(38,0) (the repo's
+    # overflow convention, cf. sim_centroid_separation) on BOTH
+    # engines; only the ≤1e6 quotient comes back to BIGINT.
+    dec = "decimal(38,0)"
+    d_num = F.abs(
+        F.col("ccin").cast(dec) * F.col("n_out").cast(dec)
+        - F.col("ccout").cast(dec) * F.col("n_in").cast(dec)
+    )
+    # d_num is REPORTED as BIGINT (DuckDB hands DECIMAL(38,0) to pandas
+    # as float64, which would wreck the hash gate; the bound d_num ≤
+    # n_in·n_out keeps it exact in int64 to ~3e9 rows per group) but
+    # every intermediate product above lives in DECIMAL(38,0).
+    agg = cum.groupBy("prio").agg(
         F.max("n_in").cast("bigint").alias("n_in"),
         F.max("n_out").cast("bigint").alias("n_out"),
-        F.max(
-            F.abs(F.col("ccin") * F.col("n_out") - F.col("ccout") * F.col("n_in"))
-        )
-        .cast("bigint")
-        .alias("d_num"),
+        F.max(d_num).cast(dec).alias("d_num"),
+    )
+    # floor((d·1e6)/(n_in·n_out)) as two chained integral divides —
+    # exact for positive integers and the divisor product never
+    # materializes past DECIMAL(38,0).
+    return agg.select(
+        "prio",
+        "n_in",
+        "n_out",
+        F.col("d_num").cast("bigint").alias("d_num"),
         F.expr(
-            "CAST(max(abs(ccin * n_out - ccout * n_in)) * 1000000"
-            " DIV (max(n_in) * max(n_out)) AS BIGINT)"
+            f"CAST(CAST(d_num * 1000000 AS {dec})"
+            f" DIV CAST(n_in AS {dec}) DIV CAST(n_out AS {dec}) AS BIGINT)"
         ).alias("d_e6"),
     )
 
@@ -122,7 +144,7 @@ def ks_dnum_by_group(pts: DataFrame) -> DataFrame:
            CAST(max(n_out) AS BIGINT) AS n_out,
            CAST(max(abs(ccin * n_out - ccout * n_in)) AS BIGINT) AS d_num,
            CAST(max(abs(ccin * n_out - ccout * n_in)) * 1000000
-                // (max(n_in) * max(n_out)) AS BIGINT) AS d_e6
+                // max(n_in) // max(n_out) AS BIGINT) AS d_e6
     FROM cum
     GROUP BY prio
     """,
@@ -319,7 +341,7 @@ def _pois_slice_sql(s: int, h_expr: str = "h") -> str:
              CASE WHEN rep > 0 THEN
                row_number() OVER (
                  PARTITION BY segment, (rep > 0)
-                 ORDER BY swc // NULLIF(sw, 0), rep)
+                 ORDER BY swc // NULLIF(sw, 0) NULLS LAST, rep)
              END AS rn
       FROM reps
     )
@@ -449,8 +471,14 @@ def stats_bootstrap_ci_segment_price(spark: SparkSession, sf_dir: str) -> DataFr
         "rn",
         F.when(
             F.col("rep") > 0,
+            # asc_nulls_last: a zero-weight replicate (sw = 0 ⇒ NULL
+            # mean) must sort AFTER real means on both engines — Spark
+            # defaults NULLS FIRST ascending, DuckDB NULLS LAST, so an
+            # explicit pin is the only cross-engine-stable choice.
             F.row_number().over(
-                W.partitionBy("segment", F.col("rep") > 0).orderBy("mean_c", "rep")
+                W.partitionBy("segment", F.col("rep") > 0).orderBy(
+                    F.asc_nulls_last("mean_c"), "rep"
+                )
             ),
         ),
     )
@@ -540,7 +568,6 @@ def quality_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("digit")
     )
     obs = digits.groupBy("digit").agg(F.count("*").alias("n_obs"))
-    wall = W.partitionBy()
     benford = F.expr(_benford_case_sql("digit")).cast("bigint")
     return obs.select(
         "digit",

@@ -256,14 +256,13 @@ def heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "exact_cnt")
         .agg(F.min("cnt").alias("est_cnt"))
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(
-        F.desc("est_cnt"), F.desc("exact_cnt"), F.asc("l_partkey")
-    )
+    # Top-10 via orderBy().limit() → TakeOrderedAndProject: each task
+    # keeps its local top 10 and only those reach the driver — no
+    # single-partition global window (which would haul every distinct
+    # key to one executor for identical output).
     return (
-        est.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 10)
+        est.orderBy(F.desc("est_cnt"), F.desc("exact_cnt"), F.asc("l_partkey"))
+        .limit(10)
         .select(
             "l_partkey",
             "exact_cnt",

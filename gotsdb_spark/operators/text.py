@@ -366,13 +366,15 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The corpus-health statistic: a slope far from -1 or a poor fit
     flags synthetic, templated, or boilerplate-heavy data before it
-    trains anything. One count aggregation keyed by word, one
-    rank window over the vocabulary (already aggregated), and a
-    regression aggregate — regr_slope/regr_r2 are map-side-combinable
-    moment sums in both engines. Rank ties break on the word for a
-    total order.
+    trains anything. One count aggregation keyed by word, then a
+    DISTRIBUTED rank over the vocabulary (dist_rank: range partition →
+    local rank → broadcast offsets — the vocabulary is corpus-sized
+    and Zipfian, exactly the frame a single-partition window must not
+    own), and a regression aggregate — regr_slope/regr_r2 are
+    map-side-combinable moment sums in both engines. Rank ties break
+    on the word for a total order.
     """
-    from pyspark.sql.window import Window as W
+    from gotsdb_spark.operators.distrank import dist_rank
 
     docs = load_table(spark, "documents", sf_dir)
     freqs = (
@@ -380,12 +382,9 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("f"))
     )
-    ranked = freqs.select(
-        "f",
-        F.row_number()
-        .over(W.orderBy(F.desc("f"), F.asc("w")))
-        .alias("r"),
-    )
+    ranked = dist_rank(
+        freqs, [F.desc("f"), F.asc("w")], rank_col="r"
+    ).select("f", "r")
     return ranked.agg(
         F.count("*").alias("vocab_size"),
         F.regr_slope(F.log("f"), F.log("r")).alias("zipf_slope"),

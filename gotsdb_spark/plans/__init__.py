@@ -6,6 +6,7 @@ from gotsdb_spark.plans.inspect import (
     pushed_filters,
     read_schema_columns,
     shuffle_count,
+    single_partition_window_chains,
 )
 
 __all__ = [
@@ -15,5 +16,6 @@ __all__ = [
     "broadcast_join_count",
     "shuffle_count",
     "has_cartesian_product",
+    "single_partition_window_chains",
     "plan_report",
 ]

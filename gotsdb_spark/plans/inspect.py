@@ -61,6 +61,31 @@ def has_cartesian_product(df: DataFrame) -> bool:
     )
 
 
+def single_partition_window_chains(df: DataFrame) -> int:
+    """Count Window operators fed by an ``Exchange SinglePartition`` —
+    the `WindowExec: No Partition Defined ... Moving all data to a
+    single partition` shape that serializes the whole frame through one
+    executor at scale.
+
+    Detection walks the executed-plan text: a global window prints as
+    ``Window ... / +- Sort ... / +- Exchange SinglePartition`` (child
+    lines directly below the Window node), so a Window line with a
+    SinglePartition exchange within its next three lines is one chain.
+    Global aggregates also use SinglePartition exchanges — those are
+    fine (partial+final, tiny shuffle) and do NOT match because no
+    Window sits on top. WindowGroupLimit (the top-k rewrite) is
+    excluded: it bounds rows before any exchange.
+    """
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    chains = 0
+    for i, ln in enumerate(lines):
+        if re.search(r"\bWindow\b", ln) and "WindowGroupLimit" not in ln:
+            if "Exchange SinglePartition" in "\n".join(lines[i : i + 4]):
+                chains += 1
+    return chains
+
+
 def plan_report(df: DataFrame) -> dict:
     """One-line plan-health summary (used by tools/plan_audit.py)."""
     plan = formatted_plan(df)
@@ -73,4 +98,5 @@ def plan_report(df: DataFrame) -> dict:
         "codegen_stages": len(set(re.findall(r"codegen id : (\d+)", plan))),
         "python_stages": len(re.findall(r"\(\d+\) (?:MapInPandas|ArrowEvalPython|FlatMapGroupsInPandas)", plan)),
         "scans": len(re.findall(r"\(\d+\) Scan parquet", plan)),
+        "global_windows": single_partition_window_chains(df),
     }

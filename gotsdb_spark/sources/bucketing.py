@@ -38,10 +38,15 @@ def bucket_table(
     """Write (once per process per config) a fixture table bucketed+
     sorted by `key` into the catalog; returns the catalog table name.
 
-    The name embeds the sf_dir slug so two scale factors touched by one
-    process can't alias each other's buckets."""
+    The name embeds the sf_dir slug AND the bucketing key so neither
+    two scale factors nor two bucketing keys for the same table can
+    alias each other's buckets — the memo key and the catalog name must
+    cover the same parameter space, or a re-call with a different key
+    would pass its own memo check against a table bucketed by the
+    wrong column (correct data, silently defeated bucketed-join
+    layout)."""
     slug = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    table_name = table_name or f"{name}_bucketed_{slug}_{n_buckets}"
+    table_name = table_name or f"{name}_bucketed_{slug}_{key}_{n_buckets}"
     memo_key = (spark.sparkContext.applicationId, sf_dir, name, key, n_buckets)
     if memo_key in _MATERIALIZED and spark.catalog.tableExists(table_name):
         return table_name

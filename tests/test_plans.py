@@ -667,3 +667,76 @@ def test_weighted_median_windows_dictionary_domain(spark):
     )
     assert re.search(r"Window .*\[l_returnflag#\d+\]", plan), plan[:2000]
     assert shuffle_count(df) <= 3
+
+
+# ---------------------------------------------------------------------------
+# No unbounded single-partition windows anywhere in the registry.
+# ---------------------------------------------------------------------------
+
+# Queries whose plans legitimately contain a Window over an Exchange
+# SinglePartition: every frame below is bounded by a fixed domain or by
+# calendar granularity, NOT by data volume, and each docstring carries
+# the argument. Anything else in the registry with such a chain is a
+# 100 TB scale bug (one executor sorts the whole keyspace) and fails
+# the sweep.
+ALLOWED_GLOBAL_WINDOWS = {
+    "ts_linear_interpolate",  # day-spine frame (rows = days in range)
+    "orders_mom_growth",  # monthly series
+    "window_share_of_total",  # ~15 (status, priority) grouped rows
+    "concurrent_open_orders",  # sweep-line over day-granularity deltas
+    "stats_chi_square_priority_flag",  # contingency cells (domain product)
+    "stats_mutual_info_type_daypart",  # contingency cells (types × 4)
+    "quality_benford_price_audit",  # exactly 9 first-digit rows
+    "ts_locf_fill",  # day-spine frame (may plan without an exchange)
+    "sketch_kmv_distinct_users",  # merged k-min set: ≤ k × days rows
+    "text_rrf_hybrid_retrieval",  # two k-row top-k arms
+}
+
+
+def test_detector_catches_global_window(spark):
+    """Canary: the chain detector must flag a textbook unpartitioned
+    window, so plan-format drift can't silently blind the sweep."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from gotsdb_spark.plans import single_partition_window_chains
+
+    df = spark.range(1000).select(
+        "id", F.row_number().over(W.orderBy("id")).alias("rn")
+    )
+    assert single_partition_window_chains(df) >= 1
+    good = spark.range(1000).select(
+        "id",
+        F.row_number()
+        .over(W.partitionBy((F.col("id") % 10)).orderBy("id"))
+        .alias("rn"),
+    )
+    assert single_partition_window_chains(good) == 0
+
+
+def test_no_unbounded_global_windows_full_registry(spark):
+    """Sweep EVERY registered query's executed plan for Window-over-
+    Exchange-SinglePartition chains; only the documented bounded-frame
+    allowlist may contain one. This is the pin for the round-6 rewrite
+    of the six data-sized global windows (ntile/percent_rank, RFM,
+    Pareto, Zipf rank, count-min top-10, price-band RANGE frame) —
+    reintroducing any of them fails here, not on the cluster."""
+    from gotsdb_spark.plans import single_partition_window_chains
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        try:
+            df = fn(spark, SF)
+        except Exception:
+            # Environment-gated or replay-dependent construction issues
+            # are other tests' concern; the sweep only grades plans it
+            # can build.
+            continue
+        chains = single_partition_window_chains(df)
+        if chains and name not in ALLOWED_GLOBAL_WINDOWS:
+            offenders[name] = chains
+    assert not offenders, (
+        f"unallowlisted single-partition window chains: {offenders} — "
+        "use gotsdb_spark.operators.distrank.dist_rank or a bounded "
+        "partition key, or (with a docstring argument) allowlist"
+    )

@@ -20,7 +20,7 @@ import pandas as pd
 sys.path.insert(0, ".")
 
 from gotsdb_spark.operators import ORACLES, QUERIES  # noqa: E402
-from gotsdb_spark.session import get_spark  # noqa: E402
+from gotsdb_spark.session import DEFAULT_CPUS, get_spark  # noqa: E402
 from gotsdb_spark.sources.registry import TABLES  # noqa: E402
 
 ROUND = 6
@@ -118,8 +118,11 @@ def main() -> int:
                     "sf_dir": sf_dir,
                     # Shuffle-partition count the sweep ran under, so a
                     # parallelism-invariance sweep (SPARK_GRAFT_CPUS=7)
-                    # is distinguishable from the canonical 32-way run.
-                    "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                    # is distinguishable from the canonical run. This is
+                    # the value the session factory ACTUALLY used (env
+                    # var else cpu count), not a hardcoded fallback —
+                    # the provenance claim must match reality.
+                    "cpus": str(DEFAULT_CPUS),
                     "swept_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                     "n_queries": len(QUERIES),
                     "n_pass": sum(1 for v in statuses.values() if v == "pass"),

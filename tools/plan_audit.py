@@ -26,10 +26,12 @@ def main() -> None:
             print(f"{name:38s} ERROR {exc}")
             continue
         flag = "!" if (r["cartesian"] or r["nested_loop"]) else " "
+        gw = "W" if r["global_windows"] else " "
         print(
-            f"{flag}{name:38s} shuffles={r['shuffles']:2d} bhj={r['broadcast_joins']}"
+            f"{flag}{gw}{name:38s} shuffles={r['shuffles']:2d} bhj={r['broadcast_joins']}"
             f" smj={r['sortmerge_joins']} codegen={r['codegen_stages']:2d}"
             f" py={r['python_stages']} scans={r['scans']}"
+            f" gw={r['global_windows']}"
         )
 
 
