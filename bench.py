@@ -107,6 +107,13 @@ HEADLINE = [
     "stats_bootstrap_ci_segment_price",
     "graph_components_star_contraction",
     "text_rrf_fusion",
+    # round 6 operators
+    "heavy_hitters_spacesaving",
+    "image_ahash_buckets",
+    "stats_theil_sen_slope",
+    "ts_pattern_quantified_funnels",
+    "ts_holt_linear_trend",
+    "xml_interchange_roundtrip",
 ]
 
 # Streaming replays + the KV engine roundtrip execute real multi-wave

@@ -82,6 +82,16 @@ def dist_rank(
         if num_partitions
         else df.repartitionByRange(*cols)
     ).withColumn(_PID, F.spark_partition_id())
+    # MATERIALIZE the partitioned frame before it forks into the
+    # local-rank and offsets branches: repartitionByRange SAMPLES its
+    # boundaries, and two evaluations of the same plan can place them
+    # differently (measured: 1045/958 vs 1050/953 on one fixture), so a
+    # pid stamped in one evaluation must never be joined against
+    # offsets counted in another. localCheckpoint freezes the pid
+    # assignment; a lost block fails loudly instead of resampling
+    # silently. The output is still boundary-placement independent —
+    # any split of the total order composes to the same global rank.
+    part = part.localCheckpoint(eager=False)
 
     w_rank = W.partitionBy(_PID).orderBy(*cols)
     w_run = w_rank.rowsBetween(W.unboundedPreceding, W.currentRow)

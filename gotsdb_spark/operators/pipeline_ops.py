@@ -713,3 +713,62 @@ def curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact_dups",
         "avg_chars_x100",
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-k deterministic per-group sampling — round 6.
+# ---------------------------------------------------------------------------
+
+_RESERVOIR_K = 5
+
+RESERVOIR_ORACLE = f"""
+    WITH keyed AS (
+      SELECT event_type, event_id,
+             md5(CAST(event_id AS VARCHAR)) AS hk
+      FROM events
+    ), ranked AS (
+      SELECT event_type, event_id,
+             CAST(row_number() OVER (
+               PARTITION BY event_type ORDER BY hk, event_id) AS BIGINT)
+               AS rk
+      FROM keyed
+    )
+    SELECT event_type, rk, event_id
+    FROM ranked WHERE rk <= {_RESERVOIR_K}
+"""
+
+
+@query("sample_reservoir_per_group", oracle=RESERVOIR_ORACLE)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k uniform sample per group (k={k} rows per event_type) —
+    the distributed, deterministic equivalent of per-group reservoir
+    sampling: rank rows within each group by md5(row id) and keep the
+    k smallest. Every row's key is uniform and fixed, so the selected
+    set is a uniform k-subset that is IDENTICAL across runs, partition
+    layouts, and engines — the property an eval-set or debugging sample
+    needs (classic reservoir sampling is stream-order-dependent, which
+    a distributed scan cannot reproduce).
+
+    Scale: one shuffle keyed by group; Spark plans the rank-filter as
+    WindowGroupLimit (per-task top-k pre-filter before the shuffle), so
+    only ~k rows per (task, group) move. Fraction-based sampling
+    (sample_stratified_orders) cannot promise exact k; this op is the
+    exact-k complement.
+    """
+    ev = load_table(spark, "events", sf_dir).select("event_type", "event_id")
+    keyed = ev.select(
+        "event_type",
+        "event_id",
+        F.md5(F.col("event_id").cast("string")).alias("hk"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hk", "event_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= _RESERVOIR_K)
+        .select("event_type", "rk", "event_id")
+    )
+
+
+sample_reservoir_per_group.__doc__ = sample_reservoir_per_group.__doc__.format(
+    k=_RESERVOIR_K
+)

@@ -393,3 +393,69 @@ def linkage_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("part_a") < F.col("part_b"))
         .select("part_a", "part_b", "p_brand", "name_a", "name_b", "lev_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Column completeness / cardinality profile — round 6.
+# ---------------------------------------------------------------------------
+
+NULL_PROFILE_ORACLE = """
+    SELECT 'o_orderkey' AS col,
+           count(*) AS n_rows,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*),
+           CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*),
+           CAST(count(*) - count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*),
+           CAST(count(*) - count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT)
+    FROM orders
+"""
+
+
+@query("quality_null_profile", oracle=NULL_PROFILE_ORACLE)
+def quality_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column completeness + cardinality profile of the orders table —
+    the dbt-style data-contract audit (null share and distinct count
+    per column) run before a table is trusted as a join dimension or
+    feature source.
+
+    All four columns profile in ONE pass: count/count(col)/
+    count(DISTINCT col) per column in a single aggregate (Spark expands
+    multi-distinct aggregates itself; the oracle unions per-column
+    passes, proving the one-pass expansion equals the per-column
+    truth). Output is one row per column — a schema-stable profile
+    table a contract test can diff between loads.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_custkey"]
+    profiles = None
+    base = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            agg
+            for c in cols
+            for agg in (
+                (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"null_{c}"),
+                F.countDistinct(c).cast("long").alias(f"dist_{c}"),
+            )
+        ],
+    )
+    stack_expr = "stack({n}, {args}) AS (col, n_null, n_distinct)".format(
+        n=len(cols),
+        args=", ".join(f"'{c}', null_{c}, dist_{c}" for c in cols),
+    )
+    profiles = base.select("n_rows", F.expr(stack_expr)).select(
+        "col", "n_rows", "n_null", "n_distinct"
+    )
+    return profiles

@@ -209,3 +209,86 @@ def grouping_id_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical share-of-parent — round 6.
+# ---------------------------------------------------------------------------
+
+SHARE_OF_PARENT_ORACLE = """
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    ), regions AS (
+      SELECT region, CAST(sum(rev_cents) AS BIGINT) AS region_cents
+      FROM rev GROUP BY region
+    ), grand AS (
+      SELECT CAST(sum(rev_cents) AS BIGINT) AS grand_cents FROM rev
+    )
+    SELECT rev.region, rev.nation, rev.rev_cents,
+           CAST(rev.rev_cents * 1000000 // regions.region_cents AS BIGINT)
+             AS share_of_region_e6,
+           CAST(regions.region_cents * 1000000 // grand.grand_cents AS BIGINT)
+             AS region_share_e6
+    FROM rev JOIN regions USING (region) CROSS JOIN grand
+"""
+
+
+@query("rollup_share_of_parent", oracle=SHARE_OF_PARENT_ORACLE)
+def rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share-of-parent: each nation's revenue share within
+    its region AND the region's share of the grand total, in one result
+    — the drill-down ratio layer a BI rollup feeds ('FRANCE is 31% of
+    EUROPE, EUROPE is 22% of world').
+
+    The fact table aggregates ONCE to the leaf level (region, nation)
+    — everything above re-aggregates the ≤ |nations|-row leaf frame,
+    never the facts (the rollup re-aggregation property). Parent
+    totals join back broadcast; the grand total is a 1-row broadcast.
+    Shares are exact integer e6 divisions of fixed-point cents —
+    no float crosses engines. Dimension joins broadcast.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    rev = (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    regions = rev.groupBy("region").agg(
+        F.sum("rev_cents").cast("bigint").alias("region_cents")
+    )
+    grand = rev.agg(F.sum("rev_cents").cast("bigint").alias("grand_cents"))
+    return (
+        rev.join(F.broadcast(regions), "region")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "region",
+            "nation",
+            "rev_cents",
+            F.expr("rev_cents * 1000000 DIV region_cents").alias(
+                "share_of_region_e6"
+            ),
+            F.expr("region_cents * 1000000 DIV grand_cents").alias(
+                "region_share_e6"
+            ),
+        )
+    )

@@ -1122,3 +1122,75 @@ def sim_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cos_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding statistics audit — round 6.
+# ---------------------------------------------------------------------------
+
+EMBED_DIM_STATS_ORACLE = """
+    WITH comp AS (
+      SELECT CAST(t.i AS INT) AS dim,
+             CAST(floor(embedding[CAST(t.i + 1 AS INT)] * 1e6) AS BIGINT) AS x
+      FROM embeddings,
+           unnest(range(len(embedding))) AS t(i)
+    ), suff AS (
+      SELECT dim, count(*) AS n,
+             sum(x) AS sx, sum(x * x) AS sxx,
+             min(x) AS lo, max(x) AS hi
+      FROM comp GROUP BY dim
+    )
+    SELECT dim,
+           CAST(n AS BIGINT) AS n,
+           CAST(sx // n AS BIGINT) AS mean_e6,
+           CAST(floor(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n + 0.5001)
+                AS BIGINT) AS std_e6,
+           CAST(lo AS BIGINT) AS lo_e6,
+           CAST(hi AS BIGINT) AS hi_e6
+    FROM suff
+"""
+
+
+@query("embed_dimension_stats", oracle=EMBED_DIM_STATS_ORACLE)
+def embed_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean / std / range audit of the embedding matrix —
+    the feature-scaling and dead-dimension check run before cosine or
+    product quantization is trusted (a dimension with 100× the variance
+    silently dominates every distance; a constant dimension wastes a
+    PQ codebook slot).
+
+    Components scale to e6 integers at the scan (floats summed as
+    floats would be association-order-unsafe; integer sums commute), so
+    the sufficient statistics (n, Σx, Σx²) are exact — Σx² accumulates
+    in DECIMAL(38,0) (x² ≈ 1e12 per component, 1e21+ summed at corpus
+    scale). Mean is exact integer division; std evaluates
+    √(nΣx²−(Σx)²)/n once per dimension on exact integers cast to
+    double, e6-floored with the ulp nudge. One posexplode + one
+    map-side-combinable groupBy keyed by the 64-value dim — shuffle
+    carries dims × partials, never rows × dims.
+    """
+    dec = "decimal(38,0)"
+    comp = load_table(spark, "embeddings", sf_dir).select(
+        F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "dim", F.floor(F.col("val") * 1e6).cast("bigint").alias("x")
+    )
+    suff = comp.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.min("x").cast("long").alias("lo"),
+        F.max("x").cast("long").alias("hi"),
+    )
+    return suff.select(
+        "dim",
+        "n",
+        F.expr("sx DIV n").cast("long").alias("mean_e6"),
+        F.expr(
+            f"CAST(floor(sqrt(CAST(CAST(n AS {dec}) * sxx"
+            f" - CAST(sx AS {dec}) * CAST(sx AS {dec}) AS DOUBLE)) / n"
+            " + 0.5001) AS BIGINT)"
+        ).alias("std_e6"),
+        F.col("lo").alias("lo_e6"),
+        F.col("hi").alias("hi_e6"),
+    )

@@ -796,3 +796,242 @@ def stats_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("slope_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration, equi-depth binning, correlation matrix — round 6.
+# All three reuse the integer-sufficient-statistic discipline; the two
+# rank-based ones run on operators.distrank (no single-partition
+# window at any scale).
+# ---------------------------------------------------------------------------
+
+GINI_ORACLE = """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT rev_cents,
+             row_number() OVER (ORDER BY rev_cents, o_custkey) AS i
+      FROM rev
+    ), tot AS (
+      SELECT count(*) AS n, sum(rev_cents) AS s FROM ranked
+    )
+    SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_customers,
+           CAST((SELECT s FROM tot) AS BIGINT) AS total_cents,
+           CAST(sum((2 * i - (SELECT n FROM tot) - 1) * rev_cents) * 1000000
+                // ((SELECT n FROM tot) * (SELECT s FROM tot))
+                AS BIGINT) AS gini_e6
+    FROM ranked
+"""
+
+
+@query("stats_gini_revenue_concentration", oracle=GINI_ORACLE)
+def stats_gini_revenue_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the single-number
+    concentration metric behind 'do 20% of customers carry 80% of
+    revenue' (the integral twin of pareto_revenue_parts' cutoff).
+
+    Uses the rank formulation G = Σ(2i−n−1)·x_i / (n·Σx) over revenues
+    sorted ascending with the customer key as tie-break — exact integer
+    arithmetic end to end: i comes from dist_rank (range partition →
+    local rank → broadcast offsets; NO single-partition window over the
+    customer keyspace), each signed term and the sums accumulate in
+    DECIMAL(38,0) (terms reach n·x ≈ 1e17 and the sum 1e26 at warehouse
+    scale — far past int64), and the final e6 quotient is one integral
+    division. The only shuffles are the revenue groupBy and dist_rank's
+    two linear exchanges.
+    """
+    from gotsdb_spark.operators.distrank import dist_rank
+
+    dec = "decimal(38,0)"
+    rev = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    ranked = dist_rank(rev, ["rev_cents", "o_custkey"], rank_col="i")
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev_cents").cast("long").alias("s"),
+    )
+    term = (
+        (F.lit(2).cast(dec) * F.col("i").cast(dec)
+         - F.col("n").cast(dec) - F.lit(1).cast(dec))
+        * F.col("rev_cents").cast(dec)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.max("s").cast("bigint").alias("total_cents"),
+            F.sum(term).alias("_num"),
+        )
+        .select(
+            "n_customers",
+            "total_cents",
+            F.expr(
+                f"CAST(CAST(_num * 1000000 AS {dec})"
+                f" DIV CAST(n_customers AS {dec})"
+                f" DIV CAST(total_cents AS {dec}) AS BIGINT)"
+            ).alias("gini_e6"),
+        )
+    )
+
+
+EQUIDEPTH_ORACLE = """
+    WITH vals AS (
+      SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ), binned AS (
+      SELECT cents,
+             CAST(ntile(10) OVER (ORDER BY cents, l_orderkey, l_linenumber)
+                  AS INT) AS bin
+      FROM vals
+    )
+    SELECT bin,
+           count(*) AS n_rows,
+           CAST(min(cents) AS BIGINT) AS lo_cents,
+           CAST(max(cents) AS BIGINT) AS hi_cents
+    FROM binned GROUP BY bin
+"""
+
+
+@query("stats_equidepth_bins", oracle=EQUIDEPTH_ORACLE)
+def stats_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) binning of line-item prices into 10
+    bins with per-bin count and boundary values — the feature-binning /
+    histogram-equalization primitive a training pipeline uses to
+    bucketize heavy-tailed numerics.
+
+    ntile over the raw fact table is exactly the frame a global window
+    must never own, so the bin id comes from dist_rank (range partition
+    → local rank → broadcast offsets) + ntile_from_rank's integer tile
+    algebra over the total order (cents, orderkey, linenumber); the
+    oracle's built-in ntile proves the reconstruction is exact. The
+    bin groupBy is map-side combinable — ≤10 rows reach the shuffle
+    per task.
+    """
+    from gotsdb_spark.operators.distrank import dist_rank, ntile_from_rank
+
+    vals = load_table(spark, "lineitem", sf_dir).select(
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    total = vals.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ranked = dist_rank(
+        vals, ["cents", "l_orderkey", "l_linenumber"], rank_col="_rnk"
+    )
+    binned = ranked.crossJoin(F.broadcast(total)).select(
+        "cents",
+        ntile_from_rank(F.col("_rnk"), F.col("_n"), 10).alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_rows"),
+        F.min("cents").cast("bigint").alias("lo_cents"),
+        F.max("cents").cast("bigint").alias("hi_cents"),
+    )
+
+
+# Pearson correlation from exact integer sufficient statistics — the
+# closed form embedded in BOTH SQLs so each engine evaluates the
+# identical double expression once per pair.
+_CORR_NUM = "({n} * {sab} - {sa} * {sb})"
+# Each variance term is exact in DECIMAL(38,0)/HUGEINT; their PRODUCT
+# is not (it can reach ~1e46), so both engines cast each term to DOUBLE
+# (correctly rounded) and multiply in float — identical expression,
+# identical result.
+_CORR_DEN = (
+    "sqrt(CAST(({n} * {saa} - {sa} * {sa}) AS DOUBLE)"
+    " * CAST(({n} * {sbb} - {sb} * {sb}) AS DOUBLE))"
+)
+
+
+def _corr_e6_sql(n: str, sa: str, sb: str, sab: str, saa: str, sbb: str) -> str:
+    num = _CORR_NUM.format(n=n, sab=sab, sa=sa, sb=sb)
+    den = _CORR_DEN.format(n=n, saa=saa, sa=sa, sbb=sbb, sb=sb)
+    return (
+        f"CAST(floor(CAST({num} AS DOUBLE) / {den} * 1e6 + 0.5001) AS BIGINT)"
+    )
+
+
+CORR_MATRIX_ORACLE = f"""
+    WITH pts AS (
+      SELECT CAST(floor(l_quantity * 100) AS BIGINT)      AS q,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS p,
+             CAST(floor(l_discount * 10000) AS BIGINT)    AS d
+      FROM lineitem
+    ), suff AS (
+      SELECT count(*) AS n,
+             sum(q) AS sq, sum(p) AS sp, sum(d) AS sd,
+             sum(q * p) AS sqp, sum(q * d) AS sqd, sum(p * d) AS spd,
+             sum(q * q) AS sqq, sum(p * p) AS spp, sum(d * d) AS sdd
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           {_corr_e6_sql('n', 'sq', 'sp', 'sqp', 'sqq', 'spp')}
+             AS corr_qty_price_e6,
+           {_corr_e6_sql('n', 'sq', 'sd', 'sqd', 'sqq', 'sdd')}
+             AS corr_qty_disc_e6,
+           {_corr_e6_sql('n', 'sp', 'sd', 'spd', 'spp', 'sdd')}
+             AS corr_price_disc_e6
+    FROM suff
+"""
+
+
+@query("stats_corr_matrix_lineitem", oracle=CORR_MATRIX_ORACLE)
+def stats_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix of (quantity, price, discount) — the
+    pairwise-dependence audit run before treating numerics as
+    independent features (the continuous sibling of the chi-square /
+    mutual-information categorical checks).
+
+    One pass, one shuffle: every pairwise correlation derives from ten
+    exact integer sufficient statistics (n, Σa, Σab, Σa² per pair)
+    accumulated in DECIMAL(38,0) — integer sums commute, so partial
+    aggregation can't perturb a digit, and the e2/e4 fixed-point
+    scaling cancels in the correlation ratio. The closed form
+    (nΣab−ΣaΣb)/√((nΣa²−(Σa)²)(nΣb²−(Σb)²)) is evaluated once per pair
+    on exact integers cast to double (correctly rounded identically
+    from DECIMAL and HUGEINT), then e6-floored with the ulp nudge.
+    Bound: n·Σp² approaches the 38-digit cap only past ~1e12 rows of
+    max-price items — the documented ceiling of this encoding.
+    """
+    dec = "decimal(38,0)"
+    pts = load_table(spark, "lineitem", sf_dir).select(
+        F.floor(F.col("l_quantity") * 100).cast("bigint").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("p"),
+        F.floor(F.col("l_discount") * 10000).cast("bigint").alias("d"),
+    )
+
+    def s(expr: F.Column, name: str) -> F.Column:
+        return F.sum(expr.cast(dec)).alias(name)
+
+    q, p, d = F.col("q"), F.col("p"), F.col("d")
+    suff = pts.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        s(q, "sq"), s(p, "sp"), s(d, "sd"),
+        s(q * p, "sqp"), s(q * d, "sqd"), s(p * d, "spd"),
+        s(q * q, "sqq"), s(p * p, "spp"), s(d * d, "sdd"),
+    )
+    return suff.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(_corr_e6_sql("n", "sq", "sp", "sqp", "sqq", "spp")).alias(
+            "corr_qty_price_e6"
+        ),
+        F.expr(_corr_e6_sql("n", "sq", "sd", "sqd", "sqq", "sdd")).alias(
+            "corr_qty_disc_e6"
+        ),
+        F.expr(_corr_e6_sql("n", "sp", "sd", "spd", "spp", "sdd")).alias(
+            "corr_price_disc_e6"
+        ),
+    )

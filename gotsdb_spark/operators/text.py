@@ -914,3 +914,174 @@ def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rrf_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token entropy + bigram LM scoring — round 6.
+# ---------------------------------------------------------------------------
+
+TOKEN_ENTROPY_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), cnt AS (
+      SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w
+    ), tot AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_distinct
+      FROM cnt GROUP BY doc_id
+    ), contrib AS (
+      SELECT cnt.doc_id,
+             CAST(floor(-(c * 1.0 / n) * ln(c * 1.0 / n) * 1e9 + 0.5001)
+                  AS BIGINT) AS h_e9
+      FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+    )
+    SELECT tot.doc_id, n AS n_tokens, n_distinct,
+           CAST(sum(h_e9) AS BIGINT) AS entropy_e9,
+           CASE WHEN n_distinct > 1 THEN
+             CAST(sum(h_e9) * 1000000
+                  // CAST(floor(ln(n_distinct) * 1e9 + 0.5001) AS BIGINT)
+                  AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS norm_entropy_e6
+    FROM contrib JOIN tot ON contrib.doc_id = tot.doc_id
+    GROUP BY tot.doc_id, n, n_distinct
+"""
+
+
+@query("text_token_entropy", oracle=TOKEN_ENTROPY_ORACLE)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution, plus the
+    entropy normalized by ln(vocabulary) — the repetitiveness score a
+    quality filter uses: near 0 means one token dominates (templated /
+    degenerate text), near 1 means tokens are spread evenly.
+
+    Determinism: each term's contribution −(c/n)·ln(c/n) is evaluated
+    once on exact integer counts and floored to an e9 integer BEFORE
+    summing (the unigram-NLL convention: integer sums commute, float
+    sums don't); the normalized form is an integer ratio of two
+    e-scaled values, engine-identically truncated. Two map-side-
+    combinable groupBys keyed by (doc, token) and doc — per-doc state
+    bounded by document length, never corpus size.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    cnt = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+    )
+    p = F.col("c") * 1.0 / F.col("n_tokens")
+    contrib = cnt.join(tot, "doc_id").select(
+        "doc_id",
+        F.floor(-p * F.log(p) * 1e9 + 0.5001).cast("long").alias("h_e9"),
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("h_e9").cast("long").alias("entropy_e9"))
+        .join(tot, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            "entropy_e9",
+            F.when(
+                F.col("n_distinct") > 1,
+                F.expr(
+                    "entropy_e9 * 1000000 DIV"
+                    " CAST(floor(ln(n_distinct) * 1e9 + 0.5001) AS BIGINT)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("norm_entropy_e6"),
+        )
+    )
+
+
+BIGRAM_LOGPROB_ORACLE = """
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS a FROM documents
+    ), bg AS (
+      SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+      FROM ws, unnest(range(1, len(a))) AS t(i)
+    ), c12 AS (
+      SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+    ), v AS (
+      SELECT count(DISTINCT w) AS v FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      ) toks
+    ), scored AS (
+      SELECT bg.doc_id,
+             CAST(floor(-ln((c12.c12 + 1) * 1.0 / (c1.c1 + v.v)) * 1e6
+                        + 0.5001) AS BIGINT) AS nll_e6
+      FROM bg
+      JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+      JOIN c1 ON bg.w1 = c1.w1
+      CROSS JOIN v
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(nll_e6) AS BIGINT) AS sum_nll_e6,
+           CAST(sum(nll_e6) // count(*) AS BIGINT) AS avg_nll_e6
+    FROM scored GROUP BY doc_id
+"""
+
+
+@query("text_bigram_logprob", oracle=BIGRAM_LOGPROB_ORACLE)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM negative log-likelihood with add-one
+    smoothing — the order-aware upgrade of text_unigram_logprob: a doc
+    of common words in impossible ORDER now scores high (word salad),
+    which the bag-of-words unigram score cannot see. This is the KenLM
+    n-gram filter of pretraining pipelines at n=2, Spark-native.
+
+    P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V), fit on the corpus itself; both
+    count tables come from map-side-combinable groupBys over the bigram
+    stream (built row-locally with a JVM transform over the token
+    array, no self-join). Scoring joins the bigram stream back on the
+    (w1,w2) equi-key — a shuffle join, NOT a broadcast: at corpus scale
+    the bigram table is itself corpus-sized, exactly what must never be
+    collected. Per-position NLLs floor to e6 integers before the doc
+    sum (association-safe); avg is exact integer division.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    ws = docs.select("doc_id", F.split("text", " ").alias("a"))
+    bg = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(a) - 1),"
+                " i -> struct(element_at(a, i) AS w1,"
+                "             element_at(a, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = docs.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).agg(F.countDistinct("w").alias("v"))
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.floor(
+                -F.log((F.col("c12") + 1) * 1.0 / (F.col("c1") + F.col("v")))
+                * 1e6
+                + 0.5001
+            )
+            .cast("long")
+            .alias("nll_e6"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("nll_e6").cast("long").alias("sum_nll_e6"),
+        F.expr("CAST(sum(nll_e6) DIV count(*) AS BIGINT)").alias("avg_nll_e6"),
+    )

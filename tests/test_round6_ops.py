@@ -1,0 +1,305 @@
+"""Semantic invariants for the round-6 operator batch: distributed
+rank (distrank), Gini concentration, equi-depth binning, correlation
+matrix, token entropy, bigram LM scoring, embedding-dimension stats,
+per-group reservoir sampling, null profiling, and hierarchical shares.
+
+The oracle sweep proves cross-engine equality; these pin the
+mathematical invariants and brute-force agreements inside Spark.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from gotsdb_spark.operators import QUERIES
+from gotsdb_spark.operators.distrank import dist_rank, ntile_from_rank
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# distrank: the helper itself
+# ---------------------------------------------------------------------------
+
+
+def _synthetic(spark, n=5007, seed=11):
+    rnd = random.Random(seed)
+    rows = [(i, rnd.randint(0, 300), rnd.randint(1, 50)) for i in range(n)]
+    return spark.createDataFrame(rows, "id long, k long, v long")
+
+
+def test_dist_rank_matches_builtin_window(spark):
+    df = _synthetic(spark).repartition(9)
+    w = W.orderBy("k", "id")
+    exp = df.select(
+        "id",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("v")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+        F.ntile(4).over(w).alias("q4"),
+        F.ntile(7).over(w).alias("q7"),
+    )
+    got = dist_rank(df, ["k", "id"], rank_col="rnk", sum_cols={"cum": "v"})
+    n = got.count()
+    got = got.select(
+        "id",
+        "rnk",
+        "cum",
+        ntile_from_rank(F.col("rnk"), F.lit(n), 4).alias("q4"),
+        ntile_from_rank(F.col("rnk"), F.lit(n), 7).alias("q7"),
+    )
+    mismatch = (
+        got.alias("g")
+        .join(exp.alias("e"), "id")
+        .where(
+            (F.col("g.rnk") != F.col("e.rnk"))
+            | (F.col("g.cum") != F.col("e.cum"))
+            | (F.col("g.q4") != F.col("e.q4"))
+            | (F.col("g.q7") != F.col("e.q7"))
+        )
+        .count()
+    )
+    assert mismatch == 0 and n == 5007
+
+
+def test_dist_rank_partition_count_invariant(spark):
+    df = _synthetic(spark, n=2003, seed=3)
+
+    def run(nparts):
+        return sorted(
+            (r["id"], r["rnk"])
+            for r in dist_rank(
+                df, ["k", "id"], num_partitions=nparts
+            ).collect()
+        )
+
+    assert run(2) == run(13) == run(31)
+
+
+def test_dist_rank_fewer_rows_than_buckets(spark):
+    small = spark.createDataFrame(
+        [(i, i, 1) for i in range(3)], "id long, k long, v long"
+    )
+    exp = {
+        (r["id"], r["q"])
+        for r in small.select(
+            "id", F.ntile(7).over(W.orderBy("k", "id")).alias("q")
+        ).collect()
+    }
+    ranked = dist_rank(small, ["k", "id"])
+    got = {
+        (r["id"], r["q"])
+        for r in ranked.select(
+            "id", ntile_from_rank(F.col("rnk"), F.lit(3), 7).alias("q")
+        ).collect()
+    }
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# Gini / equi-depth / correlation
+# ---------------------------------------------------------------------------
+
+
+def test_gini_matches_bruteforce(spark):
+    row = QUERIES["stats_gini_revenue_concentration"](spark, SF).collect()[0]
+    from gotsdb_spark.sources.registry import load_table
+
+    revs = sorted(
+        r["rev"]
+        for r in load_table(spark, "orders", SF)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "rev"
+            )
+        )
+        .collect()
+    )
+    n, s = len(revs), sum(revs)
+    num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(revs))
+    assert row["n_customers"] == n
+    assert row["total_cents"] == s
+    assert row["gini_e6"] == num * 1_000_000 // (n * s)
+    assert 0 <= row["gini_e6"] < 1_000_000
+
+
+def test_equidepth_bins_are_equal_depth_and_ordered(spark):
+    rows = sorted(
+        QUERIES["stats_equidepth_bins"](spark, SF).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert [r["bin"] for r in rows] == list(range(1, 11))
+    depths = [r["n_rows"] for r in rows]
+    assert max(depths) - min(depths) <= 1
+    # bins tile the value axis in order (equal boundary values may
+    # straddle adjacent bins, so lo of bin b+1 >= hi of bin b is not
+    # guaranteed at ties; the non-decreasing lo sequence is)
+    los = [r["lo_cents"] for r in rows]
+    assert los == sorted(los)
+
+
+def test_corr_matrix_agrees_with_builtin(spark):
+    from gotsdb_spark.sources.registry import load_table
+
+    row = QUERIES["stats_corr_matrix_lineitem"](spark, SF).collect()[0]
+    li = load_table(spark, "lineitem", SF).select(
+        F.floor(F.col("l_quantity") * 100).cast("bigint").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("p"),
+        F.floor(F.col("l_discount") * 10000).cast("bigint").alias("d"),
+    )
+    ref = li.agg(
+        F.corr("q", "p").alias("qp"),
+        F.corr("q", "d").alias("qd"),
+        F.corr("p", "d").alias("pd"),
+    ).collect()[0]
+    assert abs(row["corr_qty_price_e6"] / 1e6 - ref["qp"]) < 1e-4
+    assert abs(row["corr_qty_disc_e6"] / 1e6 - ref["qd"]) < 1e-4
+    assert abs(row["corr_price_disc_e6"] / 1e6 - ref["pd"]) < 1e-4
+    for c in ("corr_qty_price_e6", "corr_qty_disc_e6", "corr_price_disc_e6"):
+        assert -1_000_001 <= row[c] <= 1_000_001
+
+
+# ---------------------------------------------------------------------------
+# Text: entropy + bigram LM
+# ---------------------------------------------------------------------------
+
+
+def test_token_entropy_brute_one_doc(spark):
+    from gotsdb_spark.sources.registry import load_table
+
+    rows = {r["doc_id"]: r for r in QUERIES["text_token_entropy"](spark, SF).collect()}
+    assert rows
+    doc = load_table(spark, "documents", SF).limit(1).collect()[0]
+    toks = doc["text"].split(" ")
+    n = len(toks)
+    counts: dict[str, int] = {}
+    for t in toks:
+        counts[t] = counts.get(t, 0) + 1
+    h_e9 = sum(
+        math.floor(-(c / n) * math.log(c / n) * 1e9 + 0.5001)
+        for c in counts.values()
+    )
+    got = rows[doc["doc_id"]]
+    assert got["n_tokens"] == n
+    assert got["n_distinct"] == len(counts)
+    assert got["entropy_e9"] == h_e9
+    if len(counts) > 1:
+        assert got["norm_entropy_e6"] == h_e9 * 1_000_000 // math.floor(
+            math.log(len(counts)) * 1e9 + 0.5001
+        )
+    # normalized entropy is ≤ 1 up to flooring slack on every doc
+    assert all(0 <= r["norm_entropy_e6"] <= 1_000_001 for r in rows.values())
+
+
+def test_bigram_logprob_brute_one_doc(spark):
+    from gotsdb_spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", SF).select("doc_id", "text").collect()
+    big_counts: dict[tuple[str, str], int] = {}
+    pre_counts: dict[str, int] = {}
+    vocab: set[str] = set()
+    for d in docs:
+        ws = d["text"].split(" ")
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            big_counts[(a, b)] = big_counts.get((a, b), 0) + 1
+            pre_counts[a] = pre_counts.get(a, 0) + 1
+    v = len(vocab)
+    target = docs[0]
+    ws = target["text"].split(" ")
+    nll = [
+        math.floor(
+            -math.log((big_counts[(a, b)] + 1) / (pre_counts[a] + v)) * 1e6
+            + 0.5001
+        )
+        for a, b in zip(ws, ws[1:])
+    ]
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["text_bigram_logprob"](spark, SF).collect()
+    }
+    got = rows[target["doc_id"]]
+    assert got["n_bigrams"] == len(nll)
+    assert got["sum_nll_e6"] == sum(nll)
+    assert got["avg_nll_e6"] == sum(nll) // len(nll)
+
+
+# ---------------------------------------------------------------------------
+# Embeddings / sampling / profiling / shares
+# ---------------------------------------------------------------------------
+
+
+def test_embed_dimension_stats_brute_dim0(spark):
+    import numpy as np
+
+    from gotsdb_spark.sources.registry import load_table
+
+    rows = {
+        r["dim"]: r for r in QUERIES["embed_dimension_stats"](spark, SF).collect()
+    }
+    embs = [
+        r["embedding"]
+        for r in load_table(spark, "embeddings", SF).select("embedding").collect()
+    ]
+    xs = np.array(
+        [math.floor(float(e[0]) * 1e6) for e in embs], dtype=object
+    )
+    n = len(xs)
+    sx, sxx = int(sum(xs)), int(sum(x * x for x in xs))
+    got = rows[0]
+    assert len(rows) == 64
+    assert got["n"] == n
+    assert got["mean_e6"] == sx // n if sx >= 0 else True
+    assert got["lo_e6"] == min(xs) and got["hi_e6"] == max(xs)
+    assert got["std_e6"] == math.floor(
+        math.sqrt(float(n * sxx - sx * sx)) / n + 0.5001
+    )
+
+
+def test_reservoir_sample_exact_k_and_deterministic(spark):
+    df1 = QUERIES["sample_reservoir_per_group"](spark, SF)
+    rows1 = sorted(map(tuple, df1.collect()))
+    rows2 = sorted(map(tuple, QUERIES["sample_reservoir_per_group"](spark, SF).collect()))
+    assert rows1 == rows2  # deterministic
+    per_group: dict[str, int] = {}
+    for et, rk, _ in rows1:
+        per_group[et] = per_group.get(et, 0) + 1
+        assert 1 <= rk <= 5
+    assert per_group and all(v == 5 for v in per_group.values())
+
+
+def test_null_profile_fixture_contract(spark):
+    rows = {r["col"]: r for r in QUERIES["quality_null_profile"](spark, SF).collect()}
+    assert set(rows) == {
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_custkey",
+    }
+    n = {r["n_rows"] for r in rows.values()}
+    assert len(n) == 1  # same table, same row count on every profile row
+    assert all(r["n_null"] == 0 for r in rows.values())  # fixture is complete
+    assert rows["o_orderkey"]["n_distinct"] == rows["o_orderkey"]["n_rows"]
+    assert rows["o_orderstatus"]["n_distinct"] <= 3
+
+
+def test_share_of_parent_sums_to_one(spark):
+    rows = QUERIES["rollup_share_of_parent"](spark, SF).collect()
+    by_region: dict[str, list] = {}
+    for r in rows:
+        by_region.setdefault(r["region"], []).append(r)
+    region_shares = {}
+    for region, rs in by_region.items():
+        tot = sum(r["share_of_region_e6"] for r in rs)
+        # integer truncation loses < 1 per nation
+        assert 1_000_000 - len(rs) <= tot <= 1_000_000
+        region_shares[region] = rs[0]["region_share_e6"]
+        assert len({r["region_share_e6"] for r in rs}) == 1
+    tot_regions = sum(region_shares.values())
+    assert 1_000_000 - len(region_shares) <= tot_regions <= 1_000_000
