@@ -719,3 +719,105 @@ def ts_cross_correlation_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("corr_e6"),
     ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function (self lead-lag per series) — round 6.
+# ---------------------------------------------------------------------------
+
+ACF_ORACLE = """
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2025-01-01', CAST(ts AS DATE)) AS x,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) // count(*)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type, l.lag, a.y AS ya, b.y AS yb
+      FROM (SELECT unnest(range(1, 8)) AS lag) l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.event_type = a.event_type AND b.x = a.x + l.lag
+    ), suff AS (
+      SELECT event_type, lag, count(*) AS n,
+             CAST(sum(ya) AS BIGINT)      AS sa,
+             CAST(sum(yb) AS BIGINT)      AS sb,
+             CAST(sum(ya * yb) AS BIGINT) AS sab,
+             CAST(sum(ya * ya) AS BIGINT) AS saa,
+             CAST(sum(yb * yb) AS BIGINT) AS sbb
+      FROM pairs GROUP BY event_type, lag
+    )
+    SELECT event_type, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           CAST(floor((n * 1.0 * sab - sa * 1.0 * sb)
+                      / sqrt((n * 1.0 * saa - sa * 1.0 * sa)
+                             * (n * 1.0 * sbb - sb * 1.0 * sb))
+                      * 1e6 + 0.5001) AS BIGINT) AS acf_e6
+    FROM suff
+"""
+
+
+@query("ts_autocorrelation_daily", oracle=ACF_ORACLE)
+def ts_autocorrelation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of each event type's daily mean series
+    at lags 1..7 days — the seasonality detector that says WHICH lag a
+    forecaster should model (a weekly cycle shows as a spike at lag 7).
+    Self-correlation per series; the lead-lag scan BETWEEN two series
+    is ts_cross_correlation_types.
+
+    Per (type, lag) the correlation reduces to six exact integer
+    sufficient statistics over the lag-aligned day pairs; one
+    sqrt/divide per output row on exact integers (identical double
+    expression in both engines), e6-floored with the ulp nudge.
+
+    Scale: events collapse to one row per (type, day) via a map-side-
+    combinable groupBy — everything after the first shuffle is
+    O(days × 7) per type, regardless of event volume; the 7-row lag
+    frame is a broadcast.
+    """
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2025-01-01").cast("date")
+            ).alias("x"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("v_e3"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.expr("CAST(sum(v_e3) DIV count(*) AS BIGINT)").alias("y"))
+    )
+    lags = load_table(spark, "events", sf_dir).sparkSession.range(1, 8).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.select("event_type", "x", F.col("y").alias("ya"))
+    b = daily.select(
+        F.col("event_type").alias("et_b"), F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("event_type") == F.col("et_b"))
+            & (F.col("xb") == F.col("x") + F.col("lag")),
+        )
+    )
+    ya, yb = F.col("ya"), F.col("yb")
+    suff = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").alias("n"),
+        F.sum(ya).cast("long").alias("sa"),
+        F.sum(yb).cast("long").alias("sb"),
+        F.sum(ya * yb).cast("long").alias("sab"),
+        F.sum(ya * ya).cast("long").alias("saa"),
+        F.sum(yb * yb).cast("long").alias("sbb"),
+    )
+    return suff.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST(floor((n * 1.0 * sab - sa * 1.0 * sb)"
+            " / sqrt((n * 1.0 * saa - sa * 1.0 * sa)"
+            "        * (n * 1.0 * sbb - sb * 1.0 * sb))"
+            " * 1e6 + 0.5001) AS BIGINT)"
+        ).alias("acf_e6"),
+    )

@@ -1035,3 +1035,128 @@ def stats_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corr_price_disc_e6"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trimmed mean via dictionary-exact order statistics — round 6.
+# ---------------------------------------------------------------------------
+
+_TRIM_LO = 0.1
+_TRIM_HI = 0.9
+
+TRIMMED_MEAN_ORACLE = f"""
+    WITH dic AS (
+      SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS v,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, v, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cc
+      FROM dic
+    ), tot AS (
+      SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM dic GROUP BY 1
+    ), sel AS (
+      SELECT cum.event_type, max(n) AS n,
+             min(CASE WHEN cc >= floor((n - 1) * {_TRIM_LO} + 1)
+                      THEN v END) AS xk_lo,
+             min(CASE WHEN cc >= floor((n - 1) * {_TRIM_LO} + 1) + 1
+                      THEN v END) AS xk1_lo,
+             min(CASE WHEN cc >= floor((n - 1) * {_TRIM_HI} + 1)
+                      THEN v END) AS xk_hi,
+             min(CASE WHEN cc >= floor((n - 1) * {_TRIM_HI} + 1) + 1
+                      THEN v END) AS xk1_hi
+      FROM cum JOIN tot ON cum.event_type = tot.event_type
+      GROUP BY cum.event_type
+    ), thr AS (
+      SELECT event_type, n,
+             xk_lo + ((n - 1) * {_TRIM_LO} + 1
+                      - floor((n - 1) * {_TRIM_LO} + 1))
+                   * (COALESCE(xk1_lo, xk_lo) - xk_lo) AS lo,
+             xk_hi + ((n - 1) * {_TRIM_HI} + 1
+                      - floor((n - 1) * {_TRIM_HI} + 1))
+                   * (COALESCE(xk1_hi, xk_hi) - xk_hi) AS hi
+      FROM sel
+    )
+    SELECT dic.event_type,
+           CAST(max(thr.n) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN v >= lo AND v <= hi THEN c ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN v >= lo AND v <= hi THEN v * c ELSE 0 END)
+                // sum(CASE WHEN v >= lo AND v <= hi THEN c ELSE 0 END)
+                AS BIGINT) AS trimmed_mean_e3,
+           CAST(sum(v * c) // sum(c) AS BIGINT) AS raw_mean_e3
+    FROM dic JOIN thr ON dic.event_type = thr.event_type
+    GROUP BY dic.event_type
+"""
+
+
+@query("stats_trimmed_mean_value", oracle=TRIMMED_MEAN_ORACLE)
+def stats_trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided trimmed mean of `value` per event type next to the
+    raw mean — the outlier-robust center that complements
+    winsorized_value_stats (winsorizing CLAMPS the tails; trimming
+    EXCLUDES them — different estimator, different breakdown behavior).
+
+    The p10/p90 cut points are type-7 (linear-interpolation) order
+    statistics computed EXACTLY over the quantized value dictionary:
+    cumulative counts over (type, e3-value) — a window whose input is
+    bounded by the value grid, never by event volume (the dictionary
+    trick) — then the two bracketing order statistics selected by
+    conditional min and interpolated once in double, identically in
+    both engines (no engine quantile function is trusted anywhere).
+    Means are exact integer divisions of Σ(v·c) by Σc.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.floor(F.col("value") * 1000).cast("bigint").alias("v")
+    )
+    dic = ev.groupBy("event_type", "v").agg(F.count("*").alias("c"))
+    cum = dic.withColumn(
+        "cc", F.sum("c").over(W.partitionBy("event_type").orderBy("v"))
+    )
+    tot = dic.groupBy("event_type").agg(F.sum("c").cast("long").alias("n"))
+
+    def h(p: float) -> str:
+        return f"(n - 1) * {p} + 1"
+
+    sel = (
+        cum.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.min(F.when(F.expr(f"cc >= floor({h(_TRIM_LO)})"), F.col("v"))).alias("xk_lo"),
+            F.min(F.when(F.expr(f"cc >= floor({h(_TRIM_LO)}) + 1"), F.col("v"))).alias("xk1_lo"),
+            F.min(F.when(F.expr(f"cc >= floor({h(_TRIM_HI)})"), F.col("v"))).alias("xk_hi"),
+            F.min(F.when(F.expr(f"cc >= floor({h(_TRIM_HI)}) + 1"), F.col("v"))).alias("xk1_hi"),
+        )
+    )
+    thr = sel.select(
+        "event_type",
+        "n",
+        F.expr(
+            f"xk_lo + ({h(_TRIM_LO)} - floor({h(_TRIM_LO)}))"
+            " * (COALESCE(xk1_lo, xk_lo) - xk_lo)"
+        ).alias("lo"),
+        F.expr(
+            f"xk_hi + ({h(_TRIM_HI)} - floor({h(_TRIM_HI)}))"
+            " * (COALESCE(xk1_hi, xk_hi) - xk_hi)"
+        ).alias("hi"),
+    )
+    kept = (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+    return (
+        dic.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_total"),
+            F.sum(F.when(kept, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.expr(
+                "CAST(sum(CASE WHEN v >= lo AND v <= hi THEN v * c ELSE 0 END)"
+                " DIV sum(CASE WHEN v >= lo AND v <= hi THEN c ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("trimmed_mean_e3"),
+            F.expr("CAST(sum(v * c) DIV sum(c) AS BIGINT)").alias(
+                "raw_mean_e3"
+            ),
+        )
+    )

@@ -303,3 +303,92 @@ def test_share_of_parent_sums_to_one(spark):
         assert len({r["region_share_e6"] for r in rs}) == 1
     tot_regions = sum(region_shares.values())
     assert 1_000_000 - len(region_shares) <= tot_regions <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# ACF + trimmed mean (second round-6 batch)
+# ---------------------------------------------------------------------------
+
+
+def test_acf_bruteforce_one_series(spark):
+    from gotsdb_spark.sources.registry import load_table
+
+    rows = {
+        (r["event_type"], r["lag"]): r
+        for r in QUERIES["ts_autocorrelation_daily"](spark, SF).collect()
+    }
+    assert rows and all(abs(r["acf_e6"]) <= 1_000_001 for r in rows.values())
+    # brute-force one (type, lag) pair
+    daily = {}
+    ev = (
+        load_table(spark, "events", SF)
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2025-01-01").cast("date")
+            ).alias("x"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+        )
+        .collect()
+    )
+    agg: dict = {}
+    for r in ev:
+        agg.setdefault((r["event_type"], r["x"]), []).append(r["v"])
+    for (et, x), vs in agg.items():
+        daily.setdefault(et, {})[x] = sum(vs) // len(vs)
+    et = sorted(daily)[0]
+    series = daily[et]
+    lag = 1
+    pairs = [(series[x], series[x + lag]) for x in series if x + lag in series]
+    n = len(pairs)
+    sa = sum(a for a, _ in pairs)
+    sb = sum(b for _, b in pairs)
+    sab = sum(a * b for a, b in pairs)
+    saa = sum(a * a for a, _ in pairs)
+    sbb = sum(b * b for _, b in pairs)
+    got = rows[(et, lag)]
+    assert got["n_pairs"] == n
+    expect = math.floor(
+        (n * 1.0 * sab - sa * 1.0 * sb)
+        / math.sqrt((n * 1.0 * saa - sa * 1.0 * sa) * (n * 1.0 * sbb - sb * 1.0 * sb))
+        * 1e6
+        + 0.5001
+    )
+    assert got["acf_e6"] == expect
+
+
+def test_trimmed_mean_bruteforce(spark):
+    from gotsdb_spark.sources.registry import load_table
+
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["stats_trimmed_mean_value"](spark, SF).collect()
+    }
+    ev = (
+        load_table(spark, "events", SF)
+        .select("event_type", F.floor(F.col("value") * 1000).cast("bigint").alias("v"))
+        .collect()
+    )
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r["v"])
+    for et, vs in by_type.items():
+        vs.sort()
+        n = len(vs)
+
+        def type7(p):
+            h = (n - 1) * p + 1
+            k = math.floor(h)
+            xk = vs[int(k) - 1]
+            xk1 = vs[int(k)] if int(k) < n else xk
+            return xk + (h - k) * (xk1 - xk)
+
+        lo, hi = type7(0.1), type7(0.9)
+        kept = [v for v in vs if lo <= v <= hi]
+        got = rows[et]
+        assert got["n_total"] == n
+        assert got["n_kept"] == len(kept)
+        assert got["trimmed_mean_e3"] == sum(kept) // len(kept)
+        assert got["raw_mean_e3"] == sum(vs) // n
+        # trimming must tighten or preserve the spread around the mean
+        assert min(vs) <= got["trimmed_mean_e3"] <= max(vs)
