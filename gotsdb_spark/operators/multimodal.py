@@ -684,11 +684,9 @@ def multimodal_audio_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Image average-hash (aHash) near-dup buckets — round-6 queue.
-#
-# NOT yet registered as a query (round-5 driver window at capacity);
-# tests/test_multimodal_ahash.py already runs the full DuckDB oracle
-# comparison, so round 6 only adds the @query decorator.
+# Image average-hash (aHash) near-dup buckets — registered in round 6;
+# tests/test_multimodal_ahash.py also runs the full DuckDB oracle
+# comparison.
 # ---------------------------------------------------------------------------
 
 AHASH_SCHEMA = "doc_id bigint, width int, height int, ahash bigint"
@@ -795,4 +793,104 @@ def image_ahash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.partitionBy("width", "height", "ahash"))
         .cast("bigint")
         .alias("n_same_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Energy-based voice-activity segmentation (VAD) — round 6.
+# ---------------------------------------------------------------------------
+
+_VAD_ORACLE = f"""
+    WITH g AS (
+      SELECT doc_id, md5(text) AS hx FROM documents
+    ), idx AS (
+      SELECT doc_id, hx, unnest(generate_series(0, {WAV_N_SAMPLES - 1})) AS i
+      FROM g
+    ), vals AS (
+      SELECT doc_id, i,
+             CAST('0x' || substr(hx, 2 * ((2 * i) % 16) + 1, 2) AS INT)
+             + 256 * CAST('0x' || substr(hx, 2 * ((2 * i + 1) % 16) + 1, 2)
+                          AS INT) AS u
+      FROM idx
+    ), pcm AS (
+      SELECT doc_id, i,
+             CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS BIGINT) AS v
+      FROM vals
+    ), frames AS (
+      SELECT doc_id, i // {_AUDIO_FRAME} AS frame_id, sum(v * v) AS energy
+      FROM pcm GROUP BY doc_id, i // {_AUDIO_FRAME}
+    ), tot AS (
+      SELECT doc_id, sum(energy) AS total FROM frames GROUP BY doc_id
+    ), flags AS (
+      SELECT frames.doc_id, frame_id,
+             CASE WHEN energy * {WAV_N_SAMPLES // _AUDIO_FRAME} > total
+                  THEN 1 ELSE 0 END AS act
+      FROM frames JOIN tot ON frames.doc_id = tot.doc_id
+    ), runs AS (
+      SELECT doc_id, frame_id, act,
+             act - COALESCE(lag(act) OVER (PARTITION BY doc_id
+                                           ORDER BY frame_id), 0) AS rise
+      FROM flags
+    )
+    SELECT doc_id,
+           CAST({WAV_N_SAMPLES // _AUDIO_FRAME} AS INT) AS n_frames,
+           CAST(sum(act) AS INT) AS n_active,
+           CAST(sum(CASE WHEN rise = 1 THEN 1 ELSE 0 END) AS INT)
+             AS n_segments
+    FROM runs GROUP BY doc_id
+"""
+
+
+@query("multimodal_audio_vad", oracle=_VAD_ORACLE)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold voice-activity segmentation over the decoded
+    WAV corpus: a frame is ACTIVE when its energy exceeds the clip's
+    mean frame energy (integer cross-multiplication energy·n_frames >
+    total — no division), and activity runs collapse into segments —
+    the silence-trimming / speech-region primitive an audio curation
+    pipeline runs before transcription or framing.
+
+    Builds on the same real stdlib-wave decode as
+    multimodal_audio_frames; the frame energies, threshold, and
+    run-length segmentation all happen row-locally in one numpy pass
+    per Arrow batch (no shuffle — cluster cost is the scan), and the
+    DuckDB oracle re-derives the identical segmentation analytically
+    from the md5 byte cycle with a per-doc 4-frame lag window.
+    """
+    import numpy as np
+
+    n_frames = WAV_N_SAMPLES // _AUDIO_FRAME
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    payloads = with_wav_payload(docs)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                import io
+                import wave
+
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as wf:
+                    raw = wf.readframes(wf.getnframes())
+                v = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                frames = v.reshape(n_frames, _AUDIO_FRAME)
+                energy = (frames * frames).sum(axis=1)
+                total = int(energy.sum())
+                act = (energy * n_frames > total).astype(np.int64)
+                rises = int(act[0]) + int(((act[1:] == 1) & (act[:-1] == 0)).sum())
+                rows.append((doc_id, n_frames, int(act.sum()), rises))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "n_active", "n_segments"]
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "n_frames": "int32",
+                    "n_active": "int32",
+                    "n_segments": "int32",
+                }
+            )
+
+    return payloads.mapInPandas(
+        batches,
+        schema="doc_id bigint, n_frames int, n_active int, n_segments int",
     )

@@ -772,3 +772,75 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 sample_reservoir_per_group.__doc__ = sample_reservoir_per_group.__doc__.format(
     k=_RESERVOIR_K
 )
+
+
+# ---------------------------------------------------------------------------
+# Dataset snapshot diff — round 6.
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_DIFF_ORACLE = """
+    WITH v1 AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 <> 0
+    ), v2 AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                      ELSE text END) AS h
+      FROM documents WHERE doc_id % 5 <> 0
+    ), diff AS (
+      SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+             CASE
+               WHEN v1.doc_id IS NULL THEN 'added'
+               WHEN v2.doc_id IS NULL THEN 'removed'
+               WHEN v1.h <> v2.h THEN 'changed'
+               ELSE 'unchanged'
+             END AS status
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT status, count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM diff GROUP BY status
+"""
+
+
+@query("curate_snapshot_diff", oracle=SNAPSHOT_DIFF_ORACLE)
+def curate_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-level diff between two corpus snapshots: added / removed /
+    changed / unchanged counts — the release audit run before a new
+    dataset version replaces the old one ('the refresh dropped 12% of
+    docs and rewrote 3%' is a one-row answer here, a fire drill
+    later). Snapshots are simulated deterministically from one fixture
+    (v1 = doc_id∤3, v2 = doc_id∤5 with doc_id|7 texts revised).
+
+    The diff is ONE full outer join on the key with md5 content hashes
+    compared row-locally — at 100 TB both sides shuffle once on
+    doc_id (or zero times if both snapshots are bucketed by key), and
+    the hash means whole documents never cross the network twice.
+    Status classification is a row-local CASE; the report is a
+    map-side-combinable 4-group aggregate.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    v1 = docs.where(F.col("doc_id") % 3 != 0).select(
+        "doc_id", F.md5("text").alias("h1")
+    )
+    v2 = docs.where(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+            ).otherwise(F.col("text"))
+        ).alias("h2"),
+    )
+    diff = v1.join(v2, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return diff.groupBy("status").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )

@@ -2207,3 +2207,108 @@ def ts_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(state.b * 1e6 + 0.5001).cast("bigint").alias("trend_e6"),
         F.floor((state.l + state.b) * 1e6 + 0.5001).cast("bigint").alias("forecast_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort time-to-convert order statistics — round 6.
+# ---------------------------------------------------------------------------
+
+TIME_TO_CONVERT_ORACLE = """
+    WITH views AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS v_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), conv AS (
+      SELECT e.user_id, v.v_ts, min(CAST(e.ts AS TIMESTAMP)) AS p_ts
+      FROM events e JOIN views v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= v.v_ts
+      GROUP BY e.user_id, v.v_ts
+    ), gaps AS (
+      -- floor to whole seconds BEFORE subtracting: Spark's
+      -- unix_timestamp truncates sub-second parts per timestamp, and
+      -- DuckDB's epoch() keeps fractions, so the raw difference can
+      -- disagree by a second across engines
+      SELECT date_trunc('day', v_ts) AS cohort_day,
+             CAST((CAST(floor(epoch(p_ts)) AS BIGINT)
+                   - CAST(floor(epoch(v_ts)) AS BIGINT)) // 60 AS BIGINT)
+               AS gap_min
+      FROM conv
+    ), dic AS (
+      SELECT cohort_day, gap_min, count(*) AS c
+      FROM gaps GROUP BY cohort_day, gap_min
+    ), cum AS (
+      SELECT cohort_day, gap_min, c,
+             sum(c) OVER (PARTITION BY cohort_day ORDER BY gap_min) AS cc
+      FROM dic
+    ), tot AS (
+      SELECT cohort_day, CAST(sum(c) AS BIGINT) AS n FROM dic GROUP BY 1
+    )
+    SELECT cum.cohort_day,
+           max(tot.n) AS n_converted,
+           CAST(min(CASE WHEN cc >= (n + 1) // 2
+                    THEN gap_min END) AS BIGINT) AS p50_gap_min,
+           CAST(min(CASE WHEN cc >= (9 * n + 9) // 10
+                    THEN gap_min END) AS BIGINT) AS p90_gap_min
+    FROM cum JOIN tot ON cum.cohort_day = tot.cohort_day
+    GROUP BY cum.cohort_day
+"""
+
+
+@query("ts_time_to_convert_cohorts", oracle=TIME_TO_CONVERT_ORACLE)
+def ts_time_to_convert_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert order statistics per acquisition cohort: for
+    each user, the gap between their FIRST view and the first purchase
+    at-or-after it; per first-view day, the count of converters and
+    the exact p50/p90 gap in minutes — the latency layer the
+    conversion-rate funnel (ts_funnel_conversion) doesn't show.
+
+    Percentiles are exact LOWER ORDER STATISTICS (k = ⌈p·n⌉ selected
+    by cumulative counts — pure integers, no interpolation, no engine
+    quantile function), computed over the (cohort, gap-minute)
+    dictionary: the cumulative window is partitioned per cohort day
+    and its input is bounded by minutes-in-range, never by user count.
+    Scale: two map-side-combinable groupBys keyed by user, an equi-join
+    on user_id for the at-or-after restriction, then dictionary-sized
+    work only.
+    """
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts", "event_type")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(views, "user_id")
+        .where(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id", "v_ts")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    gaps = conv.select(
+        F.date_trunc("day", "v_ts").alias("cohort_day"),
+        F.expr(
+            "CAST((unix_timestamp(p_ts) - unix_timestamp(v_ts)) DIV 60"
+            " AS BIGINT)"
+        ).alias("gap_min"),
+    )
+    dic = gaps.groupBy("cohort_day", "gap_min").agg(F.count("*").alias("c"))
+    cum = dic.withColumn(
+        "cc", F.sum("c").over(W.partitionBy("cohort_day").orderBy("gap_min"))
+    )
+    tot = dic.groupBy("cohort_day").agg(F.sum("c").cast("long").alias("n"))
+    return (
+        cum.join(tot, "cohort_day")
+        .groupBy("cohort_day")
+        .agg(
+            F.max("n").alias("n_converted"),
+            F.min(
+                F.when(F.expr("cc >= (n + 1) DIV 2"), F.col("gap_min"))
+            )
+            .cast("long")
+            .alias("p50_gap_min"),
+            F.min(
+                F.when(F.expr("cc >= (9 * n + 9) DIV 10"), F.col("gap_min"))
+            )
+            .cast("long")
+            .alias("p90_gap_min"),
+        )
+    )

@@ -392,3 +392,92 @@ def test_trimmed_mean_bruteforce(spark):
         assert got["raw_mean_e3"] == sum(vs) // n
         # trimming must tighten or preserve the spread around the mean
         assert min(vs) <= got["trimmed_mean_e3"] <= max(vs)
+
+
+# ---------------------------------------------------------------------------
+# VAD, snapshot diff, time-to-convert (third round-6 batch)
+# ---------------------------------------------------------------------------
+
+
+def test_audio_vad_flags_consistent_with_frames(spark):
+    """VAD's active count must equal the count of frames whose energy
+    exceeds the clip mean per multimodal_audio_frames — two independent
+    plans over the same decode path."""
+    frames = QUERIES["multimodal_audio_framing"](spark, SF).collect()
+    by_doc: dict = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["energy"])
+    vad = {r["doc_id"]: r for r in QUERIES["multimodal_audio_vad"](spark, SF).collect()}
+    assert set(vad) == set(by_doc)
+    for doc_id, energies in by_doc.items():
+        n = len(energies)
+        total = sum(energies)
+        active = [e * n > total for e in energies]
+        got = vad[doc_id]
+        assert got["n_frames"] == n
+        assert got["n_active"] == sum(active)
+        segs = sum(
+            1
+            for i, a in enumerate(active)
+            if a and (i == 0 or not active[i - 1])
+        )
+        assert got["n_segments"] == segs
+        # structural invariants
+        assert 0 <= got["n_segments"] <= got["n_active"] <= got["n_frames"]
+
+
+def test_snapshot_diff_partitions_the_key_space(spark):
+    from gotsdb_spark.sources.registry import load_table
+
+    rows = {r["status"]: r for r in QUERIES["curate_snapshot_diff"](spark, SF).collect()}
+    n_docs = load_table(spark, "documents", SF).count()
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, "documents", SF).select("doc_id").collect()
+    ]
+    v1 = {i for i in ids if i % 3 != 0}
+    v2 = {i for i in ids if i % 5 != 0}
+    expect = {
+        "added": len(v2 - v1),
+        "removed": len(v1 - v2),
+        "changed": len({i for i in v1 & v2 if i % 7 == 0}),
+        "unchanged": len({i for i in v1 & v2 if i % 7 != 0}),
+    }
+    got = {s: rows[s]["n_docs"] for s in rows}
+    assert got == {k: v for k, v in expect.items() if v > 0}
+    assert sum(got.values()) == len(v1 | v2) <= n_docs
+
+
+def test_time_to_convert_bruteforce(spark):
+    from gotsdb_spark.sources.registry import load_table
+
+    ev = load_table(spark, "events", SF).select("user_id", "ts", "event_type").collect()
+    views: dict = {}
+    for r in ev:
+        if r["event_type"] == "view":
+            if r["user_id"] not in views or r["ts"] < views[r["user_id"]]:
+                views[r["user_id"]] = r["ts"]
+    gaps_by_day: dict = {}
+    convs: dict = {}
+    for r in ev:
+        if r["event_type"] == "purchase" and r["user_id"] in views:
+            v = views[r["user_id"]]
+            if r["ts"] >= v and (r["user_id"] not in convs or r["ts"] < convs[r["user_id"]]):
+                convs[r["user_id"]] = r["ts"]
+    for uid, p in convs.items():
+        v = views[uid]
+        gap_min = (int(p.timestamp()) - int(v.timestamp())) // 60
+        day = v.replace(hour=0, minute=0, second=0, microsecond=0)
+        gaps_by_day.setdefault(day, []).append(gap_min)
+    rows = {
+        r["cohort_day"]: r
+        for r in QUERIES["ts_time_to_convert_cohorts"](spark, SF).collect()
+    }
+    assert set(rows) == set(gaps_by_day)
+    for day, gaps in gaps_by_day.items():
+        gaps.sort()
+        n = len(gaps)
+        got = rows[day]
+        assert got["n_converted"] == n
+        assert got["p50_gap_min"] == gaps[(n + 1) // 2 - 1]
+        assert got["p90_gap_min"] == gaps[(9 * n + 9) // 10 - 1]
