@@ -1009,3 +1009,112 @@ def dedup_containment_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_quote"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH calibration audit (precision/recall vs exact truth) — round 6.
+# ---------------------------------------------------------------------------
+
+_LSH_CALIBRATION_ORACLE = f"""
+    WITH {_MINHASH_BANDS_CTES}, cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ), tinter AS (
+      SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_common
+      FROM shingles sa JOIN shingles sb
+        ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+      GROUP BY 1, 2
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+    ), truth AS (
+      SELECT doc_a, doc_b
+      FROM tinter
+      JOIN sizes za ON za.doc_id = doc_a
+      JOIN sizes zb ON zb.doc_id = doc_b
+      WHERE n_common * 1.0 / (za.n_sh + zb.n_sh - n_common) >= 0.6
+    ), m AS (
+      SELECT (c.doc_a IS NOT NULL) AS in_cand,
+             (t.doc_a IS NOT NULL) AS in_truth
+      FROM cand c FULL OUTER JOIN truth t
+        ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    SELECT CAST(sum(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+           CAST(sum(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_candidates,
+           CAST(sum(CASE WHEN in_cand AND in_truth THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN in_cand AND NOT in_truth THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN in_truth AND NOT in_cand THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN in_cand AND in_truth THEN 1 ELSE 0 END) * 1000000
+                // NULLIF(sum(CASE WHEN in_cand THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS precision_e6,
+           CAST(sum(CASE WHEN in_cand AND in_truth THEN 1 ELSE 0 END) * 1000000
+                // NULLIF(sum(CASE WHEN in_truth THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS recall_e6
+    FROM m
+"""
+
+
+@query("dedup_lsh_calibration", oracle=_LSH_CALIBRATION_ORACLE)
+def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall audit of the MinHash-LSH band configuration
+    against exact ground truth — the measurement that justifies (or
+    indicts) the b×r choice before anyone trusts the near-dup pass at
+    scale: recall says what the bands MISS, precision says how much
+    exact-verify work the candidates waste.
+
+    Truth = the exact ≥0.6 Jaccard pair set from the prefix-filter
+    join (dedup_prefix_filter_jaccard — exact AND sub-quadratic, so
+    the audit itself is scale-safe); candidates = the raw banded
+    signature equi-join BEFORE verification. One full outer join on
+    the pair key classifies TP/FP/FN; ratios are exact integer e6
+    divisions. LSH guarantees no false negatives only in expectation —
+    this query prints the actual operating point of the deployed
+    parameters on the actual corpus.
+    """
+    truth = dedup_prefix_filter_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_truth")
+    )
+    _, bands = _minhash_bands(spark, sf_dir)
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band_id").alias("band_id2"),
+        F.col("sig").alias("sig2"),
+    )
+    cand = (
+        bands.join(
+            b2,
+            (bands.band_id == b2.band_id2)
+            & (bands.sig == b2.sig2)
+            & (bands.doc_id < b2.doc_b),
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+        .withColumn("in_cand", F.lit(1))
+    )
+    m = cand.join(truth, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("in_cand", F.lit(0)).alias("c"),
+        F.coalesce("in_truth", F.lit(0)).alias("t"),
+    )
+    return m.agg(
+        F.sum("t").cast("long").alias("n_truth"),
+        F.sum("c").cast("long").alias("n_candidates"),
+        F.sum(F.col("c") * F.col("t")).cast("long").alias("tp"),
+        F.sum(F.col("c") * (1 - F.col("t"))).cast("long").alias("fp"),
+        F.sum(F.col("t") * (1 - F.col("c"))).cast("long").alias("fn"),
+    ).select(
+        "n_truth",
+        "n_candidates",
+        "tp",
+        "fp",
+        "fn",
+        F.expr("CAST(tp * 1000000 DIV NULLIF(n_candidates, 0) AS BIGINT)").alias(
+            "precision_e6"
+        ),
+        F.expr("CAST(tp * 1000000 DIV NULLIF(n_truth, 0) AS BIGINT)").alias(
+            "recall_e6"
+        ),
+    )

@@ -465,3 +465,85 @@ def graph_components_star_contraction(spark: SparkSession, sf_dir: str) -> DataF
     return edges.groupBy(F.col("v").alias("canonical_id")).agg(
         (F.count("*") + F.lit(1)).cast("bigint").alias("n_members")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup pair-graph degree distribution — round 6.
+# ---------------------------------------------------------------------------
+
+DEGREE_DIST_ORACLE = """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), shingles AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(ws) - 2, 1)),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        FROM words
+      ) raw
+    ), sigs AS (
+      SELECT doc_id, s.seed,
+             min(md5(CAST(s.seed AS VARCHAR) || ':' || sh)) AS mh
+      FROM shingles, (SELECT unnest(generate_series(0, 7)) AS seed) s
+      GROUP BY doc_id, s.seed
+    ), bands AS (
+      SELECT doc_id, seed // 2 AS band_id,
+             string_agg(mh, '|' ORDER BY seed) AS sig
+      FROM sigs GROUP BY doc_id, seed // 2
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ), inter AS (
+      SELECT doc_a, doc_b, count(*) AS n_common
+      FROM cand
+      JOIN shingles sa ON sa.doc_id = doc_a
+      JOIN shingles sb ON sb.doc_id = doc_b AND sa.sh = sb.sh
+      GROUP BY doc_a, doc_b
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes za ON za.doc_id = doc_a
+      JOIN sizes zb ON zb.doc_id = doc_b
+      WHERE n_common * 1.0 / (za.n_sh + zb.n_sh - n_common) >= 0.6
+    ), ends AS (
+      SELECT doc_a AS doc_id FROM pairs
+      UNION ALL SELECT doc_b FROM pairs
+    ), degrees AS (
+      SELECT doc_id, count(*) AS degree FROM ends GROUP BY doc_id
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS example_doc
+    FROM degrees GROUP BY degree
+"""
+
+
+@query("graph_degree_distribution", oracle=DEGREE_DIST_ORACLE)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the MinHash near-dup pair graph — the shape
+    check run BEFORE connected components: a heavy-tailed degree
+    distribution (template hubs, boilerplate stars) is what turns the
+    pair graph quadratic and the CC rounds skewed, and this histogram
+    is the evidence a df-cap or hub-quarantine decision needs.
+
+    Degrees come from one union of the verified pair endpoints and a
+    map-side-combinable groupBy; the histogram re-aggregates the
+    ≤max-degree-row frame. Shares the exact same pair semantics
+    (bands → candidates → Jaccard ≥ 0.6 verify) as dedup_minhash_lsh,
+    so the histogram describes precisely the graph the CC operators
+    consume.
+    """
+    from gotsdb_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    degrees = ends.groupBy("doc_id").agg(F.count("*").alias("degree"))
+    return degrees.groupBy("degree").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("example_doc"),
+    ).select(F.col("degree").cast("long").alias("degree"), "n_docs", "example_doc")

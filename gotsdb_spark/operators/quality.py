@@ -459,3 +459,99 @@ def quality_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "col", "n_rows", "n_null", "n_distinct"
     )
     return profiles
+
+
+# ---------------------------------------------------------------------------
+# Order/lineitem financial reconciliation — round 6.
+# ---------------------------------------------------------------------------
+
+RECONCILIATION_ORACLE = """
+    WITH line_net AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax) * 100) AS BIGINT))
+                  AS BIGINT) AS expected_cents
+      FROM lineitem GROUP BY l_orderkey
+    ), recon AS (
+      SELECT o.o_orderkey,
+             CAST(floor(o.o_totalprice * 100) AS BIGINT) AS charged_cents,
+             ln.expected_cents,
+             CASE
+               WHEN ln.expected_cents IS NULL THEN 'no_lines'
+               WHEN floor(o.o_totalprice * 100) = ln.expected_cents
+                 THEN 'exact'
+               WHEN abs(CAST(floor(o.o_totalprice * 100) AS BIGINT)
+                        - ln.expected_cents) <= 100 THEN 'within_dollar'
+               WHEN abs(CAST(floor(o.o_totalprice * 100) AS BIGINT)
+                        - ln.expected_cents) * 100
+                    <= CAST(floor(o.o_totalprice * 100) AS BIGINT)
+                 THEN 'within_1pct'
+               ELSE 'material'
+             END AS band
+      FROM orders o LEFT JOIN line_net ln ON ln.l_orderkey = o.o_orderkey
+    )
+    SELECT band,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN expected_cents IS NULL THEN 0
+                         ELSE abs(charged_cents - expected_cents) END)
+                AS BIGINT) AS total_abs_dev_cents
+    FROM recon GROUP BY band
+"""
+
+
+@query("quality_order_reconciliation", oracle=RECONCILIATION_ORACLE)
+def quality_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial reconciliation: each order's charged total
+    vs the sum of its line items' net-of-discount, tax-inclusive
+    amounts, bucketed into deviation bands — the books-balance audit
+    run before two tables are trusted to describe the same money
+    (its FK sibling quality_referential_integrity only checks that
+    keys exist, not that the numbers agree).
+
+    Per-line amounts floor to integer cents BEFORE the per-order sum
+    (association-safe; summing doubles would tie the result to
+    aggregation order), the order side floors once, and every band
+    predicate is integer arithmetic — the 1% band by cross-
+    multiplication, no division. One shuffle join on the order key
+    (zero with both tables bucketed by it); LEFT join keeps orders
+    with no lines visible as their own band instead of silently
+    vanishing.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    line_net = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("expected_cents")
+    )
+    charged = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    dev = F.abs(charged - F.col("expected_cents"))
+    recon = orders.join(
+        line_net, orders.o_orderkey == line_net.l_orderkey, "left"
+    ).select(
+        charged.alias("charged_cents"),
+        "expected_cents",
+        F.when(F.col("expected_cents").isNull(), "no_lines")
+        .when(charged == F.col("expected_cents"), "exact")
+        .when(dev <= 100, "within_dollar")
+        .when(dev * 100 <= charged, "within_1pct")
+        .otherwise("material")
+        .alias("band"),
+    )
+    return recon.groupBy("band").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            F.when(F.col("expected_cents").isNull(), F.lit(0)).otherwise(
+                F.abs(F.col("charged_cents") - F.col("expected_cents"))
+            )
+        )
+        .cast("long")
+        .alias("total_abs_dev_cents"),
+    )

@@ -481,3 +481,55 @@ def test_time_to_convert_bruteforce(spark):
         assert got["n_converted"] == n
         assert got["p50_gap_min"] == gaps[(n + 1) // 2 - 1]
         assert got["p90_gap_min"] == gaps[(9 * n + 9) // 10 - 1]
+
+
+# ---------------------------------------------------------------------------
+# LSH calibration, reconciliation, degree distribution (fourth batch)
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_calibration_algebra_and_consistency(spark):
+    row = QUERIES["dedup_lsh_calibration"](spark, SF).collect()[0]
+    assert row["tp"] + row["fp"] == row["n_candidates"]
+    assert row["tp"] + row["fn"] == row["n_truth"]
+    # truth must equal the registered exact prefix-filter pair count
+    n_exact = QUERIES["dedup_prefix_filter_jaccard"](spark, SF).count()
+    assert row["n_truth"] == n_exact
+    # verified-LSH pairs are exactly the true positives: the verify
+    # step keeps candidates with jaccard >= t, i.e. cand ∩ truth
+    n_lsh = QUERIES["dedup_minhash_lsh"](spark, SF).count()
+    assert row["tp"] == n_lsh
+    if row["n_candidates"]:
+        assert row["precision_e6"] == row["tp"] * 1_000_000 // row["n_candidates"]
+    if row["n_truth"]:
+        assert row["recall_e6"] == row["tp"] * 1_000_000 // row["n_truth"]
+
+
+def test_order_reconciliation_covers_all_orders(spark):
+    from gotsdb_spark.sources.registry import load_table
+
+    rows = QUERIES["quality_order_reconciliation"](spark, SF).collect()
+    n_orders = load_table(spark, "orders", SF).count()
+    assert sum(r["n_orders"] for r in rows) == n_orders
+    bands = {r["band"] for r in rows}
+    assert bands <= {"exact", "within_dollar", "within_1pct", "material", "no_lines"}
+    for r in rows:
+        if r["band"] == "exact":
+            assert r["total_abs_dev_cents"] == 0
+        if r["band"] == "no_lines":
+            assert r["total_abs_dev_cents"] == 0
+
+
+def test_degree_distribution_matches_pair_graph(spark):
+    pairs = QUERIES["dedup_minhash_lsh"](spark, SF).collect()
+    deg: dict = {}
+    for r in pairs:
+        deg[r["doc_a"]] = deg.get(r["doc_a"], 0) + 1
+        deg[r["doc_b"]] = deg.get(r["doc_b"], 0) + 1
+    hist: dict = {}
+    for d in deg.values():
+        hist[d] = hist.get(d, 0) + 1
+    rows = QUERIES["graph_degree_distribution"](spark, SF).collect()
+    assert {(r["degree"], r["n_docs"]) for r in rows} == set(hist.items())
+    # handshake: sum(degree * count) = 2 * |pairs|
+    assert sum(r["degree"] * r["n_docs"] for r in rows) == 2 * len(pairs)
