@@ -821,3 +821,128 @@ def ts_autocorrelation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1e6 + 0.5001) AS BIGINT)"
         ).alias("acf_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Association strength: Cramér's V + Theil's U — round 6.
+# ---------------------------------------------------------------------------
+
+ASSOCIATION_ORACLE = """
+    WITH cells AS (
+      SELECT l_returnflag AS f, l_linestatus AS s, count(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    ), mf AS (
+      SELECT f, CAST(sum(c) AS BIGINT) AS cf FROM cells GROUP BY f
+    ), ms AS (
+      SELECT s, CAST(sum(c) AS BIGINT) AS cs FROM cells GROUP BY s
+    ), g AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(DISTINCT f) AS BIGINT) AS nf,
+             CAST(count(DISTINCT s) AS BIGINT) AS ns
+      FROM cells
+    ), chi AS (
+      SELECT CAST(sum(CAST(floor(
+               (c - cf * 1.0 * cs / n) * (c - cf * 1.0 * cs / n)
+               / (cf * 1.0 * cs / n) * 1e6 + 0.5001) AS BIGINT)) AS BIGINT)
+               AS chi2_e6
+      FROM cells JOIN mf USING (f) JOIN ms USING (s) CROSS JOIN g
+    ), hx AS (
+      SELECT CAST(sum(CAST(floor(-(cf * 1.0 / n) * ln(cf * 1.0 / n) * 1e9
+                                 + 0.5001) AS BIGINT)) AS BIGINT) AS hx_e9
+      FROM mf CROSS JOIN g
+    ), hxy AS (
+      SELECT CAST(sum(CAST(floor(-(c * 1.0 / n) * ln(c * 1.0 / cs) * 1e9
+                                 + 0.5001) AS BIGINT)) AS BIGINT) AS hxy_e9
+      FROM cells JOIN ms USING (s) CROSS JOIN g
+    )
+    SELECT g.n,
+           chi.chi2_e6,
+           CAST(floor(sqrt((chi.chi2_e6 / 1e6)
+                           / (g.n * (least(g.nf, g.ns) - 1))) * 1e6 + 0.5001)
+                AS BIGINT) AS cramers_v_e6,
+           CAST((hx.hx_e9 - hxy.hxy_e9) * 1000000 // hx.hx_e9 AS BIGINT)
+             AS theils_u_e6
+    FROM g CROSS JOIN chi CROSS JOIN hx CROSS JOIN hxy
+"""
+
+
+@query("stats_association_strength", oracle=ASSOCIATION_ORACLE)
+def stats_association_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized categorical association: Cramér's V (symmetric,
+    χ²-based, 0..1) and Theil's U for returnflag given linestatus
+    (asymmetric, entropy-based) — the effect-size layer on top of the
+    raw test statistics (stats_chi_square_priority_flag says WHETHER
+    two categoricals are dependent; these say HOW MUCH, on a scale a
+    feature-selection threshold can act on — χ² grows with n even for
+    negligible dependence).
+
+    One map-side-combinable groupBy builds the contingency cells;
+    every margin, entropy term, and χ² contribution is evaluated once
+    on exact integer counts and floored to an e6/e9 integer BEFORE its
+    sum, so cross-engine float order cannot flip a digit. V's sqrt and
+    U's integer ratio happen once on those integer sums. Everything
+    past the first shuffle is O(|flag|×|status|) cells.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("f"), F.col("l_linestatus").alias("s")
+    ).agg(F.count("*").alias("c"))
+    mf = cells.groupBy("f").agg(F.sum("c").cast("long").alias("cf"))
+    ms = cells.groupBy("s").agg(F.sum("c").cast("long").alias("cs"))
+    g = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.countDistinct("f").cast("long").alias("nf"),
+        F.countDistinct("s").cast("long").alias("ns"),
+    )
+    joined = cells.join(mf, "f").join(ms, "s").crossJoin(F.broadcast(g))
+    expected = F.col("cf") * 1.0 * F.col("cs") / F.col("n")
+    chi = joined.agg(
+        F.sum(
+            F.floor(
+                (F.col("c") - expected) * (F.col("c") - expected) / expected * 1e6
+                + 0.5001
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("chi2_e6")
+    )
+    hx = mf.crossJoin(F.broadcast(g)).agg(
+        F.sum(
+            F.floor(
+                -(F.col("cf") * 1.0 / F.col("n"))
+                * F.log(F.col("cf") * 1.0 / F.col("n"))
+                * 1e9
+                + 0.5001
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("hx_e9")
+    )
+    hxy = cells.join(ms, "s").crossJoin(F.broadcast(g)).agg(
+        F.sum(
+            F.floor(
+                -(F.col("c") * 1.0 / F.col("n"))
+                * F.log(F.col("c") * 1.0 / F.col("cs"))
+                * 1e9
+                + 0.5001
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("hxy_e9")
+    )
+    return (
+        g.crossJoin(F.broadcast(chi))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hxy))
+        .select(
+            "n",
+            "chi2_e6",
+            F.expr(
+                "CAST(floor(sqrt((chi2_e6 / 1e6)"
+                " / (n * (least(nf, ns) - 1))) * 1e6 + 0.5001) AS BIGINT)"
+            ).alias("cramers_v_e6"),
+            F.expr(
+                "CAST((hx_e9 - hxy_e9) * 1000000 DIV hx_e9 AS BIGINT)"
+            ).alias("theils_u_e6"),
+        )
+    )

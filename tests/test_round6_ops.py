@@ -533,3 +533,44 @@ def test_degree_distribution_matches_pair_graph(spark):
     assert {(r["degree"], r["n_docs"]) for r in rows} == set(hist.items())
     # handshake: sum(degree * count) = 2 * |pairs|
     assert sum(r["degree"] * r["n_docs"] for r in rows) == 2 * len(pairs)
+
+
+def test_association_strength_bounds_and_brute(spark):
+    from gotsdb_spark.sources.registry import load_table
+
+    row = QUERIES["stats_association_strength"](spark, SF).collect()[0]
+    assert 0 <= row["cramers_v_e6"] <= 1_000_001
+    assert 0 <= row["theils_u_e6"] <= 1_000_001
+    # brute-force the contingency math
+    li = load_table(spark, "lineitem", SF).select("l_returnflag", "l_linestatus").collect()
+    cells: dict = {}
+    for r in li:
+        cells[(r["l_returnflag"], r["l_linestatus"])] = (
+            cells.get((r["l_returnflag"], r["l_linestatus"]), 0) + 1
+        )
+    n = sum(cells.values())
+    fs = {f for f, _ in cells}
+    ss = {s for _, s in cells}
+    cf = {f: sum(c for (ff, _), c in cells.items() if ff == f) for f in fs}
+    cs = {s: sum(c for (_, sss), c in cells.items() if sss == s) for s in ss}
+    chi2_e6 = sum(
+        math.floor(
+            (c - cf[f] * cs[s] / n) ** 2 / (cf[f] * cs[s] / n) * 1e6 + 0.5001
+        )
+        for (f, s), c in cells.items()
+    )
+    assert row["n"] == n
+    assert row["chi2_e6"] == chi2_e6
+    v = math.floor(
+        math.sqrt((chi2_e6 / 1e6) / (n * (min(len(fs), len(ss)) - 1))) * 1e6
+        + 0.5001
+    )
+    assert row["cramers_v_e6"] == v
+    hx = sum(
+        math.floor(-(cf[f] / n) * math.log(cf[f] / n) * 1e9 + 0.5001) for f in fs
+    )
+    hxy = sum(
+        math.floor(-(c / n) * math.log(c / cs[s]) * 1e9 + 0.5001)
+        for (f, s), c in cells.items()
+    )
+    assert row["theils_u_e6"] == (hx - hxy) * 1_000_000 // hx
