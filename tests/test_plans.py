@@ -740,3 +740,39 @@ def test_no_unbounded_global_windows_full_registry(spark):
         "use gotsdb_spark.operators.distrank.dist_rank or a bounded "
         "partition key, or (with a docstring argument) allowlist"
     )
+
+
+def test_round6_ops_plan_shapes(spark):
+    """Plan pins for the round-6 batch: the scale-relevant structural
+    properties a refactor could silently lose."""
+    from gotsdb_spark.plans import plan_report
+
+    # Hierarchical shares: dims broadcast, the only shuffles are the
+    # leaf aggregation + parent re-aggregations of the tiny leaf frame.
+    r = plan_report(QUERIES["rollup_share_of_parent"](spark, SF))
+    assert r["broadcast_joins"] >= 3
+    assert r["global_windows"] == 0
+
+    # Reconciliation: one keyed join + two groupBys; no cartesian.
+    r = plan_report(QUERIES["quality_order_reconciliation"](spark, SF))
+    assert not r["cartesian"] and not r["nested_loop"]
+    assert r["global_windows"] == 0
+
+    # Corr matrix: single pass — exactly one Exchange (partial→final
+    # global aggregate), nothing else.
+    r = plan_report(QUERIES["stats_corr_matrix_lineitem"](spark, SF))
+    assert r["shuffles"] == 1, r
+
+    # Reservoir sample: the rank-filter must plan as WindowGroupLimit
+    # (per-task top-k before the shuffle), not a full-partition sort.
+    plan = QUERIES["sample_reservoir_per_group"](
+        spark, SF
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+    # Equi-depth bins / Gini: dist_rank users — zero unpartitioned
+    # window chains (also enforced registry-wide by the sweep test,
+    # pinned here against refactors that bypass dist_rank).
+    for name in ("stats_equidepth_bins", "stats_gini_revenue_concentration"):
+        r = plan_report(QUERIES[name](spark, SF))
+        assert r["global_windows"] == 0, name

@@ -574,3 +574,32 @@ def test_association_strength_bounds_and_brute(spark):
         for (f, s), c in cells.items()
     )
     assert row["theils_u_e6"] == (hx - hxy) * 1_000_000 // hx
+
+
+# ---------------------------------------------------------------------------
+# dist_rank edge cases
+# ---------------------------------------------------------------------------
+
+
+def test_dist_rank_empty_and_single_row(spark):
+    empty = spark.createDataFrame([], "id long, k long, v long")
+    assert dist_rank(empty, ["k", "id"], sum_cols={"cum": "v"}).count() == 0
+    one = spark.createDataFrame([(7, 3, 11)], "id long, k long, v long")
+    r = dist_rank(one, ["k", "id"], sum_cols={"cum": "v"}).collect()
+    assert len(r) == 1 and r[0]["rnk"] == 1 and r[0]["cum"] == 11
+
+
+def test_dist_rank_all_tied_keys(spark):
+    """Every k equal: the unique tie-break column alone must produce a
+    clean 1..n permutation and exact running sums."""
+    df = spark.createDataFrame(
+        [(i, 42, 2) for i in range(97)], "id long, k long, v long"
+    )
+    rows = sorted(
+        (r["id"], r["rnk"], r["cum"])
+        for r in dist_rank(
+            df, ["k", "id"], sum_cols={"cum": "v"}, num_partitions=5
+        ).collect()
+    )
+    for i, (rid, rnk, cum) in enumerate(rows):
+        assert rid == i and rnk == i + 1 and cum == 2 * (i + 1)
