@@ -844,3 +844,94 @@ def curate_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("first_doc"),
         F.max("doc_id").cast("long").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document keep/drop ledger with reason codes — round 6.
+# ---------------------------------------------------------------------------
+
+KEEP_DROP_ORACLE = """
+    WITH canon AS (
+      SELECT doc_id, md5(text) AS h,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+      FROM documents
+    ), feats AS (
+      SELECT d.doc_id, d.n_chars, c.canonical,
+             len(string_split(d.text, ' ')) AS n_words,
+             list_sum(list_transform(string_split(d.text, ' '),
+                                     x -> length(x))) * 1.0
+               / len(string_split(d.text, ' ')) AS mean_len,
+             len(list_distinct(string_split(d.text, ' '))) * 1.0
+               / len(string_split(d.text, ' ')) AS ttr
+      FROM documents d JOIN canon c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id,
+           CASE
+             WHEN doc_id <> canonical THEN 'duplicate'
+             WHEN NOT (n_words BETWEEN 30 AND 80) THEN 'word_count'
+             WHEN NOT (mean_len BETWEEN 3.0 AND 10.0) THEN 'mean_word_len'
+             WHEN ttr < 0.45 THEN 'ttr'
+             WHEN n_chars < 100 THEN 'min_chars'
+             ELSE 'kept'
+           END AS reason,
+           (CASE
+             WHEN doc_id <> canonical THEN 'duplicate'
+             WHEN NOT (n_words BETWEEN 30 AND 80) THEN 'word_count'
+             WHEN NOT (mean_len BETWEEN 3.0 AND 10.0) THEN 'mean_word_len'
+             WHEN ttr < 0.45 THEN 'ttr'
+             WHEN n_chars < 100 THEN 'min_chars'
+             ELSE 'kept'
+           END = 'kept') AS keep
+    FROM feats
+"""
+
+
+@query("curate_keep_drop_ledger", oracle=KEEP_DROP_ORACLE)
+def curate_keep_drop_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document keep/drop LEDGER a curation pipeline must be
+    able to produce for auditability: one row per input doc with the
+    decision and the FIRST failing gate as a reason code (duplicate →
+    word count → mean word length → TTR → min chars → kept). Aggregate
+    filter reports (quality_gopher_rules) answer "how many"; this
+    answers "why was doc 4711 dropped" — the provenance question every
+    dataset audit actually asks.
+
+    Dedup gate: exact-hash canonicalization (min doc_id per md5(text)
+    group — a window over hash groups, bounded by duplicate-set size).
+    The quality gates share quality_gopher_rules' thresholds by
+    construction, all row-local JVM expressions; the whole ledger is
+    one scan + one hash-keyed shuffle for the canonical window.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    canon = docs.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5("text")))
+        .alias("canonical"),
+    )
+    w = F.split("text", " ")
+    n_words = F.size(w)
+    mean_len = F.expr(
+        "aggregate(split(text, ' '), 0L, (a, x) -> a + length(x))"
+    ).cast("double") / n_words.cast("double")
+    ttr = F.size(F.array_distinct(w)).cast("double") / n_words.cast("double")
+    feats = docs.select(
+        "doc_id",
+        "n_chars",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_len"),
+        ttr.alias("ttr"),
+    ).join(canon, "doc_id")
+    reason = (
+        F.when(F.col("doc_id") != F.col("canonical"), "duplicate")
+        .when(~F.col("n_words").between(30, 80), "word_count")
+        .when(~F.col("mean_len").between(3.0, 10.0), "mean_word_len")
+        .when(F.col("ttr") < 0.45, "ttr")
+        .when(F.col("n_chars") < 100, "min_chars")
+        .otherwise("kept")
+    )
+    return feats.select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason == "kept").alias("keep"),
+    )

@@ -1160,3 +1160,105 @@ def stats_trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Partial correlation — round 6.
+# ---------------------------------------------------------------------------
+
+PARTIAL_CORR_ORACLE = f"""
+    WITH pts AS (
+      SELECT CAST(floor(l_quantity * 100) AS BIGINT)      AS q,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS p,
+             CAST(floor(l_discount * 10000) AS BIGINT)    AS d
+      FROM lineitem
+    ), suff AS (
+      SELECT count(*) AS n,
+             sum(q) AS sq, sum(p) AS sp, sum(d) AS sd,
+             sum(q * p) AS sqp, sum(q * d) AS sqd, sum(p * d) AS spd,
+             sum(q * q) AS sqq, sum(p * p) AS spp, sum(d * d) AS sdd
+      FROM pts
+    ), r AS (
+      SELECT CAST(n AS BIGINT) AS n,
+             CAST({_CORR_NUM.format(n='n', sab='sqp', sa='sq', sb='sp')}
+                  AS DOUBLE) / {_CORR_DEN.format(n='n', saa='sqq', sa='sq', sbb='spp', sb='sp')}
+               AS r_qp,
+             CAST({_CORR_NUM.format(n='n', sab='sqd', sa='sq', sb='sd')}
+                  AS DOUBLE) / {_CORR_DEN.format(n='n', saa='sqq', sa='sq', sbb='sdd', sb='sd')}
+               AS r_qd,
+             CAST({_CORR_NUM.format(n='n', sab='spd', sa='sp', sb='sd')}
+                  AS DOUBLE) / {_CORR_DEN.format(n='n', saa='spp', sa='sp', sbb='sdd', sb='sd')}
+               AS r_pd
+      FROM suff
+    )
+    SELECT n,
+           CAST(floor(r_qp * 1e6 + 0.5001) AS BIGINT) AS r_qty_price_e6,
+           CAST(floor((r_qp - r_qd * r_pd)
+                      / sqrt((1 - r_qd * r_qd) * (1 - r_pd * r_pd))
+                      * 1e6 + 0.5001) AS BIGINT)
+             AS partial_qty_price_given_disc_e6
+    FROM r
+"""
+
+
+@query("stats_partial_correlation", oracle=PARTIAL_CORR_ORACLE)
+def stats_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation: quantity↔price with discount
+    held constant — r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)).
+    The confound check on top of stats_corr_matrix_lineitem's raw
+    matrix: a raw correlation that collapses once a third variable is
+    controlled for was never a direct relationship, which is exactly
+    what a feature-selection or causal-sanity pass needs to know.
+
+    Same one-pass/one-shuffle integer-sufficient-statistic reduction
+    as the correlation matrix (DECIMAL(38,0) accumulators); the three
+    pairwise r's and the partial-correlation algebra all evaluate once
+    on the same exact integers cast to double — every intermediate is
+    the identical expression in both engines, then one e6 floor.
+    """
+    dec = "decimal(38,0)"
+    pts = load_table(spark, "lineitem", sf_dir).select(
+        F.floor(F.col("l_quantity") * 100).cast("bigint").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("p"),
+        F.floor(F.col("l_discount") * 10000).cast("bigint").alias("d"),
+    )
+    q, p, d = F.col("q"), F.col("p"), F.col("d")
+
+    def s(expr: F.Column, name: str) -> F.Column:
+        return F.sum(expr.cast(dec)).alias(name)
+
+    suff = pts.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        s(q, "sq"), s(p, "sp"), s(d, "sd"),
+        s(q * p, "sqp"), s(q * d, "sqd"), s(p * d, "spd"),
+        s(q * q, "sqq"), s(p * p, "spp"), s(d * d, "sdd"),
+    )
+
+    def r_expr(sab: str, sa: str, sb: str, saa: str, sbb: str) -> str:
+        num = _CORR_NUM.format(n="n", sab=sab, sa=sa, sb=sb)
+        den = _CORR_DEN.format(n="n", saa=saa, sa=sa, sbb=sbb, sb=sb)
+        return f"CAST({num} AS DOUBLE) / {den}"
+
+    rs = suff.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(r_expr("sqp", "sq", "sp", "sqq", "spp")).alias("r_qp"),
+        F.expr(r_expr("sqd", "sq", "sd", "sqq", "sdd")).alias("r_qd"),
+        F.expr(r_expr("spd", "sp", "sd", "spp", "sdd")).alias("r_pd"),
+    )
+    return rs.select(
+        "n",
+        F.floor(F.col("r_qp") * 1e6 + 0.5001).cast("long").alias(
+            "r_qty_price_e6"
+        ),
+        F.floor(
+            (F.col("r_qp") - F.col("r_qd") * F.col("r_pd"))
+            / F.sqrt(
+                (1 - F.col("r_qd") * F.col("r_qd"))
+                * (1 - F.col("r_pd") * F.col("r_pd"))
+            )
+            * 1e6
+            + 0.5001
+        )
+        .cast("long")
+        .alias("partial_qty_price_given_disc_e6"),
+    )

@@ -603,3 +603,39 @@ def test_dist_rank_all_tied_keys(spark):
     )
     for i, (rid, rnk, cum) in enumerate(rows):
         assert rid == i and rnk == i + 1 and cum == 2 * (i + 1)
+
+
+def test_partial_correlation_brute(spark):
+    row = QUERIES["stats_partial_correlation"](spark, SF).collect()[0]
+    mat = QUERIES["stats_corr_matrix_lineitem"](spark, SF).collect()[0]
+    # raw pair must match the corr-matrix's same pair exactly (same
+    # sufficient statistics, same flooring)
+    assert row["r_qty_price_e6"] == mat["corr_qty_price_e6"]
+    r_qp = mat["corr_qty_price_e6"] / 1e6
+    r_qd = mat["corr_qty_disc_e6"] / 1e6
+    r_pd = mat["corr_price_disc_e6"] / 1e6
+    approx = (r_qp - r_qd * r_pd) / math.sqrt((1 - r_qd**2) * (1 - r_pd**2))
+    # e6-rounded inputs → small tolerance vs the exact-path result
+    assert abs(row["partial_qty_price_given_disc_e6"] / 1e6 - approx) < 1e-4
+    assert -1_000_001 <= row["partial_qty_price_given_disc_e6"] <= 1_000_001
+
+
+def test_keep_drop_ledger_covers_and_reasons(spark):
+    from gotsdb_spark.sources.registry import load_table
+
+    rows = QUERIES["curate_keep_drop_ledger"](spark, SF).collect()
+    docs = load_table(spark, "documents", SF).count()
+    assert len(rows) == docs  # every input doc gets a ledger row
+    reasons = {r["reason"] for r in rows}
+    assert "kept" in reasons
+    assert reasons <= {
+        "kept", "duplicate", "word_count", "mean_word_len", "ttr", "min_chars"
+    }
+    for r in rows:
+        assert r["keep"] == (r["reason"] == "kept")
+    # keep-rate must agree with the aggregate gopher report (the
+    # ledger adds a dedup gate, so ledger keeps ≤ gopher keeps)
+    gopher = QUERIES["quality_gopher_rules"](spark, SF).collect()
+    gopher_keeps = sum(r["n_keep"] for r in gopher)
+    ledger_keeps = sum(1 for r in rows if r["keep"])
+    assert ledger_keeps <= gopher_keeps
