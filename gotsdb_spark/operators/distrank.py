@@ -21,12 +21,10 @@ pattern removes it:
    but rides on Catalyst not reordering a nondeterministic projection
    around a sort — too fragile to pin correctness on.)
 3. Per-partition (count, sum...) totals — ≤ one row per shuffle
-   partition — are collect_list-packed into ONE row, exploded back,
-   and each partition's start offset is an `F.aggregate` fold over the
-   packed array restricted to earlier pids. O(P²) integer adds for P
-   partitions, all JVM-side, and crucially NO unpartitioned window at
-   any row count: the `WindowExec: No Partition Defined` warning the
-   plan audit greps for cannot appear.
+   partition, never data-sized — are collected to the driver and
+   prefix-summed into per-pid start offsets in O(P). Crucially NO
+   unpartitioned window at any row count: the `WindowExec: No
+   Partition Defined` warning the plan audit greps for cannot appear.
 4. Broadcast-hash-join the offsets back on pid:
    global_rank = offset + local_rank.
 
@@ -56,7 +54,6 @@ from pyspark.sql.window import Window as W
 _PID = "__dr_pid"
 _LRN = "__dr_lrn"
 _OFF = "__dr_off"
-_ARR = "__dr_arr"
 
 
 def dist_rank(
@@ -101,33 +98,37 @@ def dist_rank(
             f"__dr_lcs_{out}", F.sum(F.col(src).cast("long")).over(w_run)
         )
 
-    # Per-partition totals → one packed row → per-pid offsets. The
-    # stats branch re-reads the range exchange (ReusedExchange), so the
-    # base df is shuffled once, not computed twice.
+    # Per-partition totals — ≤ one row per shuffle partition, never
+    # data-sized — are collected to the driver and turned into per-pid
+    # start offsets by a plain O(P) prefix sum. (The pre-round-7 form
+    # folded offsets JVM-side: collect_list packed one struct per pid
+    # into ONE row and each pid's offset was an F.aggregate over the
+    # earlier entries — O(P²) adds in a single task plus a multi-MB
+    # packed row at a 100-TB job's P≈10⁵.) The collect reads P rows —
+    # the shuffle-partition count, which grows far slower than data —
+    # and is safe against boundary resampling because `part` is
+    # localCheckpoint-ed above: the pid assignment the offsets are
+    # counted against is frozen, the same one the local-rank branch
+    # reads.
     aggs = [F.count(F.lit(1)).cast("long").alias("__dr_n")] + [
         F.sum(F.col(src).cast("long")).alias(f"__dr_s_{out}")
         for out, src in sum_cols.items()
     ]
-    stats = part.groupBy(_PID).agg(*aggs)
-    packed = stats.agg(
-        F.collect_list(
-            F.struct(_PID, "__dr_n", *[f"__dr_s_{o}" for o in sum_cols])
-        ).alias(_ARR)
+    stats = sorted(
+        part.groupBy(_PID).agg(*aggs).collect(), key=lambda r: r[_PID]
     )
-
-    def _fold(field: str, pid: Column) -> Column:
-        earlier = F.filter(F.col(_ARR), lambda x: x[_PID] < pid)
-        return F.aggregate(
-            earlier, F.lit(0).cast("long"), lambda acc, x: acc + x[field]
-        )
-
-    exploded = packed.select(_ARR, F.explode(_ARR).alias("__dr_s"))
-    pid = F.col(f"__dr_s.{_PID}")
-    offsets = exploded.select(
-        pid.alias(_PID),
-        _fold("__dr_n", pid).alias(_OFF),
-        *[_fold(f"__dr_s_{o}", pid).alias(f"__dr_soff_{o}") for o in sum_cols],
+    off_rows, run_n = [], 0
+    runs = {out: 0 for out in sum_cols}
+    for r in stats:
+        off_rows.append(tuple([r[_PID], run_n] + [runs[o] for o in sum_cols]))
+        run_n += r["__dr_n"]
+        for o in sum_cols:
+            runs[o] += r[f"__dr_s_{o}"] or 0
+    schema = ", ".join(
+        [f"{_PID} int", f"{_OFF} long"]
+        + [f"__dr_soff_{o} long" for o in sum_cols]
     )
+    offsets = df.sparkSession.createDataFrame(off_rows, schema)
 
     out_df = loc.join(F.broadcast(offsets), _PID)
     out_df = out_df.withColumn(

@@ -455,11 +455,25 @@ def graph_components_star_contraction(spark: SparkSession, sf_dir: str) -> DataF
             .limit(1)
             .count()
         )
-        if non_star:
+        # Chains are not the only non-star shape: a source u with two
+        # outgoing edges to DISTINCT sinks also breaks the star
+        # invariant (the groupBy(v) below would count that member once
+        # per sink). edges is .distinct(), so any duplicated u is
+        # exactly that case.
+        dup_source = (
+            edges.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") > 1)
+            .limit(1)
+            .count()
+        )
+        if non_star or dup_source:
             raise RuntimeError(
                 "star contraction did not converge within 12 rounds: "
-                "edge set still contains chains (v appearing as a "
-                "source); raise the round bound"
+                "edge set still contains "
+                + ("chains (v appearing as a source)" if non_star
+                   else "a source with multiple distinct sinks")
+                + "; raise the round bound"
             )
     # Fixpoint is a star: u → component-min v. Size = members + the root.
     return edges.groupBy(F.col("v").alias("canonical_id")).agg(

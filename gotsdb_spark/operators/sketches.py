@@ -742,24 +742,25 @@ def heavy_hitters_spacesaving(
     )
 
     def mg_partition(batches):
-        counters: dict[int, int] = {}
+        # Mergeable-summary form of Misra–Gries (Agarwal et al.,
+        # "Mergeable Summaries", PODS'12): each Arrow batch is an exact
+        # MG summary of itself (value_counts), merged into the running
+        # summary by vector addition; when the merged summary exceeds
+        # `capacity` counters, subtract the (capacity+1)-th largest
+        # count from all and drop the non-positive. Every prune
+        # subtracts ≤ thresh from each key while ≥ capacity+1 counters
+        # absorb ≥ thresh each, so total undercount over the partition
+        # stays ≤ n_p/(capacity+1) — the same guarantee as per-element
+        # MG, with zero per-row Python: value_counts / add / nlargest /
+        # boolean mask are all C-vectorized over the whole batch.
+        counters = pd.Series(dtype="int64")
         for pdf in batches:
-            for key in pdf["key"]:
-                k = int(key)
-                if k in counters:
-                    counters[k] += 1
-                elif len(counters) < capacity:
-                    counters[k] = 1
-                else:
-                    # decrement-all step, dropping zeros
-                    dead = []
-                    for c in counters:
-                        counters[c] -= 1
-                        if counters[c] == 0:
-                            dead.append(c)
-                    for c in dead:
-                        del counters[c]
-        yield pd.DataFrame({"key": list(counters.keys())})
+            vc = pdf["key"].value_counts()
+            counters = counters.add(vc, fill_value=0)
+            if len(counters) > capacity:
+                thresh = counters.nlargest(capacity + 1).iloc[-1]
+                counters = counters[counters > thresh] - thresh
+        yield pd.DataFrame({"key": counters.index.to_numpy(dtype="int64")})
 
     candidates = ev.mapInPandas(mg_partition, "key bigint").distinct()
     total = ev.count()

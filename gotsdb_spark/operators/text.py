@@ -1053,8 +1053,16 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = ws.select(
         "doc_id",
         F.explode(
+            # Positions are sequence(1, size(a)) FILTERED to i < size(a)
+            # rather than sequence(1, size(a) - 1): for a 1-token doc
+            # the latter is sequence(1, 0), which Spark builds with the
+            # implicit -1 step as DESCENDING [1, 0] — and element_at(a,
+            # 0) then raises INVALID_INDEX_OF_ZERO even in non-ANSI
+            # mode. The filtered form yields an empty array for 1-token
+            # docs, so explode drops the doc — matching the oracle,
+            # whose range(1, len(a)) is empty for such docs.
             F.expr(
-                "transform(sequence(1, size(a) - 1),"
+                "transform(filter(sequence(1, size(a)), i -> i < size(a)),"
                 " i -> struct(element_at(a, i) AS w1,"
                 "             element_at(a, i + 1) AS w2))"
             )

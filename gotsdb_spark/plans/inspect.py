@@ -61,29 +61,56 @@ def has_cartesian_product(df: DataFrame) -> bool:
     )
 
 
-def single_partition_window_chains(df: DataFrame) -> int:
-    """Count Window operators fed by an ``Exchange SinglePartition`` —
-    the `WindowExec: No Partition Defined ... Moving all data to a
-    single partition` shape that serializes the whole frame through one
-    executor at scale.
+# Single-child operators that can legally sit between a Window and the
+# exchange that feeds it. Anything else (joins, aggregates, scans,
+# another Window, an Exchange with a real partitioning) terminates the
+# walk — the Window is fed by THAT operator's output distribution, not
+# by a SinglePartition exchange.
+_WINDOW_CHAIN_PASSTHROUGH = re.compile(
+    r"\b(Sort|Project|Filter|InputAdapter|WholeStageCodegen|"
+    r"ColumnarToRow|ShuffleQueryStage|AQEShuffleRead)\b"
+)
 
-    Detection walks the executed-plan text: a global window prints as
-    ``Window ... / +- Sort ... / +- Exchange SinglePartition`` (child
-    lines directly below the Window node), so a Window line with a
-    SinglePartition exchange within its next three lines is one chain.
-    Global aggregates also use SinglePartition exchanges — those are
-    fine (partial+final, tiny shuffle) and do NOT match because no
-    Window sits on top. WindowGroupLimit (the top-k rewrite) is
-    excluded: it bounds rows before any exchange.
+
+def single_partition_window_chains_text(plan: str) -> int:
+    """Count Window operators fed by an ``Exchange SinglePartition`` in
+    an executed-plan tree string — the `WindowExec: No Partition
+    Defined ... Moving all data to a single partition` shape that
+    serializes the whole frame through one executor at scale.
+
+    Detection walks the first-child spine below each Window line: every
+    operator between a Window and its feeding exchange (Sort, Project,
+    Filter, ShuffleQueryStage, codegen wrappers, ...) is single-child,
+    so the chain is exactly the consecutive run of pass-through lines —
+    however long — ending at the first non-pass-through operator. A
+    fixed lookahead (the pre-round-7 implementation) silently missed
+    chains with more than two interposed lines. Global aggregates also
+    use SinglePartition exchanges — those are fine (partial+final, tiny
+    shuffle) and do NOT match because no Window sits on top.
+    WindowGroupLimit (the top-k rewrite) is excluded: it bounds rows
+    before any exchange.
     """
-    plan = df._jdf.queryExecution().executedPlan().toString()
     lines = plan.splitlines()
     chains = 0
     for i, ln in enumerate(lines):
         if re.search(r"\bWindow\b", ln) and "WindowGroupLimit" not in ln:
-            if "Exchange SinglePartition" in "\n".join(lines[i : i + 4]):
-                chains += 1
+            j = i + 1
+            while j < len(lines):
+                nxt = lines[j]
+                if "Exchange SinglePartition" in nxt:
+                    chains += 1
+                    break
+                if not _WINDOW_CHAIN_PASSTHROUGH.search(nxt):
+                    break
+                j += 1
     return chains
+
+
+def single_partition_window_chains(df: DataFrame) -> int:
+    """`single_partition_window_chains_text` over a DataFrame's
+    executed plan (AQE-final tree)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return single_partition_window_chains_text(plan)
 
 
 def plan_report(df: DataFrame) -> dict:
