@@ -1,0 +1,208 @@
+"""Volume rehearsal at sf1 (~6M lineitem) for the overflow-sensitive
+query class.
+
+The round-6 KS fix (ADVICE #1: e6-scaled cumulative products
+overflowing int64 at volume, patched with DECIMAL(38,0) at
+inference.py:85-100) was found by READING, not testing — sf0.01/sf0.1
+sweeps structurally cannot reach the magnitudes where e6/e9-scaled
+integer math leaves int64 headroom. This tool makes that class
+mechanical: it materializes a 10×-sf0.1 copy and hash-compares the
+queries whose math carries scaled products near int64 against DuckDB
+at that volume.
+
+Generation (once, cached at /root/repo/.sf1, gitignored):
+10 FK-consistent copies of every sf0.1 table — each copy shifts every
+key column (o_orderkey, l_partkey, user_id, ...) by copy_index ×
+(max_key + 1), identically on both sides of every foreign key, so all
+joins keep exactly their sf0.1 semantics at 10× the rows. Non-key
+values and timestamps are left untouched: sums, rank sums (Gini's
+Σ(2i−n−1)xᵢ grows ~n²·x), contingency counts, and per-hour densities
+all scale, which is precisely the overflow surface under test.
+region/nation are dimensions referenced by unshifted keys and are
+copied once. Written via pyarrow as ONE file per table with the
+fixture's exact schema (events keeps TIMESTAMP(NANOS)), so both
+engines read the same bytes the same way as at sf0.1.
+
+The swept queries are integer-exact by construction (the repo's
+determinism conventions: e6/e9 flooring happens once per output row on
+exact integer statistics), so multi-row-group parallel scans cannot
+introduce float-association noise.
+
+Usage:  python tools/sweep_sf1.py [query ...]   # default: full class
+Writes tools/oracle_sweep_sf1.json (committed artifact).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import duckdb
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from gotsdb_spark.sources.registry import TABLES
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".sf1")
+COPIES = 10
+
+# Key columns shifted per copy (column -> stride source column). Every
+# FK pair shifts by the SAME stride (the referenced table's max key), so
+# referential integrity is exact in every copy.
+KEYS: dict[str, list[tuple[str, str, str]]] = {
+    # table: [(column, stride_table, stride_column), ...]
+    "customer": [("c_custkey", "customer", "c_custkey")],
+    "supplier": [("s_suppkey", "supplier", "s_suppkey")],
+    "part": [("p_partkey", "part", "p_partkey")],
+    "orders": [
+        ("o_orderkey", "orders", "o_orderkey"),
+        ("o_custkey", "customer", "c_custkey"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "orders", "o_orderkey"),
+        ("l_partkey", "part", "p_partkey"),
+        ("l_suppkey", "supplier", "s_suppkey"),
+    ],
+    "events": [
+        ("event_id", "events", "event_id"),
+        ("user_id", "events", "user_id"),
+    ],
+    "documents": [("doc_id", "documents", "doc_id")],
+    "embeddings": [("vec_id", "embeddings", "vec_id")],
+}
+COPY_ONCE = ("region", "nation")
+
+# The overflow-sensitive class: queries whose per-group or global
+# accumulators multiply e6/e9-scaled integers by row counts or rank
+# sums. VERDICT r6 item 3's list plus the e9-entropy and
+# sum-of-products family.
+OVERFLOW_CLASS = [
+    "stats_ks_priority_price",  # e6 ECDF cross-products (the r6 fix)
+    "stats_gini_revenue_concentration",  # Σ(2i−n−1)·cents ~ n²·x
+    "ts_cross_correlation_types",  # lagged sums of hourly e6 products
+    "stats_mutual_info_type_daypart",  # G-test e9 cell terms
+    "stats_association_strength",  # e9 entropy terms × cells
+    "audit_content_checksum",  # Σ xxhash64 (decimal-guarded)
+    "stats_weighted_median_price",  # cumulative weight × cents
+    "stats_corr_matrix_lineitem",  # Σ products of cents pairs
+    "stats_partial_correlation",  # same family, 3 columns
+    "ts_autocorrelation_daily",  # lagged products of daily sums
+    "text_token_entropy",  # e9 per-token entropy terms
+    "stats_trimmed_mean_value",  # dictionary quantile × counts
+    "quality_benford_price_audit",  # digit counts × e6 expected
+    "stats_equidepth_bins",  # dist_rank running cents sums
+]
+
+
+def _strides() -> dict[tuple[str, str], int]:
+    out: dict[tuple[str, str], int] = {}
+    for specs in KEYS.values():
+        for _, st, sc in specs:
+            if (st, sc) not in out:
+                t = pq.read_table(os.path.join(SRC, f"{st}.parquet"), columns=[sc])
+                out[(st, sc)] = int(pc.max(t[sc]).as_py()) + 1
+    return out
+
+
+def generate() -> None:
+    os.makedirs(DST, exist_ok=True)
+    strides = _strides()
+    for name in TABLES:
+        dst = os.path.join(DST, f"{name}.parquet")
+        if os.path.exists(dst):
+            continue
+        src = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
+        if name in COPY_ONCE:
+            pq.write_table(src, dst)
+            print(f"copied {name} ({src.num_rows} rows)")
+            continue
+        parts = []
+        for i in range(COPIES):
+            t = src
+            for col, st, sc in KEYS[name]:
+                idx = t.schema.get_field_index(col)
+                shifted = pc.add(t[col], i * strides[(st, sc)])
+                # keep the fixture's exact column type (int64)
+                shifted = pc.cast(shifted, t.schema.field(col).type)
+                t = t.set_column(idx, t.schema.field(col), shifted)
+            parts.append(t)
+        out = pa.concat_tables(parts)
+        pq.write_table(out, dst)
+        print(f"wrote {name}: {src.num_rows} -> {out.num_rows} rows")
+
+
+def main() -> int:
+    only = sys.argv[1:] or OVERFLOW_CLASS
+    generate()
+
+    from check_oracles import canon, value_hash  # noqa: E402
+
+    from gotsdb_spark.operators import ORACLES, QUERIES  # noqa: E402
+    from gotsdb_spark.session import get_spark  # noqa: E402
+
+    spark = get_spark("sf1-sweep")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{DST}/{t}.parquet')"
+        )
+    statuses: dict[str, str] = {}
+    failures: list[str] = []
+    timings: dict[str, float] = {}
+    for name in only:
+        t0 = time.time()
+        try:
+            sdf = QUERIES[name](spark, DST).toPandas()
+            odf = con.execute(ORACLES[name]).fetchdf()
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            print(f"FAIL {name}: {type(exc).__name__}: {exc}"[:300])
+            failures.append(name)
+            statuses[name] = "error"
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows spark={len(sdf)} duck={len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append("cols differ")
+        if not problems:
+            cs, co = canon(sdf), canon(odf)
+            if value_hash(cs) != value_hash(co):
+                problems.append("value mismatch")
+        timings[name] = round(time.time() - t0, 1)
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failures.append(name)
+            statuses[name] = "fail"
+        else:
+            print(f"PASS {name} ({len(sdf)} rows, {timings[name]}s)")
+            statuses[name] = "pass"
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "oracle_sweep_sf1.json")
+    with open(out, "w") as fh:
+        json.dump(
+            {
+                "sf_dir": DST,
+                "generation": f"{COPIES}x key-shifted FK-consistent copies of sf0.1",
+                "swept_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "query_class": "e6/e9-scaled integer accumulators near int64",
+                "n_pass": sum(1 for v in statuses.values() if v == "pass"),
+                "n_fail": len(failures),
+                "statuses": statuses,
+                "timings_s": timings,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+    print(f"\n{len(failures)} failures; wrote {out}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    raise SystemExit(main())
