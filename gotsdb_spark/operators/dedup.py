@@ -114,20 +114,11 @@ _MINHASH_ORACLE = f"""
 """
 
 
-def _minhash_bands(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Packed shingle arrays (cached) + the LSH band table.
-
-    Shingles stay PACKED as an array per doc — signatures and Jaccard
-    are row-local array expressions (array_min over transform,
-    array_intersect on candidate pairs). Nothing explodes; the only
-    shuffles left are the tiny band-bucket and candidate joins. This
-    is the shape that survives 100 TB: per-doc work is a map, shuffle
-    volume is O(docs), never O(shingles).
-    """
-    # Shared per (app, sf_dir): the shingle arrays feed three branches
-    # here (sigs + both sides of the Jaccard join) AND four registered
-    # queries transitively — a per-invocation cache leaked one dead
-    # entry per call across sweep/bench runs.
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Packed shingle arrays (cached) + the N_MINHASH signature frame
+    (one mh{s} column per seed). Shared by the deployed band layout
+    (`_minhash_bands`) and the banding-sensitivity audit, which slices
+    the SAME signature pool into alternative b×r configurations."""
     docs = shared_cache(
         spark,
         sf_dir,
@@ -147,6 +138,20 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
             for s in range(N_MINHASH)
         ],
     )
+    return docs, sigs
+
+
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Packed shingle arrays (cached) + the LSH band table.
+
+    Shingles stay PACKED as an array per doc — signatures and Jaccard
+    are row-local array expressions (array_min over transform,
+    array_intersect on candidate pairs). Nothing explodes; the only
+    shuffles left are the tiny band-bucket and candidate joins. This
+    is the shape that survives 100 TB: per-doc work is a map, shuffle
+    volume is O(docs), never O(shingles).
+    """
+    docs, sigs = _minhash_sigs(spark, sf_dir)
     n_bands = N_MINHASH // BAND_SIZE
     band_sigs = F.array(
         *[
@@ -1117,4 +1122,160 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(tp * 1000000 DIV NULLIF(n_truth, 0) AS BIGINT)").alias(
             "recall_e6"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH banding-parameter sensitivity curve — round 7.
+# ---------------------------------------------------------------------------
+
+_LSH_SENSITIVITY_ORACLE = f"""
+    WITH {_MINHASH_BANDS_CTES}, cfgs AS (
+      SELECT unnest([1, 2, 4, 8]) AS r
+    ), bands_all AS (
+      SELECT c.r, s.doc_id, s.seed // c.r AS band_id,
+             string_agg(s.mh, '|' ORDER BY s.seed) AS sig
+      FROM sigs s CROSS JOIN cfgs c
+      GROUP BY c.r, s.doc_id, s.seed // c.r
+    ), cand AS (
+      SELECT DISTINCT a.r, a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands_all a JOIN bands_all b
+        ON a.r = b.r AND a.band_id = b.band_id AND a.sig = b.sig
+       AND a.doc_id < b.doc_id
+    ), tinter AS (
+      SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_common
+      FROM shingles sa JOIN shingles sb
+        ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+      GROUP BY 1, 2
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+    ), truth AS (
+      SELECT doc_a, doc_b
+      FROM tinter
+      JOIN sizes za ON za.doc_id = doc_a
+      JOIN sizes zb ON zb.doc_id = doc_b
+      WHERE n_common * 1.0 / (za.n_sh + zb.n_sh - n_common) >= 0.6
+    ), truth_x AS (
+      SELECT c.r, t.doc_a, t.doc_b FROM cfgs c CROSS JOIN truth t
+    ), m AS (
+      SELECT coalesce(c.r, t.r) AS r,
+             (c.doc_a IS NOT NULL) AS in_cand,
+             (t.doc_a IS NOT NULL) AS in_truth
+      FROM cand c FULL OUTER JOIN truth_x t
+        ON c.r = t.r AND c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    SELECT CAST({N_MINHASH} // r AS BIGINT) AS n_bands,
+           CAST(r AS BIGINT) AS rows_per_band,
+           CAST(sum(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+           CAST(sum(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_candidates,
+           CAST(sum(CASE WHEN in_cand AND in_truth THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN in_cand AND NOT in_truth THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN in_truth AND NOT in_cand THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN in_cand AND in_truth THEN 1 ELSE 0 END) * 1000000
+                // NULLIF(sum(CASE WHEN in_cand THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS precision_e6,
+           CAST(sum(CASE WHEN in_cand AND in_truth THEN 1 ELSE 0 END) * 1000000
+                // NULLIF(sum(CASE WHEN in_truth THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS recall_e6
+    FROM m GROUP BY r
+"""
+
+
+@query("dedup_lsh_band_sensitivity", oracle=_LSH_SENSITIVITY_ORACLE)
+def dedup_lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of EVERY band layout the signature pool supports
+    — the sensitivity curve behind the deployed b×r choice, extending
+    dedup_lsh_calibration (one operating point) to the full trade-off
+    frontier: r=1 (8 bands of 1: recall-max, precision-min) through
+    r=8 (one band of 8: precision-max, recall-min).
+
+    All four configurations slice the SAME N_MINHASH=8 signature pool
+    (`_minhash_sigs` — computed once, cached), so the curve isolates
+    the banding decision from signature noise: candidates per config
+    come from one equi-join on (r, band_id, sig) over a 15-entry-per-
+    doc exploded band table, never all-pairs; truth is the exact ≥0.6
+    prefix-filter pair set (sub-quadratic), replicated over the 4
+    config rows by a broadcast cross join; one full outer join on
+    (r, pair) classifies TP/FP/FN per config. Ratios are exact integer
+    e6 divisions.
+
+    This is the audit a 100 TB dedup rollout runs BEFORE committing to
+    a band layout: the marginal cost over one calibration point is the
+    extra band-join fan-out (15/4 ≈ 4× candidate-generation work),
+    bounded and shuffle-local — not a new algorithm.
+    """
+    truth = (
+        dedup_prefix_filter_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("in_truth", F.lit(1))
+    )
+    _, sigs = _minhash_sigs(spark, sf_dir)
+    entries = []
+    for r in (1, 2, 4, 8):
+        for b in range(N_MINHASH // r):
+            entries.append(
+                F.struct(
+                    F.lit(r).alias("r"),
+                    F.lit(b).alias("band_id"),
+                    F.concat_ws(
+                        "|", *[F.col(f"mh{b * r + i}") for i in range(r)]
+                    ).alias("sig"),
+                )
+            )
+    bands_all = sigs.select(
+        "doc_id", F.explode(F.array(*entries)).alias("bs")
+    ).select("doc_id", "bs.r", "bs.band_id", "bs.sig")
+    b2 = bands_all.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("r").alias("r2"),
+        F.col("band_id").alias("band_id2"),
+        F.col("sig").alias("sig2"),
+    )
+    cand = (
+        bands_all.join(
+            b2,
+            (bands_all.r == b2.r2)
+            & (bands_all.band_id == b2.band_id2)
+            & (bands_all.sig == b2.sig2)
+            & (bands_all.doc_id < b2.doc_b),
+        )
+        .select("r", F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+        .withColumn("in_cand", F.lit(1))
+    )
+    cfgs = spark.createDataFrame([(r,) for r in (1, 2, 4, 8)], "r int")
+    truth_x = truth.crossJoin(F.broadcast(cfgs))
+    m = cand.join(truth_x, ["r", "doc_a", "doc_b"], "full_outer").select(
+        "r",
+        F.coalesce("in_cand", F.lit(0)).alias("c"),
+        F.coalesce("in_truth", F.lit(0)).alias("t"),
+    )
+    return (
+        m.groupBy("r")
+        .agg(
+            F.sum("t").cast("long").alias("n_truth"),
+            F.sum("c").cast("long").alias("n_candidates"),
+            F.sum(F.col("c") * F.col("t")).cast("long").alias("tp"),
+            F.sum(F.col("c") * (1 - F.col("t"))).cast("long").alias("fp"),
+            F.sum(F.col("t") * (1 - F.col("c"))).cast("long").alias("fn"),
+        )
+        .select(
+            F.expr(f"CAST({N_MINHASH} DIV r AS BIGINT)").alias("n_bands"),
+            F.col("r").cast("long").alias("rows_per_band"),
+            "n_truth",
+            "n_candidates",
+            "tp",
+            "fp",
+            "fn",
+            F.expr(
+                "CAST(tp * 1000000 DIV NULLIF(n_candidates, 0) AS BIGINT)"
+            ).alias("precision_e6"),
+            F.expr("CAST(tp * 1000000 DIV NULLIF(n_truth, 0) AS BIGINT)").alias(
+                "recall_e6"
+            ),
+        )
     )

@@ -1262,3 +1262,128 @@ def stats_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("partial_qty_price_given_disc_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Percentile trend regression (p90-over-time) — round 7.
+# ---------------------------------------------------------------------------
+
+PERCENTILE_TREND_ORACLE = """
+    WITH pts AS (
+      SELECT o_orderpriority AS prio,
+             datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS x,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), dic AS (
+      SELECT prio, x, cents, count(*) AS c
+      FROM pts GROUP BY prio, x, cents
+    ), cum AS (
+      SELECT prio, x, cents, c,
+             sum(c) OVER (PARTITION BY prio, x ORDER BY cents) AS cc,
+             sum(c) OVER (PARTITION BY prio, x) AS n
+      FROM dic
+    ), p90 AS (
+      SELECT prio, x,
+             min(CASE WHEN cc * 10 >= 9 * n THEN cents END) AS y
+      FROM cum GROUP BY prio, x
+    ), s AS (
+      SELECT prio,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM p90 GROUP BY prio
+    )
+    SELECT prio,
+           n AS n_days,
+           CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+                * 1000000
+                // NULLIF(CAST(n AS HUGEINT) * sxx
+                          - CAST(sx AS HUGEINT) * sx, 0)
+                AS BIGINT) AS slope_cents_per_day_e6,
+           CAST((CAST(sy AS HUGEINT)
+                   * (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                 - (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+                   * sx) * 1000000
+                // NULLIF(CAST(n AS HUGEINT)
+                          * (CAST(n AS HUGEINT) * sxx
+                             - CAST(sx AS HUGEINT) * sx), 0)
+                AS BIGINT) AS intercept_cents_e6
+    FROM s
+"""
+
+
+@query("stats_percentile_trend", oracle=PERCENTILE_TREND_ORACLE)
+def stats_percentile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend of a TAIL statistic: OLS slope of the daily p90 order
+    value per priority class — drift detection for the distribution's
+    upper tail, which a mean-based trend (stats_ols_trend_by_type)
+    structurally cannot see (a fattening tail moves p90 long before it
+    moves the mean).
+
+    Two dictionary-domain stages, both exact: (1) the daily p90 comes
+    from the (prio, day, cents) dictionary — cumulative counts over
+    distinct cents within each (prio, day), smallest value with
+    cc·10 ≥ 9·n (integer cross-multiplication, the weighted-median
+    convention); (2) the regression consumes the five exact integer
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²) of the ≤
+    calendar-bounded (day, p90) points. Slope and intercept are exact
+    integer rationals; numerators are e6-scaled in DECIMAL(38,0)
+    (HUGEINT in DuckDB) because n·Σxy·1e6 ≈ 7e23 exceeds int64 — the
+    class the sf1 rehearsal (tools/sweep_sf1.py) exists for.
+
+    Scale: stage 1 shuffles the (prio, day, cents) dictionary (data-
+    independent cardinality at fixed calendar); the per-(prio, day)
+    window is day-bounded; stage 2 is a 5-number-per-group groupBy.
+    No data-sized window, no data-sized state anywhere.
+    """
+    pts = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("x"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    dic = pts.groupBy("prio", "x", "cents").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        W.partitionBy("prio", "x")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("prio", "x")
+    cum = dic.select(
+        "prio",
+        "x",
+        "cents",
+        F.sum("c").over(w_cum).alias("cc"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    p90 = cum.groupBy("prio", "x").agg(
+        F.min(
+            F.when(F.col("cc") * 10 >= 9 * F.col("n"), F.col("cents"))
+        ).alias("y")
+    )
+    s = p90.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    nd, sxd = dec.format("n"), dec.format("sx")
+    det = f"({nd} * sxx - {sxd} * sx)"
+    num = f"({nd} * sxy - {sxd} * sy)"
+    return s.select(
+        "prio",
+        F.col("n").alias("n_days"),
+        F.expr(
+            f"CAST({num} * 1000000 DIV NULLIF({det}, 0) AS BIGINT)"
+        ).alias("slope_cents_per_day_e6"),
+        F.expr(
+            f"CAST((CAST(sy AS DECIMAL(38,0)) * {det} - {num} * sx) * 1000000"
+            f" DIV NULLIF({nd} * {det}, 0) AS BIGINT)"
+        ).alias("intercept_cents_e6"),
+    )

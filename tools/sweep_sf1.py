@@ -97,6 +97,7 @@ OVERFLOW_CLASS = [
     "stats_trimmed_mean_value",  # dictionary quantile × counts
     "quality_benford_price_audit",  # digit counts × e6 expected
     "stats_equidepth_bins",  # dist_rank running cents sums
+    "stats_percentile_trend",  # e6 OLS numerators over p90 dictionary
 ]
 
 
@@ -138,6 +139,7 @@ def generate() -> None:
 
 
 def main() -> int:
+    subset = bool(sys.argv[1:])
     only = sys.argv[1:] or OVERFLOW_CLASS
     generate()
 
@@ -182,6 +184,11 @@ def main() -> int:
         else:
             print(f"PASS {name} ({len(sdf)} rows, {timings[name]}s)")
             statuses[name] = "pass"
+    if subset:
+        # Ad-hoc subset runs must not clobber the committed full-class
+        # artifact.
+        print(f"\n{len(failures)} failures (subset run; artifact not written)")
+        return 1 if failures else 0
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "oracle_sweep_sf1.json")
     with open(out, "w") as fh:
         json.dump(
