@@ -704,3 +704,99 @@ def _register_transform_with_state() -> None:
 
 
 _register_transform_with_state()
+
+
+# ---------------------------------------------------------------------------
+# Sliding top-k trending via foreachBatch — round 7.
+# ---------------------------------------------------------------------------
+
+_TOPK_TRENDING_ORACLE = """
+    WITH hops AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type
+      FROM events
+      UNION ALL
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR,
+             event_type
+      FROM events
+    ), counts AS (
+      SELECT ws, event_type, count(*) AS n FROM hops GROUP BY 1, 2
+    )
+    SELECT ws AS window_start, event_type, CAST(n AS BIGINT) AS n,
+           CAST(row_number() OVER (
+                  PARTITION BY ws ORDER BY n DESC, event_type)
+                AS BIGINT) AS rnk
+    FROM counts
+    QUALIFY rnk <= 3
+"""
+
+
+@query("streaming_topk_trending", oracle=_TOPK_TRENDING_ORACLE)
+def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window top-k trending via foreachBatch — the "what's hot
+    right now" leaderboard: 2-hour windows hopping hourly, top 3 event
+    types per window, maintained INCREMENTALLY across micro-batches.
+
+    The stream aggregates per (sliding window, type) in UPDATE mode
+    (each micro-batch emits only the windows it touched, with their
+    new cumulative totals — no watermark, so totals are exact under
+    the shuffled replay no matter how events split across batches);
+    foreachBatch upserts those delta rows into a keyed store, exactly
+    the MERGE INTO a Delta/Iceberg leaderboard table a production
+    deployment runs per trigger — the store here is an in-memory dict
+    (the repo's streaming-replay memory-sink convention), small by
+    construction: one row per (window, type), never per event. Top-3
+    ranking happens at read time over the store, partitioned by
+    window — the leaderboard query, not the stream, pays the sort,
+    and each partition is ≤ |event types| rows.
+
+    The final leaderboard must hash-match DuckDB computing the same
+    hop-exploded batch aggregation — cross-batch incremental
+    maintenance provably converges to the batch answer.
+    """
+    from pyspark.sql.window import Window as W
+
+    replay = tempfile.mkdtemp(prefix="gotsdb_stream_topk_")
+    checkpoint = tempfile.mkdtemp(prefix="gotsdb_stream_topk_ckpt_")
+    ev = load_table(spark, "events", sf_dir)
+    ev.orderBy(F.hash("event_id")).repartition(6).write.mode("overwrite").parquet(
+        replay
+    )
+    from gotsdb_spark.streaming import read_events_stream
+
+    counts = (
+        read_events_stream(spark, replay, 2)
+        .groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    store: dict[tuple, int] = {}
+
+    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        for row in batch_df.collect():
+            store[(row["ws"], row["event_type"])] = row["n"]
+
+    with _replay_partitions(spark):
+        q = (
+            counts.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    board = spark.createDataFrame(
+        [(w, t, n) for (w, t), n in store.items()],
+        "window_start timestamp, event_type string, n bigint",
+    )
+    w_rank = W.partitionBy("window_start").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    return (
+        board.withColumn(
+            "rnk", F.row_number().over(w_rank).cast("bigint")
+        ).where(F.col("rnk") <= 3)
+    )

@@ -1387,3 +1387,115 @@ def stats_percentile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" DIV NULLIF({nd} * {det}, 0) AS BIGINT)"
         ).alias("intercept_cents_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean over the dictionary domain — round 7.
+# ---------------------------------------------------------------------------
+
+WINSORIZED_MEAN_ORACLE = """
+    WITH pts AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ), dic AS (
+      SELECT flag, cents, count(*) AS c FROM pts GROUP BY flag, cents
+    ), cum AS (
+      SELECT flag, cents, c,
+             sum(c) OVER (PARTITION BY flag ORDER BY cents) AS cc,
+             sum(c) OVER (PARTITION BY flag) AS n
+      FROM dic
+    ), bounds AS (
+      SELECT flag,
+             CAST(max(n) AS BIGINT) AS n,
+             CAST(min(CASE WHEN cc * 20 >= n THEN cents END) AS BIGINT)
+               AS lo_cents,
+             CAST(min(CASE WHEN cc * 20 >= 19 * n THEN cents END) AS BIGINT)
+               AS hi_cents
+      FROM cum GROUP BY flag
+    )
+    SELECT d.flag,
+           b.n AS n_rows,
+           b.lo_cents,
+           b.hi_cents,
+           CAST(sum(d.c * least(greatest(d.cents, b.lo_cents), b.hi_cents))
+                // b.n AS BIGINT) AS winsorized_mean_cents,
+           CAST(sum(CASE WHEN d.cents < b.lo_cents
+                         OR d.cents > b.hi_cents THEN d.c ELSE 0 END)
+                AS BIGINT) AS n_clamped
+    FROM dic d JOIN bounds b ON d.flag = b.flag
+    GROUP BY d.flag, b.n, b.lo_cents, b.hi_cents
+"""
+
+
+@query("stats_winsorized_mean", oracle=WINSORIZED_MEAN_ORACLE)
+def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean (p05/p95 clamp) of extended price per return
+    flag — the outlier-robust location estimate that, unlike the
+    trimmed mean (stats_trimmed_mean_value), keeps every row's VOTE
+    while capping its LEVERAGE: clamped rows still count toward n, so
+    the estimate is stable under heavy tails without changing the
+    denominator a downstream rate is computed against.
+
+    Everything runs on the (flag, cents) dictionary: the p05/p95
+    bounds are the smallest cents with cc·20 ≥ n / cc·20 ≥ 19·n
+    (exact integer cross-multiplication — the weighted-median
+    convention), and the clamped mean re-aggregates the SAME
+    dictionary (Σ c·clamp(cents) DIV n) instead of rescanning the
+    fact table. Exact integers end-to-end; no floats anywhere.
+
+    Scale: two aggregations over a dictionary whose size is the
+    distinct-price count (bounded by the price grid, not row count);
+    the cumulative window is flag-partitioned, never global. The
+    bounds join is a broadcast (≤ flags rows).
+    """
+    pts = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    dic = pts.groupBy("flag", "cents").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        W.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = dic.select(
+        "flag",
+        "cents",
+        "c",
+        F.sum("c").over(w_cum).alias("cc"),
+        F.sum("c").over(W.partitionBy("flag")).alias("n"),
+    )
+    bounds = cum.groupBy("flag").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(F.when(F.col("cc") * 20 >= F.col("n"), F.col("cents")))
+        .cast("long")
+        .alias("lo_cents"),
+        F.min(F.when(F.col("cc") * 20 >= 19 * F.col("n"), F.col("cents")))
+        .cast("long")
+        .alias("hi_cents"),
+    )
+    out_of_range = (F.col("cents") < F.col("lo_cents")) | (
+        F.col("cents") > F.col("hi_cents")
+    )
+    return (
+        dic.join(F.broadcast(bounds), "flag")
+        .groupBy("flag", "n", "lo_cents", "hi_cents")
+        .agg(
+            F.expr(
+                "CAST(sum(c * least(greatest(cents, lo_cents), hi_cents))"
+                " DIV n AS BIGINT)"
+            ).alias("winsorized_mean_cents"),
+            F.sum(F.when(out_of_range, F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_clamped"),
+        )
+        .select(
+            "flag",
+            F.col("n").alias("n_rows"),
+            "lo_cents",
+            "hi_cents",
+            "winsorized_mean_cents",
+            "n_clamped",
+        )
+    )

@@ -1093,3 +1093,101 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nll_e6").cast("long").alias("sum_nll_e6"),
         F.expr("CAST(sum(nll_e6) DIV count(*) AS BIGINT)").alias("avg_nll_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining — round 7.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 50
+
+PMI_BIGRAMS_ORACLE = f"""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS a FROM documents
+    ), bg AS (
+      SELECT a[i] AS w1, a[i + 1] AS w2
+      FROM ws, unnest(range(1, len(a))) AS t(i)
+    ), tot AS (
+      SELECT count(*) AS n FROM bg
+    ), c12 AS (
+      SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+    ), c2 AS (
+      SELECT w2, count(*) AS c2 FROM bg GROUP BY w2
+    )
+    SELECT c12.w1, c12.w2,
+           CAST(c12.c12 AS BIGINT) AS n_pair,
+           CAST(floor(ln(c12.c12 * tot.n * 1.0 / (c1.c1 * c2.c2)) * 1e6
+                      + 0.5001) AS BIGINT) AS pmi_e6
+    FROM c12
+    JOIN c1 ON c12.w1 = c1.w1
+    JOIN c2 ON c12.w2 = c2.w2
+    CROSS JOIN tot
+    WHERE c12.c12 >= {_PMI_MIN_COUNT}
+    ORDER BY pmi_e6 DESC, c12.w1, c12.w2
+    LIMIT {_PMI_TOP_K}
+"""
+
+
+@query("text_pmi_bigrams", oracle=PMI_BIGRAMS_ORACLE)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information — the phrase
+    detector (Mikolov-style word2phrase scoring) a tokenizer-training
+    or stop-phrase-mining pass runs over the corpus: PMI ranks bigrams
+    by how much MORE often they co-occur than their unigram rates
+    predict, surfacing multi-word units ("new york") that raw bigram
+    counts (text_top_bigrams) bury under frequent-word noise.
+
+    PMI = ln(c12·N / (c1·c2)) over positional marginals (c1 = count as
+    FIRST word, c2 = count as SECOND word — the standard bigram-PMI
+    contingency), computed once per output row from exact integer
+    counts and floored to e6; a min-count gate (≥{_PMI_MIN_COUNT})
+    drops the unstable low-frequency tail. Top-{_PMI_TOP_K} under a
+    total order (pmi desc, w1, w2) plans as TakeOrdered — per-task
+    heaps, no global sort.
+
+    Scale: three map-side-combinable groupBys over the bigram stream
+    (built row-locally, same guarded position build as
+    text_bigram_logprob); the marginal joins are shuffle equi-joins on
+    word keys — corpus-sized tables deliberately NOT broadcast. The
+    1-row total is a broadcast cross join.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    ws = docs.select("doc_id", F.split("text", " ").alias("a"))
+    bg = ws.select(
+        F.explode(
+            F.expr(
+                "transform(filter(sequence(1, size(a)), i -> i < size(a)),"
+                " i -> struct(element_at(a, i) AS w1,"
+                "             element_at(a, i + 1) AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    tot = bg.agg(F.count(F.lit(1)).alias("n"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    return (
+        c12.where(F.col("c12") >= _PMI_MIN_COUNT)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("n_pair"),
+            F.floor(
+                F.log(
+                    F.col("c12") * F.col("n") * 1.0 / (F.col("c1") * F.col("c2"))
+                )
+                * 1e6
+                + 0.5001
+            )
+            .cast("long")
+            .alias("pmi_e6"),
+        )
+        .orderBy(F.col("pmi_e6").desc(), "w1", "w2")
+        .limit(_PMI_TOP_K)
+    )

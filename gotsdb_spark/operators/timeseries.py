@@ -2471,3 +2471,101 @@ def ts_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("forecast_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive vs last-value forecast-error audit — round 7.
+# ---------------------------------------------------------------------------
+
+SEASONAL_NAIVE_ORACLE = """
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2025-01-01', CAST(ts AS DATE)) AS x,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) // count(*)
+                  AS BIGINT) AS y_e3
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, x, y_e3,
+             lag(y_e3, 1) OVER (PARTITION BY event_type ORDER BY x) AS l1,
+             lag(y_e3, 7) OVER (PARTITION BY event_type ORDER BY x) AS l7
+      FROM daily
+    ), errs AS (
+      SELECT event_type,
+             CAST(count(l7) AS BIGINT) AS n_scored,
+             CAST(sum(CASE WHEN l7 IS NOT NULL
+                           THEN abs(y_e3 - l1) END) AS BIGINT) AS sae_naive_e3,
+             CAST(sum(abs(y_e3 - l7)) AS BIGINT) AS sae_seasonal_e3
+      FROM lagged WHERE l1 IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n_scored,
+           CAST(sae_naive_e3 // n_scored AS BIGINT) AS mae_naive_e3,
+           CAST(sae_seasonal_e3 // n_scored AS BIGINT) AS mae_seasonal_e3,
+           CAST(sae_seasonal_e3 * 1000000 // NULLIF(sae_naive_e3, 0)
+                AS BIGINT) AS seasonal_vs_naive_e6
+    FROM errs
+"""
+
+
+@query("ts_seasonal_naive_error", oracle=SEASONAL_NAIVE_ORACLE)
+def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline audit: mean absolute error of the lag-1 naive
+    forecast vs the lag-7 seasonal-naive forecast on the per-type daily
+    series, scored over the SAME days (those where both lags exist) —
+    the denominator of MASE and the first question any forecasting
+    rollout (including ts_holt_winters_seasonal) must answer: does a
+    weekly cycle actually beat "same as yesterday"? A ratio below 1e6
+    says seasonality is real; above says the gamma term is fitting
+    noise.
+
+    Exact integers end-to-end: the daily series is the e3 mean
+    dictionary, errors are |y−lag| sums of e3 integers, MAE is integer
+    division, and the head-to-head ratio is an exact e6 rational —
+    nothing for engines to disagree on.
+
+    Scale: one shuffle to the (type, day) dictionary (calendar-bounded
+    per type), then ONE type-partitioned window computing both lags in
+    a single pass — never a global window, state bounded by the day
+    span.
+    """
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2025-01-01").cast("date")
+            ).alias("x"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("v_e3"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.expr("CAST(sum(v_e3) DIV count(*) AS BIGINT)").alias("y_e3"))
+    )
+    w = W.partitionBy("event_type").orderBy("x")
+    lagged = daily.select(
+        "event_type",
+        "y_e3",
+        F.lag("y_e3", 1).over(w).alias("l1"),
+        F.lag("y_e3", 7).over(w).alias("l7"),
+    ).where(F.col("l1").isNotNull())
+    errs = lagged.groupBy("event_type").agg(
+        F.count("l7").cast("long").alias("n_scored"),
+        F.sum(
+            F.when(F.col("l7").isNotNull(), F.abs(F.col("y_e3") - F.col("l1")))
+        )
+        .cast("long")
+        .alias("sae_naive_e3"),
+        F.sum(F.abs(F.col("y_e3") - F.col("l7"))).cast("long").alias(
+            "sae_seasonal_e3"
+        ),
+    )
+    return errs.select(
+        "event_type",
+        "n_scored",
+        F.expr("CAST(sae_naive_e3 DIV n_scored AS BIGINT)").alias("mae_naive_e3"),
+        F.expr("CAST(sae_seasonal_e3 DIV n_scored AS BIGINT)").alias(
+            "mae_seasonal_e3"
+        ),
+        F.expr(
+            "CAST(sae_seasonal_e3 * 1000000 DIV NULLIF(sae_naive_e3, 0)"
+            " AS BIGINT)"
+        ).alias("seasonal_vs_naive_e6"),
+    )

@@ -1,0 +1,250 @@
+"""Round-7 operator tests: independent reference implementations and
+structural properties for the seven new registered queries (the DuckDB
+hash gate is the primary check; these pin semantics against a second,
+non-SQL implementation and the properties a refactor could silently
+lose)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from gotsdb_spark.operators.registry import QUERIES
+from gotsdb_spark.sources.registry import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _daily_series(spark):
+    """(event_type -> [y_e3 ordered by day]) exactly as the operators
+    define it: e3-floored per-event values, integer-mean per day."""
+    rows = (
+        load_table(spark, "events", SF)
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2025-01-01").cast("date")
+            ).alias("x"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("v_e3"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.expr("CAST(sum(v_e3) DIV count(*) AS BIGINT)").alias("y_e3"))
+        .collect()
+    )
+    out: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["x"])):
+        out.setdefault(r["event_type"], []).append(r["y_e3"])
+    return out
+
+
+def _r9(v: float) -> float:
+    return math.floor(v * 1e9 + 0.5) / 1e9
+
+
+def test_holt_winters_matches_python_reference(spark):
+    series = _daily_series(spark)
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["ts_holt_winters_seasonal"](spark, SF).collect()
+    }
+    a, b, g = 0.5, 0.3, 0.2
+    for etype, ys in series.items():
+        assert len(ys) >= 15
+        s7a, s7b = sum(ys[:7]), sum(ys[7:14])
+        level = _r9(s7a / 7000.0)
+        trend = _r9((s7b - s7a) / 49000.0)
+        seas = [_r9(y / 1000.0 - level) for y in ys[:7]]
+        for y_e3 in ys[7:]:
+            y = y_e3 / 1000.0
+            s1 = seas[0]
+            lnew = _r9(a * (y - s1) + (1 - a) * (level + trend))
+            trend = _r9(b * (lnew - level) + (1 - b) * trend)
+            seas = seas[1:] + [_r9(g * (y - lnew) + (1 - g) * s1)]
+            level = lnew
+        row = got[etype]
+        assert row["level_e6"] == math.floor(level * 1e6 + 0.5001)
+        assert row["trend_e6"] == math.floor(trend * 1e6 + 0.5001)
+        assert row["season_e6"] == math.floor(seas[0] * 1e6 + 0.5001)
+        assert row["forecast_e6"] == math.floor(
+            (level + trend + seas[0]) * 1e6 + 0.5001
+        )
+
+
+def test_seasonal_naive_matches_python_reference(spark):
+    series = _daily_series(spark)
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["ts_seasonal_naive_error"](spark, SF).collect()
+    }
+    for etype, ys in series.items():
+        sae1 = sum(abs(ys[t] - ys[t - 1]) for t in range(7, len(ys)))
+        sae7 = sum(abs(ys[t] - ys[t - 7]) for t in range(7, len(ys)))
+        n = len(ys) - 7
+        row = got[etype]
+        assert row["n_scored"] == n
+        assert row["mae_naive_e3"] == sae1 // n
+        assert row["mae_seasonal_e3"] == sae7 // n
+        assert row["seasonal_vs_naive_e6"] == (
+            sae7 * 1_000_000 // sae1 if sae1 else None
+        )
+
+
+def test_band_sensitivity_monotone_in_r(spark):
+    """Candidates of r-row bands are nested (a shared r=4 band implies a
+    shared r=2 sub-band implies a shared r=1 signature), so candidate
+    count and recall must be non-increasing in r and FN non-decreasing;
+    truth is config-independent."""
+    rows = {
+        r["rows_per_band"]: r
+        for r in QUERIES["dedup_lsh_band_sensitivity"](spark, SF).collect()
+    }
+    assert sorted(rows) == [1, 2, 4, 8]
+    assert len({r["n_truth"] for r in rows.values()}) == 1
+    for lo, hi in ((1, 2), (2, 4), (4, 8)):
+        assert rows[lo]["n_candidates"] >= rows[hi]["n_candidates"]
+        assert rows[lo]["tp"] >= rows[hi]["tp"]
+        assert rows[lo]["fn"] <= rows[hi]["fn"]
+    for r in rows.values():
+        assert r["n_bands"] * r["rows_per_band"] == 8
+        assert r["tp"] + r["fp"] == r["n_candidates"]
+        assert r["tp"] + r["fn"] == r["n_truth"]
+
+
+def test_pmi_matches_python_reference(spark):
+    docs = load_table(spark, "documents", SF).select("text").collect()
+    c12: dict = {}
+    c1: dict = {}
+    c2: dict = {}
+    n = 0
+    for row in docs:
+        ws = row["text"].split(" ")
+        for w1, w2 in zip(ws, ws[1:]):
+            n += 1
+            c12[(w1, w2)] = c12.get((w1, w2), 0) + 1
+            c1[w1] = c1.get(w1, 0) + 1
+            c2[w2] = c2.get(w2, 0) + 1
+    scored = sorted(
+        (
+            (
+                math.floor(
+                    math.log(c * n * 1.0 / (c1[w1] * c2[w2])) * 1e6 + 0.5001
+                ),
+                w1,
+                w2,
+                c,
+            )
+            for (w1, w2), c in c12.items()
+            if c >= 5
+        ),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:50]
+    want = {(w1, w2): (pmi, c) for pmi, w1, w2, c in scored}
+    got = QUERIES["text_pmi_bigrams"](spark, SF).collect()
+    assert len(got) == len(want) == 50
+    for r in got:
+        pmi, c = want[(r["w1"], r["w2"])]
+        assert (r["pmi_e6"], r["n_pair"]) == (pmi, c)
+
+
+def test_winsorized_mean_matches_python_reference(spark):
+    cents_rows = (
+        load_table(spark, "lineitem", SF)
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+        )
+        .collect()
+    )
+    by_flag: dict[str, list] = {}
+    for r in cents_rows:
+        by_flag.setdefault(r["flag"], []).append(r["c"])
+    got = {
+        r["flag"]: r for r in QUERIES["stats_winsorized_mean"](spark, SF).collect()
+    }
+    for flag, vals in by_flag.items():
+        vals.sort()
+        n = len(vals)
+        # smallest value with cum count*20 >= n (p05) / >= 19n (p95)
+        lo = vals[(n + 19) // 20 - 1]
+        hi = vals[(19 * n + 19) // 20 - 1]
+        clamped = [min(max(v, lo), hi) for v in vals]
+        row = got[flag]
+        assert row["n_rows"] == n
+        assert (row["lo_cents"], row["hi_cents"]) == (lo, hi)
+        assert row["winsorized_mean_cents"] == sum(clamped) // n
+        assert row["n_clamped"] == sum(1 for v in vals if v < lo or v > hi)
+        assert lo <= row["winsorized_mean_cents"] <= hi
+
+
+def test_percentile_trend_matches_python_reference(spark):
+    rows = (
+        load_table(spark, "orders", SF)
+        .select(
+            F.col("o_orderpriority").alias("p"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            ).alias("x"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+        .collect()
+    )
+    days: dict = {}
+    for r in rows:
+        days.setdefault((r["p"], r["x"]), []).append(r["c"])
+    pts: dict[str, list] = {}
+    for (p, x), vals in days.items():
+        vals.sort()
+        n = len(vals)
+        p90 = vals[(9 * n + 9) // 10 - 1]
+        pts.setdefault(p, []).append((x, p90))
+    got = {
+        r["prio"]: r for r in QUERIES["stats_percentile_trend"](spark, SF).collect()
+    }
+    for p, xy in pts.items():
+        n = len(xy)
+        sx = sum(x for x, _ in xy)
+        sy = sum(y for _, y in xy)
+        sxy = sum(x * y for x, y in xy)
+        sxx = sum(x * x for x, _ in xy)
+        det = n * sxx - sx * sx
+        num = n * sxy - sx * sy
+        row = got[p]
+        assert row["n_days"] == n
+        # python // floors; engines truncate toward zero — emulate
+        tz = lambda a, b: -(-a // b) if (a < 0) != (b < 0) else a // b  # noqa: E731
+        assert row["slope_cents_per_day_e6"] == tz(num * 1_000_000, det)
+        assert row["intercept_cents_e6"] == tz(
+            (sy * det - num * sx) * 1_000_000, n * det
+        )
+
+
+def test_streaming_topk_matches_batch(spark):
+    """The incrementally-maintained leaderboard must equal the batch
+    hop-exploded aggregation of the same events."""
+    got = {
+        (r["window_start"], r["rnk"]): (r["event_type"], r["n"])
+        for r in QUERIES["streaming_topk_trending"](spark, SF).collect()
+    }
+    ev = load_table(spark, "events", SF).select("ts", "event_type")
+    hops = ev.select(
+        F.date_trunc("hour", "ts").alias("ws"), "event_type"
+    ).unionAll(
+        ev.select(
+            (F.date_trunc("hour", "ts") - F.expr("INTERVAL 1 HOUR")).alias("ws"),
+            "event_type",
+        )
+    )
+    batch = (
+        hops.groupBy("ws", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    per_win: dict = {}
+    for r in batch:
+        per_win.setdefault(r["ws"], []).append((-r["n"], r["event_type"], r["n"]))
+    want = {}
+    for ws, items in per_win.items():
+        for i, (_, etype, n) in enumerate(sorted(items)[:3], start=1):
+            want[(ws, i)] = (etype, n)
+    assert got == want
