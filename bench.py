@@ -114,6 +114,14 @@ HEADLINE = [
     "ts_pattern_quantified_funnels",
     "ts_holt_linear_trend",
     "xml_interchange_roundtrip",
+    # round 7 operators
+    "ts_holt_winters_seasonal",
+    "dedup_lsh_band_sensitivity",
+    "stats_percentile_trend",
+    "text_pmi_bigrams",
+    "stats_winsorized_mean",
+    "ts_seasonal_naive_error",
+    "stats_kaplan_meier",
 ]
 
 # Streaming replays + the KV engine roundtrip execute real multi-wave
@@ -127,6 +135,7 @@ SECONDARY_REPLAYS = [
     "streaming_stateful_totals",
     "streaming_interval_join",
     "streaming_static_enrich",
+    "streaming_topk_trending",
 ]
 
 

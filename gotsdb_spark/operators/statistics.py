@@ -1499,3 +1499,192 @@ def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clamped",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival estimate with right-censoring — round 7.
+# ---------------------------------------------------------------------------
+
+_KM_HORIZONS = (60, 360, 1440, 4320, 10080)  # 1h, 6h, 1d, 3d, 7d
+
+KAPLAN_MEIER_ORACLE = f"""
+    WITH views AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS v_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), conv AS (
+      SELECT e.user_id, v.v_ts, min(CAST(e.ts AS TIMESTAMP)) AS p_ts
+      FROM events e JOIN views v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= v.v_ts
+      GROUP BY e.user_id, v.v_ts
+    ), tmax AS (
+      SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events
+    ), subjects AS (
+      SELECT v.user_id,
+             CASE WHEN c.p_ts IS NOT NULL THEN
+               (CAST(floor(epoch(c.p_ts)) AS BIGINT)
+                - CAST(floor(epoch(v.v_ts)) AS BIGINT)) // 60
+             ELSE
+               (CAST(floor(epoch(tmax.m)) AS BIGINT)
+                - CAST(floor(epoch(v.v_ts)) AS BIGINT)) // 60
+             END AS dur,
+             CASE WHEN c.p_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM views v LEFT JOIN conv c ON v.user_id = c.user_id
+      CROSS JOIN tmax
+    ), dic AS (
+      SELECT dur,
+             CAST(sum(ev) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS n_all
+      FROM subjects GROUP BY dur
+    ), tot AS (
+      SELECT CAST(sum(n_all) AS BIGINT) AS total FROM dic
+    ), cum AS (
+      SELECT dur, d, n_all,
+             CAST(sum(n_all) OVER (ORDER BY dur) AS BIGINT) AS cum_all
+      FROM dic
+    ), steps AS (
+      SELECT dur, d, cum_all,
+             tot.total - cum_all + n_all AS n_risk,
+             CASE WHEN d = tot.total - cum_all + n_all THEN 1 ELSE 0 END AS z,
+             CASE WHEN d > 0 AND d < tot.total - cum_all + n_all THEN
+               CAST(floor(ln((tot.total - cum_all + n_all - d) * 1.0
+                             / (tot.total - cum_all + n_all)) * 1e9 + 0.5001)
+                    AS BIGINT)
+             ELSE 0 END AS l_e9
+      FROM cum CROSS JOIN tot
+    ), curve AS (
+      SELECT dur, cum_all,
+             CAST(sum(l_e9) OVER (ORDER BY dur) AS BIGINT) AS l_cum,
+             CAST(sum(z) OVER (ORDER BY dur) AS BIGINT) AS z_cum,
+             CAST(sum(d) OVER (ORDER BY dur) AS BIGINT) AS d_cum
+      FROM steps
+    ), horizons AS (
+      SELECT unnest({list(_KM_HORIZONS)}) AS horizon_min
+    )
+    SELECT h.horizon_min,
+           max_by(c.d_cum, c.dur) AS n_events,
+           tot.total - max_by(c.cum_all, c.dur) AS at_risk_after,
+           CASE WHEN max_by(c.z_cum, c.dur) > 0 THEN 0
+                ELSE CAST(floor(exp(max_by(c.l_cum, c.dur) / 1e9) * 1e6
+                                + 0.5001) AS BIGINT)
+           END AS survival_e6
+    FROM horizons h
+    JOIN curve c ON c.dur <= h.horizon_min
+    CROSS JOIN tot
+    GROUP BY h.horizon_min, tot.total
+"""
+
+
+@query("stats_kaplan_meier", oracle=KAPLAN_MEIER_ORACLE)
+def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-convert (first view →
+    first purchase) WITH right-censoring — the estimator
+    ts_time_to_convert_cohorts cannot replace: its quantiles silently
+    condition on conversion having happened, while KM keeps every
+    never-converted user in the risk set until their censoring time
+    (end of observation), so S(t) is an unbiased "still unconverted
+    after t" probability. Survival at 1h/6h/1d/3d/7d horizons.
+
+    Exactness: the curve lives on the (duration-minute) dictionary —
+    calendar-bounded, one row per distinct minute gap. Per step,
+    ln(1 - d/n) is the ONLY transcendental, applied once to exact
+    integer (d, n_risk) and floored to an e9 INTEGER, so the running
+    "log-survival" is an exact integer SUM (association-free — the
+    same trick as entropy/G-test), exponentiated once per output row.
+    A d = n_risk step (risk set exhausted by events) would be ln(0):
+    flagged as an exact zero-survival marker instead, cumulative, so
+    every later horizon reports survival 0 identically in both
+    engines.
+
+    Scale: running sums over the dictionary use dist_rank (two linear
+    passes, no single-partition window — the same machinery as Gini /
+    equi-depth); at-risk counts derive from the inclusive cumulative
+    by algebra, not a second ordering. The horizon readout is a
+    broadcast 5-row join + max_by over unique durations.
+    """
+    from gotsdb_spark.operators.distrank import dist_rank
+
+    ev = load_table(spark, "events", sf_dir)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(views, "user_id")
+        .where(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    tmax = ev.agg(F.max("ts").alias("m"))
+    subjects = (
+        views.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            F.when(
+                F.col("p_ts").isNotNull(),
+                F.expr(
+                    "CAST((unix_timestamp(p_ts) - unix_timestamp(v_ts))"
+                    " DIV 60 AS BIGINT)"
+                ),
+            )
+            .otherwise(
+                F.expr(
+                    "CAST((unix_timestamp(m) - unix_timestamp(v_ts))"
+                    " DIV 60 AS BIGINT)"
+                )
+            )
+            .alias("dur"),
+            F.when(F.col("p_ts").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("ev"),
+        )
+    )
+    dic = subjects.groupBy("dur").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+    )
+    tot = dic.agg(F.sum("n_all").cast("long").alias("total"))
+    cum = dist_rank(dic, ["dur"], rank_col="_rk", sum_cols={"cum_all": "n_all"})
+    n_risk = F.col("total") - F.col("cum_all") + F.col("n_all")
+    steps = cum.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "d",
+        "cum_all",
+        F.when(F.col("d") == n_risk, F.lit(1)).otherwise(F.lit(0)).alias("z"),
+        F.when(
+            (F.col("d") > 0) & (F.col("d") < n_risk),
+            F.floor(
+                F.log((n_risk - F.col("d")) * 1.0 / n_risk) * 1e9 + 0.5001
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("l_e9"),
+    )
+    curve = dist_rank(
+        steps,
+        ["dur"],
+        rank_col="_rk2",
+        sum_cols={"l_cum": "l_e9", "z_cum": "z", "d_cum": "d"},
+    )
+    horizons = spark.createDataFrame(
+        [(h,) for h in _KM_HORIZONS], "horizon_min bigint"
+    )
+    return (
+        curve.join(
+            F.broadcast(horizons), F.col("dur") <= F.col("horizon_min")
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy("horizon_min", "total")
+        .agg(
+            F.max_by("d_cum", "dur").alias("n_events"),
+            (F.col("total") - F.max_by("cum_all", "dur")).alias("at_risk_after"),
+            F.when(F.max_by("z_cum", "dur") > 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.floor(F.exp(F.max_by("l_cum", "dur") / 1e9) * 1e6 + 0.5001)
+                .cast("long")
+            )
+            .alias("survival_e6"),
+        )
+        .select("horizon_min", "n_events", "at_risk_after", "survival_e6")
+    )

@@ -248,3 +248,70 @@ def test_streaming_topk_matches_batch(spark):
         for i, (_, etype, n) in enumerate(sorted(items)[:3], start=1):
             want[(ws, i)] = (etype, n)
     assert got == want
+
+
+def test_kaplan_meier_matches_python_reference(spark):
+    ev = load_table(spark, "events", SF).select("user_id", "event_type", "ts")
+    rows = ev.collect()
+    import datetime
+
+    views: dict = {}
+    tmax = max(r["ts"] for r in rows)
+    for r in rows:
+        if r["event_type"] == "view":
+            if r["user_id"] not in views or r["ts"] < views[r["user_id"]]:
+                views[r["user_id"]] = r["ts"]
+    conv: dict = {}
+    for r in rows:
+        if r["event_type"] == "purchase" and r["user_id"] in views:
+            if r["ts"] >= views[r["user_id"]]:
+                if r["user_id"] not in conv or r["ts"] < conv[r["user_id"]]:
+                    conv[r["user_id"]] = r["ts"]
+
+    def mins(a: datetime.datetime, b: datetime.datetime) -> int:
+        return (
+            math.floor(b.replace(tzinfo=datetime.timezone.utc).timestamp())
+            - math.floor(a.replace(tzinfo=datetime.timezone.utc).timestamp())
+        ) // 60
+
+    subjects = [
+        (mins(v, conv[u]) if u in conv else mins(v, tmax), 1 if u in conv else 0)
+        for u, v in views.items()
+    ]
+    dic: dict = {}
+    for dur, evflag in subjects:
+        d, n = dic.get(dur, (0, 0))
+        dic[dur] = (d + evflag, n + 1)
+    total = len(subjects)
+    got = {
+        r["horizon_min"]: r
+        for r in QUERIES["stats_kaplan_meier"](spark, SF).collect()
+    }
+    cum_all = l_cum = z_cum = d_cum = 0
+    curve = {}
+    for dur in sorted(dic):
+        d, n_all = dic[dur]
+        cum_all += n_all
+        n_risk = total - cum_all + n_all
+        if d == n_risk:
+            z_cum += 1
+        elif d > 0:
+            l_cum += math.floor(
+                math.log((n_risk - d) / n_risk) * 1e9 + 0.5001
+            )
+        d_cum += d
+        curve[dur] = (d_cum, total - cum_all, z_cum, l_cum)
+    durs = sorted(curve)
+    for h in (60, 360, 1440, 4320, 10080):
+        eligible = [t for t in durs if t <= h]
+        if not eligible:
+            assert h not in got
+            continue
+        d_cum, at_risk, z_cum, l_cum = curve[eligible[-1]]
+        row = got[h]
+        assert row["n_events"] == d_cum
+        assert row["at_risk_after"] == at_risk
+        want_s = 0 if z_cum else math.floor(math.exp(l_cum / 1e9) * 1e6 + 0.5001)
+        assert row["survival_e6"] == want_s
+        # survival must be a probability and non-increasing in horizon
+        assert 0 <= row["survival_e6"] <= 1_000_000
