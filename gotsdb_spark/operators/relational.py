@@ -1099,7 +1099,8 @@ _BASKET_ORACLE = f"""
       GROUP BY 1, 2
     )
     SELECT part_a, part_b, CAST(n_pair AS BIGINT) AS n_pair,
-           CAST((n_pair * n.n * 1000000) // (sa.s * sb.s) AS BIGINT)
+           CAST((CAST(n_pair AS HUGEINT) * n.n * 1000000)
+                // (CAST(sa.s AS HUGEINT) * sb.s) AS BIGINT)
              AS lift_e6
     FROM pairs
     JOIN support sa ON sa.l_partkey = part_a
@@ -1161,7 +1162,14 @@ def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "part_a",
             "part_b",
             "n_pair",
-            F.expr("n_pair * n * 1000000 div (s_a * s_b)").alias("lift_e6"),
+            # DECIMAL(38,0): worst-case n_pair·n·1e6 = n²·1e6 ≈ 2.25e18
+            # at sf1 (4× headroom) and overflows at ~sf4; the support
+            # product s_a·s_b has the same n² bound. Round-7
+            # scaled-product audit; HUGEINT on the DuckDB side.
+            F.expr(
+                "CAST(CAST(n_pair AS DECIMAL(38,0)) * n * 1000000"
+                " DIV (CAST(s_a AS DECIMAL(38,0)) * s_b) AS BIGINT)"
+            ).alias("lift_e6"),
         )
         .orderBy(F.desc("n_pair"), "part_a", "part_b")
         .limit(_BASKET_TOPK)

@@ -232,9 +232,11 @@ SHARE_OF_PARENT_ORACLE = """
       SELECT CAST(sum(rev_cents) AS BIGINT) AS grand_cents FROM rev
     )
     SELECT rev.region, rev.nation, rev.rev_cents,
-           CAST(rev.rev_cents * 1000000 // regions.region_cents AS BIGINT)
+           CAST(CAST(rev.rev_cents AS HUGEINT) * 1000000
+                // regions.region_cents AS BIGINT)
              AS share_of_region_e6,
-           CAST(regions.region_cents * 1000000 // grand.grand_cents AS BIGINT)
+           CAST(CAST(regions.region_cents AS HUGEINT) * 1000000
+                // grand.grand_cents AS BIGINT)
              AS region_share_e6
     FROM rev JOIN regions USING (region) CROSS JOIN grand
 """
@@ -284,11 +286,18 @@ def rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region",
             "nation",
             "rev_cents",
-            F.expr("rev_cents * 1000000 DIV region_cents").alias(
-                "share_of_region_e6"
-            ),
-            F.expr("region_cents * 1000000 DIV grand_cents").alias(
-                "region_share_e6"
-            ),
+            # DECIMAL(38,0): grand_cents ≈ 3.8e13 at sf1, so
+            # region_cents·1e6 ≈ 7.5e18 is already within 25% of int64
+            # max and overflows (ANSI: throws) at ~sf1.3 — the round-7
+            # scaled-product audit's first hit. HUGEINT on the DuckDB
+            # side.
+            F.expr(
+                "CAST(CAST(rev_cents AS DECIMAL(38,0)) * 1000000"
+                " DIV region_cents AS BIGINT)"
+            ).alias("share_of_region_e6"),
+            F.expr(
+                "CAST(CAST(region_cents AS DECIMAL(38,0)) * 1000000"
+                " DIV grand_cents AS BIGINT)"
+            ).alias("region_share_e6"),
         )
     )

@@ -98,6 +98,8 @@ OVERFLOW_CLASS = [
     "quality_benford_price_audit",  # digit counts × e6 expected
     "stats_equidepth_bins",  # dist_rank running cents sums
     "stats_percentile_trend",  # e6 OLS numerators over p90 dictionary
+    "rollup_share_of_parent",  # region_cents*1e6 ~ 7.5e18 at sf1 (audit hit)
+    "basket_part_pair_lift",  # n_pair*n*1e6 worst case n^2*1e6 (audit hit)
 ]
 
 
