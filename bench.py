@@ -122,6 +122,8 @@ HEADLINE = [
     "stats_winsorized_mean",
     "ts_seasonal_naive_error",
     "stats_kaplan_meier",
+    "text_ngram_novelty",
+    "skyline_price_size_frontier",
 ]
 
 # Streaming replays + the KV engine roundtrip execute real multi-wave

@@ -1256,3 +1256,79 @@ def audit_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("checksum"),
     ).select(F.lit("lineitem").alias("tbl"), "n_rows", "checksum")
     return o_sum.unionByName(l_sum)
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) query — round 7.
+# ---------------------------------------------------------------------------
+
+SKYLINE_ORACLE = """
+    WITH pts AS (
+      SELECT p_brand,
+             CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS p_size
+      FROM part
+    ), dic AS (
+      -- collapse to the (brand, price) dictionary first: only the max
+      -- size at each price can be on the frontier
+      SELECT p_brand, price_cents,
+             max(p_size) AS best_size,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM pts GROUP BY p_brand, price_cents
+    ), swept AS (
+      SELECT p_brand, price_cents, best_size, n_parts,
+             max(best_size) OVER (
+               PARTITION BY p_brand ORDER BY price_cents
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS best_cheaper
+      FROM dic
+    )
+    SELECT p_brand, price_cents, best_size, n_parts
+    FROM swept
+    WHERE best_cheaper IS NULL OR best_cheaper < best_size
+"""
+
+
+@query("skyline_price_size_frontier", oracle=SKYLINE_ORACLE)
+def skyline_price_size_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query: per brand, the (price, size)
+    points not DOMINATED by any other part — cheaper-and-at-least-as-
+    big or same-price-and-bigger — i.e. the staircase a "best value"
+    product search walks. Skylines are a classic operator relational
+    engines lack natively; the naive formulation is a quadratic
+    NOT EXISTS self-join.
+
+    Sub-quadratic rewrite, exact: (1) collapse to the (brand,
+    price_cents) dictionary keeping max size per price — any point
+    below its price's max is dominated by it (same price, bigger), so
+    only dictionary rows can survive; (2) one brand-partitioned sweep
+    in price order — a RANGE frame ending at 1 PRECEDING gives the
+    best size among STRICTLY cheaper points, and a dictionary row is
+    on the frontier iff it beats that. Dominance resolved in O(dic ·
+    log) instead of O(n²), with ties handled exactly (equal price +
+    equal size points coexist; n_parts reports multiplicity).
+
+    Scale: the window runs over the per-brand price dictionary —
+    bounded by the price grid, not the row count — and `part` is a
+    dimension table besides; fact-sized skylines would bucket the
+    dictionary by brand and reuse the identical sweep.
+    """
+    pts = load_table(spark, "part", sf_dir).select(
+        "p_brand",
+        F.floor(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("p_size"),
+    )
+    dic = pts.groupBy("p_brand", "price_cents").agg(
+        F.max("p_size").alias("best_size"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+    )
+    w = (
+        W.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    swept = dic.withColumn("best_cheaper", F.max("best_size").over(w))
+    return swept.where(
+        F.col("best_cheaper").isNull()
+        | (F.col("best_cheaper") < F.col("best_size"))
+    ).select("p_brand", "price_cents", "best_size", "n_parts")

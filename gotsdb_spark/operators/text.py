@@ -1191,3 +1191,78 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_e6").desc(), "w1", "w2")
         .limit(_PMI_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty scoring — round 7.
+# ---------------------------------------------------------------------------
+
+NOVELTY_ORACLE = """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), shingles AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(ws) - 2, 1)),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        FROM words
+      ) raw
+    ), df AS (
+      SELECT sh, count(*) AS df FROM shingles GROUP BY sh
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS novelty_e6
+    FROM shingles s JOIN df ON s.sh = df.sh
+    GROUP BY s.doc_id
+"""
+
+
+@query("text_ngram_novelty", oracle=NOVELTY_ORACLE)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the share of a doc's distinct
+    3-word shingles that appear in NO other document — the inverse of
+    the boilerplate share (text_boilerplate_share scores how much of a
+    doc is corpus-common; this scores how much is corpus-unique). Low
+    novelty → templated/duplicated content even when no single pair
+    crosses the near-dup threshold; high novelty → the doc contributes
+    genuinely new n-grams to the training mix (and, post-training, is
+    the content most exposed to verbatim-memorization risk, which is
+    why curation pipelines track exactly this share).
+
+    Shape: distinct (doc, shingle) stream → document-frequency counts
+    (map-side-combinable groupBy on the shingle key) → join back on
+    the shingle → per-doc exact integer share. df=1 detection needs
+    the GLOBAL df, so the join is a shuffle equi-join on shingle —
+    corpus-sized by necessity, same class as the TF-IDF/BM25 postings
+    joins, and the only shuffles in the plan.
+    """
+    from gotsdb_spark.operators.dedup import shingle_table
+    from gotsdb_spark.sources.registry import shared_cache
+
+    sh = shared_cache(
+        spark, sf_dir, "shingle_table", lambda: shingle_table(spark, sf_dir)
+    )
+    df = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("CAST(n_novel * 1000000 DIV n_shingles AS BIGINT)").alias(
+                "novelty_e6"
+            ),
+        )
+    )

@@ -315,3 +315,73 @@ def test_kaplan_meier_matches_python_reference(spark):
         assert row["survival_e6"] == want_s
         # survival must be a probability and non-increasing in horizon
         assert 0 <= row["survival_e6"] <= 1_000_000
+
+
+def test_ngram_novelty_matches_python_reference(spark):
+    docs = load_table(spark, "documents", SF).select("doc_id", "text").collect()
+    shingles: dict = {}
+    for r in docs:
+        ws = r["text"].split(" ")
+        if len(ws) >= 3:
+            ss = {f"{ws[i]} {ws[i+1]} {ws[i+2]}" for i in range(len(ws) - 2)}
+        else:
+            # mirror the oracle's greatest(len-2, 1): a <3-token doc
+            # contributes its (partial) first window
+            ss = {" ".join(ws[:3])}
+        shingles[r["doc_id"]] = ss
+    df: dict = {}
+    for ss in shingles.values():
+        for s in ss:
+            df[s] = df.get(s, 0) + 1
+    got = {
+        r["doc_id"]: r for r in QUERIES["text_ngram_novelty"](spark, SF).collect()
+    }
+    assert set(got) == set(shingles)
+    for doc_id, ss in shingles.items():
+        novel = sum(1 for s in ss if df[s] == 1)
+        row = got[doc_id]
+        assert row["n_shingles"] == len(ss)
+        assert row["n_novel"] == novel
+        assert row["novelty_e6"] == novel * 1_000_000 // len(ss)
+
+
+def test_skyline_matches_bruteforce(spark):
+    """The swept frontier must equal the quadratic NOT-EXISTS dominance
+    definition evaluated in Python."""
+    pts = (
+        load_table(spark, "part", SF)
+        .select(
+            "p_brand",
+            F.floor(F.col("p_retailprice") * 100).cast("bigint").alias("pc"),
+            F.col("p_size").cast("bigint").alias("sz"),
+        )
+        .collect()
+    )
+    by_brand: dict = {}
+    for r in pts:
+        by_brand.setdefault(r["p_brand"], []).append((r["pc"], r["sz"]))
+    want = set()
+    for brand, xs in by_brand.items():
+        # collapse to (price -> max size, count)
+        dic: dict = {}
+        for pc, sz in xs:
+            best, n = dic.get(pc, (-1, 0))
+            dic[pc] = (max(best, sz), n + 1)
+        for pc, (sz, n) in dic.items():
+            dominated = any(
+                (pc2 <= pc and sz2 >= sz and (pc2 < pc or sz2 > sz))
+                for pc2, (sz2, _) in dic.items()
+            )
+            if not dominated:
+                want.add((brand, pc, sz, n))
+    got = {
+        (r["p_brand"], r["price_cents"], r["best_size"], r["n_parts"])
+        for r in QUERIES["skyline_price_size_frontier"](spark, SF).collect()
+    }
+    assert got == want
+    # frontier staircase: within a brand, larger price implies strictly
+    # larger best size
+    for brand in by_brand:
+        stair = sorted((pc, sz) for b, pc, sz, _ in got if b == brand)
+        for (p1, s1), (p2, s2) in zip(stair, stair[1:]):
+            assert p1 < p2 and s1 < s2
