@@ -776,3 +776,54 @@ def test_round6_ops_plan_shapes(spark):
     for name in ("stats_equidepth_bins", "stats_gini_revenue_concentration"):
         r = plan_report(QUERIES[name](spark, SF))
         assert r["global_windows"] == 0, name
+
+
+def test_round7_ops_plan_shapes(spark):
+    """Plan pins for the round-7 batch: the scale-relevant structural
+    properties a refactor could silently lose."""
+    from gotsdb_spark.plans import plan_report
+
+    # PMI top-k must plan as TakeOrdered (per-task heaps), never a
+    # global sort.
+    plan = QUERIES["text_pmi_bigrams"](
+        spark, SF
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    # Skyline: one dictionary aggregate + one brand-partitioned window;
+    # no global window, no cartesian.
+    r = plan_report(QUERIES["skyline_price_size_frontier"](spark, SF))
+    assert r["global_windows"] == 0
+    assert not r["cartesian"] and not r["nested_loop"]
+
+    # Kaplan-Meier: dist_rank-based running sums — no global window;
+    # the horizon join is the only nested-loop-ish piece and must be a
+    # broadcast of the 5-row horizons frame (non-equi join on <=).
+    r = plan_report(QUERIES["stats_kaplan_meier"](spark, SF))
+    assert r["global_windows"] == 0
+
+    # Winsorized mean: dictionary windows are flag-partitioned; bounds
+    # join back is broadcast.
+    r = plan_report(QUERIES["stats_winsorized_mean"](spark, SF))
+    assert r["global_windows"] == 0
+    assert r["broadcast_joins"] >= 1
+
+    # Percentile trend: both window passes partitioned by (prio, day);
+    # nothing global.
+    r = plan_report(QUERIES["stats_percentile_trend"](spark, SF))
+    assert r["global_windows"] == 0
+
+    # Holt-Winters / seasonal-naive: one shuffle to the per-type daily
+    # dictionary; the fold/lag is partition-local.
+    for name in ("ts_holt_winters_seasonal", "ts_seasonal_naive_error"):
+        r = plan_report(QUERIES[name](spark, SF))
+        assert r["global_windows"] == 0, name
+
+    # Band sensitivity: candidate generation is equi-join only — no
+    # cartesian anywhere despite 4 configs.
+    r = plan_report(QUERIES["dedup_lsh_band_sensitivity"](spark, SF))
+    assert not r["cartesian"]
+
+    # Novelty: df join is an equi-join; no global window.
+    r = plan_report(QUERIES["text_ngram_novelty"](spark, SF))
+    assert r["global_windows"] == 0
