@@ -109,6 +109,11 @@ def main() -> int:
         # volume sweep never clobbers the canonical one.
         base = os.path.basename(os.path.normpath(sf_dir))
         suffix = "" if base == "sf0.01" else "_" + base.replace(".", "")
+        # A parallelism-invariance sweep (SPARK_GRAFT_CPUS set) gets its
+        # own artifact instead of clobbering the canonical run (round 6
+        # renamed by hand; now automatic).
+        if os.environ.get("SPARK_GRAFT_CPUS"):
+            suffix += f"_cpus{os.environ['SPARK_GRAFT_CPUS']}"
         out = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), f"oracle_sweep{suffix}.json"
         )
