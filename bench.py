@@ -124,6 +124,8 @@ HEADLINE = [
     "stats_kaplan_meier",
     "text_ngram_novelty",
     "skyline_price_size_frontier",
+    "dedup_rate_by_source",
+    "quality_source_length_profile",
 ]
 
 # Streaming replays + the KV engine roundtrip execute real multi-wave

@@ -1279,3 +1279,92 @@ def dedup_lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplication rate by source — round 7.
+# ---------------------------------------------------------------------------
+
+_DUP_RATE_ORACLE = f"""
+    WITH {_MINHASH_CTES}, exact AS (
+      SELECT doc_id, count(*) OVER (PARTITION BY md5(text)) AS copies
+      FROM documents
+    ), near_docs AS (
+      SELECT doc_a AS doc_id FROM pairs
+      UNION
+      SELECT doc_b AS doc_id FROM pairs
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN e.copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_dup,
+           CAST(sum(CASE WHEN e.copies > 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS exact_dup_rate_e6,
+           CAST(sum(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_near_dup,
+           CAST(sum(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS near_dup_rate_e6
+    FROM documents d
+    JOIN exact e ON d.doc_id = e.doc_id
+    LEFT JOIN near_docs nd ON d.doc_id = nd.doc_id
+    GROUP BY d.source
+"""
+
+
+@query("dedup_rate_by_source", oracle=_DUP_RATE_ORACLE)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-rate dashboard per SOURCE — the number a curation
+    review actually argues about ('crawl-B is 18% near-duplicate,
+    stop ingesting it'): per source, the share of docs that are exact
+    copies (md5 cluster size > 1) and the share touching a VERIFIED
+    near-dup pair (the ≥0.6-Jaccard LSH output, not raw candidates).
+
+    Shape: exact side is the md5 hash-groupBy (16-byte keys shuffle,
+    bodies never move) re-joined by cluster size; near side reuses the
+    flagship LSH pair pipeline's verified pairs, collapsed to a
+    distinct endpoint set and LEFT-joined so dup-free sources still
+    report zeros. Rates are exact integer e6 divisions. Per-source
+    attribution of BOTH dedup families in one result — the rollup that
+    decides which ingestion pipelines to fix first at 100 TB.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    copies = (
+        docs.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("copies"))
+    )
+    exact = docs.select("doc_id", "source", F.md5("text").alias("h")).join(
+        copies, "h"
+    )
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    near_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_near", F.lit(1))
+    )
+    return (
+        exact.join(near_docs, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("copies") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_exact_dup"),
+            F.sum(F.coalesce("is_near", F.lit(0))).cast("long").alias(
+                "n_near_dup"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_exact_dup",
+            F.expr("CAST(n_exact_dup * 1000000 DIV n_docs AS BIGINT)").alias(
+                "exact_dup_rate_e6"
+            ),
+            "n_near_dup",
+            F.expr("CAST(n_near_dup * 1000000 DIV n_docs AS BIGINT)").alias(
+                "near_dup_rate_e6"
+            ),
+        )
+    )

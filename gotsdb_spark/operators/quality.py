@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from gotsdb_spark.operators.registry import query
 from gotsdb_spark.sources.registry import load_table
@@ -554,4 +555,72 @@ def quality_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("total_abs_dev_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source length percentile profile — round 7.
+# ---------------------------------------------------------------------------
+
+SOURCE_PROFILE_ORACLE = """
+    WITH dic AS (
+      SELECT source, n_chars, count(*) AS c
+      FROM documents GROUP BY source, n_chars
+    ), cum AS (
+      SELECT source, n_chars, c,
+             sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cc,
+             sum(c) OVER (PARTITION BY source) AS n
+      FROM dic
+    )
+    SELECT source,
+           CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(min(CASE WHEN cc * 10 >= n THEN n_chars END) AS BIGINT)
+             AS p10_chars,
+           CAST(min(CASE WHEN cc * 2 >= n THEN n_chars END) AS BIGINT)
+             AS p50_chars,
+           CAST(min(CASE WHEN cc * 10 >= 9 * n THEN n_chars END) AS BIGINT)
+             AS p90_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM cum GROUP BY source
+"""
+
+
+@query("quality_source_length_profile", oracle=SOURCE_PROFILE_ORACLE)
+def quality_source_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length distribution profile (p10/p50/p90 +
+    min/max of n_chars) — the first diagnostic plot of any corpus
+    review: a source whose p50 collapsed between snapshots got
+    truncated upstream; one whose p10 is near zero is shipping empty
+    shells. Exact lower order statistics over the (source, n_chars)
+    dictionary — smallest value with cc·k ≥ q·n by integer
+    cross-multiplication (the weighted-median convention), no engine
+    quantile function trusted, no interpolation.
+
+    Scale: one map-side-combinable groupBy to the dictionary (bounded
+    by sources × distinct lengths, not docs); the cumulative window is
+    source-partitioned. Same dictionary machinery as
+    stats_winsorized_mean, pivoted to the per-source monitoring view.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    dic = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        W.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = dic.select(
+        "source",
+        "n_chars",
+        F.sum("c").over(w_cum).alias("cc"),
+        F.sum("c").over(W.partitionBy("source")).alias("n"),
+    )
+    pick = lambda cond: F.min(F.when(cond, F.col("n_chars"))).cast("long")  # noqa: E731
+    return cum.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        pick(F.col("cc") * 10 >= F.col("n")).alias("p10_chars"),
+        pick(F.col("cc") * 2 >= F.col("n")).alias("p50_chars"),
+        pick(F.col("cc") * 10 >= 9 * F.col("n")).alias("p90_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
     )

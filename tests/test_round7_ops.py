@@ -385,3 +385,54 @@ def test_skyline_matches_bruteforce(spark):
         stair = sorted((pc, sz) for b, pc, sz, _ in got if b == brand)
         for (p1, s1), (p2, s2) in zip(stair, stair[1:]):
             assert p1 < p2 and s1 < s2
+
+
+def test_dup_rate_by_source_consistency(spark):
+    import hashlib
+
+    docs = load_table(spark, "documents", SF).select(
+        "doc_id", "source", "text"
+    ).collect()
+    by_hash: dict = {}
+    src_of: dict = {}
+    for r in docs:
+        h = hashlib.md5(r["text"].encode()).hexdigest()
+        by_hash.setdefault(h, []).append(r["doc_id"])
+        src_of[r["doc_id"]] = r["source"]
+    exact_dups = {d for ids in by_hash.values() if len(ids) > 1 for d in ids}
+    pairs = QUERIES["dedup_minhash_lsh"](spark, SF).collect()
+    near = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    want: dict = {}
+    for d, s in src_of.items():
+        n, e, nn = want.get(s, (0, 0, 0))
+        want[s] = (n + 1, e + (d in exact_dups), nn + (d in near))
+    got = {r["source"]: r for r in QUERIES["dedup_rate_by_source"](spark, SF).collect()}
+    assert set(got) == set(want)
+    for s, (n, e, nn) in want.items():
+        row = got[s]
+        assert (row["n_docs"], row["n_exact_dup"], row["n_near_dup"]) == (n, e, nn)
+        assert row["exact_dup_rate_e6"] == e * 1_000_000 // n
+        assert row["near_dup_rate_e6"] == nn * 1_000_000 // n
+
+
+def test_source_length_profile_matches_python_reference(spark):
+    docs = load_table(spark, "documents", SF).select("source", "n_chars").collect()
+    by_src: dict = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append(r["n_chars"])
+    got = {
+        r["source"]: r
+        for r in QUERIES["quality_source_length_profile"](spark, SF).collect()
+    }
+    for s, vals in by_src.items():
+        vals.sort()
+        n = len(vals)
+        row = got[s]
+        assert row["n_docs"] == n
+        # smallest value with cc*10 >= n etc. == ceil(q*n)-th order stat
+        assert row["p10_chars"] == vals[(n + 9) // 10 - 1]
+        assert row["p50_chars"] == vals[(n + 1) // 2 - 1]
+        assert row["p90_chars"] == vals[(9 * n + 9) // 10 - 1]
+        assert (row["min_chars"], row["max_chars"]) == (vals[0], vals[-1])
+        assert row["min_chars"] <= row["p10_chars"] <= row["p50_chars"]
+        assert row["p50_chars"] <= row["p90_chars"] <= row["max_chars"]
