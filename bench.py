@@ -126,6 +126,7 @@ HEADLINE = [
     "skyline_price_size_frontier",
     "dedup_rate_by_source",
     "quality_source_length_profile",
+    "quality_snapshot_psi",
 ]
 
 # Streaming replays + the KV engine roundtrip execute real multi-wave

@@ -624,3 +624,162 @@ def quality_source_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index between corpus snapshots — round 7.
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_PSI_ORACLE = """
+    WITH snap AS (
+      SELECT n_chars,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                  AS BIGINT) % 2 AS s
+      FROM documents
+    ), tot AS (
+      SELECT CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM snap
+    ), dic AS (
+      SELECT n_chars, count(*) AS c FROM snap WHERE s = 0 GROUP BY n_chars
+    ), cum AS (
+      SELECT n_chars,
+             sum(c) OVER (ORDER BY n_chars) AS cc,
+             (SELECT na FROM tot) AS na
+      FROM dic
+    ), edges AS (
+      SELECT min(CASE WHEN cc * 10 >= 1 * na THEN n_chars END) AS e1,
+             min(CASE WHEN cc * 10 >= 2 * na THEN n_chars END) AS e2,
+             min(CASE WHEN cc * 10 >= 3 * na THEN n_chars END) AS e3,
+             min(CASE WHEN cc * 10 >= 4 * na THEN n_chars END) AS e4,
+             min(CASE WHEN cc * 10 >= 5 * na THEN n_chars END) AS e5,
+             min(CASE WHEN cc * 10 >= 6 * na THEN n_chars END) AS e6,
+             min(CASE WHEN cc * 10 >= 7 * na THEN n_chars END) AS e7,
+             min(CASE WHEN cc * 10 >= 8 * na THEN n_chars END) AS e8,
+             min(CASE WHEN cc * 10 >= 9 * na THEN n_chars END) AS e9
+      FROM cum
+    ), binned AS (
+      SELECT s,
+             1 + (CASE WHEN n_chars > e1 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_chars > e2 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_chars > e3 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_chars > e4 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_chars > e5 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_chars > e6 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_chars > e7 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_chars > e8 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_chars > e9 THEN 1 ELSE 0 END) AS bin
+      FROM snap CROSS JOIN edges
+    ), counts AS (
+      SELECT b.bin,
+             CAST(coalesce(sum(CASE WHEN s = 0 THEN 1 END), 0) AS BIGINT)
+               AS c_ref,
+             CAST(coalesce(sum(CASE WHEN s = 1 THEN 1 END), 0) AS BIGINT)
+               AS c_cur
+      FROM (SELECT unnest(range(1, 11)) AS bin) b
+      LEFT JOIN binned ON binned.bin = b.bin
+      GROUP BY b.bin
+    )
+    SELECT bin, c_ref, c_cur,
+           CAST(floor(((c_ref + 1.0) / (tot.na + 10)
+                       - (c_cur + 1.0) / (tot.nb + 10))
+                      * ln(((c_ref + 1.0) * (tot.nb + 10))
+                           / ((c_cur + 1.0) * (tot.na + 10)))
+                      * 1e9 + 0.5001) AS BIGINT) AS psi_term_e9
+    FROM counts CROSS JOIN tot
+"""
+
+
+@query("quality_snapshot_psi", oracle=SNAPSHOT_PSI_ORACLE)
+def quality_snapshot_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the document-length distribution
+    between two corpus snapshots — THE production drift gate (credit
+    scoring inherited it, data pipelines adopted it): PSI < 0.1 stable,
+    > 0.25 investigate. Unlike the KS statistic (max ECDF gap,
+    stats_ks_priority_price) PSI reports WHERE the mass moved —
+    per-decile signed terms — which is what a triage actually needs.
+
+    Snapshots here are deterministic md5-parity halves of `documents`
+    (the portable-uniform convention), standing in for release N vs
+    N+1; in production only the assignment column changes. Decile
+    edges come from the REFERENCE half's exact (n_chars) dictionary —
+    the cc·10 ≥ k·n rule via dist_rank, no single-partition window —
+    and bin assignment is a broadcast 9-edge comparison, a pure map.
+    Add-one smoothing ((c+1)/(n+10)) makes empty-bin terms finite and
+    identical in both engines; each decile's term is floored to an e9
+    integer before any summation, so the total PSI is an exact integer
+    sum downstream.
+
+    Scale: one groupBy to the length dictionary, two linear dist_rank
+    shuffles over it, one broadcast of 9 edges, one (snap, bin)
+    aggregation. Nothing data-sized crosses a single executor.
+    """
+    from gotsdb_spark.operators.distrank import dist_rank
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "n_chars",
+        (
+            F.expr("conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)")
+            .cast("bigint")
+            % 2
+        ).alias("s"),
+    )
+    tot = docs.agg(
+        F.sum(F.when(F.col("s") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    dic = (
+        docs.where(F.col("s") == 0)
+        .groupBy("n_chars")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = dist_rank(dic, ["n_chars"], rank_col="_rk", sum_cols={"cc": "c"})
+    edges = ranked.crossJoin(F.broadcast(tot)).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cc") * 10 >= k * F.col("na"), F.col("n_chars")
+                )
+            ).alias(f"e{k}")
+            for k in range(1, 10)
+        ]
+    )
+    bin_col = F.lit(1)
+    for k in range(1, 10):
+        bin_col = bin_col + F.when(
+            F.col("n_chars") > F.col(f"e{k}"), 1
+        ).otherwise(0)
+    binned = docs.crossJoin(F.broadcast(edges)).select(
+        "s", bin_col.alias("bin")
+    )
+    spine = spark.range(1, 11).select(F.col("id").cast("int").alias("bin"))
+    counts = (
+        spine.join(binned, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("s") == 0, 1)), F.lit(0))
+            .cast("long")
+            .alias("c_ref"),
+            F.coalesce(F.sum(F.when(F.col("s") == 1, 1)), F.lit(0))
+            .cast("long")
+            .alias("c_cur"),
+        )
+    )
+    pa = (F.col("c_ref") + 1.0) / (F.col("na") + 10)
+    pb = (F.col("c_cur") + 1.0) / (F.col("nb") + 10)
+    lr = F.log(
+        ((F.col("c_ref") + 1.0) * (F.col("nb") + 10))
+        / ((F.col("c_cur") + 1.0) * (F.col("na") + 10))
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "c_ref",
+        "c_cur",
+        F.floor((pa - pb) * lr * 1e9 + 0.5001).cast("long").alias(
+            "psi_term_e9"
+        ),
+    )

@@ -436,3 +436,46 @@ def test_source_length_profile_matches_python_reference(spark):
         assert (row["min_chars"], row["max_chars"]) == (vals[0], vals[-1])
         assert row["min_chars"] <= row["p10_chars"] <= row["p50_chars"]
         assert row["p50_chars"] <= row["p90_chars"] <= row["max_chars"]
+
+
+def test_snapshot_psi_matches_python_reference(spark):
+    import hashlib
+
+    docs = load_table(spark, "documents", SF).select("doc_id", "n_chars").collect()
+    halves: dict = {0: [], 1: []}
+    for r in docs:
+        s = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:4], 16) % 2
+        halves[s].append(r["n_chars"])
+    ref = sorted(halves[0])
+    na, nb = len(halves[0]), len(halves[1])
+    # decile edges: smallest value with cc*10 >= k*na over the ref dict
+    from collections import Counter
+
+    dic = sorted(Counter(ref).items())
+    edges = []
+    for k in range(1, 10):
+        cc = 0
+        for v, c in dic:
+            cc += c
+            if cc * 10 >= k * na:
+                edges.append(v)
+                break
+    assert len(edges) == 9
+
+    def bin_of(v):
+        return 1 + sum(1 for e in edges if v > e)
+
+    c_ref = Counter(bin_of(v) for v in halves[0])
+    c_cur = Counter(bin_of(v) for v in halves[1])
+    got = {r["bin"]: r for r in QUERIES["quality_snapshot_psi"](spark, SF).collect()}
+    assert sorted(got) == list(range(1, 11))
+    for b in range(1, 11):
+        row = got[b]
+        ca, cb = c_ref.get(b, 0), c_cur.get(b, 0)
+        assert (row["c_ref"], row["c_cur"]) == (ca, cb)
+        pa, pb = (ca + 1.0) / (na + 10), (cb + 1.0) / (nb + 10)
+        lr = math.log(((ca + 1.0) * (nb + 10)) / ((cb + 1.0) * (na + 10)))
+        assert row["psi_term_e9"] == math.floor((pa - pb) * lr * 1e9 + 0.5001)
+    # PSI terms of a random split of an identical population should be
+    # tiny: total |PSI| well under the 0.1 stability threshold
+    assert abs(sum(r["psi_term_e9"] for r in got.values())) < 100_000_000
