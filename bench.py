@@ -127,6 +127,8 @@ HEADLINE = [
     "dedup_rate_by_source",
     "quality_source_length_profile",
     "quality_snapshot_psi",
+    "stats_km_by_cohort",
+    "stats_information_gain",
 ]
 
 # Streaming replays + the KV engine roundtrip execute real multi-wave

@@ -946,3 +946,176 @@ def stats_association_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("theils_u_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Information gain of candidate features — round 7.
+# ---------------------------------------------------------------------------
+
+INFOGAIN_ORACLE = """
+    WITH tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+    ), dic AS (
+      SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars
+    ), cum AS (
+      SELECT n_chars, sum(c) OVER (ORDER BY n_chars) AS cc,
+             (SELECT n FROM tot) AS n
+      FROM dic
+    ), edges AS (
+      SELECT min(CASE WHEN cc * 10 >= 1 * n THEN n_chars END) AS e1,
+             min(CASE WHEN cc * 10 >= 2 * n THEN n_chars END) AS e2,
+             min(CASE WHEN cc * 10 >= 3 * n THEN n_chars END) AS e3,
+             min(CASE WHEN cc * 10 >= 4 * n THEN n_chars END) AS e4,
+             min(CASE WHEN cc * 10 >= 5 * n THEN n_chars END) AS e5,
+             min(CASE WHEN cc * 10 >= 6 * n THEN n_chars END) AS e6,
+             min(CASE WHEN cc * 10 >= 7 * n THEN n_chars END) AS e7,
+             min(CASE WHEN cc * 10 >= 8 * n THEN n_chars END) AS e8,
+             min(CASE WHEN cc * 10 >= 9 * n THEN n_chars END) AS e9
+      FROM cum
+    ), feat AS (
+      SELECT 'source' AS feature, source AS x, lang FROM documents
+      UNION ALL
+      SELECT 'length_decile',
+             CAST(1 + (CASE WHEN n_chars > e1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN n_chars > e2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN n_chars > e3 THEN 1 ELSE 0 END)
+                    + (CASE WHEN n_chars > e4 THEN 1 ELSE 0 END)
+                    + (CASE WHEN n_chars > e5 THEN 1 ELSE 0 END)
+                    + (CASE WHEN n_chars > e6 THEN 1 ELSE 0 END)
+                    + (CASE WHEN n_chars > e7 THEN 1 ELSE 0 END)
+                    + (CASE WHEN n_chars > e8 THEN 1 ELSE 0 END)
+                    + (CASE WHEN n_chars > e9 THEN 1 ELSE 0 END) AS VARCHAR),
+             lang
+      FROM documents CROSS JOIN edges
+    ), cells AS (
+      SELECT feature, x, lang, CAST(count(*) AS BIGINT) AS cxl
+      FROM feat GROUP BY feature, x, lang
+    ), margx AS (
+      SELECT feature, x, CAST(sum(cxl) AS BIGINT) AS cx
+      FROM cells GROUP BY feature, x
+    ), hcond AS (
+      SELECT c.feature,
+             CAST(sum(CAST(floor(-(c.cxl * 1.0 / tot.n)
+                                 * ln(c.cxl * 1.0 / m.cx)
+                                 * 1e9 + 0.5001) AS BIGINT)) AS BIGINT)
+               AS h_cond_e9
+      FROM cells c
+      JOIN margx m ON c.feature = m.feature AND c.x = m.x
+      CROSS JOIN tot
+      GROUP BY c.feature
+    ), hlang AS (
+      SELECT CAST(sum(CAST(floor(-(cl * 1.0 / n) * ln(cl * 1.0 / n)
+                                 * 1e9 + 0.5001) AS BIGINT)) AS BIGINT)
+               AS h_lang_e9
+      FROM (SELECT lang, CAST(count(*) AS BIGINT) AS cl,
+                   (SELECT n FROM tot) AS n
+            FROM documents GROUP BY lang)
+    )
+    SELECT feature, hlang.h_lang_e9, hcond.h_cond_e9,
+           CAST(hlang.h_lang_e9 - hcond.h_cond_e9 AS BIGINT) AS info_gain_e9
+    FROM hcond CROSS JOIN hlang
+"""
+
+
+@query("stats_information_gain", oracle=INFOGAIN_ORACLE)
+def stats_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information gain of candidate features for predicting `lang` —
+    the feature-selection number (mutual information I(lang; X) =
+    H(lang) − H(lang|X)) behind 'which metadata column is worth
+    routing/stratifying on': compared here for `source` (categorical
+    as-is) and the document-length DECILE (continuous feature
+    discretized by the exact dictionary-quantile rule, the classic
+    entropy-binning move).
+
+    Exact-integer entropy convention (the G-test/association-strength
+    family): every −p·ln(p) term is computed once per cell from exact
+    integer counts and e9-floored BEFORE summation, so both engines
+    accumulate identical integers regardless of cell order; the gain
+    is then an exact integer difference. Decile edges come from the
+    length dictionary via dist_rank (no global window); decile
+    assignment is a broadcast 9-edge comparison.
+
+    Scale: cells are |sources|·|langs| + 10·|langs| rows past two
+    map-side-combinable groupBys; everything downstream is
+    cell-bounded. The same template extends to any feature audit —
+    swap the x column.
+    """
+    from gotsdb_spark.operators.distrank import dist_rank
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "lang", "source", "n_chars"
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dic = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    ranked = dist_rank(dic, ["n_chars"], rank_col="_rk", sum_cols={"cc": "c"})
+    edges = ranked.crossJoin(F.broadcast(tot)).agg(
+        *[
+            F.min(
+                F.when(F.col("cc") * 10 >= k * F.col("n"), F.col("n_chars"))
+            ).alias(f"e{k}")
+            for k in range(1, 10)
+        ]
+    )
+    bin_col = F.lit(1)
+    for k in range(1, 10):
+        bin_col = bin_col + F.when(
+            F.col("n_chars") > F.col(f"e{k}"), 1
+        ).otherwise(0)
+    feat = (
+        docs.select(
+            F.lit("source").alias("feature"),
+            F.col("source").alias("x"),
+            "lang",
+        )
+    ).unionByName(
+        docs.crossJoin(F.broadcast(edges)).select(
+            F.lit("length_decile").alias("feature"),
+            bin_col.cast("string").alias("x"),
+            "lang",
+        )
+    )
+    cells = feat.groupBy("feature", "x", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("cxl")
+    )
+    margx = cells.groupBy("feature", "x").agg(
+        F.sum("cxl").cast("long").alias("cx")
+    )
+    term = (
+        F.floor(
+            -(F.col("cxl") * 1.0 / F.col("n"))
+            * F.log(F.col("cxl") * 1.0 / F.col("cx"))
+            * 1e9
+            + 0.5001
+        )
+    ).cast("long")
+    hcond = (
+        cells.join(margx, ["feature", "x"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("feature")
+        .agg(F.sum(term).cast("long").alias("h_cond_e9"))
+    )
+    hlang = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("cl"))
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.floor(
+                    -(F.col("cl") * 1.0 / F.col("n"))
+                    * F.log(F.col("cl") * 1.0 / F.col("n"))
+                    * 1e9
+                    + 0.5001
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("h_lang_e9")
+        )
+    )
+    return hcond.crossJoin(F.broadcast(hlang)).select(
+        "feature",
+        "h_lang_e9",
+        "h_cond_e9",
+        (F.col("h_lang_e9") - F.col("h_cond_e9")).cast("long").alias(
+            "info_gain_e9"
+        ),
+    )

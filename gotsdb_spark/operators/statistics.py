@@ -1688,3 +1688,203 @@ def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("horizon_min", "n_events", "at_risk_after", "survival_e6")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort-stratified Kaplan-Meier — round 7.
+# ---------------------------------------------------------------------------
+
+KM_COHORT_ORACLE = """
+    WITH views AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS v_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), conv AS (
+      SELECT e.user_id, v.v_ts, min(CAST(e.ts AS TIMESTAMP)) AS p_ts
+      FROM events e JOIN views v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= v.v_ts
+      GROUP BY e.user_id, v.v_ts
+    ), tmax AS (
+      SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events
+    ), subjects AS (
+      SELECT date_trunc('week', v.v_ts) AS cohort_week,
+             CASE WHEN c.p_ts IS NOT NULL THEN
+               (CAST(floor(epoch(c.p_ts)) AS BIGINT)
+                - CAST(floor(epoch(v.v_ts)) AS BIGINT)) // 60
+             ELSE
+               (CAST(floor(epoch(tmax.m)) AS BIGINT)
+                - CAST(floor(epoch(v.v_ts)) AS BIGINT)) // 60
+             END AS dur,
+             CASE WHEN c.p_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM views v LEFT JOIN conv c ON v.user_id = c.user_id
+      CROSS JOIN tmax
+    ), dic AS (
+      SELECT cohort_week, dur,
+             CAST(sum(ev) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS n_all
+      FROM subjects GROUP BY cohort_week, dur
+    ), tot AS (
+      SELECT cohort_week, CAST(sum(n_all) AS BIGINT) AS total
+      FROM dic GROUP BY cohort_week
+    ), cum AS (
+      SELECT d.cohort_week, d.dur, d.d, d.n_all, t.total,
+             CAST(sum(d.n_all) OVER (
+               PARTITION BY d.cohort_week ORDER BY d.dur) AS BIGINT)
+               AS cum_all
+      FROM dic d JOIN tot t ON d.cohort_week = t.cohort_week
+    ), steps AS (
+      SELECT cohort_week, dur, d, total,
+             CASE WHEN d = total - cum_all + n_all THEN 1 ELSE 0 END AS z,
+             CASE WHEN d > 0 AND d < total - cum_all + n_all THEN
+               CAST(floor(ln((total - cum_all + n_all - d) * 1.0
+                             / (total - cum_all + n_all)) * 1e9 + 0.5001)
+                    AS BIGINT)
+             ELSE 0 END AS l_e9
+      FROM cum
+    ), curve AS (
+      SELECT cohort_week, dur, total,
+             CAST(sum(l_e9) OVER (
+               PARTITION BY cohort_week ORDER BY dur) AS BIGINT) AS l_cum,
+             CAST(sum(z) OVER (
+               PARTITION BY cohort_week ORDER BY dur) AS BIGINT) AS z_cum,
+             CAST(sum(d) OVER (
+               PARTITION BY cohort_week ORDER BY dur) AS BIGINT) AS d_cum
+      FROM steps
+    )
+    SELECT cohort_week,
+           CAST(max(total) AS BIGINT) AS n_subjects,
+           max_by(d_cum, CASE WHEN dur <= 1440 THEN dur END) AS events_1d,
+           CASE WHEN max_by(z_cum, CASE WHEN dur <= 1440 THEN dur END) > 0
+                THEN 0
+                ELSE CAST(floor(exp(
+                       max_by(l_cum, CASE WHEN dur <= 1440 THEN dur END)
+                       / 1e9) * 1e6 + 0.5001) AS BIGINT)
+           END AS survival_1d_e6,
+           max_by(d_cum, CASE WHEN dur <= 10080 THEN dur END) AS events_7d,
+           CASE WHEN max_by(z_cum, CASE WHEN dur <= 10080 THEN dur END) > 0
+                THEN 0
+                ELSE CAST(floor(exp(
+                       max_by(l_cum, CASE WHEN dur <= 10080 THEN dur END)
+                       / 1e9) * 1e6 + 0.5001) AS BIGINT)
+           END AS survival_7d_e6
+    FROM curve
+    GROUP BY cohort_week
+"""
+
+
+@query("stats_km_by_cohort", oracle=KM_COHORT_ORACLE)
+def stats_km_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival STRATIFIED by acquisition cohort (week of
+    first view): the comparison stats_kaplan_meier's single pooled
+    curve cannot make — 'did the week-32 cohort convert slower than
+    week-31?' is a per-stratum survival question, and pooling strata
+    with different censoring horizons biases the pooled curve
+    (earlier cohorts have longer observation windows).
+
+    Same exact-integer KM machinery as the global curve — per-step
+    ln(1-d/n) floored to an e9 integer, exhausted-risk-set zero flags,
+    e9-integer log-survival running sums — but because the curve is
+    per-cohort, ALL running sums are ordinary cohort-partitioned
+    windows over the (cohort, minute) dictionary (bounded per cohort
+    by minutes-in-range): the stratified variant needs NO global-order
+    machinery at all, which is exactly why stratified survival scales
+    embarrassingly — thousands of cohorts run as independent window
+    partitions. Horizon readout (1d / 7d) is a conditional max_by per
+    cohort, NULL when a cohort has no step at the horizon yet
+    (identically in both engines).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(views, "user_id")
+        .where(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    tmax = ev.agg(F.max("ts").alias("m"))
+    subjects = (
+        views.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            F.date_trunc("week", "v_ts").alias("cohort_week"),
+            F.when(
+                F.col("p_ts").isNotNull(),
+                F.expr(
+                    "CAST((unix_timestamp(p_ts) - unix_timestamp(v_ts))"
+                    " DIV 60 AS BIGINT)"
+                ),
+            )
+            .otherwise(
+                F.expr(
+                    "CAST((unix_timestamp(m) - unix_timestamp(v_ts))"
+                    " DIV 60 AS BIGINT)"
+                )
+            )
+            .alias("dur"),
+            F.when(F.col("p_ts").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("ev"),
+        )
+    )
+    dic = subjects.groupBy("cohort_week", "dur").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+    )
+    tot = dic.groupBy("cohort_week").agg(
+        F.sum("n_all").cast("long").alias("total")
+    )
+    w_cum = (
+        W.partitionBy("cohort_week")
+        .orderBy("dur")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = dic.join(F.broadcast(tot), "cohort_week").withColumn(
+        "cum_all", F.sum("n_all").over(w_cum).cast("long")
+    )
+    n_risk = F.col("total") - F.col("cum_all") + F.col("n_all")
+    steps = cum.select(
+        "cohort_week",
+        "dur",
+        "d",
+        "total",
+        F.when(F.col("d") == n_risk, F.lit(1)).otherwise(F.lit(0)).alias("z"),
+        F.when(
+            (F.col("d") > 0) & (F.col("d") < n_risk),
+            F.floor(
+                F.log((n_risk - F.col("d")) * 1.0 / n_risk) * 1e9 + 0.5001
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("l_e9"),
+    )
+    curve = steps.select(
+        "cohort_week",
+        "dur",
+        "total",
+        F.sum("l_e9").over(w_cum).cast("long").alias("l_cum"),
+        F.sum("z").over(w_cum).cast("long").alias("z_cum"),
+        F.sum("d").over(w_cum).cast("long").alias("d_cum"),
+    )
+
+    def horizon(h: int, label: str):
+        ord_col = F.when(F.col("dur") <= h, F.col("dur"))
+        surv = (
+            F.when(F.max_by("z_cum", ord_col) > 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.floor(
+                    F.exp(F.max_by("l_cum", ord_col) / 1e9) * 1e6 + 0.5001
+                ).cast("long")
+            )
+            .alias(f"survival_{label}_e6")
+        )
+        return [F.max_by("d_cum", ord_col).alias(f"events_{label}"), surv]
+
+    return curve.groupBy("cohort_week").agg(
+        F.max("total").cast("long").alias("n_subjects"),
+        *horizon(1440, "1d"),
+        *horizon(10080, "7d"),
+    )

@@ -479,3 +479,86 @@ def test_snapshot_psi_matches_python_reference(spark):
     # PSI terms of a random split of an identical population should be
     # tiny: total |PSI| well under the 0.1 stability threshold
     assert abs(sum(r["psi_term_e9"] for r in got.values())) < 100_000_000
+
+
+def test_information_gain_matches_python_reference(spark):
+    from collections import Counter
+
+    docs = load_table(spark, "documents", SF).select(
+        "lang", "source", "n_chars"
+    ).collect()
+    n = len(docs)
+    lens = sorted(r["n_chars"] for r in docs)
+    dic = sorted(Counter(lens).items())
+    edges = []
+    for k in range(1, 10):
+        cc = 0
+        for v, c in dic:
+            cc += c
+            if cc * 10 >= k * n:
+                edges.append(v)
+                break
+
+    def ent_e9_terms(counts, denom_for):
+        return sum(
+            math.floor(-(c / n) * math.log(c / denom_for(key)) * 1e9 + 0.5001)
+            for key, c in counts.items()
+        )
+
+    c_lang = Counter(r["lang"] for r in docs)
+    h_lang = sum(
+        math.floor(-(c / n) * math.log(c / n) * 1e9 + 0.5001)
+        for c in c_lang.values()
+    )
+    got = {
+        r["feature"]: r
+        for r in QUERIES["stats_information_gain"](spark, SF).collect()
+    }
+    assert set(got) == {"source", "length_decile"}
+    for feature in ("source", "length_decile"):
+        if feature == "source":
+            xs = [(r["source"], r["lang"]) for r in docs]
+        else:
+            xs = [
+                (1 + sum(1 for e in edges if r["n_chars"] > e), r["lang"])
+                for r in docs
+            ]
+        cells = Counter(xs)
+        cx = Counter(x for x, _ in xs)
+        h_cond = sum(
+            math.floor(-(c / n) * math.log(c / cx[x]) * 1e9 + 0.5001)
+            for (x, _), c in cells.items()
+        )
+        row = got[feature]
+        assert row["h_lang_e9"] == h_lang
+        assert row["h_cond_e9"] == h_cond
+        assert row["info_gain_e9"] == h_lang - h_cond
+        # conditioning can't add entropy (up to per-cell flooring noise
+        # of <1e-9 each): gain must be >= -len(cells) in e9 units
+        assert row["info_gain_e9"] >= -len(cells)
+
+
+def test_km_by_cohort_consistent_with_global_km(spark):
+    """Stratified and pooled KM must agree on subject accounting: the
+    cohort n_subjects sum to the global risk-set total, and per-cohort
+    7d event counts sum to <= the pooled 7d events (cohorts whose 7d
+    horizon has no step yet report NULL)."""
+    cohort = QUERIES["stats_km_by_cohort"](spark, SF).collect()
+    pooled = {
+        r["horizon_min"]: r
+        for r in QUERIES["stats_kaplan_meier"](spark, SF).collect()
+    }
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, "events", SF)
+    n_view_users = (
+        ev.where(F.col("event_type") == "view").select("user_id").distinct().count()
+    )
+    assert sum(r["n_subjects"] for r in cohort) == n_view_users
+    for r in cohort:
+        for label in ("1d", "7d"):
+            s = r[f"survival_{label}_e6"]
+            assert s is None or 0 <= s <= 1_000_000
+    if 10080 in pooled:
+        total_7d = sum(r["events_7d"] or 0 for r in cohort)
+        assert total_7d <= pooled[10080]["n_events"] + len(cohort)
