@@ -71,8 +71,25 @@ def dist_rank(
     ``order_cols`` must define a total order (include a unique
     tie-break) or ranks are nondeterministic — same contract as
     ``row_number`` itself. ``sum_cols`` sources must be integral.
+
+    EAGER — this function runs Spark jobs at CALL time, not at action
+    time: the input is localCheckpoint-ed (materialized) to freeze the
+    range-partitioner's sampled boundaries before the plan forks, and
+    the per-partition totals are collect()-ed for the O(P) offset
+    prefix sum. Building the returned plan twice (bench min-of-N,
+    plan-only audits) therefore costs two materializations, and a lost
+    checkpoint block after construction fails the query rather than
+    silently recomputing with resampled boundaries (which would
+    mis-join pids — see the comment below). Batch-only: streaming
+    frames cannot be checkpointed or collected this way.
     """
     sum_cols = sum_cols or {}
+    if df.isStreaming:
+        raise ValueError(
+            "dist_rank is batch-only: it materializes the input "
+            "(localCheckpoint + a per-partition totals collect) at "
+            "construction time, which a streaming DataFrame cannot do"
+        )
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     part = (
         df.repartitionByRange(num_partitions, *cols)

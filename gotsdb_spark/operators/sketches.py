@@ -756,7 +756,11 @@ def heavy_hitters_spacesaving(
         counters = pd.Series(dtype="int64")
         for pdf in batches:
             vc = pdf["key"].value_counts()
-            counters = counters.add(vc, fill_value=0)
+            # NOT Series.add(fill_value=0): that promotes to float64
+            # whenever the two indexes differ, so counts above 2^53
+            # would merge inexactly. concat + index-groupby sum stays
+            # int64 end-to-end and is equally C-vectorized.
+            counters = pd.concat([counters, vc]).groupby(level=0).sum()
             if len(counters) > capacity:
                 thresh = counters.nlargest(capacity + 1).iloc[-1]
                 counters = counters[counters > thresh] - thresh

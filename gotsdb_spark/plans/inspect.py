@@ -100,6 +100,17 @@ def single_partition_window_chains_text(plan: str) -> int:
                 if "Exchange SinglePartition" in nxt:
                     chains += 1
                     break
+                if "ReusedExchange" in nxt:
+                    # A ReusedExchange prints the simpleString of the
+                    # exchange it reuses; if that referenced exchange is
+                    # SinglePartition the Window above it is still a
+                    # global window (the data funnels through the same
+                    # one-partition shuffle, just computed once).
+                    # Otherwise it is an exchange with a real
+                    # partitioning and terminates the chain.
+                    if "SinglePartition" in nxt:
+                        chains += 1
+                    break
                 if not _WINDOW_CHAIN_PASSTHROUGH.search(nxt):
                     break
                 j += 1

@@ -84,3 +84,39 @@ def test_window_chain_detector_walks_interposed_nodes():
         "            +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=2]\n"
     )
     assert single_partition_window_chains_text(stopped) == 0
+
+
+def test_window_chain_detector_sees_reused_exchange():
+    """ADVICE r7: a Window fed through a ReusedExchange whose reused
+    target is a SinglePartition exchange is still a global window (the
+    data funnels through the same one-partition shuffle, computed
+    once); a ReusedExchange of a hash-partitioned exchange terminates
+    the chain cleanly."""
+    from gotsdb_spark.plans.inspect import single_partition_window_chains_text
+
+    reused_bad = (
+        "AdaptiveSparkPlan isFinalPlan=true\n"
+        "+- Window [sum(v#3) windowspecdefinition(x#1 ASC NULLS FIRST)], [x#1 ASC NULLS FIRST]\n"
+        "   +- Sort [x#1 ASC NULLS FIRST], false, 0\n"
+        "      +- ReusedExchange [x#1, v#3], Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=5]\n"
+    )
+    assert single_partition_window_chains_text(reused_bad) == 1
+    reused_good = reused_bad.replace(
+        "SinglePartition", "hashpartitioning(x#1, 32)"
+    )
+    assert single_partition_window_chains_text(reused_good) == 0
+
+
+def test_misra_gries_counters_stay_int64():
+    """ADVICE r7: Series.add(fill_value=0) promotes to float64 when
+    batch indexes differ (counts above 2^53 then merge inexactly and
+    no cast can restore them). The merge must avoid the float64
+    intermediate entirely. Exercise the merge shape directly."""
+    import pandas as pd
+
+    counters = pd.Series({10: 2**53 + 3}, dtype="int64")
+    vc = pd.Series({11: 5, 10: 2}, dtype="int64")
+    merged = pd.concat([counters, vc]).groupby(level=0).sum()
+    assert merged.dtype == "int64"
+    assert int(merged.loc[10]) == 2**53 + 5  # float64 would round this
+    assert int(merged.loc[11]) == 5
