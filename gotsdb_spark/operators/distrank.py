@@ -161,6 +161,61 @@ def dist_rank(
     return out_df.drop(*drop)
 
 
+def dictionary_decile_edges(
+    dic: DataFrame,
+    value_col: str,
+    count_col: str,
+    tot: DataFrame,
+    n_col: str,
+) -> DataFrame:
+    """One-row frame of exact decile edges ``e1..e9`` over a value
+    DICTIONARY: ``e_k`` is the smallest value whose cumulative count
+    satisfies ``cc·10 ≥ k·n`` (integer cross-multiplication — the
+    weighted-median convention, no engine quantile, no interpolation,
+    no floats anywhere near a boundary).
+
+    ``dic`` is the (value_col, count_col) dictionary (one row per
+    distinct value — bounded by the value grid, not the data); ``tot``
+    is a one-row frame whose ``n_col`` holds the total count the edges
+    are quantiles OF (usually ``sum(count_col)``, but e.g. the PSI gate
+    passes the REFERENCE-half total while binning both halves). The
+    cumulative count comes from :func:`dist_rank` — two linear shuffles
+    over the dictionary, never a single-partition window — so this
+    inherits dist_rank's EAGER construction-time materialization.
+
+    Shared by quality_snapshot_psi and stats_information_gain (the
+    near-verbatim duplicate the round-7 verdict flagged); use with
+    :func:`decile_bin_col` after broadcasting the returned edges.
+    """
+    ranked = dist_rank(
+        dic, [value_col], rank_col="__dd_rk", sum_cols={"__dd_cc": count_col}
+    )
+    return ranked.crossJoin(F.broadcast(tot)).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("__dd_cc") * 10 >= k * F.col(n_col),
+                    F.col(value_col),
+                )
+            ).alias(f"e{k}")
+            for k in range(1, 10)
+        ]
+    )
+
+
+def decile_bin_col(value_col: str) -> Column:
+    """Decile id 1..10 for ``value_col`` against broadcast
+    :func:`dictionary_decile_edges` columns ``e1..e9``: one plus the
+    number of edges strictly below the value — a pure 9-comparison map
+    (no join fan-out, no lookup structure)."""
+    bin_col = F.lit(1)
+    for k in range(1, 10):
+        bin_col = bin_col + F.when(
+            F.col(value_col) > F.col(f"e{k}"), 1
+        ).otherwise(0)
+    return bin_col
+
+
 def ntile_from_rank(rank: Column, n: Column, buckets: int) -> Column:
     """SQL ``ntile(buckets)`` reconstructed from a total-order global
     rank and the total row count — exact integer arithmetic identical

@@ -1040,27 +1040,18 @@ def stats_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-bounded. The same template extends to any feature audit —
     swap the x column.
     """
-    from gotsdb_spark.operators.distrank import dist_rank
+    from gotsdb_spark.operators.distrank import (
+        decile_bin_col,
+        dictionary_decile_edges,
+    )
 
     docs = load_table(spark, "documents", sf_dir).select(
         "lang", "source", "n_chars"
     )
     tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
     dic = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
-    ranked = dist_rank(dic, ["n_chars"], rank_col="_rk", sum_cols={"cc": "c"})
-    edges = ranked.crossJoin(F.broadcast(tot)).agg(
-        *[
-            F.min(
-                F.when(F.col("cc") * 10 >= k * F.col("n"), F.col("n_chars"))
-            ).alias(f"e{k}")
-            for k in range(1, 10)
-        ]
-    )
-    bin_col = F.lit(1)
-    for k in range(1, 10):
-        bin_col = bin_col + F.when(
-            F.col("n_chars") > F.col(f"e{k}"), 1
-        ).otherwise(0)
+    edges = dictionary_decile_edges(dic, "n_chars", "c", tot, "n")
+    bin_col = decile_bin_col("n_chars")
     feat = (
         docs.select(
             F.lit("source").alias("feature"),

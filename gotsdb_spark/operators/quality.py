@@ -714,7 +714,10 @@ def quality_snapshot_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles over it, one broadcast of 9 edges, one (snap, bin)
     aggregation. Nothing data-sized crosses a single executor.
     """
-    from gotsdb_spark.operators.distrank import dist_rank
+    from gotsdb_spark.operators.distrank import (
+        decile_bin_col,
+        dictionary_decile_edges,
+    )
 
     docs = load_table(spark, "documents", sf_dir).select(
         "n_chars",
@@ -737,24 +740,12 @@ def quality_snapshot_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_chars")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    ranked = dist_rank(dic, ["n_chars"], rank_col="_rk", sum_cols={"cc": "c"})
-    edges = ranked.crossJoin(F.broadcast(tot)).agg(
-        *[
-            F.min(
-                F.when(
-                    F.col("cc") * 10 >= k * F.col("na"), F.col("n_chars")
-                )
-            ).alias(f"e{k}")
-            for k in range(1, 10)
-        ]
-    )
-    bin_col = F.lit(1)
-    for k in range(1, 10):
-        bin_col = bin_col + F.when(
-            F.col("n_chars") > F.col(f"e{k}"), 1
-        ).otherwise(0)
+    # Edges are quantiles of the REFERENCE half (n_col="na"), then both
+    # halves are binned against them — that asymmetry is the PSI
+    # definition, and why the helper takes `tot` separately from `dic`.
+    edges = dictionary_decile_edges(dic, "n_chars", "c", tot, "na")
     binned = docs.crossJoin(F.broadcast(edges)).select(
-        "s", bin_col.alias("bin")
+        "s", decile_bin_col("n_chars").alias("bin")
     )
     spine = spark.range(1, 11).select(F.col("id").cast("int").alias("bin"))
     counts = (

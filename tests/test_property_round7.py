@@ -125,3 +125,63 @@ def test_skyline_fuzz(spark, rows):
             if not dominated:
                 want.add((b, pc, sz, n))
     assert got == want
+
+
+# Tie-heavy value dictionaries for the shared decile-edge helper
+# (factored out of quality_snapshot_psi / stats_information_gain in
+# round 8 — the verdict asked for the fuzzer to hit it directly).
+decile_rows = st.lists(
+    st.integers(min_value=0, max_value=15), min_size=1, max_size=200
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vals=decile_rows)
+def test_dictionary_decile_edges_fuzz(spark, vals):
+    """Edges must equal the smallest value with cc·10 ≥ k·n (exact
+    integer rule) and decile_bin_col must reproduce searchsorted-style
+    binning — checked against a direct Python recomputation over
+    tie-heavy grids, including the all-equal dictionary (all nine
+    edges collapse to the single value, every row lands in bin 1)."""
+    from pyspark.sql import functions as F
+
+    from gotsdb_spark.operators.distrank import (
+        decile_bin_col,
+        dictionary_decile_edges,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    dic = df.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    tot = df.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    edges_row = dictionary_decile_edges(dic, "v", "c", tot, "n").collect()[0]
+
+    svals = sorted(vals)
+    n = len(svals)
+    want_edges = {}
+    for k in range(1, 10):
+        # smallest value whose cumulative count cc satisfies cc*10 >= k*n
+        cc = 0
+        pick = None
+        for v in sorted(set(svals)):
+            cc += svals.count(v)
+            if cc * 10 >= k * n:
+                pick = v
+                break
+        want_edges[f"e{k}"] = pick
+    for k in range(1, 10):
+        assert edges_row[f"e{k}"] == want_edges[f"e{k}"], (k, vals)
+
+    binned = (
+        df.crossJoin(F.broadcast(spark.createDataFrame([edges_row])))
+        .select("v", decile_bin_col("v").alias("bin"))
+        .collect()
+    )
+    for r in binned:
+        want_bin = 1 + sum(
+            1 for k in range(1, 10) if r["v"] > want_edges[f"e{k}"]
+        )
+        assert r["bin"] == want_bin, (r["v"], vals)
