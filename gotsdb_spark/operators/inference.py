@@ -1110,3 +1110,229 @@ def stats_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "info_gain_e9"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test — round 8.
+# ---------------------------------------------------------------------------
+
+MANN_WHITNEY_ORACLE = """
+    WITH base AS (
+      SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+             l_returnflag AS flag
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    ), dic AS (
+      SELECT cents,
+             sum(CASE WHEN flag = 'A' THEN 1 ELSE 0 END) AS ca,
+             count(*) AS c
+      FROM base GROUP BY cents
+    ), cum AS (
+      SELECT cents, ca, c, sum(c) OVER (ORDER BY cents) AS cc FROM dic
+    ), agg AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(c - ca) AS BIGINT) AS n_r,
+             CAST(sum(ca * (2 * cc - c + 1)) AS BIGINT) AS r_a_x2,
+             sum(CAST(c AS HUGEINT) * c * c - c) AS tie3
+      FROM cum
+    )
+    SELECT n_a, n_r,
+           CAST(r_a_x2 - n_a * (n_a + 1) AS BIGINT) AS u_a_x2,
+           CAST(tie3 // (n_a + n_r) AS BIGINT) AS tie_term_div_n,
+           CAST((CAST(r_a_x2 AS HUGEINT) - CAST(n_a AS HUGEINT) * (n_a + 1))
+                * 1000000
+                // (2 * CAST(n_a AS HUGEINT) * n_r) AS BIGINT) AS auc_e6
+    FROM agg
+"""
+
+
+@query("stats_mann_whitney_u", oracle=MANN_WHITNEY_ORACLE)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing l_extendedprice
+    between returnflag groups A and R — the NONPARAMETRIC two-sample
+    location test: where the KS statistic (stats_ks_priority_price)
+    asks "are these distributions different anywhere?", U asks the
+    directional question "does one group stochastically dominate?",
+    and U/(n_a*n_r) IS the common-language effect size / AUC — the
+    probability a random A row exceeds a random R row.
+
+    Exact integers end to end via the dictionary trick: the pooled
+    price grid is compacted to (cents, c_A, c_total) first, and the
+    tie-averaged midrank comes from cumulative counts over that
+    dictionary — doubled (rank_x2 = 2*cc - c + 1) so half-ranks stay
+    integral. The rank sum, U, the AUC e6-rational, and the tie
+    correction term T = sum(t^3 - t) (reported as T div n — the
+    numerator of the tie-adjusted variance, pre-divided so the output
+    stays in int64 even in the all-tied worst case where T = n^3) are
+    all exact integer arithmetic; T accumulates in DECIMAL(38,0) /
+    HUGEINT for exactly that worst case.
+
+    Scale: one map-side-combinable groupBy to the price dictionary
+    (bounded by the cents grid, not row count), two linear dist_rank
+    shuffles over it for the cumulative counts — never an
+    unpartitioned row-level window — then a scalar aggregate.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    statistical surface (internal/storage/types.go:3); this is
+    [TARGET] inference machinery.
+    """
+    from gotsdb_spark.operators.distrank import dist_rank
+
+    base = (
+        load_table(spark, "lineitem", sf_dir)
+        .where(F.col("l_returnflag").isin("A", "R"))
+        .select(
+            F.floor(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            F.col("l_returnflag").alias("flag"),
+        )
+    )
+    dic = base.groupBy("cents").agg(
+        F.sum(F.when(F.col("flag") == "A", 1).otherwise(0)).alias("ca"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    ranked = dist_rank(
+        dic, ["cents"], rank_col="__mw_rk", sum_cols={"cc": "c"}
+    )
+    agg = ranked.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum(F.col("c") - F.col("ca")).cast("long").alias("n_r"),
+        F.sum(F.col("ca") * (2 * F.col("cc") - F.col("c") + 1))
+        .cast("long")
+        .alias("r_a_x2"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")
+            - F.col("c")
+        ).alias("tie3"),
+    )
+    return agg.select(
+        "n_a",
+        "n_r",
+        F.expr("CAST(r_a_x2 - n_a * (n_a + 1) AS BIGINT)").alias("u_a_x2"),
+        F.expr("CAST(tie3 DIV (n_a + n_r) AS BIGINT)").alias(
+            "tie_term_div_n"
+        ),
+        F.expr(
+            "CAST((CAST(r_a_x2 AS DECIMAL(38,0))"
+            " - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)) * 1000000"
+            " DIV (2 * CAST(n_a AS DECIMAL(38,0)) * n_r) AS BIGINT)"
+        ).alias("auc_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test on md5-parity experiment arms — round 8.
+# ---------------------------------------------------------------------------
+
+AB_ZTEST_ORACLE = """
+    WITH users AS (
+      SELECT user_id,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)
+                  AS BIGINT) % 2 AS arm,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id
+    ), arms AS (
+      SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+               AS conv_a,
+             CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+               AS conv_b
+      FROM users
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           CAST(conv_a * 1000000 // n_a AS BIGINT) AS p_a_e6,
+           CAST(conv_b * 1000000 // n_b AS BIGINT) AS p_b_e6,
+           CAST(CAST(conv_a * n_b - conv_b * n_a AS HUGEINT)
+                * (conv_a * n_b - conv_b * n_a) * (n_a + n_b) * 1000000
+                // NULLIF(CAST(n_a AS HUGEINT) * n_b * (conv_a + conv_b)
+                          * (n_a + n_b - conv_a - conv_b), 0) AS BIGINT)
+             AS z2_e6
+    FROM arms
+"""
+
+
+@query("stats_ab_conversion_ztest", oracle=AB_ZTEST_ORACLE)
+def stats_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of user-level purchase conversion between
+    deterministic md5-parity experiment arms — THE experimentation
+    primitive: every A/B readout reduces to "is conv_a/n_a vs
+    conv_b/n_b explainable by chance?". Reported as z^2 (one-df
+    chi-square) in exact integer arithmetic:
+
+      z^2 = (conv_a*n_b - conv_b*n_a)^2 * N / (n_a*n_b*c*(N-c)),
+
+    the cross-multiplied form with N = n_a+n_b and c = total
+    conversions, so no floating-point division touches the statistic
+    before the final e6 rational (exact DECIMAL(38,0)/HUGEINT integer
+    division; the squared cross term alone reaches ~1e19 at sf1 —
+    past int64 — which is why the accumulator is wide). NULLIF guards
+    the degenerate all-convert/none-convert corpus. The md5-parity
+    arm assignment is the repo's portable-uniform convention
+    (quality_snapshot_psi): both engines hash the identical string, so
+    the split is bit-identical and needs no stored assignment column.
+
+    Unit of analysis is the USER (events collapse to one row per user
+    first) — the standard guard against within-user event correlation
+    inflating significance.
+
+    Scale: one groupBy to per-user rows (map-side combinable), one
+    4-cell scalar aggregate. z^2 vs the mutual-information G-test
+    (stats_mutual_information): same 2x2 table family, but this is the
+    directional two-sample form experiments actually report.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    statistical surface (internal/storage/types.go:3); this is
+    [TARGET] experimentation machinery.
+    """
+    users = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+        .select(
+            (
+                F.expr(
+                    "conv(substring(md5(CAST(user_id AS STRING)), 1, 4),"
+                    " 16, 10)"
+                ).cast("bigint")
+                % 2
+            ).alias("arm"),
+            "conv",
+        )
+    )
+    arms = users.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    return arms.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.expr("CAST(conv_a * 1000000 DIV n_a AS BIGINT)").alias("p_a_e6"),
+        F.expr("CAST(conv_b * 1000000 DIV n_b AS BIGINT)").alias("p_b_e6"),
+        F.expr(
+            "CAST(CAST(conv_a * n_b - conv_b * n_a AS DECIMAL(38,0))"
+            " * (conv_a * n_b - conv_b * n_a) * (n_a + n_b) * 1000000"
+            " DIV NULLIF(CAST(n_a AS DECIMAL(38,0)) * n_b"
+            " * (conv_a + conv_b)"
+            " * (n_a + n_b - conv_a - conv_b), 0) AS BIGINT)"
+        ).alias("z2_e6"),
+    )

@@ -1888,3 +1888,222 @@ def stats_km_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         *horizon(1440, "1d"),
         *horizon(10080, "7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (tie-averaged midranks) — round 8.
+# ---------------------------------------------------------------------------
+
+SPEARMAN_ORACLE = """
+    WITH base AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ), qdic AS (
+      SELECT q, count(*) AS c FROM base GROUP BY q
+    ), qrank AS (
+      SELECT q, 2 * sum(c) OVER (ORDER BY q) - c + 1 AS rq_x2 FROM qdic
+    ), pdic AS (
+      SELECT cents, count(*) AS c FROM base GROUP BY cents
+    ), prank AS (
+      SELECT cents, 2 * sum(c) OVER (ORDER BY cents) - c + 1 AS rp_x2
+      FROM pdic
+    ), joined AS (
+      SELECT rq_x2, rp_x2 FROM base
+      JOIN qrank USING (q) JOIN prank USING (cents)
+    ), sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(rq_x2 AS HUGEINT)) AS sx,
+             sum(CAST(rp_x2 AS HUGEINT)) AS sy,
+             sum(CAST(rq_x2 AS HUGEINT) * rp_x2) AS sxy,
+             sum(CAST(rq_x2 AS HUGEINT) * rq_x2) AS sxx,
+             sum(CAST(rp_x2 AS HUGEINT) * rp_x2) AS syy
+      FROM joined
+    )
+    SELECT n,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      / sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+                      * 1e9 + 0.5001) AS BIGINT) AS rho_e9
+    FROM sums
+"""
+
+
+@query("stats_spearman_corr", oracle=SPEARMAN_ORACLE)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between l_quantity and
+    l_extendedprice — the robust companion of the Pearson matrix
+    (stats_correlation_matrix): invariant to monotone transforms and
+    insensitive to outliers, it answers "do these move together AT
+    ALL?" where Pearson answers "linearly?". With heavy ties (quantity
+    is a 1..50 integer grid) the textbook 6*sum(d^2) shortcut is WRONG;
+    the correct estimator is Pearson over tie-averaged midranks, which
+    is what this computes.
+
+    Midranks come from each variable's value DICTIONARY (rank_x2 =
+    2*cc - c + 1, doubled so half-ranks stay integral — the
+    stats_mann_whitney_u convention), joined back to rows by value.
+    The five rank moments (sx, sy, sxy, sxx, syy) accumulate as exact
+    DECIMAL(38,0)/HUGEINT integers (sxy alone reaches ~4n^3 ≈ 9e20 at
+    sf1 — far past int64), so summation order cannot flip a digit;
+    the single floating-point expression — num/sqrt(dx)/sqrt(dy) — is
+    evaluated once on those exact integers with an identical operation
+    sequence in both engines, then floored to the e9 grid.
+
+    Scale: two dictionary groupBys (value-grid bounded), cumulative
+    ranks via dist_rank over each dictionary (no unpartitioned
+    row-level window), two equi-joins back to the fact rows
+    (broadcastable dictionaries), one 6-cell scalar aggregate.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    statistical surface (internal/storage/types.go:3); this is
+    [TARGET] robust-statistics machinery.
+    """
+    from gotsdb_spark.operators.distrank import dist_rank
+
+    base = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    qdic = base.groupBy("q").agg(F.count(F.lit(1)).alias("c"))
+    qrank = dist_rank(
+        qdic, ["q"], rank_col="__sp_rk", sum_cols={"cc": "c"}
+    ).select("q", (2 * F.col("cc") - F.col("c") + 1).alias("rq_x2"))
+    pdic = base.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    prank = dist_rank(
+        pdic, ["cents"], rank_col="__sp_rk", sum_cols={"cc": "c"}
+    ).select("cents", (2 * F.col("cc") - F.col("c") + 1).alias("rp_x2"))
+    joined = base.join(F.broadcast(qrank), "q").join(
+        F.broadcast(prank), "cents"
+    )
+    dec = "decimal(38,0)"
+    sums = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("rq_x2").cast(dec)).alias("sx"),
+        F.sum(F.col("rp_x2").cast(dec)).alias("sy"),
+        F.sum(F.col("rq_x2").cast(dec) * F.col("rp_x2")).alias("sxy"),
+        F.sum(F.col("rq_x2").cast(dec) * F.col("rq_x2")).alias("sxx"),
+        F.sum(F.col("rp_x2").cast(dec) * F.col("rp_x2")).alias("syy"),
+    )
+    return sums.select(
+        "n",
+        F.floor(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+            )
+            / F.sqrt(
+                (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            )
+            * 1e9
+            + 0.5001
+        )
+        .cast("bigint")
+        .alias("rho_e9"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto revenue classification — round 8.
+# ---------------------------------------------------------------------------
+
+ABC_PARETO_ORACLE = """
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+      SELECT CAST(sum(rev_cents) AS BIGINT) AS t FROM rev
+    ), cum AS (
+      SELECT rev_cents,
+             sum(rev_cents) OVER (
+               ORDER BY rev_cents DESC, l_partkey
+             ) AS cum_rev,
+             (SELECT t FROM tot) AS t
+      FROM rev
+    ), classed AS (
+      SELECT CASE WHEN cum_rev * 5 <= 4 * t THEN 'A'
+                  WHEN cum_rev * 20 <= 19 * t THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev_cents
+      FROM cum
+    )
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev_cents) AS BIGINT) AS revenue_cents,
+           CAST(sum(rev_cents) * 1000000 // max(t) AS BIGINT) AS share_e6
+    FROM classed CROSS JOIN tot GROUP BY abc_class
+"""
+
+
+@query("lineitem_abc_pareto", oracle=ABC_PARETO_ORACLE)
+def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: class A =
+    parts up to the 80% cumulative-revenue mark, B = to 95%, C = the
+    tail — inventory management's 80/20 workhorse, and in a data
+    pipeline the skew triage that says which handful of keys deserve
+    their own partitions/salting (stats_gini_revenue_concentration
+    reports one concentration number; this names the keys' tiers).
+
+    Parts are ranked by (revenue DESC, partkey) — a total order, so
+    the class boundary cut is deterministic — and the cumulative
+    revenue comes from dist_rank's running sum over the part-level
+    rollup: range partition + partition-local window + O(P) driver
+    offset fold, never an unpartitioned window over the part
+    dictionary. Class predicates are exact integer
+    cross-multiplications (cum*5 <= 4*t for the 80% mark, cum*20 <=
+    19*t for 95%): a part is A iff its ENTIRE cumulative prefix fits
+    in the A band — the standard "crossing item starts the next band"
+    convention, identical in both engines.
+
+    Scale: one map-side-combinable groupBy to per-part revenue, two
+    linear dist_rank shuffles, a broadcast scalar total, a 3-row
+    aggregate. Revenue cents sum ~1.8e12 at sf1 and the *20
+    cross-multiplication ~3.6e13 — comfortably int64 to sf1000.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    aggregation surface (internal/storage/types.go:3); this is
+    [TARGET] analytics machinery.
+    """
+    from gotsdb_spark.operators.distrank import dist_rank
+
+    rev = (
+        load_table(spark, "lineitem", sf_dir)
+        .select(
+            "l_partkey",
+            F.floor(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("cents").cast("bigint").alias("rev_cents"))
+    )
+    tot = rev.agg(F.sum("rev_cents").cast("long").alias("t"))
+    ranked = dist_rank(
+        rev,
+        [F.col("rev_cents").desc(), F.col("l_partkey")],
+        rank_col="__abc_rk",
+        sum_cols={"cum_rev": "rev_cents"},
+    )
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        F.when(F.col("cum_rev") * 5 <= 4 * F.col("t"), "A")
+        .when(F.col("cum_rev") * 20 <= 19 * F.col("t"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev_cents",
+        "t",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("rev_cents").cast("long").alias("revenue_cents"),
+        F.expr(
+            "CAST(sum(rev_cents) * 1000000 DIV max(t) AS BIGINT)"
+        ).alias("share_e6"),
+    )

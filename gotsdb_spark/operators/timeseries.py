@@ -2569,3 +2569,205 @@ def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("seasonal_vs_naive_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Damped-trend Holt smoothing — round 8.
+# ---------------------------------------------------------------------------
+
+_HD_ALPHA = 0.5
+_HD_BETA = 0.3
+_HD_PHI = 0.9  # damping factor
+_HD_H = 7  # forecast horizon (days)
+# Σ φ^k for k=1..H — the damped multiplier of the trend in the h-step
+# forecast. Computed once in Python and embedded as the SAME double
+# literal in both engines' expressions.
+_HD_PHI_HSUM = sum(_HD_PHI**k for k in range(1, _HD_H + 1))
+
+HOLT_DAMPED_ORACLE = f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2025-01-01', CAST(ts AS DATE)) AS x,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) // count(*)
+                  AS BIGINT) AS y_e3
+      FROM events GROUP BY 1, 2
+    ), series AS (
+      SELECT event_type, count(*) AS n_days,
+             list(y_e3 ORDER BY x) AS ys
+      FROM daily GROUP BY 1
+    ), rec AS (
+      SELECT event_type, n_days, ys, 1 AS t,
+             floor(ys[1] / 1000.0 * 1e9 + 0.5) / 1e9 AS l,
+             floor((ys[2] - ys[1]) / 1000.0 * 1e9 + 0.5) / 1e9 AS b
+      FROM series WHERE n_days >= 3
+      UNION ALL
+      SELECT event_type, n_days, ys, t + 1,
+             lnew,
+             floor(({_HD_BETA!r} * (lnew - l)
+                    + {1 - _HD_BETA!r} * {_HD_PHI!r} * b) * 1e9 + 0.5) / 1e9
+      FROM (
+        SELECT *,
+               floor(({_HD_ALPHA!r} * (ys[t + 1] / 1000.0)
+                      + {1 - _HD_ALPHA!r} * (l + {_HD_PHI!r} * b))
+                     * 1e9 + 0.5) / 1e9 AS lnew
+        FROM rec WHERE t < n_days
+      )
+    )
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(floor(l * 1e6 + 0.5001) AS BIGINT) AS level_e6,
+           CAST(floor(b * 1e6 + 0.5001) AS BIGINT) AS trend_e6,
+           CAST(floor((l + {_HD_PHI_HSUM!r} * b) * 1e6 + 0.5001) AS BIGINT)
+             AS forecast_h7_e6
+    FROM rec WHERE t = n_days
+"""
+
+
+@query("ts_holt_winters_damped", oracle=HOLT_DAMPED_ORACLE)
+def ts_holt_winters_damped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAMPED-trend Holt smoothing (Gardner–McKenzie φ-damping) of the
+    per-type daily mean series with a 7-day-ahead forecast — the
+    long-horizon companion of ts_holt_linear_trend: an undamped linear
+    trend extrapolates to ±∞ and is the classic over-forecast at
+    h > a few steps; damping multiplies each successive trend
+    increment by φ < 1, so the h-step forecast converges to
+    l + b·φ/(1−φ) instead of diverging. The M3-competition result that
+    made this the default in production forecast libraries.
+
+    Recurrence (α level, β trend, φ damping):
+      l_t = α·y_t + (1−α)·(l_{{t-1}} + φ·b_{{t-1}})
+      b_t = β·(l_t − l_{{t-1}}) + (1−β)·φ·b_{{t-1}}
+      ŷ_{{t+h}} = l_t + (φ + φ² + … + φ^h)·b_t
+    Like ts_holt_winters_seasonal, the coupled (l, b) state is carried
+    through a JVM higher-order F.aggregate fold with every assignment
+    floored to the 1e-9 grid, starting from exact-e3-integer init
+    (l₀ = y₁, b₀ = y₂ − y₁), so the fold cannot drift from DuckDB's
+    recursive CTE stepping the identical formulas; the φ-sum horizon
+    multiplier is one Python-computed double literal embedded
+    identically in both engines.
+
+    Scale: one shuffle keyed by event_type; per-key state is two
+    doubles over the calendar-bounded day array — thousands of
+    independent per-key forecasts run inside executors, never on the
+    driver.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    aggregation surface at all (internal/storage/types.go:3); this is
+    [TARGET] forecasting machinery.
+    """
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2025-01-01").cast("date")
+            ).alias("x"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("v_e3"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.expr("CAST(sum(v_e3) DIV count(*) AS BIGINT)").alias("y_e3"))
+    )
+    series = (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("x", "y_e3"))),
+                lambda s: s.y_e3,
+            ).alias("ys"),
+        )
+        .where(F.col("n_days") >= 3)
+    )
+    r9 = lambda c: F.floor(c * 1e9 + 0.5) / 1e9  # noqa: E731
+    l0 = r9(F.element_at("ys", 1) / 1000.0)
+    b0 = r9((F.element_at("ys", 2) - F.element_at("ys", 1)) / 1000.0)
+    init = F.struct(l0.alias("l"), b0.alias("b"))
+    a, a1 = _HD_ALPHA, 1 - _HD_ALPHA
+    bt, bt1 = _HD_BETA, 1 - _HD_BETA
+    ph = _HD_PHI
+
+    def step(acc, v):
+        y = v / 1000.0
+        lnew = r9(F.lit(a) * y + F.lit(a1) * (acc.l + F.lit(ph) * acc.b))
+        bnew = r9(
+            F.lit(bt) * (lnew - acc.l) + F.lit(bt1) * F.lit(ph) * acc.b
+        )
+        return F.struct(lnew.alias("l"), bnew.alias("b"))
+
+    state = F.aggregate(F.slice("ys", 2, F.size("ys") - 1), init, step)
+    return series.select(
+        "event_type",
+        "n_days",
+        F.floor(state.l * 1e6 + 0.5001).cast("bigint").alias("level_e6"),
+        F.floor(state.b * 1e6 + 0.5001).cast("bigint").alias("trend_e6"),
+        F.floor((state.l + F.lit(_HD_PHI_HSUM) * state.b) * 1e6 + 0.5001)
+        .cast("bigint")
+        .alias("forecast_h7_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix over event sequences — round 8.
+# ---------------------------------------------------------------------------
+
+MARKOV_ORACLE = """
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS nxt
+      FROM events
+    ), trans AS (
+      SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), marg AS (
+      SELECT from_type, sum(n) AS tot FROM trans GROUP BY 1
+    )
+    SELECT t.from_type, t.to_type,
+           CAST(t.n AS BIGINT) AS n_transitions,
+           CAST(t.n * 1000000 // m.tot AS BIGINT) AS p_e6
+    FROM trans t JOIN marg m USING (from_type)
+"""
+
+
+@query("events_markov_transitions", oracle=MARKOV_ORACLE)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event
+    sequences: P(next event type | current event type) with exact e6
+    probabilities — the behavioral fingerprint behind "what do users do
+    after an error?" (error→abandon vs error→retry), and the
+    generative null model that sequence-pattern mining
+    (ts_pattern_quantified) is measured against.
+
+    Each user's events are ordered by (ts, event_id) — the repo's total
+    ordering for event streams, so the successor relation is
+    deterministic cross-engine — and the successor is one LEAD in a
+    user-partitioned window. Transition counts are a map-side-
+    combinable groupBy to the |types|² matrix; row-normalization joins
+    the |types|-row marginal back (broadcast) and divides exactly
+    (n·1e6 DIV total). No floats anywhere.
+
+    Scale: the window state is per-user (bounded by one user's
+    history); the matrix is type-bounded (25 cells here), so everything
+    after the first shuffle is O(1)-sized regardless of data volume.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no ordering
+    or windowing surface (internal/storage/types.go:3); this is
+    [TARGET] product-analytics machinery.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    trans = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    marg = trans.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return trans.join(F.broadcast(marg), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        F.expr("CAST(n * 1000000 DIV tot AS BIGINT)").alias("p_e6"),
+    )
