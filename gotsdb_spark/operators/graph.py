@@ -561,3 +561,109 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.min("doc_id").cast("long").alias("example_doc"),
     ).select(F.col("degree").cast("long").alias("degree"), "n_docs", "example_doc")
+
+
+# ---------------------------------------------------------------------------
+# Synchronous min-label propagation (fixed rounds) — round 8.
+# ---------------------------------------------------------------------------
+
+_LP_ROUNDS = 3
+
+LABEL_PROP_ORACLE = f"""
+    WITH flows AS ({_EDGES_SQL}),
+    ue AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM flows WHERE src <> dst
+    ), adj AS (
+      SELECT a AS v, b AS u FROM ue
+      UNION ALL SELECT b, a FROM ue
+      UNION ALL
+      SELECT node, node FROM (
+        SELECT a AS node FROM ue UNION SELECT b FROM ue
+      ) t
+    ), l1 AS (
+      SELECT v, min(u) AS lab FROM adj GROUP BY v
+    ), l2 AS (
+      SELECT adj.v, min(l1.lab) AS lab FROM adj
+      JOIN l1 ON l1.v = adj.u GROUP BY adj.v
+    ), l3 AS (
+      SELECT adj.v, min(l2.lab) AS lab FROM adj
+      JOIN l2 ON l2.v = adj.u GROUP BY adj.v
+    )
+    SELECT CAST(v AS BIGINT) AS node, CAST(lab AS BIGINT) AS community
+    FROM l3
+"""
+
+
+@query("graph_label_propagation", oracle=LABEL_PROP_ORACLE)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous min-label propagation over the undirected trade
+    graph, exactly {_LP_ROUNDS} rounds: every node starts labeled with
+    its own id and each round adopts min(own label, neighbors'
+    labels). After k rounds a node's label is PROVABLY the minimum
+    node id within k hops — which makes the fixed-round variant
+    deterministic (classic async label propagation is famously
+    order-dependent) and gives it a clean oracle: k rounds == k
+    nested neighborhood-min joins. It is the bounded-round community
+    seed (labels that agree early are tight clusters) and the first k
+    iterations of the min-label connected-components algorithm that
+    dedup_cluster_canonical runs to convergence.
+
+    Scale: each round is one equi-join of the (2|E|+|V|)-row adjacency
+    against the |V|-row label frame plus a map-side-combinable
+    groupBy-min — the PageRank iteration shape (graph_pagerank_nations)
+    with min instead of sum. Rounds are a fixed Python loop on the
+    driver (plan depth {_LP_ROUNDS}, no convergence collect); labels
+    broadcast here (25 nations) and would sort-merge at graph scale.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no graph
+    surface (internal/storage/types.go:3); this is [TARGET] graph
+    machinery.
+    """
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    flows = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+    )
+    ue = (
+        flows.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    nodes = (
+        ue.select(F.col("a").alias("node"))
+        .union(ue.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    adj = (
+        ue.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionAll(ue.select(F.col("b").alias("v"), F.col("a").alias("u")))
+        .unionAll(
+            nodes.select(F.col("node").alias("v"), F.col("node").alias("u"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.select(F.col("node").alias("v"), F.col("node").alias("lab"))
+    for _ in range(_LP_ROUNDS):
+        labels = (
+            adj.join(
+                F.broadcast(labels.select(F.col("v").alias("u"), "lab")), "u"
+            )
+            .groupBy("v")
+            .agg(F.min("lab").alias("lab"))
+        )
+    return labels.select(
+        F.col("v").cast("bigint").alias("node"),
+        F.col("lab").cast("bigint").alias("community"),
+    )

@@ -774,3 +774,117 @@ def quality_snapshot_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi_term_e9"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence of per-source language mix — round 8.
+# ---------------------------------------------------------------------------
+
+JS_DIVERGENCE_ORACLE = """
+    WITH tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+    ), lmarg AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS cl FROM documents
+      GROUP BY lang
+    ), smarg AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS ns FROM documents
+      GROUP BY source
+    ), cells AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS csl FROM documents
+      GROUP BY source, lang
+    ), spine AS (
+      SELECT s.source, s.ns, l.lang, l.cl,
+             COALESCE(c.csl, 0) AS csl, (SELECT n FROM tot) AS n
+      FROM smarg s CROSS JOIN lmarg l
+      LEFT JOIN cells c ON c.source = s.source AND c.lang = l.lang
+    ), terms AS (
+      SELECT source, ns,
+             CAST(floor(
+               (CASE WHEN csl > 0
+                     THEN 0.5 * (csl * 1.0 / ns)
+                          * ln(2.0 * (csl * 1.0 / ns)
+                               / ((csl * 1.0 / ns) + (cl * 1.0 / n)))
+                     ELSE 0.0 END
+                + 0.5 * (cl * 1.0 / n)
+                  * ln(2.0 * (cl * 1.0 / n)
+                       / ((csl * 1.0 / ns) + (cl * 1.0 / n))))
+               * 1e9 + 0.5001) AS BIGINT) AS term_e9
+      FROM spine
+    )
+    SELECT source,
+           CAST(max(ns) AS BIGINT) AS n_docs,
+           CAST(sum(term_e9) AS BIGINT) AS jsd_e9
+    FROM terms GROUP BY source
+"""
+
+
+@query("quality_js_divergence_sources", oracle=JS_DIVERGENCE_ORACLE)
+def quality_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between each source's language mix and
+    the corpus-wide language distribution — the bounded, symmetric
+    drift score (0 = identical mix, ln 2 = disjoint support) that
+    ranks sources by "how unrepresentative is this source's language
+    blend?". The PSI gate (quality_snapshot_psi) compares snapshots of
+    ONE distribution over time; this compares every source against the
+    corpus at one instant — the mixture-design view a curation run
+    reads before reweighting sources.
+
+    JSD(p, q) = 0.5*KL(p||m) + 0.5*KL(q||m) with m = (p+q)/2, where p
+    is the source's lang distribution and q the corpus marginal. Every
+    (source, lang) cell term — including p = 0 cells, whose p-side
+    contribution is exactly 0 but whose q-side term still counts, which
+    is why the source x lang spine is materialized — is computed once
+    from exact integer counts with an identical float expression in
+    both engines and e9-floored BEFORE summation (the
+    stats_information_gain convention), so per-source sums are exact
+    integer additions in any order.
+
+    Scale: three map-side-combinable groupBys (cells, two marginals);
+    the spine is |sources| x |langs| — mixture-bounded, not data-sized;
+    marginals broadcast.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    aggregation surface (internal/storage/types.go:3); this is
+    [TARGET] curation machinery.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("source", "lang")
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    lmarg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("cl")
+    )
+    smarg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("ns")
+    )
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("csl")
+    )
+    spine = (
+        smarg.crossJoin(F.broadcast(lmarg))
+        .join(cells, ["source", "lang"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "ns",
+            "cl",
+            F.coalesce(F.col("csl"), F.lit(0)).alias("csl"),
+            "n",
+        )
+    )
+    p = F.col("csl") * 1.0 / F.col("ns")
+    q = F.col("cl") * 1.0 / F.col("n")
+    term = (
+        F.when(
+            F.col("csl") > 0,
+            0.5 * p * F.log(2.0 * p / (p + q)),
+        ).otherwise(0.0)
+        + 0.5 * q * F.log(2.0 * q / (p + q))
+    )
+    terms = spine.select(
+        "source",
+        "ns",
+        F.floor(term * 1e9 + 0.5001).cast("long").alias("term_e9"),
+    )
+    return terms.groupBy("source").agg(
+        F.max("ns").cast("long").alias("n_docs"),
+        F.sum("term_e9").cast("long").alias("jsd_e9"),
+    )

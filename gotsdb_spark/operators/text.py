@@ -1266,3 +1266,76 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Type-token ratio / hapax profile per source — round 8.
+# ---------------------------------------------------------------------------
+
+TTR_HAPAX_ORACLE = """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ), dic AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, w
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_e6,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS hapax_share_e6
+    FROM dic GROUP BY source
+"""
+
+
+@query("text_ttr_hapax_profile", oracle=TTR_HAPAX_ORACLE)
+def text_ttr_hapax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per source: type-token ratio and
+    hapax-legomena share — the two numbers corpus linguists read
+    first. A source whose TTR collapsed is template spam (few types,
+    endless tokens); one whose hapax share spiked is OCR noise or
+    boilerplate-stripping failure (every 'word' unique). Together with
+    token entropy (text_token_entropy, corpus-global) this gives the
+    per-source vocabulary dashboard.
+
+    The per-source term dictionary — (source, token, count), the same
+    shape BM25's postings use — comes from one explode + map-side-
+    combinable groupBy; everything after is dictionary-bounded
+    (vocabulary size, not token count). Ratios are exact e6 integer
+    rationals. The whitespace-token convention (empty text tokenizes
+    to one empty-string token) matches text_token_stats and both
+    engines' split semantics.
+
+    Scale: the explode is a flat map at scan speed; the groupBy
+    partial-aggregates within partitions, so shuffle volume is the
+    per-partition vocabulary, which saturates (Heaps' law) long
+    before token volume does.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no text
+    surface (internal/storage/types.go:3); this is [TARGET] text
+    machinery.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    dic = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return dic.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.expr("CAST(count(*) * 1000000 DIV sum(c) AS BIGINT)").alias(
+            "ttr_e6"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("hapax_share_e6"),
+    )
