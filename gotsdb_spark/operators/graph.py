@@ -392,6 +392,24 @@ def graph_components_star_contraction(spark: SparkSession, sf_dir: str) -> DataF
     from gotsdb_spark.operators.dedup import dedup_minhash_lsh
 
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = star_contraction_edges(pairs)
+    # Fixpoint is a star: u → component-min v. Size = members + the root.
+    return edges.groupBy(F.col("v").alias("canonical_id")).agg(
+        (F.count("*") + F.lit(1)).cast("bigint").alias("n_members")
+    )
+
+
+def star_contraction_edges(pairs: DataFrame) -> DataFrame:
+    """Run large-star/small-star contraction to the star fixpoint and
+    return the converged edge set: one row (u, v) per NON-canonical
+    member u pointing at its component minimum v — i.e. doc-level
+    component membership minus the roots themselves. Shared by
+    graph_components_star_contraction (rolls it up to component sizes)
+    and dedup_savings_by_cluster_size (joins members back to document
+    bytes). See the query docstring for the algorithm and scale
+    rationale; convergence is signature-checked with a loud
+    non-star-shape failure if the round bound is exhausted.
+    """
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -475,10 +493,7 @@ def graph_components_star_contraction(spark: SparkSession, sf_dir: str) -> DataF
                    else "a source with multiple distinct sinks")
                 + "; raise the round bound"
             )
-    # Fixpoint is a star: u → component-min v. Size = members + the root.
-    return edges.groupBy(F.col("v").alias("canonical_id")).agg(
-        (F.count("*") + F.lit(1)).cast("bigint").alias("n_members")
-    )
+    return edges
 
 
 # ---------------------------------------------------------------------------
