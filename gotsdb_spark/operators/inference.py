@@ -1225,13 +1225,13 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 AB_ZTEST_ORACLE = """
-    WITH users AS (
-      SELECT user_id,
+    WITH units AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
              CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)
                   AS BIGINT) % 2 AS arm,
              max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                AS conv
-      FROM events GROUP BY user_id
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
     ), arms AS (
       SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_a,
@@ -1241,7 +1241,7 @@ AB_ZTEST_ORACLE = """
                AS conv_a,
              CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
                AS conv_b
-      FROM users
+      FROM units
     )
     SELECT n_a, n_b, conv_a, conv_b,
            CAST(conv_a * 1000000 // n_a AS BIGINT) AS p_a_e6,
@@ -1275,9 +1275,17 @@ def stats_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quality_snapshot_psi): both engines hash the identical string, so
     the split is bit-identical and needs no stored assignment column.
 
-    Unit of analysis is the USER (events collapse to one row per user
-    first) — the standard guard against within-user event correlation
-    inflating significance.
+    Unit of analysis is the USER-DAY (events collapse to one row per
+    (user, day) first — "did this user purchase today?"), while the
+    RANDOMIZATION unit stays the user: every day of a user's history
+    lands in the same arm, as a real experiment would assign. The z^2
+    reported is the naive pooled form; a production readout on this
+    design would additionally widen it for within-user day correlation
+    (cluster-robust / delta-method variance) — the statistic here is
+    the exact deterministic numerator that correction starts from.
+    (Plain per-user conversion is degenerate on this corpus — every
+    user purchases eventually — which is itself the classic lesson:
+    pick a unit whose base rate leaves room to move.)
 
     Scale: one groupBy to per-user rows (map-side combinable), one
     4-cell scalar aggregate. z^2 vs the mutual-information G-test
@@ -1288,9 +1296,9 @@ def stats_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistical surface (internal/storage/types.go:3); this is
     [TARGET] experimentation machinery.
     """
-    users = (
+    units = (
         load_table(spark, "events", sf_dir)
-        .groupBy("user_id")
+        .groupBy("user_id", F.col("ts").cast("date").alias("d"))
         .agg(
             F.max(
                 F.when(F.col("event_type") == "purchase", 1).otherwise(0)
@@ -1307,7 +1315,7 @@ def stats_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv",
         )
     )
-    arms = users.agg(
+    arms = units.agg(
         F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
         .cast("long")
         .alias("n_a"),
