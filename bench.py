@@ -129,6 +129,19 @@ HEADLINE = [
     "quality_snapshot_psi",
     "stats_km_by_cohort",
     "stats_information_gain",
+    # round 8 operators
+    "ts_holt_winters_damped",
+    "events_markov_transitions",
+    "stats_mann_whitney_u",
+    "stats_ab_conversion_ztest",
+    "stats_spearman_corr",
+    "lineitem_abc_pareto",
+    "quality_js_divergence_sources",
+    "customer_rfm_segments",
+    "text_ttr_hapax_profile",
+    "graph_label_propagation",
+    "dedup_savings_by_cluster_size",
+    "sim_knn_classify",
 ]
 
 # Streaming replays + the KV engine roundtrip execute real multi-wave

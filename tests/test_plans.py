@@ -827,3 +827,73 @@ def test_round7_ops_plan_shapes(spark):
     # Novelty: df join is an equi-join; no global window.
     r = plan_report(QUERIES["text_ngram_novelty"](spark, SF))
     assert r["global_windows"] == 0
+
+
+def test_round8_ops_plan_shapes(spark):
+    """Plan pins for the round-8 batch: the scale-relevant structural
+    properties a refactor could silently lose."""
+    from gotsdb_spark.plans import plan_report
+
+    # Markov: the LEAD window is user-partitioned (never global); row
+    # marginals join back as a broadcast.
+    r = plan_report(QUERIES["events_markov_transitions"](spark, SF))
+    assert r["global_windows"] == 0
+    assert r["broadcast_joins"] >= 1
+
+    # Damped Holt: one shuffle to the per-type day dictionary; the
+    # (l, b) fold is a partition-local JVM expression, no window at all.
+    r = plan_report(QUERIES["ts_holt_winters_damped"](spark, SF))
+    assert r["global_windows"] == 0
+
+    # Dictionary-rank family: cumulative counts come from dist_rank —
+    # zero unpartitioned window chains anywhere.
+    for name in (
+        "stats_mann_whitney_u",
+        "stats_spearman_corr",
+        "lineitem_abc_pareto",
+        "customer_rfm_segments",
+    ):
+        r = plan_report(QUERIES[name](spark, SF))
+        assert r["global_windows"] == 0, name
+
+    # Spearman: both rank dictionaries must join back to the fact rows
+    # as broadcasts (value-grid bounded), never a shuffled join.
+    r = plan_report(QUERIES["stats_spearman_corr"](spark, SF))
+    assert r["broadcast_joins"] >= 2
+
+    # JS divergence: the source x lang spine is mixture-bounded; the
+    # corpus marginal and total broadcast.
+    r = plan_report(QUERIES["quality_js_divergence_sources"](spark, SF))
+    assert r["global_windows"] == 0
+
+    # Label propagation: every round is an equi-join + groupBy-min; no
+    # cartesian anywhere in the 3-round plan.
+    r = plan_report(QUERIES["graph_label_propagation"](spark, SF))
+    assert not r["cartesian"]
+
+    # Dedup savings: membership joins sizes (broadcast) and documents
+    # (equi-join on doc_id); no cartesian.
+    r = plan_report(QUERIES["dedup_savings_by_cluster_size"](spark, SF))
+    assert not r["cartesian"]
+    assert r["broadcast_joins"] >= 1
+
+    # kNN classify: the 3-NN cut must plan as WindowGroupLimit (per-task
+    # top-k heaps before the q_id shuffle), and both row_number windows
+    # are q_id-partitioned, never global. The broadcast nested loop IS
+    # the design (bounded probe set x corpus scan, the sim_cosine_topk
+    # shape), so it is deliberately not asserted away.
+    df = QUERIES["sim_knn_classify"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    r = plan_report(df)
+    assert r["global_windows"] == 0
+
+    # TTR/hapax: two map-side-combinable groupBys, nothing else wide.
+    r = plan_report(QUERIES["text_ttr_hapax_profile"](spark, SF))
+    assert r["global_windows"] == 0
+    assert r["shuffles"] <= 2, r
+
+    # A/B z-test: unit collapse + 4-cell scalar aggregate.
+    r = plan_report(QUERIES["stats_ab_conversion_ztest"](spark, SF))
+    assert r["global_windows"] == 0
+    assert r["shuffles"] <= 3, r

@@ -102,6 +102,37 @@ OVERFLOW_CLASS = [
     "basket_part_pair_lift",  # n_pair*n*1e6 worst case n^2*1e6 (audit hit)
 ]
 
+# The dictionary-window class (VERDICT r7 item 4): queries whose window
+# frames are bounded by DISTINCT-VALUE dictionaries. Their volume
+# assumption is different from the overflow class: dictionary size
+# grows with data until the value grid saturates, so the sf1 pass
+# converts the "bounded by the value grid" docstring claims into
+# tested facts (and exercises the cc·k ≥ q·n integer rule at 10× the
+# cumulative counts).
+DICT_WINDOW_CLASS = [
+    "stats_winsorized_mean",  # (flag, cents) dictionary clamp bounds
+    "stats_kaplan_meier",  # duration dictionary, two dist_rank passes
+    "stats_km_by_cohort",  # cohort-partitioned (cohort, minute) dict
+    "quality_snapshot_psi",  # n_chars dictionary decile edges
+    "quality_source_length_profile",  # (source, n_chars) dictionary
+    "skyline_price_size_frontier",  # (brand, price) dictionary sweep
+]
+
+# Round-8 additions whose accumulators reach int64-adjacent magnitudes
+# at volume: Spearman's rank moments (~4n^3), Mann-Whitney's tie term
+# (n^3 worst case) and doubled rank sums (~2n^2), the A/B z^2
+# cross-product (d^2*N*1e6), ABC's cross-multiplied cumulative-revenue
+# cuts, and RFM's triple dictionary-decile machinery.
+ROUND8_CLASS = [
+    "stats_spearman_corr",
+    "stats_mann_whitney_u",
+    "stats_ab_conversion_ztest",
+    "lineitem_abc_pareto",
+    "customer_rfm_segments",
+]
+
+SWEEP_CLASS = OVERFLOW_CLASS + DICT_WINDOW_CLASS + ROUND8_CLASS
+
 
 def _strides() -> dict[tuple[str, str], int]:
     out: dict[tuple[str, str], int] = {}
@@ -142,7 +173,7 @@ def generate() -> None:
 
 def main() -> int:
     subset = bool(sys.argv[1:])
-    only = sys.argv[1:] or OVERFLOW_CLASS
+    only = sys.argv[1:] or SWEEP_CLASS
     generate()
 
     from check_oracles import canon, value_hash  # noqa: E402
@@ -198,7 +229,10 @@ def main() -> int:
                 "sf_dir": DST,
                 "generation": f"{COPIES}x key-shifted FK-consistent copies of sf0.1",
                 "swept_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-                "query_class": "e6/e9-scaled integer accumulators near int64",
+                "query_class": (
+                    "e6/e9-scaled integer accumulators near int64"
+                    " + dictionary-window frames + round-8 wide products"
+                ),
                 "n_pass": sum(1 for v in statuses.values() if v == "pass"),
                 "n_fail": len(failures),
                 "statuses": statuses,
