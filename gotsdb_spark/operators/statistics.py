@@ -2038,7 +2038,8 @@ ABC_PARETO_ORACLE = """
     SELECT abc_class,
            CAST(count(*) AS BIGINT) AS n_parts,
            CAST(sum(rev_cents) AS BIGINT) AS revenue_cents,
-           CAST(sum(rev_cents) * 1000000 // max(t) AS BIGINT) AS share_e6
+           CAST(CAST(sum(rev_cents) AS HUGEINT) * 1000000 // max(t)
+                AS BIGINT) AS share_e6
     FROM classed CROSS JOIN tot GROUP BY abc_class
 """
 
@@ -2065,8 +2066,12 @@ def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one map-side-combinable groupBy to per-part revenue, two
     linear dist_rank shuffles, a broadcast scalar total, a 3-row
-    aggregate. Revenue cents sum ~1.8e12 at sf1 and the *20
-    cross-multiplication ~3.6e13 — comfortably int64 to sf1000.
+    aggregate. The band-cut cross-multiplications (cum*20 ~ 3.6e14 at
+    sf1) stay comfortably int64; the class-share e6 NUMERATOR does not
+    (total cents ~1.8e13 at sf1, *1e6 = 1.8e19 — the sf1 volume
+    rehearsal threw ARITHMETIC_OVERFLOW on first contact, same class
+    as round 7's rollup_share_of_parent hit), so the share computes in
+    DECIMAL(38,0)/HUGEINT.
 
     Reference parity: the reference (j0shgrant/gotsdb) has no
     aggregation surface (internal/storage/types.go:3); this is
@@ -2104,6 +2109,7 @@ def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_parts"),
         F.sum("rev_cents").cast("long").alias("revenue_cents"),
         F.expr(
-            "CAST(sum(rev_cents) * 1000000 DIV max(t) AS BIGINT)"
+            "CAST(CAST(sum(rev_cents) AS DECIMAL(38,0)) * 1000000"
+            " DIV max(t) AS BIGINT)"
         ).alias("share_e6"),
     )
