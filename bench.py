@@ -142,6 +142,8 @@ HEADLINE = [
     "graph_label_propagation",
     "dedup_savings_by_cluster_size",
     "sim_knn_classify",
+    "ts_holt_winters_multiplicative",
+    "graph_link_prediction_jaccard",
 ]
 
 # Streaming replays + the KV engine roundtrip execute real multi-wave

@@ -682,3 +682,146 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("bigint").alias("node"),
         F.col("lab").cast("bigint").alias("community"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jaccard link prediction over the trade graph — round 8.
+# ---------------------------------------------------------------------------
+
+LINK_PREDICTION_ORACLE = f"""
+    WITH flows AS ({_EDGES_SQL}),
+    ftot AS (
+      SELECT sum(w) AS t, count(*) AS n FROM flows
+    ), strong AS (
+      SELECT src, dst FROM flows CROSS JOIN ftot WHERE w * n > t
+    ), ue AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM strong WHERE src <> dst
+    ), adj AS (
+      SELECT a AS x, b AS y FROM ue
+      UNION ALL SELECT b, a FROM ue
+    ), deg AS (
+      SELECT x, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY x
+    ), wedge AS (
+      SELECT t1.x AS node_a, t2.x AS node_b,
+             CAST(count(*) AS BIGINT) AS common_neighbors
+      FROM adj t1 JOIN adj t2 ON t1.y = t2.y AND t1.x < t2.x
+      GROUP BY t1.x, t2.x
+    ), cand AS (
+      SELECT w.* FROM wedge w
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ue WHERE ue.a = w.node_a AND ue.b = w.node_b
+      )
+    )
+    SELECT CAST(node_a AS BIGINT) AS node_a,
+           CAST(node_b AS BIGINT) AS node_b,
+           common_neighbors,
+           CAST(common_neighbors * 1000000
+                // (da.d + db.d - common_neighbors) AS BIGINT)
+             AS jaccard_e6
+    FROM cand
+    JOIN deg da ON da.x = cand.node_a
+    JOIN deg db ON db.x = cand.node_b
+"""
+
+
+@query("graph_link_prediction_jaccard", oracle=LINK_PREDICTION_ORACLE)
+def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-coefficient link prediction: for every NON-adjacent node
+    pair with at least one common neighbor, |N(a)∩N(b)| / |N(a)∪N(b)|
+    — the classic "who should be connected next?" baseline
+    (Liben-Nowell & Kleinberg), and on a trade graph the
+    market-opportunity scan: nation pairs that share many trading
+    partners but no direct flow. The dedup families' similarity
+    machinery, applied to graph STRUCTURE instead of content.
+
+    The graph is the SIGNIFICANT-trade graph: only above-average
+    flows (w x n_flows > total, an exact integer cross-multiplication)
+    become edges — the raw graph saturates to a near-clique as data
+    grows (every nation eventually trades once with every other),
+    which would leave link prediction nothing to predict; thresholding
+    by relative weight keeps the graph's density scale-stable, exactly
+    the normalization a production co-occurrence graph applies.
+
+    Candidate pairs come from wedge enumeration — the shared-neighbor
+    equi-join on the adjacency list (the graph_triangle_stats shape:
+    ordered a < b so each pair counts once) — then existing edges are
+    removed by an anti-join and degrees join back for the exact
+    integer union via inclusion-exclusion (d_a + d_b - common).
+    jaccard_e6 is an exact e6 rational; nothing floats.
+
+    Scale: wedge counts are Σ d(x)² over shared neighbors — at
+    production graph scale the standard mitigation (cap or sample
+    hub neighbor lists by degree order, exactly as the triangle
+    docstring notes) drops in without changing the shape; every join
+    is an equi-join on a node key. The 25-node trade graph broadcasts
+    throughout.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no graph
+    surface (internal/storage/types.go:3); this is [TARGET] graph
+    machinery.
+    """
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    flows = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ftot = flows.agg(
+        F.sum("w").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    strong = (
+        flows.crossJoin(F.broadcast(ftot))
+        .where(F.col("w") * F.col("n") > F.col("t"))
+        .select("src", "dst")
+    )
+    ue = (
+        strong.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    adj = ue.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
+        ue.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    deg = adj.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    t1 = adj.select(F.col("x").alias("node_a"), "y")
+    t2 = adj.select(F.col("x").alias("node_b"), "y")
+    wedge = (
+        t1.join(t2, "y")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+    )
+    cand = wedge.join(
+        ue,
+        (wedge.node_a == ue.a) & (wedge.node_b == ue.b),
+        "left_anti",
+    )
+    da = deg.select(F.col("x").alias("node_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("x").alias("node_b"), F.col("d").alias("db"))
+    return (
+        cand.join(F.broadcast(da), "node_a")
+        .join(F.broadcast(db), "node_b")
+        .select(
+            F.col("node_a").cast("bigint").alias("node_a"),
+            F.col("node_b").cast("bigint").alias("node_b"),
+            "common_neighbors",
+            F.expr(
+                "CAST(common_neighbors * 1000000"
+                " DIV (da + db - common_neighbors) AS BIGINT)"
+            ).alias("jaccard_e6"),
+        )
+    )

@@ -2771,3 +2771,162 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_transitions"),
         F.expr("CAST(n * 1000000 DIV tot AS BIGINT)").alias("p_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters MULTIPLICATIVE seasonal smoothing — round 8.
+# ---------------------------------------------------------------------------
+
+HW_MULT_ORACLE = f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2025-01-01', CAST(ts AS DATE)) AS x,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) // count(*)
+                  AS BIGINT) AS y_e3
+      FROM events GROUP BY 1, 2
+    ), series AS (
+      SELECT event_type, count(*) AS n_days,
+             list(y_e3 ORDER BY x) AS ys,
+             min(y_e3) AS ymin
+      FROM daily GROUP BY 1
+    ), base AS (
+      SELECT event_type, n_days, ys,
+             floor(list_sum(ys[1:7]) / 7000.0 * 1e9 + 0.5) / 1e9 AS l0,
+             floor((list_sum(ys[8:14]) - list_sum(ys[1:7])) / 49000.0
+                   * 1e9 + 0.5) / 1e9 AS b0
+      FROM series WHERE n_days >= 15 AND ymin > 0
+    ), init AS (
+      SELECT event_type, n_days, ys, l0 AS l, b0 AS b,
+             CAST(list_transform(ys[1:7],
+                    v -> floor((v / 1000.0) / l0 * 1e9 + 0.5) / 1e9)
+                  AS DOUBLE[]) AS seas
+      FROM base
+    ), hw AS (
+      SELECT event_type, n_days, ys, 7 AS t, l, b, seas FROM init
+      UNION ALL
+      SELECT event_type, n_days, ys, t + 1,
+             lnew,
+             floor(({_HW_BETA!r} * (lnew - l) + {1 - _HW_BETA!r} * b)
+                   * 1e9 + 0.5) / 1e9,
+             list_concat(seas[2:7],
+               [floor(({_HW_GAMMA!r} * (y / lnew)
+                       + {1 - _HW_GAMMA!r} * seas[1]) * 1e9 + 0.5) / 1e9])
+      FROM (
+        SELECT *, ys[t + 1] / 1000.0 AS y,
+               floor(({_HW_ALPHA!r} * ((ys[t + 1] / 1000.0) / seas[1])
+                      + {1 - _HW_ALPHA!r} * (l + b)) * 1e9 + 0.5) / 1e9
+                 AS lnew
+        FROM hw WHERE t < n_days
+      )
+    )
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(floor(l * 1e6 + 0.5001) AS BIGINT) AS level_e6,
+           CAST(floor(b * 1e6 + 0.5001) AS BIGINT) AS trend_e6,
+           CAST(floor(seas[1] * 1e6 + 0.5001) AS BIGINT) AS season_e6,
+           CAST(floor((l + b) * seas[1] * 1e6 + 0.5001) AS BIGINT)
+             AS forecast_e6
+    FROM hw WHERE t = n_days
+"""
+
+
+@query("ts_holt_winters_multiplicative", oracle=HW_MULT_ORACLE)
+def ts_holt_winters_multiplicative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters MULTIPLICATIVE seasonal smoothing — the variant for
+    series whose seasonal swing scales WITH the level (a retail metric
+    whose weekend dip is -20%, not -2000 units): seasonal components
+    are ratios around 1.0, the update divides by them where the
+    additive form subtracts, and the forecast multiplies (l + b) by
+    the next ratio. Completes the forecasting family: linear trend
+    (ts_holt_linear_trend) / damped (ts_holt_winters_damped) /
+    additive seasonal (ts_holt_winters_seasonal) / multiplicative
+    seasonal (this).
+
+      l_t = α·(y_t / s_{{t-m}}) + (1-α)·(l_{{t-1}} + b_{{t-1}})
+      b_t = β·(l_t - l_{{t-1}}) + (1-β)·b_{{t-1}}
+      s_t = γ·(y_t / l_t) + (1-γ)·s_{{t-m}}
+
+    Same machinery as the additive twin: coupled (l, b, s[1..7])
+    struct carried through a JVM F.aggregate fold, rolling seasonal
+    array rotation, exact-e3-integer init (s_i = y_i/l0 here), every
+    assignment floored to the 1e-9 grid so the fold cannot drift from
+    DuckDB's recursive CTE. Series with any non-positive daily mean
+    are excluded up front (multiplicative decomposition is undefined
+    there — the standard applicability gate, enforced identically in
+    both engines).
+
+    Scale: one shuffle keyed by event_type; per-key state is the
+    calendar-bounded day array inside the executor.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    aggregation surface (internal/storage/types.go:3); this is
+    [TARGET] forecasting machinery.
+    """
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2025-01-01").cast("date")
+            ).alias("x"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("v_e3"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.expr("CAST(sum(v_e3) DIV count(*) AS BIGINT)").alias("y_e3"))
+    )
+    series = (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("x", "y_e3"))),
+                lambda s: s.y_e3,
+            ).alias("ys"),
+            F.min("y_e3").alias("ymin"),
+        )
+        .where((F.col("n_days") >= 2 * _HW_M + 1) & (F.col("ymin") > 0))
+    )
+    r9 = lambda c: F.floor(c * 1e9 + 0.5) / 1e9  # noqa: E731
+    isum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda a, y: a + y
+    )
+    sum7a = isum(F.slice("ys", 1, _HW_M))
+    sum7b = isum(F.slice("ys", _HW_M + 1, _HW_M))
+    l0 = r9(sum7a / 7000.0)
+    b0 = r9((sum7b - sum7a) / 49000.0)
+    seas0 = F.transform(
+        F.slice("ys", 1, _HW_M), lambda v: r9((v / 1000.0) / l0)
+    )
+    init = F.struct(l0.alias("l"), b0.alias("b"), seas0.alias("seas"))
+    a, a1 = _HW_ALPHA, 1 - _HW_ALPHA
+    g, g1 = _HW_GAMMA, 1 - _HW_GAMMA
+    bt, bt1 = _HW_BETA, 1 - _HW_BETA
+
+    def step(acc, v):
+        y = v / 1000.0
+        s1 = F.element_at(acc.seas, 1)
+        lnew = r9(F.lit(a) * (y / s1) + F.lit(a1) * (acc.l + acc.b))
+        bnew = r9(F.lit(bt) * (lnew - acc.l) + F.lit(bt1) * acc.b)
+        snew = r9(F.lit(g) * (y / lnew) + F.lit(g1) * s1)
+        return F.struct(
+            lnew.alias("l"),
+            bnew.alias("b"),
+            F.concat(F.slice(acc.seas, 2, _HW_M - 1), F.array(snew)).alias(
+                "seas"
+            ),
+        )
+
+    state = F.aggregate(
+        F.slice("ys", _HW_M + 1, F.size("ys") - _HW_M), init, step
+    )
+    s_next = F.element_at(state.seas, 1)
+    return series.select(
+        "event_type",
+        "n_days",
+        F.floor(state.l * 1e6 + 0.5001).cast("bigint").alias("level_e6"),
+        F.floor(state.b * 1e6 + 0.5001).cast("bigint").alias("trend_e6"),
+        F.floor(s_next * 1e6 + 0.5001).cast("bigint").alias("season_e6"),
+        F.floor((state.l + state.b) * s_next * 1e6 + 0.5001)
+        .cast("bigint")
+        .alias("forecast_e6"),
+    )

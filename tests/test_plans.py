@@ -897,3 +897,21 @@ def test_round8_ops_plan_shapes(spark):
     r = plan_report(QUERIES["stats_ab_conversion_ztest"](spark, SF))
     assert r["global_windows"] == 0
     assert r["shuffles"] <= 3, r
+
+
+def test_round8_late_ops_plan_shapes(spark):
+    """Plan pins for the round-8 second batch (multiplicative HW, link
+    prediction)."""
+    from gotsdb_spark.plans import plan_report
+
+    # Multiplicative HW: same fold shape as the additive twin — one
+    # shuffle to the per-type day dictionary, no window.
+    r = plan_report(QUERIES["ts_holt_winters_multiplicative"](spark, SF))
+    assert r["global_windows"] == 0
+
+    # Link prediction: wedge join + anti-join + two broadcast degree
+    # joins; every join an equi-join, no cartesian.
+    r = plan_report(QUERIES["graph_link_prediction_jaccard"](spark, SF))
+    assert not r["cartesian"]
+    assert r["broadcast_joins"] >= 2
+    assert r["global_windows"] == 0

@@ -454,3 +454,80 @@ def test_knn_classify_matches_python_reference(spark):
         assert got[lab]["n_test"] == n
         assert got[lab]["n_correct"] == c
         assert got[lab]["acc_e6"] == c * 1_000_000 // n
+
+
+def test_holt_multiplicative_matches_python_reference(spark):
+    series = _daily_series(spark)
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["ts_holt_winters_multiplicative"](spark, SF).collect()
+    }
+    a, b, g = 0.5, 0.3, 0.2
+    for etype, ys in series.items():
+        if len(ys) < 15 or min(ys) <= 0:
+            assert etype not in got
+            continue
+        s7a, s7b = sum(ys[:7]), sum(ys[7:14])
+        level = _r9(s7a / 7000.0)
+        trend = _r9((s7b - s7a) / 49000.0)
+        seas = [_r9((y / 1000.0) / level) for y in ys[:7]]
+        for y_e3 in ys[7:]:
+            y = y_e3 / 1000.0
+            s1 = seas[0]
+            lnew = _r9(a * (y / s1) + (1 - a) * (level + trend))
+            tnew = _r9(b * (lnew - level) + (1 - b) * trend)
+            seas = seas[1:] + [_r9(g * (y / lnew) + (1 - g) * s1)]
+            level, trend = lnew, tnew
+        row = got[etype]
+        assert row["level_e6"] == _e6(level)
+        assert row["trend_e6"] == _e6(trend)
+        assert row["season_e6"] == _e6(seas[0])
+        assert row["forecast_e6"] == _e6((level + trend) * seas[0])
+        # Multiplicative ratios hover around 1.0 for a stable series.
+        assert 0 < row["season_e6"] < 3_000_000
+
+
+def test_link_prediction_matches_python_reference(spark):
+    li = load_table(spark, "lineitem", SF).select("l_orderkey", "l_suppkey").collect()
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in load_table(spark, "orders", SF).collect()
+    }
+    cnat = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in load_table(spark, "customer", SF).collect()
+    }
+    snat = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in load_table(spark, "supplier", SF).collect()
+    }
+    from collections import Counter
+
+    flows = Counter(
+        (cnat[orders[r["l_orderkey"]]], snat[r["l_suppkey"]]) for r in li
+    )
+    t, n = sum(flows.values()), len(flows)
+    edges = {
+        (min(s, d), max(s, d))
+        for (s, d), w in flows.items()
+        if w * n > t and s != d
+    }
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if (a, b) in edges:
+                continue
+            common = len(adj[a] & adj[b])
+            if common:
+                union = len(adj[a]) + len(adj[b]) - common
+                want[(a, b)] = (common, common * 1_000_000 // union)
+    got = {
+        (r["node_a"], r["node_b"]): (r["common_neighbors"], r["jaccard_e6"])
+        for r in QUERIES["graph_link_prediction_jaccard"](spark, SF).collect()
+    }
+    assert got == want and want, "candidate set must be non-empty"
