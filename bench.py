@@ -158,6 +158,7 @@ SECONDARY_REPLAYS = [
     "streaming_interval_join",
     "streaming_static_enrich",
     "streaming_topk_trending",
+    "streaming_ab_conversion_live",
 ]
 
 

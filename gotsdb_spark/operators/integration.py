@@ -800,3 +800,117 @@ def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk", F.row_number().over(w_rank).cast("bigint")
         ).where(F.col("rnk") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Live A/B experiment dashboard via foreachBatch upsert — round 8.
+# ---------------------------------------------------------------------------
+
+
+def _ab_ztest_oracle() -> str:
+    from gotsdb_spark.operators.inference import AB_ZTEST_ORACLE
+
+    return AB_ZTEST_ORACLE
+
+
+@query("streaming_ab_conversion_live", oracle=_ab_ztest_oracle())
+def streaming_ab_conversion_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE experiment readout: per-(user, day) purchase-conversion
+    state maintained incrementally across micro-batches, with the
+    two-proportion z^2 computed at read time over the maintained store
+    — how an experimentation platform actually serves its dashboard
+    (a state table updated per trigger + a cheap read-time aggregate),
+    versus stats_ab_conversion_ztest's one-shot batch scan.
+
+    The stream aggregates max(converted) per (user_id, day) in UPDATE
+    mode with no watermark: each micro-batch emits only the user-days
+    it touched, carrying their new cumulative flag, so a user-day can
+    flip 0 -> 1 when its purchase arrives in a later batch than its
+    first event — the upsert (keyed in-memory dict here, the repo's
+    streaming-replay convention; MERGE INTO a state table in
+    production) must converge to the batch answer under the SHUFFLED
+    replay, which is exactly what the hash gate proves: the output is
+    hash-compared against the identical DuckDB batch oracle as the
+    batch query (same SQL text, imported — both engines and both
+    execution modes agree on every integer).
+
+    Scale: streaming state and store are user-day-bounded (the
+    randomization-unit grain), never event-bounded; the read-time
+    aggregate is the same 4-cell scalar as the batch form. The z^2
+    arithmetic reuses the exact DECIMAL(38,0) cross-multiplied form.
+    """
+    replay = tempfile.mkdtemp(prefix="gotsdb_stream_ab_")
+    checkpoint = tempfile.mkdtemp(prefix="gotsdb_stream_ab_ckpt_")
+    ev = load_table(spark, "events", sf_dir)
+    ev.orderBy(F.hash("event_id")).repartition(6).write.mode(
+        "overwrite"
+    ).parquet(replay)
+    from gotsdb_spark.streaming import read_events_stream
+
+    units = (
+        read_events_stream(spark, replay, 2)
+        .groupBy("user_id", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    store: dict[tuple, int] = {}
+
+    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        for row in batch_df.collect():
+            store[(row["user_id"], row["d"])] = row["conv"]
+
+    with _replay_partitions(spark):
+        q = (
+            units.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    board = spark.createDataFrame(
+        [(u, c) for (u, _), c in store.items()],
+        "user_id bigint, conv int",
+    ).select(
+        (
+            F.expr(
+                "conv(substring(md5(CAST(user_id AS STRING)), 1, 4), 16, 10)"
+            ).cast("bigint")
+            % 2
+        ).alias("arm"),
+        "conv",
+    )
+    arms = board.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    return arms.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.expr("CAST(conv_a * 1000000 DIV n_a AS BIGINT)").alias("p_a_e6"),
+        F.expr("CAST(conv_b * 1000000 DIV n_b AS BIGINT)").alias("p_b_e6"),
+        F.expr(
+            "CAST(CAST(conv_a * n_b - conv_b * n_a AS DECIMAL(38,0))"
+            " * (conv_a * n_b - conv_b * n_a) * (n_a + n_b) * 1000000"
+            " DIV NULLIF(CAST(n_a AS DECIMAL(38,0)) * n_b"
+            " * (conv_a + conv_b)"
+            " * (n_a + n_b - conv_a - conv_b), 0) AS BIGINT)"
+        ).alias("z2_e6"),
+    )

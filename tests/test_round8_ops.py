@@ -531,3 +531,14 @@ def test_link_prediction_matches_python_reference(spark):
         for r in QUERIES["graph_link_prediction_jaccard"](spark, SF).collect()
     }
     assert got == want and want, "candidate set must be non-empty"
+
+
+def test_streaming_ab_matches_batch_operator(spark):
+    """Cross-mode equivalence: the incrementally-maintained streaming
+    dashboard must equal the one-shot batch z-test row for row — the
+    upsert store provably converges to the batch answer under the
+    shuffled replay."""
+    got_stream = QUERIES["streaming_ab_conversion_live"](spark, SF).collect()
+    got_batch = QUERIES["stats_ab_conversion_ztest"](spark, SF).collect()
+    assert len(got_stream) == len(got_batch) == 1
+    assert got_stream[0].asDict() == got_batch[0].asDict()
