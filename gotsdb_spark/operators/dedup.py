@@ -1429,8 +1429,10 @@ def dedup_savings_by_cluster_size(spark: SparkSession, sf_dir: str) -> DataFrame
     (graph.star_contraction_edges, O(log n) rounds regardless of
     component diameter). The converged star edge set IS the membership
     table — one row per non-canonical member pointing at the component
-    min — so removable docs need no extra pass: members join sizes
-    (broadcastable: one row per CLUSTER) and `documents` (equi-join on
+    min — so removable docs need no extra pass: members join sizes —
+    one row per CLUSTER, deliberately NOT broadcast-forced: cluster
+    count grows with the corpus, so Catalyst broadcasts while small
+    and sort-merges past the threshold — and `documents` (equi-join on
     doc_id) for char mass. The canonical-keeps policy matches
     dedup_cluster_canonical's min-id convention.
 
@@ -1454,7 +1456,7 @@ def dedup_savings_by_cluster_size(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
     remagg = (
-        members.join(F.broadcast(sizes), "v")
+        members.join(sizes, "v")
         .join(docs, members.u == docs.doc_id)
         .groupBy("csize")
         .agg(

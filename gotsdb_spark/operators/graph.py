@@ -628,8 +628,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the |V|-row label frame plus a map-side-combinable
     groupBy-min — the PageRank iteration shape (graph_pagerank_nations)
     with min instead of sum. Rounds are a fixed Python loop on the
-    driver (plan depth {_LP_ROUNDS}, no convergence collect); labels
-    broadcast here (25 nations) and would sort-merge at graph scale.
+    driver (plan depth {_LP_ROUNDS}, no convergence collect); the label
+    join is NOT broadcast-forced — Catalyst broadcasts the 25-nation
+    frame here and sort-merges at graph scale, which a hard
+    F.broadcast would forbid.
 
     Reference parity: the reference (j0shgrant/gotsdb) has no graph
     surface (internal/storage/types.go:3); this is [TARGET] graph
@@ -672,9 +674,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = nodes.select(F.col("node").alias("v"), F.col("node").alias("lab"))
     for _ in range(_LP_ROUNDS):
         labels = (
-            adj.join(
-                F.broadcast(labels.select(F.col("v").alias("u"), "lab")), "u"
-            )
+            adj.join(labels.select(F.col("v").alias("u"), "lab"), "u")
             .groupBy("v")
             .agg(F.min("lab").alias("lab"))
         )
@@ -754,8 +754,9 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     production graph scale the standard mitigation (cap or sample
     hub neighbor lists by degree order, exactly as the triangle
     docstring notes) drops in without changing the shape; every join
-    is an equi-join on a node key. The 25-node trade graph broadcasts
-    throughout.
+    is an equi-join on a node key, none broadcast-forced — the
+    25-node frames auto-broadcast here; a billion-node degree table
+    would sort-merge, which forcing F.broadcast would forbid.
 
     Reference parity: the reference (j0shgrant/gotsdb) has no graph
     surface (internal/storage/types.go:3); this is [TARGET] graph
@@ -813,8 +814,8 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     da = deg.select(F.col("x").alias("node_a"), F.col("d").alias("da"))
     db = deg.select(F.col("x").alias("node_b"), F.col("d").alias("db"))
     return (
-        cand.join(F.broadcast(da), "node_a")
-        .join(F.broadcast(db), "node_b")
+        cand.join(da, "node_a")
+        .join(db, "node_b")
         .select(
             F.col("node_a").cast("bigint").alias("node_a"),
             F.col("node_b").cast("bigint").alias("node_b"),

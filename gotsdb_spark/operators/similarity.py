@@ -1209,7 +1209,7 @@ KNN_CLASSIFY_ORACLE = """
       FROM embeddings
     ), test AS (
       SELECT vec_id AS q_id, e AS qe, label AS true_label
-      FROM emb WHERE s = 1 AND vec_id % 5 = 0
+      FROM emb WHERE s = 1 AND vec_id % 5 = 0 AND vec_id < 50000
     ), train AS (
       SELECT vec_id, e, label FROM emb WHERE s = 0
     ), scored AS (
@@ -1253,8 +1253,12 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic evaluation protocol end to end: the train/test split
     is the md5-parity convention (stored nowhere, identical in both
-    engines), the scored query set is thinned (vec_id % 5) so the
-    brute-force arm stays a bounded broadcast, the 3-NN cut breaks
+    engines), the scored query set is thinned (vec_id % 5) AND capped
+    at a fixed id ceiling — thinning alone leaves the probe count
+    PROPORTIONAL to the corpus, which would grow the broadcast arm
+    without bound; the cap is the absolute eval-budget knob a
+    production probe run sets (a no-op at every tested sf, whose ids
+    stay below it) — the 3-NN cut breaks
     cosine ties by vec_id, and the majority vote breaks count ties by
     label order — every row of the confusion rollup is reproducible.
     Vote and accuracy are exact integers; cosine reuses the
@@ -1282,7 +1286,11 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 2
         ).alias("s"),
     )
-    test = emb.where((F.col("s") == 1) & (F.col("vec_id") % 5 == 0)).select(
+    test = emb.where(
+        (F.col("s") == 1)
+        & (F.col("vec_id") % 5 == 0)
+        & (F.col("vec_id") < 50000)
+    ).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("label").alias("true_label"),
