@@ -144,6 +144,10 @@ HEADLINE = [
     "sim_knn_classify",
     "ts_holt_winters_multiplicative",
     "graph_link_prediction_jaccard",
+    # round-8 late registrations, benched from round 9 (ADVICE r8)
+    "stats_kendall_tau_b",
+    "stats_kruskal_wallis",
+    "stats_anova_f_oneway",
 ]
 
 # Streaming replays + the KV engine roundtrip execute real multi-wave
@@ -204,22 +208,32 @@ def _prev_bench(sf_val: object = None) -> dict:
     return {}
 
 
-def _calibration_probe(spark, sf_dir: str) -> float:
+def _calibration_probe(spark, sf_dir: str) -> dict[str, float]:
     """Fixed reference workload timed every round: the sidecar carries
-    its own host-speed denominator.
+    its own host-speed denominators.
 
     Round 6's cross-round comparison was confounded by host drift
     (committed numbers ~20% above round 5 on code-unchanged queries,
     adjudicated only by re-running old code). The probe is
-    query-independent — a 50M-row shuffle+agg (CPU + exchange path) and
-    one small parquet scan+agg (IO path) — so
-    ``query_s / probe_s`` is comparable across rounds even when the
-    sandbox host is slower or noisier. Min-of-2, like the headline
-    queries.
+    query-independent, and since round 9 it is recorded as TWO numbers
+    because round 8 proved a single combined probe cannot adjudicate
+    single-digit deltas (an IO-calibrated denominator under-corrects
+    CPU-bound queries and vice versa):
+
+    - ``probe_cpu_s`` — a 50M-row shuffle+agg (codegen + exchange
+      path, zero IO): the denominator for CPU-bound queries.
+    - ``probe_io_s`` — a lineitem parquet scan+agg (columnar decode +
+      page IO): the denominator for scan-bound queries.
+    - ``probe_s`` — their sum, kept for continuity with rounds 6-8
+      sidecars.
+
+    ``query_s / probe_*_s`` is comparable across rounds even when the
+    sandbox host is slower or noisier. Each min-of-2, like the
+    headline queries.
     """
     from pyspark.sql import functions as F
 
-    best = float("inf")
+    cpu = io = float("inf")
     for _ in range(2):
         t0 = time.time()
         (
@@ -229,14 +243,20 @@ def _calibration_probe(spark, sf_dir: str) -> float:
             .agg(F.sum("id").alias("s"), F.count(F.lit(1)).alias("n"))
             .write.format("noop").mode("overwrite").save()
         )
+        cpu = min(cpu, time.time() - t0)
+        t1 = time.time()
         (
             spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
             .groupBy("l_returnflag")
             .agg(F.sum("l_extendedprice").alias("s"))
             .write.format("noop").mode("overwrite").save()
         )
-        best = min(best, time.time() - t0)
-    return round(best, 3)
+        io = min(io, time.time() - t1)
+    return {
+        "probe_cpu_s": round(cpu, 3),
+        "probe_io_s": round(io, 3),
+        "probe_s": round(cpu + io, 3),
+    }
 
 
 def main() -> None:
@@ -245,7 +265,7 @@ def main() -> None:
     spark = get_spark("gotsdb-bench")
     # Warm the JVM/codegen paths once with a trivial action.
     spark.range(1000).count()
-    probe_s = _calibration_probe(spark, sf_dir)
+    probes = _calibration_probe(spark, sf_dir)
     # Two timed runs per query, report the min: the first execution pays
     # one-time codegen compilation / Python-worker fork / broadcast-thread
     # startup, and the shared host shows transient noisy-neighbor stalls —
@@ -303,7 +323,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_timed": len(timings) + len(secondary),
                 "vs_prev": {} if any(n in errors for n in HEADLINE) else vs_prev,
-                "probe_s": probe_s,
+                **probes,
                 "sf": sf_val,
             },
             fh,
@@ -323,7 +343,7 @@ def main() -> None:
             "runs_per_query": 2,
             "n_queries": len(timings),
             "n_err": len(errors),
-            "probe_s": probe_s,
+            **probes,
             "sf": sf_val,
         }
         line = json.dumps(payload)

@@ -338,8 +338,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jaccard = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        inter.join(F.broadcast(za), "doc_a")
-        .join(F.broadcast(zb), "doc_b")
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
         .withColumn("jaccard", jaccard)
         .where(F.col("jaccard") >= 0.6)
         .select("doc_a", "doc_b", "jaccard")
@@ -386,8 +386,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(
             F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"), "cos_sim"
         )
-        .join(F.broadcast(da), "doc_a")
-        .join(F.broadcast(db), "doc_b")
+        .join(da, "doc_a")
+        .join(db, "doc_b")
         .select("doc_a", "doc_b", "lang_a", "lang_b", "cos_sim")
     )
 
@@ -745,8 +745,8 @@ def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
     sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .groupBy(
             F.least("src_a", "src_b").alias("source_a"),
             F.greatest("src_a", "src_b").alias("source_b"),

@@ -125,7 +125,7 @@ def binaryfile_ingest_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        files.join(F.broadcast(meta), "doc_id")
+        files.join(meta, "doc_id")
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_files"),

@@ -386,13 +386,16 @@ def stats_bootstrap_ci_segment_price(spark: SparkSession, sf_dir: str) -> DataFr
     immediately through a partial-aggregated groupBy(segment, blk) with
     8 sum columns — the shuffle carries |segments|×12 partial rows per
     map task, independent of order count; the 4-way slice melt runs on
-    that already-aggregated frame. The customer dim joins broadcast.
+    that already-aggregated frame. The customer join carries no hint:
+    Catalyst/AQE broadcasts it while it fits and falls back to
+    sort-merge when it doesn't (customer grows with the corpus, so a
+    forced broadcast would be a 100 TB hard failure).
     At 100 TB this is the only bootstrap construction that works at all.
     """
     orders = load_table(spark, "orders", sf_dir)
     customer = load_table(spark, "customer", sf_dir)
     base = orders.join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        customer, orders.o_custkey == customer.c_custkey
     ).select(
         F.col("c_mktsegment").alias("segment"),
         "o_orderkey",

@@ -743,11 +743,18 @@ def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreachBatch upserts those delta rows into a keyed store, exactly
     the MERGE INTO a Delta/Iceberg leaderboard table a production
     deployment runs per trigger — the store here is an in-memory dict
-    (the repo's streaming-replay memory-sink convention), small by
-    construction: one row per (window, type), never per event. Top-3
-    ranking happens at read time over the store, partitioned by
-    window — the leaderboard query, not the stream, pays the sort,
-    and each partition is ≤ |event types| rows.
+    (the repo's streaming-replay memory-sink convention).
+
+    Store bound, stated exactly: |windows touched by the replayed
+    slice| x |event types| — calendar-grain x category-grain, so the
+    driver-side dict is bounded at ANY data scale (a year of hourly
+    hops x a handful of types is ~10^4 rows; more events only bump
+    counters in existing keys). That bound is what licenses a
+    driver-side dict here; in production the same delta rows MERGE
+    INTO a Delta/Iceberg leaderboard table keyed (window, type), and
+    nothing else changes. Top-3 ranking happens at read time over the
+    store, partitioned by window — the leaderboard query, not the
+    stream, pays the sort, and each partition is ≤ |event types| rows.
 
     The final leaderboard must hash-match DuckDB computing the same
     hop-exploded batch aggregation — cross-batch incremental
@@ -835,9 +842,16 @@ def streaming_ab_conversion_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     execution modes agree on every integer).
 
     Scale: streaming state and store are user-day-bounded (the
-    randomization-unit grain), never event-bounded; the read-time
-    aggregate is the same 4-cell scalar as the batch form. The z^2
-    arithmetic reuses the exact DECIMAL(38,0) cross-multiplied form.
+    randomization-unit grain), never event-bounded — but unlike the
+    (window, type) leaderboard store, user-day grain GROWS with users
+    x experiment duration, so the driver-side dict is a replay-only
+    convention, not the scale design: at production scale the UPDATE
+    stream's delta rows MERGE INTO a (user_id, day)-keyed state table
+    (Delta/Iceberg), and the read-time z^2 runs as a 4-cell aggregate
+    over that table — executor-side, never through the driver. The
+    read-time aggregate is the same 4-cell scalar as the batch form.
+    The z^2 arithmetic reuses the exact DECIMAL(38,0) cross-multiplied
+    form.
     """
     replay = tempfile.mkdtemp(prefix="gotsdb_stream_ab_")
     checkpoint = tempfile.mkdtemp(prefix="gotsdb_stream_ab_ckpt_")

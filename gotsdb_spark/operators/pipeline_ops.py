@@ -509,7 +509,7 @@ def tombstone_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def audit(df: DataFrame, key: str, name: str) -> DataFrame:
         hit = df.join(
-            F.broadcast(tomb), df[key] == tomb["k"], "left_semi"
+            tomb, df[key] == tomb["k"], "left_semi"
         )
         return df.agg(
             F.lit(name).alias("table_name"),

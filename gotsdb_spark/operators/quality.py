@@ -99,7 +99,7 @@ def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
         dim_keys = load_table(spark, dim_t, sf_dir).select(pk).distinct()
         orphans = (
             fact.where(F.col(fk).isNotNull())
-            .join(F.broadcast(dim_keys), on=fact[fk] == dim_keys[pk], how="left_anti")
+            .join(dim_keys, on=fact[fk] == dim_keys[pk], how="left_anti")
             .agg(F.count("*").alias("orphans"))
         )
         base = fact.agg(

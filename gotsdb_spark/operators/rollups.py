@@ -262,7 +262,7 @@ def rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, "region", sf_dir)
     rev = (
         orders.join(
-            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+            customer, orders.o_custkey == customer.c_custkey
         )
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)

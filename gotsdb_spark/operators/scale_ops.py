@@ -627,13 +627,15 @@ def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that makes a refresh O(Δ) instead of a base⋈base rescan. (A
     # single filtered full join would produce the same rows but rescan
     # everything; that formulation is exactly what IVM exists to
-    # avoid.) Customer sides broadcast as usual for dims.
+    # avoid.) Customer sides are unhinted: AQE broadcasts the
+    # delta-sized sides at any scale and the base side only while it
+    # fits.
     o_base, o_delta = o.where(~F.col("o_new")), o.where(F.col("o_new"))
     c_base, c_delta = c.where(~F.col("c_new")), c.where(F.col("c_new"))
 
     def seg(orders_side: DataFrame, cust_side: DataFrame) -> DataFrame:
         return orders_side.join(
-            F.broadcast(cust_side), orders_side.o_custkey == cust_side.c_custkey
+            cust_side, orders_side.o_custkey == cust_side.c_custkey
         ).select("c_mktsegment")
 
     base = seg(o_base, c_base)
@@ -656,7 +658,7 @@ def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     full = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(F.count("*").cast("long").alias("n_full"))
     )

@@ -999,8 +999,8 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dup_pairs = (
         a.join(b, (F.col("list_id") == F.col("list_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .join(F.broadcast(ea), "vec_a")
-        .join(F.broadcast(eb), "vec_b")
+        .join(ea, "vec_a")
+        .join(eb, "vec_b")
         .where(unit_dot >= _SEMANTIC_DEDUP_T)
         .select("list_id", "vec_a", "vec_b")
     )

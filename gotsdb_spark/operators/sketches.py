@@ -103,7 +103,8 @@ def bloom_semi_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     KB) and broadcast. Probe side: every lineitem row passes iff all
     {k} of its positions are set. Bloom guarantees no false negatives,
     so false positives = bloom_pass - true_match, measured here by
-    running the exact broadcast semi-join next to the filter.
+    running the exact semi-join next to the filter (unhinted: the
+    build side grows with orders, so the strategy is AQE's call).
 
     At 100 TB: the fact table never shuffles — the filter rides to the
     map tasks as a broadcast variable and candidates alone continue.
@@ -162,7 +163,7 @@ def bloom_semi_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_bloom_pass"))
     )
     true_m = probe.join(
-        F.broadcast(build), pk == F.col("o_orderkey"), "left_semi"
+        build, pk == F.col("o_orderkey"), "left_semi"
     ).agg(F.count("*").alias("n_true_match"))
     meta = build.agg(F.count("*").alias("n_build_keys")).crossJoin(
         bits.select(F.col("n_set").alias("n_bits_set"))

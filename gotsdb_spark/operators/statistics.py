@@ -1973,9 +1973,7 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     prank = dist_rank(
         pdic, ["cents"], rank_col="__sp_rk", sum_cols={"cc": "c"}
     ).select("cents", (2 * F.col("cc") - F.col("c") + 1).alias("rp_x2"))
-    joined = base.join(F.broadcast(qrank), "q").join(
-        F.broadcast(prank), "cents"
-    )
+    joined = base.join(qrank, "q").join(prank, "cents")
     dec = "decimal(38,0)"
     sums = joined.agg(
         F.count(F.lit(1)).cast("long").alias("n"),

@@ -61,8 +61,8 @@ def q8_domestic_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg((F.sum(domestic) / F.sum(_rev())).alias("domestic_share"))
     )
@@ -93,8 +93,8 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     nation = _t(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(
@@ -193,7 +193,7 @@ def q15_top_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     return (
         srev.join(F.broadcast(max_rev), F.col("total_rev") == F.col("m"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_rev")
     )
 
@@ -222,7 +222,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.5 * F.avg("l_quantity")).alias("qty_limit")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(pavg, li.l_partkey == pavg.avg_partkey)
         .where(F.col("l_quantity") < F.col("qty_limit"))
         .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
@@ -283,7 +283,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.element_at("late_set", 1).alias("l_suppkey"))
     supp = _t(spark, sf_dir, "supplier")
     return (
-        blamed.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        blamed.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
@@ -396,8 +396,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("min_price")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(cost, F.col("l_partkey") == F.col("cost_partkey"))
         .where(F.col("l_extendedprice") == F.col("min_price"))
         .select(
@@ -430,7 +430,7 @@ def q11_important_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     the threshold comparison is association-safe in both engines."""
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
-    cents = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).select(
+    cents = li.join(supp, li.l_suppkey == supp.s_suppkey).select(
         "s_nationkey",
         F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
     )
@@ -469,8 +469,8 @@ def q16_supplier_count_by_part_class(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("s_suppkey").alias("l_suppkey")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(bad_supp), "l_suppkey", "left_anti")
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad_supp, "l_suppkey", "left_anti")
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -498,7 +498,7 @@ def q20_bulk_small_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
     part = _t(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
     supp = _t(spark, sf_dir, "supplier")
     bulk = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(
             F.sum(F.floor(F.col("l_quantity") * 100).cast("bigint")).alias("q100")

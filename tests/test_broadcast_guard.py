@@ -1,0 +1,228 @@
+"""Static guard: no growth-coupled forced broadcasts.
+
+``F.broadcast(df)`` on a frame whose row count grows with the data is a
+100 TB hard failure twice over: the 8 GB broadcast ceiling / driver OOM,
+and the hint forbids AQE's sort-merge fallback. Rounds 8-9 removed every
+such hint (commits 37c33a1 and the round-9 sweep); this test pins the
+invariant by AST-scanning every ``F.broadcast`` call site in the package
+and requiring it to appear in the allowlist below with a boundedness
+category. A new site fails the test until it is classified — and it may
+only be added if the broadcast side is provably bounded (it must NOT be
+derived row-per-row from customer / supplier / part / orders / lineitem
+/ events / documents / embeddings).
+
+Categories used in the allowlist:
+  scalar     — 1-row (or <= handful-row) aggregate / extreme
+  dim        — nation (25) / region (5), fixed by the data model
+  grid       — bounded by a value grid or category domain (event types,
+               languages, flags, day/date spine, #partitions, k-row
+               probe/query/config sets), not by row count
+  sketch     — fixed-size sketch state (bitset words, codebooks,
+               centroids, LUTs, count-min counters, KMV registers)
+  vocab      — token vocabulary (sublinear in corpus, documented in the
+               op's docstring)
+  stream-dim — documented per-batch stream-static enrichment pattern
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+
+PKG = os.path.join(os.path.dirname(__file__), "..", "gotsdb_spark")
+
+# (relative file, enclosing function, broadcast arg source) -> category
+ALLOWED: dict[tuple[str, str, str], str] = {
+    ("operators/advanced.py", "window_ntile_percentrank", "total"): "scalar",
+    ("operators/advanced.py", "ann_ivf_assign", "centroids"): "sketch",
+    ("operators/advanced.py", "agg_collect_sorted", "nation"): "dim",
+    ("operators/advanced.py", "rfm_customer_segments", "total"): "scalar",
+    ("operators/advanced.py", "pareto_revenue_parts", "total"): "scalar",
+    ("operators/advanced.py", "iqr_outlier_suppliers", "stats"): "scalar",
+    ("operators/dedup.py", "dedup_simhash", "positions"): "grid",
+    ("operators/dedup.py", "dedup_lsh_band_sensitivity", "cfgs"): "grid",
+    ("operators/distrank.py", "dist_rank", "offsets"): "grid",
+    ("operators/distrank.py", "dictionary_decile_edges", "tot"): "scalar",
+    ("operators/graph.py", "graph_pagerank_nations", "contrib"): "dim",
+    ("operators/graph.py", "graph_pagerank_nations", "r"): "dim",
+    ("operators/graph.py", "graph_triangle_stats", "e2"): "dim",
+    ("operators/graph.py", "graph_triangle_stats", "e3"): "dim",
+    ("operators/graph.py", "graph_triangle_stats", "tri"): "scalar",
+    ("operators/graph.py", "graph_triangle_stats", "wedges"): "scalar",
+    ("operators/graph.py", "graph_reachability_hops", "load_table"): "dim",
+    ("operators/graph.py", "graph_link_prediction_jaccard", "ftot"): "scalar",
+    ("operators/inference.py", "ks_dnum_by_group", "prios"): "grid",
+    ("operators/inference.py", "ts_cross_correlation_types", "lags"): "grid",
+    ("operators/inference.py", "ts_autocorrelation_daily", "lags"): "grid",
+    ("operators/inference.py", "stats_association_strength", "g"): "scalar",
+    ("operators/inference.py", "stats_association_strength", "chi"): "scalar",
+    ("operators/inference.py", "stats_association_strength", "hx"): "scalar",
+    ("operators/inference.py", "stats_association_strength", "hxy"): "scalar",
+    ("operators/inference.py", "stats_information_gain", "edges"): "grid",
+    ("operators/inference.py", "stats_information_gain", "tot"): "scalar",
+    ("operators/inference.py", "stats_information_gain", "hlang"): "scalar",
+    ("operators/inference.py", "stats_kendall_tau_b", "b"): "grid",
+    ("operators/inference.py", "stats_kendall_tau_b", "xm"): "scalar",
+    ("operators/inference.py", "stats_kendall_tau_b", "ym"): "scalar",
+    ("operators/inference.py", "stats_kendall_tau_b", "tot"): "scalar",
+    ("operators/integration.py", "streaming_static_enrich", "customer.join"): "stream-dim",
+    ("operators/pipeline_ops.py", "curate_dataset_card", "top_lang"): "grid",
+    ("operators/quality.py", "quality_referential_integrity", "orphans"): "scalar",
+    ("operators/quality.py", "quality_snapshot_psi", "edges"): "grid",
+    ("operators/quality.py", "quality_snapshot_psi", "tot"): "scalar",
+    ("operators/quality.py", "quality_js_divergence_sources", "lmarg"): "grid",
+    ("operators/quality.py", "quality_js_divergence_sources", "tot"): "scalar",
+    ("operators/relational.py", "q5_local_supplier_volume", "nation"): "dim",
+    ("operators/relational.py", "q5_local_supplier_volume", "region"): "dim",
+    ("operators/relational.py", "q10_returned_items", "nation"): "dim",
+    ("operators/relational.py", "q7_nation_trade_flows", "n1"): "dim",
+    ("operators/relational.py", "q7_nation_trade_flows", "n2"): "dim",
+    ("operators/relational.py", "basket_part_pair_lift", "n_orders"): "scalar",
+    ("operators/relational.py", "customer_rfm_segments", "gmax"): "scalar",
+    ("operators/relational.py", "customer_rfm_segments", "edges"): "grid",
+    ("operators/rollups.py", "rollup_share_of_parent", "nation"): "dim",
+    ("operators/rollups.py", "rollup_share_of_parent", "region"): "dim",
+    ("operators/rollups.py", "rollup_share_of_parent", "regions"): "dim",
+    ("operators/rollups.py", "rollup_share_of_parent", "grand"): "scalar",
+    ("operators/similarity.py", "sim_cosine_topk", "queries"): "grid",
+    ("operators/similarity.py", "ann_ivf_search", "cvec"): "sketch",
+    ("operators/similarity.py", "ann_ivf_search", "probes"): "grid",
+    ("operators/similarity.py", "ann_ivf_search", "eq"): "grid",
+    ("operators/similarity.py", "ann_ivf_recall", "queries"): "grid",
+    ("operators/similarity.py", "kmeans_lloyd_clusters", "cent"): "sketch",
+    ("operators/similarity.py", "_pq_codes", "cb"): "sketch",
+    ("operators/similarity.py", "ann_pq_adc_topk", "lut"): "sketch",
+    ("operators/similarity.py", "ann_pq_recall", "lut"): "sketch",
+    ("operators/similarity.py", "ann_pq_recall", "q"): "grid",
+    ("operators/similarity.py", "dedup_semantic_clusters", "cvec"): "sketch",
+    ("operators/similarity.py", "sim_centroid_separation", "na"): "grid",
+    ("operators/similarity.py", "sim_centroid_separation", "nb"): "grid",
+    ("operators/similarity.py", "sim_knn_classify", "test"): "grid",
+    ("operators/sketches.py", "bloom_semi_join_audit", "bits.select"): "sketch",
+    ("operators/sketches.py", "bloom_semi_join_audit", "passed"): "scalar",
+    ("operators/sketches.py", "bloom_semi_join_audit", "true_m"): "scalar",
+    ("operators/sketches.py", "heavy_hitters_countmin", "counters"): "sketch",
+    ("operators/sketches.py", "sketch_kmv_distinct_users", "total"): "scalar",
+    ("operators/sketches.py", "sketch_kmv_key_overlap", "xb"): "sketch",
+    ("operators/sketches.py", "sketch_kmv_key_overlap", "xo"): "sketch",
+    ("operators/sketches.py", "sketch_kmv_key_overlap", "ea"): "scalar",
+    ("operators/sketches.py", "sketch_kmv_key_overlap", "eb"): "scalar",
+    ("operators/sketches.py", "sketch_kmv_key_overlap", "eu"): "scalar",
+    ("operators/sketches.py", "heavy_hitters_spacesaving", "candidates"): "sketch",
+    ("operators/statistics.py", "ts_cusum_changepoint", "stats"): "grid",
+    ("operators/statistics.py", "stats_mad_robust_outliers", "med"): "grid",
+    ("operators/statistics.py", "stats_mad_robust_outliers", "mad"): "grid",
+    ("operators/statistics.py", "stats_gini_revenue_concentration", "tot"): "scalar",
+    ("operators/statistics.py", "stats_equidepth_bins", "total"): "scalar",
+    ("operators/statistics.py", "stats_trimmed_mean_value", "thr"): "grid",
+    ("operators/statistics.py", "stats_winsorized_mean", "bounds"): "grid",
+    ("operators/statistics.py", "stats_kaplan_meier", "tmax"): "scalar",
+    ("operators/statistics.py", "stats_kaplan_meier", "tot"): "scalar",
+    ("operators/statistics.py", "stats_kaplan_meier", "horizons"): "grid",
+    ("operators/statistics.py", "stats_km_by_cohort", "tmax"): "scalar",
+    ("operators/statistics.py", "stats_km_by_cohort", "tot"): "grid",
+    ("operators/statistics.py", "lineitem_abc_pareto", "tot"): "scalar",
+    ("operators/text.py", "text_tfidf_top_term", "n"): "scalar",
+    ("operators/text.py", "text_bm25_topk", "df"): "vocab",
+    ("operators/text.py", "text_bm25_topk", "stats"): "scalar",
+    ("operators/text.py", "text_unigram_logprob", "freq"): "vocab",
+    ("operators/text.py", "text_unigram_logprob", "tot"): "scalar",
+    ("operators/text.py", "text_token_drift_snapshots", "totals"): "grid",
+    ("operators/text.py", "text_rrf_fusion", "qv"): "grid",
+    ("operators/text.py", "text_bigram_logprob", "v"): "scalar",
+    ("operators/text.py", "text_pmi_bigrams", "tot"): "scalar",
+    ("operators/timeseries.py", "ts_gap_fill_daily", "bounds"): "scalar",
+    ("operators/timeseries.py", "ts_linear_interpolate", "carried"): "grid",
+    ("operators/timeseries.py", "ts_error_burst_detection", "stats"): "scalar",
+    ("operators/timeseries.py", "ts_rolling_zscore_anomaly", "pairs"): "grid",
+    ("operators/timeseries.py", "ts_dpp_expensive_days", "dim"): "grid",
+    ("operators/timeseries.py", "winsorized_value_stats", "q"): "grid",
+    ("operators/timeseries.py", "events_markov_transitions", "marg"): "grid",
+    ("operators/tpch_extra.py", "q9_profit_by_nation_year", "nation"): "dim",
+    ("operators/tpch_extra.py", "q15_top_supplier_quarter", "max_rev"): "scalar",
+    ("operators/tpch_extra.py", "q22_idle_wealthy_customers", "avg_bal"): "scalar",
+    ("operators/tpch_extra.py", "q11_important_nation_volume", "threshold"): "scalar",
+    ("streaming/ingest.py", "enrich_with_dimension", "dim"): "stream-dim",
+}
+
+# Frames derived row-per-row from these tables may never be force-
+# broadcast; the allowlist keys are audited against this list by hand
+# whenever a new entry is added.
+GROWTH_TABLES = (
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _broadcast_sites():
+    sites = []
+    for root, _, files in sorted(os.walk(PKG)):
+        for fname in sorted(files):
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            rel = os.path.relpath(path, PKG)
+            tree = ast.parse(open(path).read())
+
+            class V(ast.NodeVisitor):
+                def __init__(self):
+                    self.stack = ["<module>"]
+
+                def visit_FunctionDef(self, n):
+                    self.stack.append(n.name)
+                    self.generic_visit(n)
+                    self.stack.pop()
+
+                visit_AsyncFunctionDef = visit_FunctionDef
+
+                def visit_Call(self, n):
+                    f = n.func
+                    if (
+                        isinstance(f, ast.Attribute)
+                        and f.attr == "broadcast"
+                        and isinstance(f.value, ast.Name)
+                        and f.value.id == "F"
+                    ):
+                        arg = ast.unparse(n.args[0]) if n.args else "?"
+                        sites.append((rel, self.stack[-1], arg, n.lineno))
+                    self.generic_visit(n)
+
+            V().visit(tree)
+    return sites
+
+
+def _key(rel, func, arg):
+    # normalize the arg to its leading identifier chain so line-level
+    # formatting changes don't churn the allowlist
+    head = arg.split("(")[0].strip()
+    return (rel, func, head)
+
+
+def test_no_growth_coupled_forced_broadcasts():
+    sites = _broadcast_sites()
+    assert sites, "AST scan found no F.broadcast sites — scan broken?"
+    unknown = [
+        f"{rel}:{ln} {func} -> F.broadcast({arg[:60]})"
+        for rel, func, arg, ln in sites
+        if _key(rel, func, arg) not in ALLOWED
+    ]
+    assert not unknown, (
+        "Unclassified F.broadcast site(s). A forced broadcast is only "
+        "allowed on a provably bounded frame (scalar/dim/grid/sketch/"
+        "vocab/stream-dim) — never on a frame derived row-per-row from "
+        f"{GROWTH_TABLES}. Classify in tests/test_broadcast_guard.py "
+        "or drop the hint and let AQE choose:\n" + "\n".join(unknown)
+    )
+
+
+def test_allowlist_has_no_stale_entries():
+    sites = _broadcast_sites()
+    live = {_key(rel, func, arg) for rel, func, arg, _ in sites}
+    stale = [k for k in ALLOWED if k not in live]
+    assert not stale, f"Allowlist entries with no matching site: {stale}"

@@ -82,7 +82,8 @@ def test_join_strategy_follows_broadcast_threshold(spark):
     from gotsdb_spark.plans import formatted_plan
     from gotsdb_spark.sources.registry import load_table
 
-    li = QUERIES["q3_shipping_priority"]
+    from pyspark.sql import functions as F
+
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -92,10 +93,23 @@ def test_join_strategy_follows_broadcast_threshold(spark):
             lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         )
         assert "SortMergeJoin" in plan
+        # an explicit hint still wins over the disabled threshold —
+        # built inline because no production query forces a broadcast
+        # on a growth-coupled frame (the hint would forbid AQE's
+        # sort-merge fallback at 100 TB)
+        nation = load_table(spark, "nation", SF)
+        customer = load_table(spark, "customer", SF)
+        hinted = customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        assert "BroadcastHashJoin" in formatted_plan(hinted)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-    # broadcast hint still wins over the threshold (q3 uses it)
-    assert "BroadcastHashJoin" in formatted_plan(li(spark, SF))
+    # with the default threshold restored, q3's filtered customer dim
+    # broadcasts on Catalyst's own estimate — no hint in the query
+    assert "BroadcastHashJoin" in formatted_plan(
+        QUERIES["q3_shipping_priority"](spark, SF)
+    )
 
 
 def test_ann_ivf_search_plan(spark):
@@ -916,3 +930,25 @@ def test_round8_late_ops_plan_shapes(spark):
     r = plan_report(QUERIES["graph_link_prediction_jaccard"](spark, SF))
     assert not r["cartesian"] and not r["nested_loop"]
     assert r["global_windows"] == 0
+
+    # Kendall tau-b: grid form — the only pair fan-out is the <=550-row
+    # cell-table theta self-join, which plans as the intended broadcast
+    # nested-loop over the grid (never CartesianProduct); no window
+    # anywhere (marginals and tie terms are groupBys).
+    r = plan_report(QUERIES["stats_kendall_tau_b"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+
+    # Kruskal-Wallis: dictionary compaction + dist_rank cumulative —
+    # zero unpartitioned window chains, no joins over data.
+    r = plan_report(QUERIES["stats_kruskal_wallis"](spark, SF))
+    assert r["global_windows"] == 0
+    assert not r["cartesian"]
+
+    # ANOVA: ONE map-side-combinable scalar aggregate — no join of any
+    # kind, no window; shuffles limited to the 1-row final combine.
+    r = plan_report(QUERIES["stats_anova_f_oneway"](spark, SF))
+    assert r["global_windows"] == 0
+    assert not r["cartesian"] and not r["nested_loop"]
+    assert r["broadcast_joins"] == 0 and r["sortmerge_joins"] == 0
+    assert r["shuffles"] <= 2

@@ -542,3 +542,137 @@ def test_streaming_ab_matches_batch_operator(spark):
     got_batch = QUERIES["stats_ab_conversion_ztest"](spark, SF).collect()
     assert len(got_stream) == len(got_batch) == 1
     assert got_stream[0].asDict() == got_batch[0].asDict()
+
+
+# ---------------------------------------------------------------------------
+# Round-8 late registrations (Kendall / Kruskal-Wallis / ANOVA) —
+# Python-reference tests added round 9 (ADVICE r8: the three ops
+# registered in the final round-8 commit shipped with driver-oracle
+# coverage only).
+# ---------------------------------------------------------------------------
+
+
+def test_kendall_tau_b_matches_python_reference(spark):
+    from collections import Counter
+
+    rows = (
+        load_table(spark, "lineitem", SF)
+        .select(
+            F.col("l_quantity").cast("bigint").alias("q"),
+            F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint").alias("d"),
+        )
+        .collect()
+    )
+    cells = Counter((r["q"], r["d"]) for r in rows)
+    items = list(cells.items())
+    conc = disc = 0
+    for (qa, da), ca in items:
+        for (qb, db), cb in items:
+            if qa < qb:
+                if da < db:
+                    conc += ca * cb
+                elif da > db:
+                    disc += ca * cb
+    tx = Counter()
+    ty = Counter()
+    for (q, d), c in cells.items():
+        tx[q] += c
+        ty[d] += c
+    n = sum(cells.values())
+    n1_x2 = sum(t * (t - 1) for t in tx.values())
+    n2_x2 = sum(t * (t - 1) for t in ty.values())
+    # identical float op sequence as the op/oracle pair
+    tau = (
+        float(conc - disc)
+        / math.sqrt(float(n * (n - 1) - n1_x2) / 2.0)
+        / math.sqrt(float(n * (n - 1) - n2_x2) / 2.0)
+    )
+    row = QUERIES["stats_kendall_tau_b"](spark, SF).collect()[0]
+    assert row["n"] == n
+    assert row["conc_pairs"] == conc
+    assert row["disc_pairs"] == disc
+    assert row["tau_b_e9"] == _e9(tau)
+    # grid identity: conc + disc + ties <= n(n-1)/2 pairs total
+    assert conc + disc <= n * (n - 1) // 2
+
+
+def test_kruskal_wallis_matches_python_reference(spark):
+    from collections import Counter
+
+    rows = (
+        load_table(spark, "lineitem", SF)
+        .select(
+            F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+            F.col("l_returnflag").alias("flag"),
+        )
+        .collect()
+    )
+    ranks = _midranks_x2([r["c"] for r in rows])
+    groups = {"A": [], "N": [], "R": []}
+    for r in rows:
+        groups[r["flag"]].append(r["c"])
+    n = {g: len(v) for g, v in groups.items()}
+    s = {g: sum(ranks[c] for c in v) for g, v in groups.items()}
+    nn = n["A"] + n["N"] + n["R"]
+    tie3 = sum(c**3 - c for c in Counter(r["c"] for r in rows).values())
+    # identical float op sequence as the op/oracle pair
+    h = (
+        3.0
+        * (
+            float(s["A"]) * float(s["A"]) / float(n["A"])
+            + float(s["N"]) * float(s["N"]) / float(n["N"])
+            + float(s["R"]) * float(s["R"]) / float(n["R"])
+        )
+        / (float(nn) * float(nn + 1))
+        - 3.0 * float(nn + 1)
+    )
+    h_adj = h / (
+        1.0 - float(tie3) / (float(nn) * float(nn) * float(nn) - float(nn))
+    )
+    row = QUERIES["stats_kruskal_wallis"](spark, SF).collect()[0]
+    assert (row["n_a"], row["n_n"], row["n_r"]) == (n["A"], n["N"], n["R"])
+    assert row["h_e6"] == _e6(h)
+    assert row["h_adj_e6"] == _e6(h_adj)
+    # with ties present the correction must not shrink H
+    assert row["h_adj_e6"] >= row["h_e6"]
+
+
+def test_anova_f_matches_python_reference(spark):
+    rows = (
+        load_table(spark, "orders", SF)
+        .select(
+            F.substring("o_orderpriority", 1, 1).cast("bigint").alias("p"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .collect()
+    )
+    n = {j: 0 for j in range(1, 6)}
+    s = {j: 0 for j in range(1, 6)}
+    qq = nn = ss = 0
+    for r in rows:
+        j, c = r["p"], r["cents"]
+        n[j] += 1
+        s[j] += c
+        qq += c * c
+        nn += 1
+        ss += c
+    # identical float op sequence as the shared _ANOVA_* SQL fragments
+    a = (
+        float(s[1]) * float(s[1]) / float(n[1])
+        + float(s[2]) * float(s[2]) / float(n[2])
+        + float(s[3]) * float(s[3]) / float(n[3])
+        + float(s[4]) * float(s[4]) / float(n[4])
+        + float(s[5]) * float(s[5]) / float(n[5])
+    )
+    grand = float(ss) * float(ss) / float(nn)
+    f_stat = ((a - grand) / 4.0) / ((float(qq) - a) / (float(nn) - 5.0))
+    eta2 = (a - grand) / (float(qq) - grand)
+    row = QUERIES["stats_anova_f_oneway"](spark, SF).collect()[0]
+    assert row["n"] == nn
+    assert tuple(row[f"n{j}"] for j in range(1, 6)) == tuple(
+        n[j] for j in range(1, 6)
+    )
+    assert row["f_e6"] == _e6(f_stat)
+    assert row["eta2_e9"] == _e9(eta2)
+    # eta^2 is a variance share
+    assert 0 <= row["eta2_e9"] <= 1_000_000_000

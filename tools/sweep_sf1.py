@@ -131,7 +131,22 @@ ROUND8_CLASS = [
     "customer_rfm_segments",
 ]
 
-SWEEP_CLASS = OVERFLOW_CLASS + DICT_WINDOW_CLASS + ROUND8_CLASS
+# The round-8 late registrations + entropy family (VERDICT r8 item 4):
+# Kendall's concordant/discordant pair counts reach ~n^2/4 ≈ 1e13 at
+# sf1 and its tau denominator multiplies two ~n^2/2 terms (DECIMAL(38,0)
+# guarded); Kruskal-Wallis and ANOVA carry rank/sum-of-squares moments
+# in the same n^2-n^3 family; the entropy pair (information gain, JS
+# divergence) floors e9-scaled log terms against counts that scale 10x.
+ROUND9_CLASS = [
+    "stats_kendall_tau_b",
+    "stats_kruskal_wallis",
+    "stats_anova_f_oneway",
+    "stats_information_gain",
+    "quality_js_divergence_sources",
+    "text_ttr_hapax_profile",
+]
+
+SWEEP_CLASS = OVERFLOW_CLASS + DICT_WINDOW_CLASS + ROUND8_CLASS + ROUND9_CLASS
 
 
 def _strides() -> dict[tuple[str, str], int]:
