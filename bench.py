@@ -148,6 +148,12 @@ HEADLINE = [
     "stats_kendall_tau_b",
     "stats_kruskal_wallis",
     "stats_anova_f_oneway",
+    # round 9 operators
+    "ts_holt_winters_damped_seasonal",
+    "quality_psi_by_source",
+    "stats_brown_forsythe",
+    "graph_kcore_nations",
+    "skyline_3d_price_size_demand",
 ]
 
 # Streaming replays + the KV engine roundtrip execute real multi-wave

@@ -826,3 +826,181 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("jaccard_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed-round peel) over the trade graph — round 9.
+# ---------------------------------------------------------------------------
+
+_KC_K = 8  # core order under test
+_KC_ROUNDS = 3  # fixed synchronous peel rounds (the _LP_ROUNDS convention)
+
+
+def _kcore_oracle() -> str:
+    cte = [
+        f"flows AS MATERIALIZED ({_EDGES_SQL})",
+        "ftot AS (SELECT sum(w) AS t, count(*) AS n FROM flows)",
+        # above-mean-weight edges only (the link-prediction "strong"
+        # cut): the raw nation graph is near-complete at any sf, so the
+        # peel is only informative on the strong-trade subgraph
+        """ue AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM flows CROSS JOIN ftot WHERE src <> dst AND w * n > t
+        )""",
+        """alive0 AS (
+          SELECT a AS node FROM ue UNION SELECT b FROM ue
+        )""",
+        """deg0 AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT a AS node FROM ue UNION ALL SELECT b FROM ue
+          ) GROUP BY node
+        )""",
+    ]
+    prev = "alive0"
+    for r in range(1, _KC_ROUNDS + 1):
+        cte.append(
+            f"""live{r} AS MATERIALIZED (
+          SELECT e.a, e.b FROM ue e
+          JOIN {prev} x ON x.node = e.a
+          JOIN {prev} y ON y.node = e.b
+        )"""
+        )
+        cte.append(
+            f"""deg{r} AS MATERIALIZED (
+          SELECT n.node, CAST(count(m.node) AS BIGINT) AS d
+          FROM {prev} n LEFT JOIN (
+            SELECT a AS node FROM live{r}
+            UNION ALL SELECT b FROM live{r}
+          ) m ON m.node = n.node
+          GROUP BY n.node
+        )"""
+        )
+        cte.append(
+            f"""alive{r} AS MATERIALIZED (
+          SELECT node FROM deg{r} WHERE d >= {_KC_K}
+        )"""
+        )
+        prev = f"alive{r}"
+    return (
+        "WITH " + ",\n".join(cte) + f"""
+    SELECT CAST(d0.node AS BIGINT) AS node,
+           d0.d AS degree_initial,
+           CAST(coalesce(dk.d, 0) AS BIGINT) AS degree_final,
+           CAST(CASE WHEN a.node IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS in_core
+    FROM deg0 d0
+    LEFT JOIN alive{_KC_ROUNDS} a ON a.node = d0.node
+    LEFT JOIN (
+      SELECT node, d FROM deg{_KC_ROUNDS}
+      WHERE node IN (SELECT node FROM alive{_KC_ROUNDS})
+    ) dk ON dk.node = d0.node
+    """
+    )
+
+
+@query("graph_kcore_nations", oracle=_kcore_oracle())
+def graph_kcore_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round k-core peel (k={_KC_K}, {_KC_ROUNDS} synchronous
+    rounds) of the strong-trade nation graph: every round recomputes
+    degrees over the surviving subgraph and drops nodes with degree
+    < k. The k-core is the standard "dense backbone" extractor —
+    nodes that survive belong to a subgraph where EVERYONE keeps >= k
+    strong partners, the cohesion notion behind trade-bloc and
+    community-core detection (a high-degree node hanging off a sparse
+    periphery is peeled once its neighbors go).
+
+    Like graph_label_propagation, the peel runs a FIXED number of
+    synchronous rounds rather than to convergence: after r rounds the
+    survivors are exactly the nodes the full k-core algorithm keeps
+    for r iterations, so the fixed-round variant is deterministic and
+    the oracle is r unrolled filter-degree CTE stages. Edges take the
+    link-prediction "strong" cut (weight x edge-count > total weight,
+    i.e. above-mean) because the raw 25-nation graph is near-complete
+    at every sf — integer cross-multiplication, no float threshold.
+
+    Scale: the edge build is the standard fact-sized flows aggregation
+    (joins unhinted — Catalyst broadcasts the dims at bench scale, AQE
+    sort-merges at 100 TB); everything after the groupBy is bounded by
+    the nation grid (<= 25 nodes, <= 300 undirected edges). Each peel
+    round is one equi-join + groupBy over those bounded frames — at a
+    fact-sized node count the same loop shape holds (the
+    label-propagation argument), with degrees from map-side-combinable
+    counts.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no graph
+    surface (internal/storage/types.go:3); this is [TARGET] graph
+    machinery.
+    """
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    flows = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    ftot = flows.agg(
+        F.sum("w").alias("t"), F.count(F.lit(1)).alias("n")
+    )
+    ue = (
+        flows.where(F.col("src") != F.col("dst"))
+        .crossJoin(F.broadcast(ftot))
+        .where(F.col("w") * F.col("n") > F.col("t"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ends = ue.select(F.col("a").alias("node")).unionAll(
+        ue.select(F.col("b").alias("node"))
+    )
+    deg0 = ends.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d0"))
+    alive = deg0.select("node")
+    deg_r = None
+    for _ in range(_KC_ROUNDS):
+        # degrees over the surviving subgraph: keep edges whose BOTH
+        # endpoints are alive (two semi-joins), then count matched
+        # endpoint markers — a left join so an isolated survivor
+        # scores degree 0 (count of the marker, not of the join key)
+        live = ue.join(
+            alive.select(F.col("node").alias("a")), "a", "left_semi"
+        ).join(alive.select(F.col("node").alias("b")), "b", "left_semi")
+        endpoints = (
+            live.select(F.col("a").alias("node"))
+            .unionAll(live.select(F.col("b").alias("node")))
+            .withColumn("m", F.lit(1))
+        )
+        # deg_r is read four times next round (two semi-joins, the
+        # degree left-join, the final report): checkpoint the <=|V|-row
+        # frame so the peel chain stays linear instead of re-expanding
+        # the whole prior round per reference (measured 131 s -> ~5 s
+        # at sf0.001)
+        deg_r = (
+            alive.join(endpoints, "node", "left")
+            .groupBy("node")
+            .agg(F.count("m").cast("long").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+        alive = deg_r.where(F.col("d") >= _KC_K).select("node")
+    final_deg = deg_r.join(alive, "node", "left_semi")
+    return (
+        deg0.join(
+            final_deg.select("node", F.col("d").alias("df")), "node", "left"
+        )
+        .join(
+            alive.select("node", F.lit(1).alias("core")), "node", "left"
+        )
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            F.col("d0").alias("degree_initial"),
+            F.coalesce("df", F.lit(0)).cast("long").alias("degree_final"),
+            F.coalesce("core", F.lit(0)).cast("long").alias("in_core"),
+        )
+    )

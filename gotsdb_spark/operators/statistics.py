@@ -2111,3 +2111,169 @@ def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV max(t) AS BIGINT)"
         ).alias("share_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe (median-centered Levene) variance-homogeneity test —
+# round 9.
+# ---------------------------------------------------------------------------
+
+# The single floating-point expression, shared VERBATIM by the Spark
+# query and the DuckDB oracle (the stats_anova_f_oneway convention):
+# n_a..n_r / s_a..s_r = per-flag deviation counts and sums, qq = sum of
+# squared deviations, nn / ss = global count and deviation sum — all
+# exact integers (deviations are |cents - median_cents|, still cents).
+_BF_A = (
+    "(CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+    " + CAST(s_n AS DOUBLE) * CAST(s_n AS DOUBLE) / CAST(n_n AS DOUBLE)"
+    " + CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE) / CAST(n_r AS DOUBLE))"
+)
+_BF_GRAND = "(CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))"
+_BF_F_E6 = (
+    f"CAST(floor((({_BF_A} - {_BF_GRAND}) / 2.0)"
+    f" / ((CAST(qq AS DOUBLE) - {_BF_A})"
+    f" / (CAST(nn AS DOUBLE) - 3.0)) * 1e6 + 0.5001) AS BIGINT)"
+)
+
+BROWN_FORSYTHE_ORACLE = f"""
+    WITH base AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ), dic AS (
+      SELECT flag, cents, CAST(count(*) AS BIGINT) AS c
+      FROM base GROUP BY flag, cents
+    ), cum AS (
+      SELECT flag, cents, c,
+             sum(c) OVER (PARTITION BY flag ORDER BY cents) AS cc,
+             sum(c) OVER (PARTITION BY flag) AS n
+      FROM dic
+    ), med AS (
+      SELECT flag,
+             min(CASE WHEN cc * 2 >= n THEN cents END) AS med_cents
+      FROM cum GROUP BY flag
+    ), dev AS (
+      SELECT d.flag, abs(d.cents - m.med_cents) AS z, d.c
+      FROM dic d JOIN med m USING (flag)
+    ), agg AS (
+      SELECT
+        CAST(sum(CASE WHEN flag = 'A' THEN c ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN flag = 'N' THEN c ELSE 0 END) AS BIGINT) AS n_n,
+        CAST(sum(CASE WHEN flag = 'R' THEN c ELSE 0 END) AS BIGINT) AS n_r,
+        sum(CASE WHEN flag = 'A' THEN CAST(c AS HUGEINT) * z END) AS s_a,
+        sum(CASE WHEN flag = 'N' THEN CAST(c AS HUGEINT) * z END) AS s_n,
+        sum(CASE WHEN flag = 'R' THEN CAST(c AS HUGEINT) * z END) AS s_r,
+        sum(CAST(c AS HUGEINT) * z * z) AS qq,
+        CAST(sum(c) AS BIGINT) AS nn,
+        sum(CAST(c AS HUGEINT) * z) AS ss
+      FROM dev
+    )
+    SELECT nn AS n, n_a, n_n, n_r,
+           (SELECT med_cents FROM med WHERE flag = 'A') AS med_a_cents,
+           (SELECT med_cents FROM med WHERE flag = 'N') AS med_n_cents,
+           (SELECT med_cents FROM med WHERE flag = 'R') AS med_r_cents,
+           {_BF_F_E6} AS f_e6
+    FROM agg
+"""
+
+
+@query("stats_brown_forsythe", oracle=BROWN_FORSYTHE_ORACLE)
+def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test of l_extendedprice
+    across the three returnflag groups — the diagnostic that GUARDS
+    stats_anova_f_oneway: ANOVA's F assumes equal group variances, and
+    Brown-Forsythe (Levene's test centered on the MEDIAN rather than
+    the mean) is the standard robust check; a significant W here says
+    "trust Kruskal-Wallis, not ANOVA" for this column.
+
+    W is a one-way ANOVA F computed on z_ij = |x_ij - median_j|. Both
+    stages run on the (flag, cents) dictionary, never the fact rows:
+    per-flag lower medians come from the flag-partitioned cumulative
+    over the dictionary (the stats_winsorized_mean machinery — exact
+    cc*2 >= n integer cross-multiplication, no engine quantile), and
+    the deviation moments re-aggregate the SAME dictionary
+    (sum c*|cents-med|, sum c*|cents-med|^2 in DECIMAL(38,0) — the
+    squared-cents sum is ~3.7e21 at sf1, past int64 at any sf).
+    Group moments pivot to FIXED columns because l_returnflag's domain
+    is exactly {{A, N, R}}. The final F is ONE double expression whose
+    text is shared VERBATIM between the Spark query and the DuckDB
+    oracle (_BF_* fragments above), floored to the e6 grid.
+
+    Scale: one groupBy to the price dictionary (bounded by the
+    quantity x retail-price grid, which saturates — rows don't), one
+    flag-partitioned dictionary window, a 3-row median broadcast, one
+    scalar aggregate. Nothing downstream of the first groupBy is
+    row-count-sized.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    statistical surface (internal/storage/types.go:3); this is
+    [TARGET] inference machinery.
+    """
+    pts = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    dic = pts.groupBy("flag", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_cum = (
+        W.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = dic.select(
+        "flag",
+        "cents",
+        "c",
+        F.sum("c").over(w_cum).alias("cc"),
+        F.sum("c").over(W.partitionBy("flag")).alias("n"),
+    )
+    med = cum.groupBy("flag").agg(
+        F.min(F.when(F.col("cc") * 2 >= F.col("n"), F.col("cents")))
+        .cast("long")
+        .alias("med_cents")
+    )
+    dec = "decimal(38,0)"
+    dev = dic.join(F.broadcast(med), "flag").select(
+        "flag", F.abs(F.col("cents") - F.col("med_cents")).alias("z"), "c"
+    )
+    agg = dev.agg(
+        *(
+            [
+                F.sum(F.when(F.col("flag") == fl, F.col("c")).otherwise(0))
+                .cast("long")
+                .alias(f"n_{fl.lower()}")
+                for fl in ("A", "N", "R")
+            ]
+            + [
+                F.sum(
+                    F.when(
+                        F.col("flag") == fl,
+                        F.col("c").cast(dec) * F.col("z"),
+                    )
+                ).alias(f"s_{fl.lower()}")
+                for fl in ("A", "N", "R")
+            ]
+            + [
+                F.sum(
+                    F.col("c").cast(dec) * F.col("z") * F.col("z")
+                ).alias("qq"),
+                F.sum("c").cast("long").alias("nn"),
+                F.sum(F.col("c").cast(dec) * F.col("z")).alias("ss"),
+            ]
+        )
+    )
+    med_wide = med.groupBy().pivot("flag", ["A", "N", "R"]).max("med_cents")
+    return (
+        agg.crossJoin(F.broadcast(med_wide))
+        .select(
+            F.col("nn").alias("n"),
+            "n_a",
+            "n_n",
+            "n_r",
+            F.col("A").cast("long").alias("med_a_cents"),
+            F.col("N").cast("long").alias("med_n_cents"),
+            F.col("R").cast("long").alias("med_r_cents"),
+            F.expr(_BF_F_E6).alias("f_e6"),
+        )
+    )

@@ -2930,3 +2930,183 @@ def ts_holt_winters_multiplicative(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("forecast_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters damped-trend + additive-seasonal smoothing — round 9.
+# ---------------------------------------------------------------------------
+
+# Reuses the additive-seasonal constants (alpha/beta/gamma, m=7) and
+# the damped-trend phi; the phi-sum horizon multiplier is one
+# Python-computed double embedded identically in both engines.
+_HWDS_H = 7
+_HWDS_PHI_HSUM = sum(_HD_PHI**k for k in range(1, _HWDS_H + 1))
+
+HW_DAMPED_SEASONAL_ORACLE = f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2025-01-01', CAST(ts AS DATE)) AS x,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) // count(*)
+                  AS BIGINT) AS y_e3
+      FROM events GROUP BY 1, 2
+    ), series AS (
+      SELECT event_type, count(*) AS n_days,
+             list(y_e3 ORDER BY x) AS ys
+      FROM daily GROUP BY 1
+    ), base AS (
+      SELECT event_type, n_days, ys,
+             floor(list_sum(ys[1:7]) / 7000.0 * 1e9 + 0.5) / 1e9 AS l0,
+             floor((list_sum(ys[8:14]) - list_sum(ys[1:7])) / 49000.0
+                   * 1e9 + 0.5) / 1e9 AS b0
+      FROM series WHERE n_days >= 15
+    ), init AS (
+      SELECT event_type, n_days, ys, l0 AS l, b0 AS b,
+             CAST(list_transform(ys[1:7],
+                    v -> floor((v / 1000.0 - l0) * 1e9 + 0.5) / 1e9)
+                  AS DOUBLE[]) AS seas
+      FROM base
+    ), hw AS (
+      SELECT event_type, n_days, ys, 7 AS t, l, b, seas FROM init
+      UNION ALL
+      SELECT event_type, n_days, ys, t + 1,
+             lnew,
+             floor(({_HW_BETA!r} * (lnew - l)
+                    + {1 - _HW_BETA!r} * {_HD_PHI!r} * b)
+                   * 1e9 + 0.5) / 1e9,
+             list_concat(seas[2:7],
+               [floor(({_HW_GAMMA!r} * (y - lnew)
+                       + {1 - _HW_GAMMA!r} * seas[1]) * 1e9 + 0.5) / 1e9])
+      FROM (
+        SELECT *, ys[t + 1] / 1000.0 AS y,
+               floor(({_HW_ALPHA!r} * (ys[t + 1] / 1000.0 - seas[1])
+                      + {1 - _HW_ALPHA!r} * (l + {_HD_PHI!r} * b))
+                     * 1e9 + 0.5) / 1e9
+                 AS lnew
+        FROM hw WHERE t < n_days
+      )
+    )
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(floor(l * 1e6 + 0.5001) AS BIGINT) AS level_e6,
+           CAST(floor(b * 1e6 + 0.5001) AS BIGINT) AS trend_e6,
+           CAST(floor(seas[1] * 1e6 + 0.5001) AS BIGINT) AS season_e6,
+           CAST(floor((l + {_HD_PHI!r} * b + seas[1]) * 1e6 + 0.5001)
+                AS BIGINT) AS forecast_e6,
+           CAST(floor((l + {_HWDS_PHI_HSUM!r} * b + seas[1]) * 1e6 + 0.5001)
+                AS BIGINT) AS forecast_h7_e6
+    FROM hw WHERE t = n_days
+"""
+
+
+@query("ts_holt_winters_damped_seasonal", oracle=HW_DAMPED_SEASONAL_ORACLE)
+def ts_holt_winters_damped_seasonal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt-Winters with BOTH phi-damped trend and additive m=7
+    seasonality — the remaining cell of the exponential-smoothing
+    taxonomy this repo covers (linear trend: ts_holt_linear_trend;
+    damped trend: ts_holt_winters_damped; additive/multiplicative
+    seasonal: ts_holt_winters_seasonal/_multiplicative). The
+    M3-competition default for long-horizon seasonal series: the
+    weekday cycle stays out of the trend AND the h-step forecast
+    converges to l + b*phi/(1-phi) + s instead of diverging.
+
+    Recurrence (alpha level, beta trend, gamma seasonal, phi damping):
+      l_t = alpha*(y_t - s_{{t-m}}) + (1-alpha)*(l_{{t-1}} + phi*b_{{t-1}})
+      b_t = beta*(l_t - l_{{t-1}}) + (1-beta)*phi*b_{{t-1}}
+      s_t = gamma*(y_t - l_t) + (1-gamma)*s_{{t-m}}
+      yhat_{{t+h}} = l_t + (phi + ... + phi^h)*b_t + s_{{t+h-m}}
+    State (l, b, seas[1..7]) rides the same JVM higher-order
+    F.aggregate fold as the seasonal twin, every assignment floored to
+    the 1e-9 grid from exact-e3-integer init, so the fold cannot drift
+    from DuckDB's recursive CTE stepping the identical formulas; the
+    one-step and seven-step phi multipliers are Python-computed double
+    literals embedded identically in both engines.
+
+    Scale: one shuffle keyed by event_type; per-key state is two
+    doubles plus a 7-slot array over the calendar-bounded day array —
+    thousands of independent per-key forecasts run inside executors,
+    never on the driver.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    aggregation surface at all (internal/storage/types.go:3); this is
+    [TARGET] forecasting machinery.
+    """
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2025-01-01").cast("date")
+            ).alias("x"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("v_e3"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.expr("CAST(sum(v_e3) DIV count(*) AS BIGINT)").alias("y_e3"))
+    )
+    series = (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("x", "y_e3"))),
+                lambda s: s.y_e3,
+            ).alias("ys"),
+        )
+        .where(F.col("n_days") >= 2 * _HW_M + 1)
+    )
+    r9 = lambda c: F.floor(c * 1e9 + 0.5) / 1e9  # noqa: E731
+    isum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda a, y: a + y
+    )
+    sum7a = isum(F.slice("ys", 1, _HW_M))
+    sum7b = isum(F.slice("ys", _HW_M + 1, _HW_M))
+    l0 = r9(sum7a / 7000.0)
+    b0 = r9((sum7b - sum7a) / 49000.0)
+    seas0 = F.transform(F.slice("ys", 1, _HW_M), lambda v: r9(v / 1000.0 - l0))
+    init = F.struct(l0.alias("l"), b0.alias("b"), seas0.alias("seas"))
+    a, a1 = _HW_ALPHA, 1 - _HW_ALPHA
+    g, g1 = _HW_GAMMA, 1 - _HW_GAMMA
+    bt, bt1 = _HW_BETA, 1 - _HW_BETA
+    ph = _HD_PHI
+
+    def step(acc, v):
+        y = v / 1000.0
+        s1 = F.element_at(acc.seas, 1)
+        lnew = r9(
+            F.lit(a) * (y - s1) + F.lit(a1) * (acc.l + F.lit(ph) * acc.b)
+        )
+        bnew = r9(
+            F.lit(bt) * (lnew - acc.l) + F.lit(bt1) * F.lit(ph) * acc.b
+        )
+        snew = r9(F.lit(g) * (y - lnew) + F.lit(g1) * s1)
+        return F.struct(
+            lnew.alias("l"),
+            bnew.alias("b"),
+            F.concat(F.slice(acc.seas, 2, _HW_M - 1), F.array(snew)).alias(
+                "seas"
+            ),
+        )
+
+    state = F.aggregate(
+        F.slice("ys", _HW_M + 1, F.size("ys") - _HW_M), init, step
+    )
+    s_next = F.element_at(state.seas, 1)
+    return series.select(
+        "event_type",
+        "n_days",
+        F.floor(state.l * 1e6 + 0.5001).cast("bigint").alias("level_e6"),
+        F.floor(state.b * 1e6 + 0.5001).cast("bigint").alias("trend_e6"),
+        F.floor(s_next * 1e6 + 0.5001).cast("bigint").alias("season_e6"),
+        F.floor(
+            (state.l + F.lit(ph) * state.b + s_next) * 1e6 + 0.5001
+        )
+        .cast("bigint")
+        .alias("forecast_e6"),
+        F.floor(
+            (state.l + F.lit(_HWDS_PHI_HSUM) * state.b + s_next) * 1e6
+            + 0.5001
+        )
+        .cast("bigint")
+        .alias("forecast_h7_e6"),
+    )

@@ -50,6 +50,7 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/graph.py", "graph_triangle_stats", "tri"): "scalar",
     ("operators/graph.py", "graph_triangle_stats", "wedges"): "scalar",
     ("operators/graph.py", "graph_reachability_hops", "load_table"): "dim",
+    ("operators/graph.py", "graph_kcore_nations", "ftot"): "scalar",
     ("operators/graph.py", "graph_link_prediction_jaccard", "ftot"): "scalar",
     ("operators/inference.py", "ks_dnum_by_group", "prios"): "grid",
     ("operators/inference.py", "ts_cross_correlation_types", "lags"): "grid",
@@ -122,6 +123,8 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/statistics.py", "stats_km_by_cohort", "tmax"): "scalar",
     ("operators/statistics.py", "stats_km_by_cohort", "tot"): "grid",
     ("operators/statistics.py", "lineitem_abc_pareto", "tot"): "scalar",
+    ("operators/statistics.py", "stats_brown_forsythe", "med"): "grid",
+    ("operators/statistics.py", "stats_brown_forsythe", "med_wide"): "scalar",
     ("operators/text.py", "text_tfidf_top_term", "n"): "scalar",
     ("operators/text.py", "text_bm25_topk", "df"): "vocab",
     ("operators/text.py", "text_bm25_topk", "stats"): "scalar",

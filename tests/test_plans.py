@@ -952,3 +952,40 @@ def test_round8_late_ops_plan_shapes(spark):
     assert not r["cartesian"] and not r["nested_loop"]
     assert r["broadcast_joins"] == 0 and r["sortmerge_joins"] == 0
     assert r["shuffles"] <= 2
+
+
+def test_round9_ops_plan_shapes(spark):
+    """Plan pins for the round-9 operators."""
+    from gotsdb_spark.plans import plan_report
+
+    # Damped+seasonal HW: same fold shape as both twins — one shuffle
+    # to the per-type day dictionary, no window, no join.
+    r = plan_report(QUERIES["ts_holt_winters_damped_seasonal"](spark, SF))
+    assert r["global_windows"] == 0
+    assert not r["cartesian"] and not r["nested_loop"]
+
+    # Per-source PSI: every window is source-partitioned over the
+    # length dictionary; the only nested-loop is the 10-row bin-spine
+    # crossJoin (intended); no cartesian.
+    r = plan_report(QUERIES["quality_psi_by_source"](spark, SF))
+    assert r["global_windows"] == 0
+    assert not r["cartesian"]
+
+    # Brown-Forsythe: flag-partitioned dictionary window + one scalar
+    # aggregate; the nested-loop is the 1-row median-pivot crossJoin.
+    r = plan_report(QUERIES["stats_brown_forsythe"](spark, SF))
+    assert r["global_windows"] == 0
+    assert not r["cartesian"]
+
+    # k-core: peel rounds are equi-joins + groupBys over checkpointed
+    # grid-bounded frames — no cartesian, no window anywhere.
+    r = plan_report(QUERIES["graph_kcore_nations"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+
+    # 3-D skyline: all windows are grid-partitioned (size classes /
+    # dollars); single fact pass behind the checkpointed cell
+    # dictionary; no cartesian, no nested loop.
+    r = plan_report(QUERIES["skyline_3d_price_size_demand"](spark, SF))
+    assert r["global_windows"] == 0
+    assert not r["cartesian"] and not r["nested_loop"]

@@ -144,6 +144,8 @@ ROUND9_CLASS = [
     "stats_information_gain",
     "quality_js_divergence_sources",
     "text_ttr_hapax_profile",
+    "stats_brown_forsythe",
+    "quality_psi_by_source",
 ]
 
 SWEEP_CLASS = OVERFLOW_CLASS + DICT_WINDOW_CLASS + ROUND8_CLASS + ROUND9_CLASS
