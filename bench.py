@@ -154,6 +154,12 @@ HEADLINE = [
     "stats_brown_forsythe",
     "graph_kcore_nations",
     "skyline_3d_price_size_demand",
+    # round-9 second-half operators
+    "stats_welch_ttest",
+    "stats_jarque_bera",
+    "graph_hits_nations",
+    "quality_candidate_keys",
+    "ts_sax_symbolic",
 ]
 
 # Streaming replays + the KV engine roundtrip execute real multi-wave

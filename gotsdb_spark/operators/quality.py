@@ -1076,3 +1076,109 @@ def quality_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nb").cast("long").alias("n_cur"),
         F.sum("term_e9").cast("long").alias("psi_e9"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Candidate-key discovery audit — round 9b.
+# ---------------------------------------------------------------------------
+
+CANDIDATE_KEYS_ORACLE = """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d1,
+             CAST(count(DISTINCT (o_custkey, o_orderdate)) AS BIGINT) AS d2,
+             CAST(count(DISTINCT o_orderdate) AS BIGINT) AS d3,
+             CAST(count(DISTINCT (o_custkey, o_orderdate, cents)) AS BIGINT)
+               AS d4
+      FROM base
+    ), pairs AS (
+      SELECT 'o_orderkey' AS combo, n_rows, d1 AS n_distinct FROM agg
+      UNION ALL
+      SELECT 'o_custkey,o_orderdate', n_rows, d2 FROM agg
+      UNION ALL
+      SELECT 'o_orderdate', n_rows, d3 FROM agg
+      UNION ALL
+      SELECT 'o_custkey,o_orderdate,o_totalprice', n_rows, d4 FROM agg
+    )
+    SELECT combo, n_rows, n_distinct,
+           n_rows - n_distinct AS dup_rows,
+           CAST(n_distinct * 1000000 // n_rows AS BIGINT) AS uniqueness_e6,
+           CAST(CASE WHEN n_distinct = n_rows THEN 1 ELSE 0 END AS BIGINT)
+             AS is_key
+    FROM pairs
+"""
+
+
+@query("quality_candidate_keys", oracle=CANDIDATE_KEYS_ORACLE)
+def quality_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery over orders: exact uniqueness of four
+    column combinations (the declared key, two plausible natural keys,
+    and a deliberately-coarse control) — the schema-inference audit a
+    pipeline runs before it TRUSTS a merge key: quality_column_profile
+    reports per-column cardinality, but dedup/MERGE correctness hangs
+    on COMBINATION uniqueness, which only an exact multi-column
+    distinct can certify (a 99.93%-unique "key" silently fans out a
+    MERGE join).
+
+    All four combination cardinalities come from ONE scan:
+    multi-count-distinct compiles to Spark's Expand (4x row replication
+    BEFORE partial aggregation, map-side combinable, shuffle bounded by
+    the combined key dictionaries — never 4 scans, never a driver
+    loop). The single stats row then unpivots via stack() to one row
+    per combo; uniqueness is exact integer e6 fixed-point (DIV);
+    o_totalprice participates as exact cents so float equality never
+    decides distinctness.
+
+    Scale: one scan + Expand; the per-combo dictionaries the partial
+    aggregation shuffles are bounded by the true key cardinality (the
+    thing being measured), and a 100 TB orders table shuffles its key
+    dictionary for ANY exact-distinct answer — this is the minimal
+    plan. No join, no window.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no schema
+    or audit surface (internal/storage/types.go:3); this is [TARGET]
+    data-quality machinery.
+    """
+    base = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("o_orderkey").cast("long").alias("d1"),
+        F.countDistinct("o_custkey", "o_orderdate").cast("long").alias("d2"),
+        F.countDistinct("o_orderdate").cast("long").alias("d3"),
+        F.countDistinct("o_custkey", "o_orderdate", "cents")
+        .cast("long")
+        .alias("d4"),
+    )
+    pairs = agg.select(
+        F.expr(
+            "stack(4,"
+            " 'o_orderkey', d1,"
+            " 'o_custkey,o_orderdate', d2,"
+            " 'o_orderdate', d3,"
+            " 'o_custkey,o_orderdate,o_totalprice', d4)"
+            " AS (combo, n_distinct)"
+        ),
+        "n_rows",
+    )
+    return pairs.select(
+        "combo",
+        "n_rows",
+        "n_distinct",
+        (F.col("n_rows") - F.col("n_distinct")).cast("long").alias("dup_rows"),
+        F.expr("CAST(n_distinct * 1000000 DIV n_rows AS BIGINT)").alias(
+            "uniqueness_e6"
+        ),
+        F.when(F.col("n_distinct") == F.col("n_rows"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_key"),
+    )

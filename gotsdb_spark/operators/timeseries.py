@@ -3110,3 +3110,167 @@ def ts_holt_winters_damped_seasonal(
         .cast("bigint")
         .alias("forecast_h7_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolic aggregate approximation — round 9b.
+# ---------------------------------------------------------------------------
+
+_SAX_P = 8  # PAA segments per series
+# Gaussian breakpoints for a 4-symbol alphabet (quartiles of N(0,1)),
+# embedded as the SAME double literals in both engines' expressions.
+_SAX_BP = 0.6745
+
+# Shared-verbatim float fragments: n/s1/s2 = per-type day count and
+# exact e3 value sums; seg_sum/seg_cnt = per-segment exact sums. The
+# z-score of a segment mean is ONE double expression over exact
+# integers.
+_SAX_MU = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+_SAX_SIG = (
+    f"sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - {_SAX_MU} * {_SAX_MU})"
+)
+_SAX_Z = (
+    f"((CAST(seg_sum AS DOUBLE) / CAST(seg_cnt AS DOUBLE) - {_SAX_MU})"
+    f" / {_SAX_SIG})"
+)
+_SAX_SYM = (
+    f"CASE WHEN {_SAX_Z} < -{_SAX_BP} THEN 'a'"
+    f" WHEN {_SAX_Z} < 0.0 THEN 'b'"
+    f" WHEN {_SAX_Z} < {_SAX_BP} THEN 'c'"
+    " ELSE 'd' END"
+)
+
+SAX_ORACLE = f"""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2025-01-01', CAST(ts AS DATE)) AS x,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) // count(*)
+                  AS BIGINT) AS y_e3
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(y_e3 AS HUGEINT)) AS s1,
+             sum(CAST(y_e3 AS HUGEINT) * y_e3) AS s2
+      FROM daily GROUP BY event_type
+    ), idx AS (
+      SELECT event_type, y_e3,
+             row_number() OVER (PARTITION BY event_type ORDER BY x) - 1 AS i
+      FROM daily
+    ), segs AS (
+      SELECT i.event_type,
+             CAST(i.i * {_SAX_P} // s.n AS BIGINT) AS seg,
+             sum(CAST(i.y_e3 AS HUGEINT)) AS seg_sum,
+             CAST(count(*) AS BIGINT) AS seg_cnt
+      FROM idx i JOIN stats s USING (event_type)
+      WHERE s.n >= {_SAX_P}
+      GROUP BY 1, 2
+    ), syms AS (
+      SELECT g.event_type, g.seg, {_SAX_SYM} AS sym
+      FROM segs g JOIN stats s USING (event_type)
+      -- DuckDB resolves seg_sum/seg_cnt/n/s1/s2 unqualified from g, s
+    )
+    SELECT y.event_type,
+           s.n AS n_days,
+           CAST(s.s1 // s.n AS BIGINT) AS mean_e3,
+           string_agg(y.sym, '' ORDER BY y.seg) AS sax
+    FROM syms y JOIN stats s USING (event_type)
+    GROUP BY y.event_type, s.n, s.s1
+"""
+
+
+@query("ts_sax_symbolic", oracle=SAX_ORACLE)
+def ts_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation) of the per-type daily
+    event series: z-normalize, Piecewise-Aggregate into {p} equal-width
+    segments, then quantize each segment mean against the N(0,1)
+    quartile breakpoints into an 'a'-'d' string — the classic
+    shape-indexing transform (Lin/Keogh) that lets a 100 TB archive of
+    series be motif-mined, clustered, or similarity-searched as SHORT
+    STRINGS (equi-joinable, groupBy-able) instead of float vectors:
+    two series with the same SAX word are shape-candidates without a
+    single float comparison at query time.
+
+    Determinism path: the daily series is the exact e3 integer
+    dictionary; per-type moments (n, sum, sum-of-squares — the latter
+    DECIMAL(38,0)) and per-segment sums are exact integers; the only
+    floats are the segment z-scores, each ONE double expression shared
+    VERBATIM between the Spark query and the DuckDB oracle (_SAX_*
+    fragments above) compared against shared literals — the symbol
+    boundary decision is therefore bit-identical in both engines. Day
+    ranks come from a type-PARTITIONED row_number; segment assignment
+    i*{p} DIV n is integer.
+
+    Scale: one shuffle to the (type, day) dictionary
+    (calendar-bounded per type), one partitioned window for ranks, two
+    bounded groupBys, a grid-sized stats join, and a {p}-element
+    sorted-struct fold into the word. No global window, nothing
+    row-count-sized past the first groupBy.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no series
+    surface (internal/storage/types.go:3); this is [TARGET]
+    time-series machinery.
+    """
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2025-01-01").cast("date")
+            ).alias("x"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("v_e3"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.expr("CAST(sum(v_e3) DIV count(*) AS BIGINT)").alias("y_e3"))
+    )
+    dec = "decimal(38,0)"
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("y_e3").cast(dec)).alias("s1"),
+        F.sum(F.col("y_e3").cast(dec) * F.col("y_e3")).alias("s2"),
+    )
+    idx = daily.select(
+        "event_type",
+        "y_e3",
+        (
+            F.row_number().over(W.partitionBy("event_type").orderBy("x")) - 1
+        ).alias("i"),
+    )
+    segs = (
+        idx.join(stats.where(F.col("n") >= _SAX_P), "event_type")
+        .select(
+            "event_type",
+            F.expr(f"CAST(i * {_SAX_P} DIV n AS BIGINT)").alias("seg"),
+            "y_e3",
+        )
+        .groupBy("event_type", "seg")
+        .agg(
+            F.sum(F.col("y_e3").cast(dec)).alias("seg_sum"),
+            F.count(F.lit(1)).cast("long").alias("seg_cnt"),
+        )
+    )
+    syms = segs.join(stats, "event_type").select(
+        "event_type", "seg", F.expr(_SAX_SYM).alias("sym")
+    )
+    return (
+        syms.join(stats, "event_type")
+        .groupBy("event_type", "n", "s1")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg", "sym"))),
+                    lambda s: s.sym,
+                ),
+                "",
+            ).alias("sax")
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.expr("CAST(s1 DIV n AS BIGINT)").alias("mean_e3"),
+            "sax",
+        )
+    )
+
+
+ts_sax_symbolic.__doc__ = ts_sax_symbolic.__doc__.format(p=_SAX_P)

@@ -51,6 +51,8 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/graph.py", "graph_triangle_stats", "wedges"): "scalar",
     ("operators/graph.py", "graph_reachability_hops", "load_table"): "dim",
     ("operators/graph.py", "graph_kcore_nations", "ftot"): "scalar",
+    ("operators/graph.py", "graph_hits_nations", "sa"): "scalar",
+    ("operators/graph.py", "graph_hits_nations", "sh"): "scalar",
     ("operators/graph.py", "graph_link_prediction_jaccard", "ftot"): "scalar",
     ("operators/inference.py", "ks_dnum_by_group", "prios"): "grid",
     ("operators/inference.py", "ts_cross_correlation_types", "lags"): "grid",

@@ -989,3 +989,44 @@ def test_round9_ops_plan_shapes(spark):
     r = plan_report(QUERIES["skyline_3d_price_size_demand"](spark, SF))
     assert r["global_windows"] == 0
     assert not r["cartesian"] and not r["nested_loop"]
+
+
+def test_round9b_ops_plan_shapes(spark):
+    """Plan pins for the second-half round-9 operators."""
+    from gotsdb_spark.plans import plan_report
+
+    # Welch t: ONE map-side-combinable scalar aggregate with the A/R
+    # filter pushed down — no join, no window, 1-row combine only.
+    r = plan_report(QUERIES["stats_welch_ttest"](spark, SF))
+    assert r["global_windows"] == 0
+    assert not r["cartesian"] and not r["nested_loop"]
+    assert r["broadcast_joins"] == 0 and r["sortmerge_joins"] == 0
+    assert r["shuffles"] <= 2
+
+    # Jarque-Bera: one partial-aggregated groupBy(flag); the shuffle
+    # carries exactly three rows of power sums.
+    r = plan_report(QUERIES["stats_jarque_bera"](spark, SF))
+    assert r["global_windows"] == 0
+    assert not r["cartesian"] and not r["nested_loop"]
+    assert r["broadcast_joins"] == 0 and r["sortmerge_joins"] == 0
+
+    # HITS: fact-sized edge build checkpointed once; iterations are
+    # equi-joins + groupBys over <=625-row frames with 1-row L1-total
+    # crossJoins (intended nested loop); never cartesian, no window.
+    r = plan_report(QUERIES["graph_hits_nations"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+
+    # Candidate keys: one scan + Expand + partial agg; stack() unpivot
+    # is projection-only — no join, no window anywhere.
+    r = plan_report(QUERIES["quality_candidate_keys"](spark, SF))
+    assert r["global_windows"] == 0
+    assert not r["cartesian"] and not r["nested_loop"]
+    assert r["broadcast_joins"] == 0 and r["sortmerge_joins"] == 0
+
+    # SAX: every window is type-partitioned over the day dictionary;
+    # stats joins are grid-sized equi-joins; no cartesian, no global
+    # window.
+    r = plan_report(QUERIES["ts_sax_symbolic"](spark, SF))
+    assert r["global_windows"] == 0
+    assert not r["cartesian"]

@@ -275,3 +275,222 @@ def test_skyline_3d_matches_python_reference(spark):
         for (d2, s2), (m2, _) in want.items():
             if (d, s) != (d2, s2) and d2 <= d and s2 >= s:
                 assert m2 < m
+
+
+# ---------------------------------------------------------------------------
+# Round-9b operators (second half of the round).
+# ---------------------------------------------------------------------------
+
+
+def test_welch_ttest_matches_python_reference(spark):
+    rows = (
+        load_table(spark, "lineitem", SF)
+        .where(F.col("l_returnflag").isin("A", "R"))
+        .select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+        )
+        .collect()
+    )
+    g = {"A": [], "R": []}
+    for r in rows:
+        g[r["l_returnflag"]].append(r["c"])
+    n_a, n_r = len(g["A"]), len(g["R"])
+    s_a, s_r = sum(g["A"]), sum(g["R"])
+    q_a = sum(c * c for c in g["A"])
+    q_r = sum(c * c for c in g["R"])
+    # mirror the _WELCH_* shared expressions' operation order
+    va = (float(q_a) - float(s_a) * float(s_a) / float(n_a)) / (
+        float(n_a) - 1.0
+    )
+    vr = (float(q_r) - float(s_r) * float(s_r) / float(n_r)) / (
+        float(n_r) - 1.0
+    )
+    se2 = va / float(n_a) + vr / float(n_r)
+    t = (float(s_a) / float(n_a) - float(s_r) / float(n_r)) / math.sqrt(se2)
+    df = (se2 * se2) / (
+        (va / float(n_a)) * (va / float(n_a)) / (float(n_a) - 1.0)
+        + (vr / float(n_r)) * (vr / float(n_r)) / (float(n_r) - 1.0)
+    )
+    row = QUERIES["stats_welch_ttest"](spark, SF).collect()[0]
+    assert (row["n_a"], row["n_r"]) == (n_a, n_r)
+    assert row["mean_a_c_e2"] == s_a * 100 // n_a
+    assert row["mean_r_c_e2"] == s_r * 100 // n_r
+    assert row["t_e6"] == _e6(t)
+    assert row["df_e6"] == _e6(df)
+    # Welch df must sit between min(n)-1 and n_a+n_r-2
+    assert (min(n_a, n_r) - 1) * 10**6 <= row["df_e6"] <= (n_a + n_r - 2) * 10**6
+
+
+def test_jarque_bera_matches_python_reference(spark):
+    rows = (
+        load_table(spark, "lineitem", SF)
+        .select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+        )
+        .collect()
+    )
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r["l_returnflag"], []).append(r["c"])
+    got = {r["flag"]: r for r in QUERIES["stats_jarque_bera"](spark, SF).collect()}
+    assert set(got) == set(groups)
+    for flag, cs in groups.items():
+        n = len(cs)
+        s1 = sum(cs)
+        s2 = sum(c * c for c in cs)
+        s3 = sum(c * c * c for c in cs)
+        s4 = sum(c * c * c * c for c in cs)
+        # mirror _JB_* operation order exactly
+        mu = float(s1) / float(n)
+        m2 = float(s2) / float(n) - mu * mu
+        m3 = float(s3) / float(n) - 3.0 * mu * float(s2) / float(n) + 2.0 * mu * mu * mu
+        m4 = (
+            float(s4) / float(n)
+            - 4.0 * mu * float(s3) / float(n)
+            + 6.0 * mu * mu * float(s2) / float(n)
+            - 3.0 * mu * mu * mu * mu
+        )
+        skew = m3 / math.sqrt(m2 * m2 * m2)
+        kurt = m4 / (m2 * m2)
+        jb = float(n) / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+        row = got[flag]
+        assert row["n"] == n
+        assert row["skew_e6"] == _e6(skew)
+        assert row["kurt_e6"] == _e6(kurt)
+        assert math.floor(jb * 1e3 + 0.5001) == row["jb_e3"]
+        # lineitem prices are right-skewed-ish but platykurtic vs normal:
+        # at minimum JB must be non-negative
+        assert row["jb_e3"] >= 0
+
+
+def _directed_flows(spark):
+    lineitem = load_table(spark, "lineitem", SF)
+    orders = load_table(spark, "orders", SF)
+    customer = load_table(spark, "customer", SF)
+    supplier = load_table(spark, "supplier", SF)
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+        .collect()
+    )
+
+
+def test_hits_matches_python_reference(spark):
+    flows = [(r["src"], r["dst"], r["w"]) for r in _directed_flows(spark)]
+    nations = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, "nation", SF).collect()
+    }
+    ONE = 1_000_000_000
+    h = {v: ONE for v in nations}
+    a = {v: 0 for v in nations}
+    for _ in range(3):
+        a = {v: 0 for v in nations}
+        for s, d, w in flows:
+            a[d] += w * h[s]
+        sa = sum(a.values())
+        a = {v: x * ONE // sa for v, x in a.items()}
+        h = {v: 0 for v in nations}
+        for s, d, w in flows:
+            h[s] += w * a[d]
+        sh = sum(h.values())
+        h = {v: x * ONE // sh for v, x in h.items()}
+    got = {
+        r["n_name"]: r
+        for r in QUERIES["graph_hits_nations"](spark, SF).collect()
+    }
+    assert set(got) == set(nations.values())
+    for v, name in nations.items():
+        assert got[name]["hub_e9"] == h[v]
+        assert got[name]["auth_e9"] == a[v]
+    # L1 normalization: integer-floored scores sum to <= 1e9 and
+    # within 25 ulps of it
+    assert ONE - 25 <= sum(r["hub_e9"] for r in got.values()) <= ONE
+    assert ONE - 25 <= sum(r["auth_e9"] for r in got.values()) <= ONE
+
+
+def test_candidate_keys_matches_python_reference(spark):
+    rows = (
+        load_table(spark, "orders", SF)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .collect()
+    )
+    n = len(rows)
+    combos = {
+        "o_orderkey": {r["o_orderkey"] for r in rows},
+        "o_custkey,o_orderdate": {
+            (r["o_custkey"], r["o_orderdate"]) for r in rows
+        },
+        "o_orderdate": {r["o_orderdate"] for r in rows},
+        "o_custkey,o_orderdate,o_totalprice": {
+            (r["o_custkey"], r["o_orderdate"], r["cents"]) for r in rows
+        },
+    }
+    got = {
+        r["combo"]: r
+        for r in QUERIES["quality_candidate_keys"](spark, SF).collect()
+    }
+    assert set(got) == set(combos)
+    for combo, dset in combos.items():
+        row = got[combo]
+        d = len(dset)
+        assert row["n_rows"] == n
+        assert row["n_distinct"] == d
+        assert row["dup_rows"] == n - d
+        assert row["uniqueness_e6"] == d * 10**6 // n
+        assert row["is_key"] == (1 if d == n else 0)
+    # the declared primary key must actually be a key
+    assert got["o_orderkey"]["is_key"] == 1
+    # and the superset combo can never be LESS unique than its subset
+    assert (
+        got["o_custkey,o_orderdate,o_totalprice"]["n_distinct"]
+        >= got["o_custkey,o_orderdate"]["n_distinct"]
+    )
+
+
+def test_sax_matches_python_reference(spark):
+    series = _daily_series(spark)
+    P, BP = 8, 0.6745
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["ts_sax_symbolic"](spark, SF).collect()
+    }
+    for etype, ys in series.items():
+        if len(ys) < P:
+            assert etype not in got
+            continue
+        n = len(ys)
+        s1 = sum(ys)
+        s2 = sum(y * y for y in ys)
+        mu = float(s1) / float(n)
+        sig = math.sqrt(float(s2) / float(n) - mu * mu)
+        segsum: dict = {}
+        segcnt: dict = {}
+        for i, y in enumerate(ys):
+            s = i * P // n
+            segsum[s] = segsum.get(s, 0) + y
+            segcnt[s] = segcnt.get(s, 0) + 1
+        word = ""
+        for s in sorted(segsum):
+            z = (float(segsum[s]) / float(segcnt[s]) - mu) / sig
+            word += (
+                "a" if z < -BP else "b" if z < 0.0 else "c" if z < BP else "d"
+            )
+        row = got[etype]
+        assert row["n_days"] == n
+        assert row["mean_e3"] == s1 // n
+        assert row["sax"] == word
+        assert len(row["sax"]) == min(P, n)

@@ -146,6 +146,14 @@ ROUND9_CLASS = [
     "text_ttr_hapax_profile",
     "stats_brown_forsythe",
     "quality_psi_by_source",
+    # round-9 second half: Jarque-Bera's sum(cents^4) is ~2e34 at sf1
+    # (the deepest DECIMAL(38,0) accumulator in the repo), Welch's
+    # squared-cents sums ~2.5e21, HITS's w*score products ~6e15 at sf1
+    # growing with the fact table, SAX's e3-squared day sums.
+    "stats_jarque_bera",
+    "stats_welch_ttest",
+    "graph_hits_nations",
+    "ts_sax_symbolic",
 ]
 
 SWEEP_CLASS = OVERFLOW_CLASS + DICT_WINDOW_CLASS + ROUND8_CLASS + ROUND9_CLASS
