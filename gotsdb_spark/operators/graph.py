@@ -152,8 +152,8 @@ graph_pagerank_nations.__doc__ = graph_pagerank_nations.__doc__.format(
 @query(
     "graph_triangle_stats",
     oracle=f"""
-    WITH flows AS ({_EDGES_SQL}),
-    ue AS (
+    WITH flows AS MATERIALIZED ({_EDGES_SQL}),
+    ue AS MATERIALIZED (
       SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
       FROM flows WHERE src <> dst
     ), tri AS (
@@ -198,12 +198,17 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
         .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
     )
+    # ue is referenced six times below (e1/e2/e3, both endpoint unions,
+    # the edge count) — checkpoint the <=300-row frame so the fact-sized
+    # 4-way join runs ONCE, not per reference (the graph_kcore_nations
+    # lesson; the oracle mirrors with MATERIALIZED CTEs).
     ue = (
         flows.where(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     e1 = ue
     e2 = ue.select(F.col("a").alias("b2a"), F.col("b").alias("c"))
