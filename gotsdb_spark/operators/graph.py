@@ -112,11 +112,15 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
+    # e is referenced once per iteration: checkpoint the <=625-row
+    # normalized edge table so the fact-sized flows aggregation runs
+    # ONCE, not once per power iteration (the graph_triangle_stats /
+    # graph_kcore_nations lesson).
     e = flows.select(
         "src",
         "dst",
         (F.col("w") / F.sum("w").over(Window.partitionBy("src"))).alias("p"),
-    )
+    ).localCheckpoint(eager=False)
     nodes = nation.select(
         F.col("n_nationkey").alias("node"), "n_name"
     )
