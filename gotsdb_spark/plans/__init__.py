@@ -1,5 +1,6 @@
 from gotsdb_spark.plans.inspect import (
     broadcast_join_count,
+    fact_scan_counts,
     formatted_plan,
     has_cartesian_product,
     plan_report,
@@ -17,5 +18,6 @@ __all__ = [
     "shuffle_count",
     "has_cartesian_product",
     "single_partition_window_chains",
+    "fact_scan_counts",
     "plan_report",
 ]

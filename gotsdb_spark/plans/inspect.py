@@ -138,3 +138,27 @@ def plan_report(df: DataFrame) -> dict:
         "scans": len(re.findall(r"\(\d+\) Scan parquet", plan)),
         "global_windows": single_partition_window_chains(df),
     }
+
+
+_FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
+
+
+def fact_scan_counts(df: DataFrame) -> dict[str, int]:
+    """Parquet Scan nodes per FACT table in the formatted plan.
+
+    A frame checkpointed once shows up as ``Scan ExistingRDD``, so a
+    count >= 3 for any fact table means the plan re-derives a
+    fact-sized subtree once per reference — the class
+    graph_triangle_stats hit at sf0.1 (six lineitem scans, 462 s)
+    before its edge frame was checkpointed. Dimension tables
+    (nation/region/...) are excluded: re-scanning a 25-row parquet is
+    free at any scale.
+    """
+    counts: dict[str, int] = {}
+    for m in re.finditer(
+        r"Scan parquet[^\n]*?(\w+)\.parquet", formatted_plan(df)
+    ):
+        t = m.group(1)
+        if t in _FACT_TABLES:
+            counts[t] = counts.get(t, 0) + 1
+    return counts

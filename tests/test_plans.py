@@ -728,16 +728,19 @@ def test_detector_catches_global_window(spark):
     assert single_partition_window_chains(good) == 0
 
 
-def test_no_unbounded_global_windows_full_registry(spark):
-    """Sweep EVERY registered query's executed plan for Window-over-
-    Exchange-SinglePartition chains; only the documented bounded-frame
-    allowlist may contain one. This is the pin for the round-6 rewrite
-    of the six data-sized global windows (ntile/percent_rank, RFM,
-    Pareto, Zipf rank, count-min top-10, price-band RANGE frame) —
-    reintroducing any of them fails here, not on the cluster."""
-    from gotsdb_spark.plans import single_partition_window_chains
+def _registry_plan_sweep(spark):
+    """ONE pass over every registered query's plan, shared by the
+    full-registry invariant tests below (each plan build costs real
+    seconds; collect all swept metrics together)."""
+    global _SWEEP_CACHE
+    if _SWEEP_CACHE is not None:
+        return _SWEEP_CACHE
+    from gotsdb_spark.plans import (
+        fact_scan_counts,
+        single_partition_window_chains,
+    )
 
-    offenders = {}
+    out = {}
     for name, fn in QUERIES.items():
         try:
             df = fn(spark, SF)
@@ -746,13 +749,58 @@ def test_no_unbounded_global_windows_full_registry(spark):
             # are other tests' concern; the sweep only grades plans it
             # can build.
             continue
-        chains = single_partition_window_chains(df)
-        if chains and name not in ALLOWED_GLOBAL_WINDOWS:
-            offenders[name] = chains
+        out[name] = {
+            "chains": single_partition_window_chains(df),
+            "fact_scans": fact_scan_counts(df),
+        }
+    _SWEEP_CACHE = out
+    return out
+
+
+_SWEEP_CACHE = None
+
+
+def test_no_unbounded_global_windows_full_registry(spark):
+    """Sweep EVERY registered query's executed plan for Window-over-
+    Exchange-SinglePartition chains; only the documented bounded-frame
+    allowlist may contain one. This is the pin for the round-6 rewrite
+    of the six data-sized global windows (ntile/percent_rank, RFM,
+    Pareto, Zipf rank, count-min top-10, price-band RANGE frame) —
+    reintroducing any of them fails here, not on the cluster."""
+    offenders = {
+        name: m["chains"]
+        for name, m in _registry_plan_sweep(spark).items()
+        if m["chains"] and name not in ALLOWED_GLOBAL_WINDOWS
+    }
     assert not offenders, (
         f"unallowlisted single-partition window chains: {offenders} — "
         "use gotsdb_spark.operators.distrank.dist_rank or a bounded "
         "partition key, or (with a docstring argument) allowlist"
+    )
+
+
+# Queries whose plans legitimately scan the SAME fact table twice:
+# two-snapshot diffs, reference/current split audits, and train/eval
+# splits need two passes by definition. Nothing is allowed three.
+_FACT_RESCAN_BUDGET = 2
+
+
+def test_no_repeated_fact_scans_full_registry(spark):
+    """Sweep EVERY registered query's plan for >= 3 parquet scans of
+    the same fact table — the graph_triangle_stats class (a fact-sized
+    subtree re-derived once per reference, 462 s at sf0.1 until the
+    edge frame was checkpointed; at 100 TB it is 3-6 fact shuffles
+    where one suffices). A frame checkpointed once plans as Scan
+    ExistingRDD, so the fix pattern passes and the regression fails."""
+    offenders = {
+        name: m["fact_scans"]
+        for name, m in _registry_plan_sweep(spark).items()
+        if any(c > _FACT_RESCAN_BUDGET for c in m["fact_scans"].values())
+    }
+    assert not offenders, (
+        f"plans re-deriving a fact subtree per reference: {offenders} — "
+        "localCheckpoint(eager=False) the shared frame once (mirror the "
+        "DuckDB oracle with MATERIALIZED CTEs)"
     )
 
 
