@@ -53,9 +53,19 @@ def get_spark(app_name: str = "gotsdb_spark", cpus: int | None = None) -> SparkS
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
+        # Warehouse is PER-PROCESS by default: bucketed-table
+        # materialization (sources/bucketing.py) rewrites managed-table
+        # directories, so two concurrent local processes sharing one
+        # warehouse can rmtree a directory the other is mid-scan on
+        # (observed as FAILED_READ_FILE when a sweep ran beside the
+        # test suite). A shared path can still be opted into via
+        # SPARK_GRAFT_WAREHOUSE for single-process runs.
         .config(
             "spark.sql.warehouse.dir",
-            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                f"/tmp/spark_graft_warehouse_{os.getpid()}",
+            ),
         )
     )
     spark = builder.getOrCreate()
