@@ -442,3 +442,297 @@ def test_brown_forsythe_fuzz(spark, rows):
         med["R"],
     )
     assert row["f_e6"] == _e6(f_stat), rows
+
+
+# ---------------------------------------------------------- k-core peel
+
+kc_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),  # src nation
+        st.integers(min_value=0, max_value=9),  # dst nation
+        st.integers(min_value=1, max_value=4),  # weight (fact rows)
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=kc_edges)
+def test_kcore_fuzz(spark, edges):
+    """The strong-edge cut (w*n > t), the three synchronous peel
+    rounds, and the degree bookkeeping must match the Python walk on
+    random graphs — including runs where the cut keeps nothing and
+    runs where everything survives."""
+    import gotsdb_spark.operators.graph as mod
+
+    nations = list(range(10))
+    frames = {
+        "nation": spark.createDataFrame(
+            [(v, f"N{v}") for v in nations],
+            "n_nationkey bigint, n_name string",
+        ),
+        "customer": spark.createDataFrame(
+            [(v, v) for v in nations], "c_custkey bigint, c_nationkey bigint"
+        ),
+        "supplier": spark.createDataFrame(
+            [(v, v) for v in nations], "s_suppkey bigint, s_nationkey bigint"
+        ),
+        "orders": spark.createDataFrame(
+            [(k, src) for k, (src, _, _) in enumerate(edges)],
+            "o_orderkey bigint, o_custkey bigint",
+        ),
+        "lineitem": spark.createDataFrame(
+            [(k, dst) for k, (_, dst, w) in enumerate(edges) for _ in range(w)],
+            "l_orderkey bigint, l_suppkey bigint",
+        ),
+    }
+    with _patched(mod, frames):
+        got = {
+            r["node"]: r for r in mod.graph_kcore_nations(spark, SF).collect()
+        }
+    flows: dict = {}
+    for src, dst, w in edges:
+        flows[(src, dst)] = flows.get((src, dst), 0) + w
+    t = sum(flows.values())
+    nf = len(flows)
+    ue = {
+        (min(s, d), max(s, d))
+        for (s, d), w in flows.items()
+        if s != d and w * nf > t
+    }
+    nodes = {a for a, _ in ue} | {b for _, b in ue}
+    deg0 = {v: sum(1 for a, b in ue if v in (a, b)) for v in nodes}
+    alive = set(nodes)
+    deg = dict(deg0)
+    K = mod._KC_K
+    for _ in range(mod._KC_ROUNDS):
+        live = [(a, b) for a, b in ue if a in alive and b in alive]
+        deg = {v: sum(1 for a, b in live if v in (a, b)) for v in alive}
+        alive = {v for v in alive if deg[v] >= K}
+    assert set(got) == nodes, edges
+    for v in nodes:
+        assert got[v]["degree_initial"] == deg0[v], edges
+        assert got[v]["in_core"] == (1 if v in alive else 0), edges
+        assert got[v]["degree_final"] == (deg[v] if v in alive else 0), edges
+
+
+# ----------------------------------------------------------- 3D skyline
+
+sky_parts = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=8),  # retail dollars (exact)
+        st.integers(min_value=1, max_value=5),  # size
+        st.integers(min_value=0, max_value=6),  # demand (lineitems)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(parts=sky_parts)
+def test_skyline_3d_fuzz(spark, parts):
+    """The cell-grid sweep must return EXACTLY the non-dominated
+    (dollar, size) cells of the quadratic definition — tie-heavy grids
+    where several cells share a dollar or a best-demand value are the
+    staircase boundary."""
+    import gotsdb_spark.operators.relational as mod
+
+    part_rows = [
+        (i, float(d), s) for i, (d, s, _) in enumerate(parts)
+    ]
+    li_rows = [
+        (i,) for i, (_, _, dem) in enumerate(parts) for _ in range(dem)
+    ]
+    frames = {
+        "part": spark.createDataFrame(
+            part_rows, "p_partkey bigint, p_retailprice double, p_size bigint"
+        ),
+        "lineitem": spark.createDataFrame(li_rows, "l_partkey bigint")
+        if li_rows
+        else spark.createDataFrame([], "l_partkey bigint"),
+    }
+    with _patched(mod, frames):
+        got = {
+            (r["dollars"], r["p_size"]): (r["best_demand"], r["n_parts"])
+            for r in mod.skyline_3d_price_size_demand(spark, SF).collect()
+        }
+    dem_by_part = {}
+    for i, (_, _, dem) in enumerate(parts):
+        dem_by_part[i] = dem
+    cells: dict = {}
+    for i, (d, s, _) in enumerate(parts):
+        cells.setdefault((d, s), []).append(dem_by_part[i])
+    best = {k: max(v) for k, v in cells.items()}
+    want = {}
+    for (d, s), m in best.items():
+        dominated = any(
+            d2 <= d and s2 >= s and m2 >= m and (d2, s2) != (d, s)
+            for (d2, s2), m2 in best.items()
+        )
+        if not dominated:
+            want[(d, s)] = (m, sum(1 for x in cells[(d, s)] if x == m))
+    assert got == want, parts
+
+
+# ----------------------------------------- damped + seasonal Holt-Winters
+
+hw_series = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=24),  # day
+        st.integers(min_value=0, max_value=40),  # value (integral)
+    ),
+    min_size=1,
+    max_size=25,
+).map(lambda pts: sorted({d: v for d, v in pts}.items()))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pts=hw_series)
+def test_hw_damped_seasonal_fuzz(spark, pts):
+    """The struct fold must walk the identical (level, trend, seasonal
+    ring) trajectory as the Python recursion on arbitrary day gaps —
+    series AT the 2m+1 cutoff and just under it are the registration
+    boundary."""
+    import gotsdb_spark.operators.timeseries as mod
+
+    base = datetime.datetime(2025, 1, 1)
+    data = [
+        (i, base + datetime.timedelta(days=d), "E", float(v))
+        for i, (d, v) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id bigint, ts timestamp, event_type string, value double"
+    )
+    with _patched(mod, {"events": df}):
+        got = {
+            r["event_type"]: r
+            for r in mod.ts_holt_winters_damped_seasonal(spark, SF).collect()
+        }
+    ys = [v * 1000 for _, v in pts]  # y_e3 (one event/day -> exact mean)
+    a, bt, g, ph, m = 0.5, 0.3, 0.2, 0.9, 7
+    if len(ys) < 2 * m + 1:
+        assert got == {}, pts
+        return
+
+    def r9(v):
+        return math.floor(v * 1e9 + 0.5) / 1e9
+
+    l = r9(sum(ys[:7]) / 7000.0)
+    b = r9((sum(ys[7:14]) - sum(ys[:7])) / 49000.0)
+    seas = [r9(v / 1000.0 - l) for v in ys[:7]]
+    for y_e3 in ys[m:]:
+        y = y_e3 / 1000.0
+        s1 = seas[0]
+        lnew = r9(a * (y - s1) + (1 - a) * (l + ph * b))
+        bnew = r9(bt * (lnew - l) + (1 - bt) * ph * b)
+        snew = r9(g * (y - lnew) + (1 - g) * s1)
+        l, b = lnew, bnew
+        seas = seas[1:] + [snew]
+    hsum = sum(ph**k for k in range(1, 8))
+    row = got["E"]
+    assert row["n_days"] == len(ys), pts
+    assert row["level_e6"] == _e6(l), pts
+    assert row["trend_e6"] == _e6(b)
+    assert row["season_e6"] == _e6(seas[0])
+    assert row["forecast_e6"] == _e6(l + ph * b + seas[0])
+    assert row["forecast_h7_e6"] == _e6(l + hsum * b + seas[0])
+
+
+# ------------------------------------------------------- per-source PSI
+
+psi_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),  # doc_id
+        st.sampled_from(["web", "book"]),
+        st.integers(min_value=1, max_value=12),  # n_chars — heavy ties
+    ),
+    min_size=8,
+    max_size=80,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=psi_docs)
+def test_psi_by_source_fuzz(spark, docs):
+    """Per-source decile edges, add-one smoothing, and the e9 term
+    floor must match the Python mirror on tie-saturated length
+    dictionaries — sources whose md5-parity halves are lopsided are the
+    boundary the fixture rarely hits."""
+    import hashlib
+
+    import gotsdb_spark.operators.quality as mod
+
+    per_src: dict = {}
+    for did, src, nc in docs:
+        half = int(hashlib.md5(str(did).encode()).hexdigest()[:4], 16) % 2
+        per_src.setdefault(src, ([], []))[half].append(nc)
+    # the operator (like the fixture) assumes both halves non-empty per
+    # source; skip generated shapes that break that precondition
+    per_src = {
+        s: (ref, cur) for s, (ref, cur) in per_src.items() if ref and cur
+    }
+    if not per_src:
+        return
+    df = spark.createDataFrame(
+        [
+            (did, src, nc)
+            for did, src, nc in docs
+            if src in per_src
+        ],
+        "doc_id bigint, source string, n_chars bigint",
+    )
+    with _patched(mod, {"documents": df}):
+        got = {
+            r["source"]: r
+            for r in mod.quality_psi_by_source(spark, SF).collect()
+        }
+    assert set(got) == set(per_src), docs
+    from collections import Counter
+
+    def e9(v):
+        return math.floor(v * 1e9 + 0.5001)
+
+    for src, (ref, cur) in per_src.items():
+        na, nb = len(ref), len(cur)
+        cnt = Counter(ref)
+        edges = []
+        for k in range(1, 10):
+            cc = 0
+            for v in sorted(cnt):
+                cc += cnt[v]
+                if cc * 10 >= k * na:
+                    edges.append(v)
+                    break
+        bins_ref = Counter(1 + sum(1 for e in edges if v > e) for v in ref)
+        bins_cur = Counter(1 + sum(1 for e in edges if v > e) for v in cur)
+        psi = 0
+        for b in range(1, 11):
+            c_ref, c_cur = bins_ref.get(b, 0), bins_cur.get(b, 0)
+            pa = (c_ref + 1.0) / (na + 10)
+            pb = (c_cur + 1.0) / (nb + 10)
+            lr = math.log(
+                ((c_ref + 1.0) * (nb + 10)) / ((c_cur + 1.0) * (na + 10))
+            )
+            psi += e9((pa - pb) * lr)
+        row = got[src]
+        assert (row["n_ref"], row["n_cur"]) == (na, nb), docs
+        assert row["psi_e9"] == psi, docs
