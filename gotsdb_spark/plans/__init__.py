@@ -1,6 +1,7 @@
 from gotsdb_spark.plans.inspect import (
     broadcast_join_count,
     fact_scan_counts,
+    scan_read_widths,
     formatted_plan,
     has_cartesian_product,
     plan_report,
@@ -19,5 +20,6 @@ __all__ = [
     "has_cartesian_product",
     "single_partition_window_chains",
     "fact_scan_counts",
+    "scan_read_widths",
     "plan_report",
 ]

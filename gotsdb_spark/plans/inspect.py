@@ -162,3 +162,21 @@ def fact_scan_counts(df: DataFrame) -> dict[str, int]:
         if t in _FACT_TABLES:
             counts[t] = counts.get(t, 0) + 1
     return counts
+
+
+def scan_read_widths(df: DataFrame) -> list[tuple[str, int]]:
+    """(table, columns-read) per parquet scan, from the formatted plan.
+
+    Pairs each scan's fixture-table name with its ReadSchema field
+    count — the column-pruning audit: a scan that reads every column of
+    a wide table for a narrow projection means pruning broke (at 100 TB
+    the difference between reading 2 of lineitem's 16 columns and all
+    16 is ~8x the IO).
+    """
+    plan = formatted_plan(df)
+    tables = re.findall(r"(\w+)\.parquet", plan)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    return [
+        (t, len([f for f in s.split(",") if f.strip()]))
+        for t, s in zip(tables, schemas)
+    ]

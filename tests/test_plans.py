@@ -737,6 +737,7 @@ def _registry_plan_sweep(spark):
         return _SWEEP_CACHE
     from gotsdb_spark.plans import (
         fact_scan_counts,
+        scan_read_widths,
         single_partition_window_chains,
     )
 
@@ -752,6 +753,7 @@ def _registry_plan_sweep(spark):
         out[name] = {
             "chains": single_partition_window_chains(df),
             "fact_scans": fact_scan_counts(df),
+            "scan_widths": scan_read_widths(df),
         }
     _SWEEP_CACHE = out
     return out
@@ -801,6 +803,43 @@ def test_no_repeated_fact_scans_full_registry(spark):
         f"plans re-deriving a fact subtree per reference: {offenders} — "
         "localCheckpoint(eager=False) the shared frame once (mirror the "
         "DuckDB oracle with MATERIALIZED CTEs)"
+    )
+
+
+def test_column_pruning_full_registry(spark):
+    """Sweep EVERY registered query's plan for a parquet scan that
+    reads the FULL width of a wide fixture table (> 6 columns) — at
+    100 TB an unpruned lineitem scan reads ~8x the IO of the typical
+    2-3 column projection, and pruning regressions are silent (results
+    stay correct). As of round 9 the registry has ZERO full-width wide
+    scans; this pins it."""
+    import pyarrow.parquet as pq
+
+    widths = {
+        t: len(pq.read_schema(f"{SF}/{t}.parquet").names)
+        for t in (
+            "lineitem",
+            "orders",
+            "customer",
+            "part",
+            "supplier",
+            "events",
+            "documents",
+            "embeddings",
+        )
+    }
+    offenders = {}
+    for name, m in _registry_plan_sweep(spark).items():
+        bad = [
+            (t, n)
+            for t, n in m["scan_widths"]
+            if t in widths and widths[t] > 6 and n >= widths[t]
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"full-width scans of wide tables: {offenders} — select the "
+        "needed columns before any operation that blocks pushdown"
     )
 
 
