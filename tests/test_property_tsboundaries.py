@@ -1,0 +1,228 @@
+"""Property-based differential testing of the round-1/2 time-series
+boundary semantics: the as-of tie rule (an error at EXACTLY the
+purchase timestamp is visible), the strict 30-minute session split
+(gap == 1800 s stays in-session), and the gap-fill spine/flag algebra.
+
+These operators predate the fuzzer convention; their oracles pin them
+at fixture shape, and these fuzz the tie/edge geometry the fixture
+rarely produces. Values are integral so double sums are exact and the
+Python mirrors compare with ==."""
+
+from __future__ import annotations
+
+import datetime
+from contextlib import contextmanager
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SF = "/root/testdata/sf0.001"  # ignored by the patched loader
+
+BASE = datetime.datetime(2025, 1, 1)
+
+
+@contextmanager
+def _patched(module, frame_by_table):
+    orig = module.load_table
+
+    def fake(spark_, name, sf_dir):
+        return frame_by_table[name]
+
+    module.load_table = fake
+    try:
+        yield
+    finally:
+        module.load_table = orig
+
+
+# ------------------------------------------------------------ as-of join
+
+asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # user
+        st.integers(min_value=0, max_value=40),  # minute offset — many ties
+        st.sampled_from(["purchase", "error", "view"]),
+        st.integers(min_value=0, max_value=9),  # value
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=asof_rows)
+def test_asof_join_fuzz(spark, rows):
+    """For every purchase, last_error_ts must be the max error ts <=
+    the purchase ts for that user — INCLUDING an error at exactly the
+    purchase timestamp (the is_left sort-key tie rule), and NULL when
+    no prior error exists."""
+    import gotsdb_spark.operators.timeseries as mod
+
+    data = [
+        (i, BASE + datetime.timedelta(minutes=m), u, t, float(v))
+        for i, (u, m, t, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double",
+    )
+    with _patched(mod, {"events": df}):
+        got = {
+            r["event_id"]: r
+            for r in mod.ts_asof_join_last_error(spark, SF).collect()
+        }
+    purchases = [
+        (i, u, m, v) for i, (u, m, t, v) in enumerate(rows) if t == "purchase"
+    ]
+    errors: dict = {}
+    for i, (u, m, t, v) in enumerate(rows):
+        if t == "error":
+            errors.setdefault(u, []).append(m)
+    assert set(got) == {i for i, *_ in purchases}, rows
+    for i, u, m, v in purchases:
+        eligible = [em for em in errors.get(u, []) if em <= m]
+        want = (
+            BASE + datetime.timedelta(minutes=max(eligible))
+            if eligible
+            else None
+        )
+        row = got[i]
+        assert row["user_id"] == u and row["value"] == float(v)
+        assert row["last_error_ts"] == want, rows
+
+
+# ---------------------------------------------------------- sessionize
+
+sess_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=2),  # user
+        # second offsets with values AT the 1800 s boundary reachable:
+        # multiples of 600 make exact 1800 gaps common
+        st.integers(min_value=0, max_value=12) .map(lambda k: k * 600),
+        st.integers(min_value=0, max_value=9),  # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=sess_rows)
+def test_sessionize_fuzz(spark, rows):
+    """Session splits are STRICTLY gap > 1800 s: a gap of exactly
+    1800 s continues the session. The (ts, event_id) tie-break orders
+    duplicate timestamps; counts, bounds, and integral value sums must
+    match the sequential walk."""
+    import gotsdb_spark.operators.timeseries as mod
+
+    data = [
+        (i, BASE + datetime.timedelta(seconds=s), u, "view", float(v))
+        for i, (u, s, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double",
+    )
+    with _patched(mod, {"events": df}):
+        got = {
+            (r["user_id"], r["session_id"]): r
+            for r in mod.ts_sessionize_users(spark, SF).collect()
+        }
+    per_user: dict = {}
+    for i, (u, s, v) in enumerate(rows):
+        per_user.setdefault(u, []).append((s, i, v))
+    want = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        sid = 0
+        prev = None
+        cur: list = []
+        for s, i, v in evs:
+            if prev is None or s - prev > 1800:
+                if cur:
+                    want[(u, sid)] = cur
+                sid += 1
+                cur = []
+            cur.append((s, v))
+            prev = s
+        want[(u, sid)] = cur
+    assert set(got) == set(want), rows
+    for key, evs in want.items():
+        row = got[key]
+        assert row["n_events"] == len(evs), rows
+        assert row["session_start"] == BASE + datetime.timedelta(
+            seconds=min(s for s, _ in evs)
+        )
+        assert row["session_end"] == BASE + datetime.timedelta(
+            seconds=max(s for s, _ in evs)
+        )
+        assert row["session_value"] == float(sum(v for _, v in evs)), rows
+
+
+# ------------------------------------------------------------- gap fill
+
+gap_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=0, max_value=12),  # day
+        st.integers(min_value=0, max_value=9),  # value
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=gap_rows)
+def test_gap_fill_fuzz(spark, rows):
+    """The dense spine must span the GLOBAL [min, max] day range for
+    every type (a type with no events on the global min/max days still
+    gets those spine rows), zero-fill exactly the missing days, and
+    flag them — single-day ranges and types absent from range edges
+    are the boundary."""
+    import gotsdb_spark.operators.timeseries as mod
+
+    data = [
+        (i, BASE + datetime.timedelta(days=d, hours=3), t, float(v))
+        for i, (t, d, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id bigint, ts timestamp, event_type string, value double"
+    )
+    with _patched(mod, {"events": df}):
+        got = {
+            (r["event_type"], r["day"]): r
+            for r in mod.ts_gap_fill_daily(spark, SF).collect()
+        }
+    lo = min(d for _, d, _ in rows)
+    hi = max(d for _, d, _ in rows)
+    daily: dict = {}
+    for t, d, v in rows:
+        daily[(t, d)] = daily.get((t, d), 0) + v
+    types = {t for t, _, _ in rows}
+    want = {}
+    for t in types:
+        for d in range(lo, hi + 1):
+            day = BASE + datetime.timedelta(days=d)
+            want[(t, day)] = (
+                float(daily.get((t, d), 0)),
+                (t, d) not in daily,
+            )
+    assert set(got) == set(want), rows
+    for key, (val, gap) in want.items():
+        assert got[key]["day_value"] == val, rows
+        assert got[key]["was_gap"] == gap, rows
