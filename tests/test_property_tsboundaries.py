@@ -226,3 +226,135 @@ def test_gap_fill_fuzz(spark, rows):
     for key, (val, gap) in want.items():
         assert got[key]["day_value"] == val, rows
         assert got[key]["was_gap"] == gap, rows
+
+
+# ------------------------------------------------------- counter resets
+
+ctr_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=2),  # user (series key part)
+        st.sampled_from(["cpu", "mem"]),  # event_type
+        st.integers(min_value=0, max_value=30),  # minute offset
+        st.integers(min_value=0, max_value=20),  # counter value
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=ctr_rows)
+def test_counter_rate_fuzz(spark, rows):
+    """PromQL reset semantics: a NEGATIVE delta contributes the current
+    value (restart-from-zero), delta zero contributes zero, the first
+    sample of a series contributes zero — and resets are counted.
+    Random walks that go backwards often are exactly the shape the
+    monotone fixture counter never produces."""
+    import gotsdb_spark.operators.timeseries as mod
+
+    data = [
+        (i, BASE + datetime.timedelta(minutes=m), u, t, float(v))
+        for i, (u, t, m, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double",
+    )
+    with _patched(mod, {"events": df}):
+        got = {
+            (r["event_type"], r["day"]): r
+            for r in mod.ts_counter_rate(spark, SF).collect()
+        }
+    series: dict = {}
+    for i, (u, t, m, v) in enumerate(rows):
+        series.setdefault((u, t), []).append((m, i, v))
+    per_day: dict = {}
+    for (u, t), evs in series.items():
+        evs.sort()
+        prev = None
+        for m, i, v in evs:
+            day = BASE  # all offsets are < 1 day
+            key = (t, day)
+            n, resets, micros = per_day.get(key, (0, 0, 0))
+            if prev is None:
+                c, r = 0, 0
+            elif v - prev < 0:
+                c, r = v, 1
+            elif v - prev == 0:
+                c, r = 0, 0
+            else:
+                c, r = v - prev, 0
+            per_day[key] = (n + 1, resets + r, micros + 1_000_000 * c)
+            prev = v
+    assert set(got) == set(per_day), rows
+    for key, (n, resets, micros) in per_day.items():
+        row = got[key]
+        assert row["n_samples"] == n, rows
+        assert row["n_resets"] == resets, rows
+        assert row["increase_micros"] == micros, rows
+
+
+# --------------------------------------------------------- M4 downsample
+
+m4_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["cpu", "mem"]),
+        st.integers(min_value=0, max_value=50_400),  # seconds: ~2.3 buckets
+        st.integers(min_value=0, max_value=9),  # value — heavy ties
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=m4_rows)
+def test_m4_downsample_fuzz(spark, rows):
+    """Per (type, 6 h bucket): min, max, and the (ts, event_id)-ordered
+    first/last values must match the sequential walk — duplicate
+    timestamps where event_id alone decides first/last are the tie
+    geometry under test."""
+    import gotsdb_spark.operators.timeseries as mod
+
+    data = [
+        (i, BASE + datetime.timedelta(seconds=s), t, float(v))
+        for i, (t, s, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id bigint, ts timestamp, event_type string, value double"
+    )
+    with _patched(mod, {"events": df}):
+        got = {
+            (r["event_type"], r["bucket_start"]): r
+            for r in mod.ts_m4_downsample(spark, SF).collect()
+        }
+    epoch = int(BASE.timestamp())
+    buckets: dict = {}
+    for i, (t, s, v) in enumerate(rows):
+        bsec = (epoch + s) // 21600 * 21600
+        buckets.setdefault((t, bsec), []).append((s, i, v))
+    want = {}
+    for (t, bsec), evs in buckets.items():
+        evs.sort()
+        want[(t, datetime.datetime.fromtimestamp(bsec))] = (
+            len(evs),
+            min(v for _, _, v in evs),
+            max(v for _, _, v in evs),
+            evs[0][2],
+            evs[-1][2],
+        )
+    assert set(got) == set(want), rows
+    for key, (n, vmin, vmax, first, last) in want.items():
+        row = got[key]
+        assert row["n"] == n, rows
+        assert (row["v_min"], row["v_max"]) == (vmin, vmax)
+        assert (row["first_value"], row["last_value"]) == (first, last), rows
