@@ -387,7 +387,7 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_linear_interpolate",
     oracle="""
     WITH samples AS (
-      SELECT ts, value FROM events WHERE event_type = 'purchase'
+      SELECT ts, value, event_id FROM events WHERE event_type = 'purchase'
     ), bounds AS (
       SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
       FROM samples
@@ -395,19 +395,19 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(g.t AS TIMESTAMP) AS gt
       FROM bounds, unnest(generate_series(bounds.lo, bounds.hi, INTERVAL 6 HOUR)) AS g(t)
     ), tagged AS (
-      SELECT gt AS ts, NULL AS value, 1 AS is_grid FROM grid
+      SELECT gt AS ts, NULL AS value, 1 AS is_grid, NULL AS event_id FROM grid
       UNION ALL
-      SELECT ts, value, 0 AS is_grid FROM samples
+      SELECT ts, value, 0 AS is_grid, event_id FROM samples
     ), flanked AS (
       SELECT ts, value, is_grid,
              last_value(CASE WHEN is_grid = 0 THEN epoch(ts) END IGNORE NULLS)
-               OVER (ORDER BY ts, is_grid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+               OVER (ORDER BY ts, is_grid, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
              last_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
-               OVER (ORDER BY ts, is_grid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+               OVER (ORDER BY ts, is_grid, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
              first_value(CASE WHEN is_grid = 0 THEN epoch(ts) END IGNORE NULLS)
-               OVER (ORDER BY ts, is_grid ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1,
+               OVER (ORDER BY ts, is_grid, event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1,
              first_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
-               OVER (ORDER BY ts, is_grid ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1
+               OVER (ORDER BY ts, is_grid, event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1
       FROM tagged
     )
     SELECT ts AS grid_ts,
@@ -435,27 +435,39 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of collapsing to one task.
     """
     ev = load_table(spark, "events", sf_dir)
-    samples = ev.where(F.col("event_type") == "purchase").select("ts", "value")
+    samples = ev.where(F.col("event_type") == "purchase").select(
+        "ts", "value", "event_id"
+    )
     bounds = samples.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),
     )
     grid = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 6 HOUR"))).alias("ts")
-    ).select("ts", F.lit(None).cast("double").alias("value"), F.lit(1).alias("is_grid"))
+    ).select(
+        "ts",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("is_grid"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
     tagged = (
-        samples.select("ts", "value", F.lit(0).alias("is_grid"))
+        samples.select("ts", "value", F.lit(0).alias("is_grid"), "event_id")
         .unionByName(grid)
         .withColumn("day", F.date_trunc("day", "ts"))
     )
+    # event_id is the within-(ts, is_grid) tie-break: duplicate sample
+    # timestamps would otherwise make v0/v1 partition-order-dependent
+    # (fixture timestamps are unique, but the operator must not rely on
+    # it). Grid rows carry NULL event_id and are unique per ts, so the
+    # null never decides an ordering that matters.
     wb = (
         W.partitionBy("day")
-        .orderBy("ts", "is_grid")
+        .orderBy("ts", "is_grid", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     wf = (
         W.partitionBy("day")
-        .orderBy("ts", "is_grid")
+        .orderBy("ts", "is_grid", "event_id")
         .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
     sample_t = F.when(F.col("is_grid") == 0, F.col("ts").cast("double"))
@@ -474,9 +486,9 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flanking sample inherits the nearest one from an adjacent day.
     day_sum = samples.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.min(F.col("ts").cast("double")).alias("first_t"),
-        F.min_by("value", "ts").alias("first_v"),
+        F.min_by("value", F.struct("ts", "event_id")).alias("first_v"),
         F.max(F.col("ts").cast("double")).alias("last_t"),
-        F.max_by("value", "ts").alias("last_v"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("last_v"),
     )
     spine = tagged.select("day").distinct().join(day_sum, "day", "left")
     wprev = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)

@@ -358,3 +358,81 @@ def test_m4_downsample_fuzz(spark, rows):
         assert row["n"] == n, rows
         assert (row["v_min"], row["v_max"]) == (vmin, vmax)
         assert (row["first_value"], row["last_value"]) == (first, last), rows
+
+
+# ------------------------------------------------------- interpolation
+
+interp_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),  # hour offset — many ties
+        st.integers(min_value=0, max_value=9),  # value
+    ),
+    min_size=2,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pts=interp_rows)
+def test_linear_interpolate_fuzz(spark, pts):
+    """Grid interpolation must match the sequential mirror — with
+    DUPLICATE sample timestamps (the event_id tie-break: v0 takes the
+    max-event_id sample at t0, v1 the min-event_id sample at t1), a
+    sample exactly ON a grid point (interp == that sample), and
+    cross-day flank carry."""
+    import gotsdb_spark.operators.timeseries as mod
+
+    data = [
+        (i, BASE + datetime.timedelta(hours=h), "purchase", float(v))
+        for i, (h, v) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id bigint, ts timestamp, event_type string, value double"
+    )
+    with _patched(mod, {"events": df}):
+        got = {
+            r["grid_ts"]: r["interp"]
+            for r in mod.ts_linear_interpolate(spark, SF).collect()
+        }
+    # mirror: samples sorted by (ts, event_id); grid every 6h from
+    # trunc-hour(min) to trunc-hour(max)
+    samples = sorted(
+        (h * 3600, i, v) for i, (h, v) in enumerate(pts)
+    )  # seconds
+    lo = min(s for s, _, _ in samples) // 3600 * 3600
+    hi = max(s for s, _, _ in samples) // 3600 * 3600
+    want = {}
+    for g in range(lo, hi + 1, 21600):
+        before = [(s, i, v) for s, i, v in samples if s <= g]
+        after = [(s, i, v) for s, i, v in samples if s > g]
+        if not before:
+            continue
+        t0, _, v0 = before[-1]  # max (ts, event_id)
+        if g == t0:
+            # grid point coincides with a sample: forward window
+            # starts at the grid row, which sorts AFTER the equal-ts
+            # samples, so t1 is the next strictly-later sample
+            pass
+        if not after and t0 != g:
+            # no strictly-later sample and no equal-ts sample: t1 of
+            # the forward window is NULL -> row filtered
+            if t0 < g:
+                continue
+        if after:
+            t1, _, v1 = after[0]  # min (ts, event_id)
+        else:
+            # only reachable when t0 == g (equal-ts sample is its own
+            # backward flank); forward flank NULL -> filtered
+            continue
+        if t1 == t0:
+            interp = v0
+        else:
+            interp = v0 + (v1 - v0) * (g - t0) / (t1 - t0)
+        want[BASE + datetime.timedelta(seconds=g)] = interp
+    assert set(got) == set(want), pts
+    for k, v in want.items():
+        assert got[k] == v, (pts, k)
