@@ -921,14 +921,15 @@ def ts_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY ts, event_id) AS prev_type
       FROM events
     ), changes AS (
-      SELECT user_id, event_type, ts FROM ordered
+      SELECT user_id, event_type, ts, event_id FROM ordered
       WHERE prev_type IS NULL OR prev_type <> event_type
     )
     SELECT user_id, event_type,
            ts AS valid_from,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
-           CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                AS INT) AS is_current
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL AS INT) AS is_current
     FROM changes
     """,
 )
@@ -950,9 +951,13 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prev_type").isNull()
             | (F.col("prev_type") != F.col("event_type"))
         )
-        .select("user_id", "event_type", "ts")
+        .select("user_id", "event_type", "ts", "event_id")
     )
-    w2 = W.partitionBy("user_id").orderBy("ts")
+    # event_id tie-break: two change points at the SAME timestamp (two
+    # different-type events sharing a ts) would otherwise make lead(ts)
+    # order-dependent. Fixture timestamps are unique; the operator must
+    # not rely on it.
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
     valid_to = F.lead("ts").over(w2)
     return changes.select(
         "user_id",

@@ -436,3 +436,77 @@ def test_linear_interpolate_fuzz(spark, pts):
     assert set(got) == set(want), pts
     for k, v in want.items():
         assert got[k] == v, (pts, k)
+
+
+# ------------------------------------------------------------------ SCD2
+
+scd_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=2),  # user
+        st.integers(min_value=0, max_value=8),  # minute offset — many ties
+        st.sampled_from(["X", "Y"]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=scd_rows)
+def test_scd2_fuzz(spark, rows):
+    """Validity intervals must match the sequential (ts, event_id) run
+    walk — SAME-timestamp type flips (several change points sharing a
+    ts, closed by each other's identical valid_to) are the geometry the
+    event_id tie-break exists for."""
+    import gotsdb_spark.operators.timeseries as mod
+
+    data = [
+        (i, BASE + datetime.timedelta(minutes=m), u, t)
+        for i, (u, m, t) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    with _patched(mod, {"events": df}):
+        got = sorted(
+            (
+                r["user_id"],
+                r["valid_from"],
+                r["event_type"],
+                r["valid_to"],
+                r["is_current"],
+            )
+            for r in mod.scd2_user_event_history(spark, SF).collect()
+        )
+    per_user: dict = {}
+    for i, (u, m, t) in enumerate(rows):
+        per_user.setdefault(u, []).append((m, i, t))
+    want = []
+    for u, evs in per_user.items():
+        evs.sort()
+        changes = []
+        prev = None
+        for m, i, t in evs:
+            if prev is None or t != prev:
+                changes.append((m, i, t))
+            prev = t
+        for k, (m, i, t) in enumerate(changes):
+            nxt = (
+                BASE + datetime.timedelta(minutes=changes[k + 1][0])
+                if k + 1 < len(changes)
+                else None
+            )
+            want.append(
+                (
+                    u,
+                    BASE + datetime.timedelta(minutes=m),
+                    t,
+                    nxt,
+                    1 if nxt is None else 0,
+                )
+            )
+    assert got == sorted(want), rows
