@@ -751,11 +751,17 @@ def ts_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
     viewed = F.col("t_view").isNotNull()
     clicked = F.col("t_view") < F.col("t_click")
     full = clicked & (F.col("t_click") < F.col("t_buy"))
+    # when(...).otherwise(0) mirrors the oracle's CASE ... ELSE 0: a
+    # NULL stage comparison counts as 0, so a cohort where NO user
+    # reaches a stage still reports 0, not NULL (sum over an all-NULL
+    # cast returns NULL — the funnel fuzzer caught the divergence).
     return firsts.agg(
         F.count("*").alias("n_users"),
-        F.sum(viewed.cast("int")).cast("long").alias("n_viewed"),
-        F.sum(clicked.cast("int")).cast("long").alias("n_clicked_after_view"),
-        F.sum(full.cast("int")).cast("long").alias("n_full_funnel"),
+        F.sum(F.when(viewed, 1).otherwise(0)).cast("long").alias("n_viewed"),
+        F.sum(F.when(clicked, 1).otherwise(0))
+        .cast("long")
+        .alias("n_clicked_after_view"),
+        F.sum(F.when(full, 1).otherwise(0)).cast("long").alias("n_full_funnel"),
     )
 
 

@@ -510,3 +510,176 @@ def test_scd2_fuzz(spark, rows):
                 )
             )
     assert got == sorted(want), rows
+
+
+# ------------------------------------------------------------- funnel
+
+fun_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),  # user
+        st.integers(min_value=0, max_value=6),  # minute — ties frequent
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=fun_rows)
+def test_funnel_fuzz(spark, rows):
+    """Stage gating is STRICT first-occurrence ordering: a first view
+    at exactly the first click's timestamp does NOT count as
+    clicked-after-view, and a missing stage NULLs the chain — the
+    simultaneous-stage geometry under test."""
+    import gotsdb_spark.operators.timeseries as mod
+
+    data = [
+        (i, BASE + datetime.timedelta(minutes=m), u, t)
+        for i, (u, m, t) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    with _patched(mod, {"events": df}):
+        row = mod.ts_funnel_view_click_purchase(spark, SF).collect()[0]
+    firsts: dict = {}
+    for u, m, t in rows:
+        key = (u, t)
+        firsts[key] = min(firsts.get(key, m), m)
+    users = {u for u, _, _ in rows}
+    n_viewed = n_clicked = n_full = 0
+    for u in users:
+        tv = firsts.get((u, "view"))
+        tc = firsts.get((u, "click"))
+        tb = firsts.get((u, "purchase"))
+        if tv is not None:
+            n_viewed += 1
+        clicked = tv is not None and tc is not None and tv < tc
+        if clicked:
+            n_clicked += 1
+        if clicked and tb is not None and tc < tb:
+            n_full += 1
+    assert row["n_users"] == len(users), rows
+    assert row["n_viewed"] == n_viewed, rows
+    assert row["n_clicked_after_view"] == n_clicked, rows
+    assert row["n_full_funnel"] == n_full, rows
+
+
+# ----------------------------------------------------------- retention
+
+ret_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),  # user
+        st.integers(min_value=0, max_value=10),  # day
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=ret_rows)
+def test_retention_fuzz(spark, rows):
+    """(cohort_day, day_offset) counts must match the Python mirror —
+    day 0 membership equals cohort size, multiple same-day events
+    collapse to one active row."""
+    import gotsdb_spark.operators.timeseries as mod
+
+    data = [
+        (i, BASE + datetime.timedelta(days=d, hours=5), u, "view")
+        for i, (u, d) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    with _patched(mod, {"events": df}):
+        got = {
+            (r["cohort_day"], r["day_offset"]): r["n_active"]
+            for r in mod.ts_retention_cohorts(spark, SF).collect()
+        }
+    cohort = {}
+    active = set()
+    for u, d in rows:
+        cohort[u] = min(cohort.get(u, d), d)
+        active.add((u, d))
+    want: dict = {}
+    for u, d in active:
+        key = (BASE + datetime.timedelta(days=cohort[u]), d - cohort[u])
+        want[key] = want.get(key, 0) + 1
+    assert got == want, rows
+    # day-0 sanity: every cohort's offset-0 count equals its size
+    sizes: dict = {}
+    for u, c in cohort.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    for c, n in sizes.items():
+        assert got[(BASE + datetime.timedelta(days=c), 0)] == n
+
+
+# ------------------------------------------------------------- streaks
+
+streak_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # user
+        st.integers(min_value=0, max_value=12),  # day
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=streak_rows)
+def test_streaks_fuzz(spark, rows):
+    """The gaps-and-islands histogram must match the sequential
+    consecutive-run walk — adjacent days merge, a 1-day gap splits,
+    duplicate same-day events never lengthen a streak."""
+    import gotsdb_spark.operators.timeseries as mod
+
+    data = [
+        (i, BASE + datetime.timedelta(days=d, hours=2), u, "view")
+        for i, (u, d) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    with _patched(mod, {"events": df}):
+        got = {
+            r["streak_days"]: (r["n_streaks"], r["n_users"])
+            for r in mod.ts_activity_streaks(spark, SF).collect()
+        }
+    per_user: dict = {}
+    for u, d in rows:
+        per_user.setdefault(u, set()).add(d)
+    hist: dict = {}
+    users_by_len: dict = {}
+    for u, ds in per_user.items():
+        sd = sorted(ds)
+        run = 1
+        runs = []
+        for a, b in zip(sd, sd[1:]):
+            if b == a + 1:
+                run += 1
+            else:
+                runs.append(run)
+                run = 1
+        runs.append(run)
+        for r in runs:
+            hist[r] = hist.get(r, 0) + 1
+            users_by_len.setdefault(r, set()).add(u)
+    want = {
+        r: (n, len(users_by_len[r])) for r, n in hist.items()
+    }
+    assert got == want, rows
