@@ -355,7 +355,7 @@ def ts_range_join_event_order_day(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     SELECT user_id,
            sum(value * (epoch(next_ts) - epoch(ts)))
-             / sum(epoch(next_ts) - epoch(ts)) AS twa
+             / NULLIF(sum(epoch(next_ts) - epoch(ts)), 0) AS twa
     FROM pts
     WHERE next_ts IS NOT NULL
     GROUP BY user_id
@@ -378,8 +378,14 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead(F.col("ts").cast("double")).over(w).alias("next_t"),
     ).where(F.col("next_t").isNotNull())
     dur = F.col("next_t") - F.col("t")
+    # NULLIF guards the degenerate all-samples-at-one-instant user:
+    # sum(dur) = 0 would raise ANSI divide-by-zero and kill the whole
+    # query (one pathological series must not fail a 100 TB job); the
+    # oracle mirrors with NULLIF so both engines report NULL.
     return pts.groupBy("user_id").agg(
-        (F.sum(F.col("value") * dur) / F.sum(dur)).alias("twa")
+        (
+            F.sum(F.col("value") * dur) / F.nullif(F.sum(dur), F.lit(0.0))
+        ).alias("twa")
     )
 
 

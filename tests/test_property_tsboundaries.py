@@ -683,3 +683,124 @@ def test_streaks_fuzz(spark, rows):
         r: (n, len(users_by_len[r])) for r, n in hist.items()
     }
     assert got == want, rows
+
+
+# ------------------------------------------------------ origin buckets
+
+tb_rows = st.lists(
+    st.tuples(
+        # seconds relative to 2023-06-01 — BEFORE the 2024-01-01 00:15
+        # bucket origin, so negative epoch-diffs floor toward -inf
+        st.integers(min_value=0, max_value=40_000_000),
+        st.sampled_from(["cpu", "mem"]),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+_TB_BASE = datetime.datetime(2023, 6, 1)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=tb_rows)
+def test_time_bucket_origin_fuzz(spark, rows):
+    """Arbitrary-origin bucketing must floor toward -infinity for
+    timestamps BEFORE the origin (negative epoch diffs — the case
+    date_trunc never sees and truncate-toward-zero silently breaks);
+    counts and integer-micro sums per bucket must match the mirror."""
+    import gotsdb_spark.operators.timeseries as mod
+
+    data = [
+        (i, _TB_BASE + datetime.timedelta(seconds=s), t, float(v))
+        for i, (s, t, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id bigint, ts timestamp, event_type string, value double"
+    )
+    with _patched(mod, {"events": df}):
+        got = {
+            (r["bucket_start"], r["event_type"]): (r["n"], r["value_micros"])
+            for r in mod.ts_time_bucket_origin(spark, SF).collect()
+        }
+    origin, width = mod._TB_ORIGIN, mod._TB_WIDTH
+    epoch0 = int(_TB_BASE.replace(tzinfo=datetime.timezone.utc).timestamp())
+    want: dict = {}
+    for s, t, v in rows:
+        e = epoch0 + s
+        b = origin + (e - origin) // width * width  # Python // floors
+        key = (
+            datetime.datetime.fromtimestamp(b, tz=datetime.timezone.utc)
+            .replace(tzinfo=None),
+            t,
+        )
+        n, m = want.get(key, (0, 0))
+        want[key] = (n + 1, m + v * 1_000_000)
+    assert got == want, rows
+
+
+# ------------------------------------------------- time-weighted average
+
+twa_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=2),  # user
+        st.integers(min_value=0, max_value=50),  # second offset — ties
+        st.integers(min_value=0, max_value=9),  # value (integral -> exact)
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=twa_rows)
+def test_time_weighted_avg_fuzz(spark, rows):
+    """Each sample is weighted by its holding duration under the
+    (ts, event_id) total order — duplicate timestamps give zero-width
+    holdings whose VALUE must not leak into the average, and which of
+    the tied samples carries the forward duration is decided by
+    event_id, not partition luck."""
+    import gotsdb_spark.operators.timeseries as mod
+
+    data = [
+        (i, BASE + datetime.timedelta(seconds=s), u, "view", float(v))
+        for i, (u, s, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double",
+    )
+    with _patched(mod, {"events": df}):
+        got = {
+            r["user_id"]: r["twa"]
+            for r in mod.ts_time_weighted_avg(spark, SF).collect()
+        }
+    per_user: dict = {}
+    for i, (u, s, v) in enumerate(rows):
+        per_user.setdefault(u, []).append((s, i, v))
+    want = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        num = den = 0
+        for (s, _, v), (s2, _, _) in zip(evs, evs[1:]):
+            num += v * (s2 - s)
+            den += s2 - s
+        if den > 0:
+            want[u] = num / den
+        elif len(evs) >= 2:
+            # all samples share one timestamp: sum(dur)=0 -> NULL/NaN
+            want[u] = None
+    # engines may render 0/0 as NULL or NaN; treat both as "no average"
+    got = {
+        u: (None if v is None or v != v else v) for u, v in got.items()
+    }
+    assert got == want, rows
