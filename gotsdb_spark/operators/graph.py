@@ -176,7 +176,8 @@ graph_pagerank_nations.__doc__ = graph_pagerank_nations.__doc__.format(
            (SELECT count(*) FROM deg) AS n_nodes,
            (SELECT n_triangles FROM tri) AS n_triangles,
            (SELECT n_wedges FROM wedges) AS n_wedges,
-           3.0 * (SELECT n_triangles FROM tri) / (SELECT n_wedges FROM wedges)
+           3.0 * (SELECT n_triangles FROM tri)
+             / NULLIF((SELECT n_wedges FROM wedges), 0)
              AS clustering_coefficient
     """,
 )
@@ -244,9 +245,14 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nodes",
             "n_triangles",
             "n_wedges",
-            (3.0 * F.col("n_triangles") / F.col("n_wedges")).alias(
-                "clustering_coefficient"
-            ),
+            # NULLIF: a graph of disjoint single edges has zero wedges;
+            # ANSI divide-by-zero must not kill the query (both engines
+            # report NULL for the coefficient of a wedge-free graph).
+            (
+                3.0
+                * F.col("n_triangles")
+                / F.nullif(F.col("n_wedges"), F.lit(0))
+            ).alias("clustering_coefficient"),
         )
     )
 
