@@ -471,16 +471,25 @@ def test_scd2_fuzz(spark, rows):
     df = spark.createDataFrame(
         data, "event_id bigint, ts timestamp, user_id bigint, event_type string"
     )
+    def _key(t):
+        # valid_to may be None (open interval): sort None first so rows
+        # that tie on (user, from, type) — same-ts same-type changes —
+        # still order totally
+        return (t[0], t[1], t[2], t[3] is not None, t[3] or BASE, t[4])
+
     with _patched(mod, {"events": df}):
         got = sorted(
             (
-                r["user_id"],
-                r["valid_from"],
-                r["event_type"],
-                r["valid_to"],
-                r["is_current"],
-            )
-            for r in mod.scd2_user_event_history(spark, SF).collect()
+                (
+                    r["user_id"],
+                    r["valid_from"],
+                    r["event_type"],
+                    r["valid_to"],
+                    r["is_current"],
+                )
+                for r in mod.scd2_user_event_history(spark, SF).collect()
+            ),
+            key=_key,
         )
     per_user: dict = {}
     for i, (u, m, t) in enumerate(rows):
@@ -509,7 +518,7 @@ def test_scd2_fuzz(spark, rows):
                     1 if nxt is None else 0,
                 )
             )
-    assert got == sorted(want), rows
+    assert got == sorted(want, key=_key), rows
 
 
 # ------------------------------------------------------------- funnel
