@@ -627,18 +627,24 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare junk score high, fluent in-distribution text scores low.
     This is the KenLM-style filter of pretraining pipelines reduced
     to its Spark-native core: one vocabulary groupBy (map-side
-    combinable), the frequency table broadcast back onto the token
+    combinable), the frequency table joined back onto the token
     stream, and a per-doc integer sum — token NLLs are scaled to 1e-6
     integers BEFORE summing, so accumulation order is irrelevant.
-    At 100 TB the vocabulary table is the only broadcast state and
-    the shuffle carries (doc, token-count) pairs.
+    The frequency join is deliberately NOT hinted: a whitespace
+    tokenization of a 100 TB web corpus has a heavy-tailed vocabulary
+    in the billions of distinct tokens (typos, URLs, numbers), so the
+    count table grows with the corpus and must never be forced
+    through the 8 GB broadcast ceiling — same reasoning as the bigram
+    sibling (text_bigram_logprob). AQE picks broadcast at small SF
+    and sort-merge at scale. The only broadcast state is the 1-row
+    corpus total.
     """
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     freq = toks.groupBy("w").agg(F.count("*").alias("c"))
     tot = freq.agg(F.sum("c").cast("long").alias("total"))
     nll = (
-        toks.join(F.broadcast(freq), "w")
+        toks.join(freq, "w")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",

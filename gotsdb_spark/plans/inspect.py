@@ -142,6 +142,40 @@ def plan_report(df: DataFrame) -> dict:
 
 _FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
 
+# Node-detail blocks in EXPLAIN FORMATTED start with "(n) <NodeName>".
+_NODE_HEADER = re.compile(r"^\(\d+\) (.+?)\s*$", re.MULTILINE)
+
+
+def _scan_blocks(plan: str) -> list[tuple[str, str]]:
+    """(table, detail-block-text) per parquet Scan node.
+
+    The formatted plan puts each scan's file path on its own
+    ``Location:`` line INSIDE the node's detail block — never on the
+    ``(n) Scan parquet`` header line itself — so any single-line regex
+    over the whole plan silently matches nothing. Parse per-block: slice
+    the detail section at ``(n) Header`` boundaries, keep blocks whose
+    header starts with ``Scan parquet``, and take the table name from
+    the last path component of that block's Location. Partitioned
+    warehouse layouts scan a DIRECTORY (``.../events_dt``, no
+    ``.parquet`` suffix); strip the ``_dt`` layout suffix so those scans
+    map back to the logical table and participate in the audits.
+    """
+    headers = list(_NODE_HEADER.finditer(plan))
+    out: list[tuple[str, str]] = []
+    for i, h in enumerate(headers):
+        if not h.group(1).startswith("Scan parquet"):
+            continue
+        end = headers[i + 1].start() if i + 1 < len(headers) else len(plan)
+        block = plan[h.end():end]
+        loc = re.search(r"Location:[^\n]*?\[([^\]]*)\]", block)
+        table = ""
+        if loc:
+            last = loc.group(1).rstrip("/").split("/")[-1]
+            table = re.sub(r"\.parquet$", "", last)
+            table = re.sub(r"_dt$", "", table)
+        out.append((table, block))
+    return out
+
 
 def fact_scan_counts(df: DataFrame) -> dict[str, int]:
     """Parquet Scan nodes per FACT table in the formatted plan.
@@ -155,10 +189,7 @@ def fact_scan_counts(df: DataFrame) -> dict[str, int]:
     free at any scale.
     """
     counts: dict[str, int] = {}
-    for m in re.finditer(
-        r"Scan parquet[^\n]*?(\w+)\.parquet", formatted_plan(df)
-    ):
-        t = m.group(1)
+    for t, _ in _scan_blocks(formatted_plan(df)):
         if t in _FACT_TABLES:
             counts[t] = counts.get(t, 0) + 1
     return counts
@@ -171,12 +202,14 @@ def scan_read_widths(df: DataFrame) -> list[tuple[str, int]]:
     count — the column-pruning audit: a scan that reads every column of
     a wide table for a narrow projection means pruning broke (at 100 TB
     the difference between reading 2 of lineitem's 16 columns and all
-    16 is ~8x the IO).
+    16 is ~8x the IO). Location and ReadSchema are taken from the SAME
+    node block, so a plan mixing file scans with the partitioned
+    events_dt directory layout cannot shift widths onto the wrong
+    tables.
     """
-    plan = formatted_plan(df)
-    tables = re.findall(r"(\w+)\.parquet", plan)
-    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-    return [
-        (t, len([f for f in s.split(",") if f.strip()]))
-        for t, s in zip(tables, schemas)
-    ]
+    out: list[tuple[str, int]] = []
+    for t, block in _scan_blocks(formatted_plan(df)):
+        m = re.search(r"ReadSchema: struct<([^>]*)>", block)
+        fields = [f for f in m.group(1).split(",") if f.strip()] if m else []
+        out.append((t, len(fields)))
+    return out

@@ -31,11 +31,6 @@ TABLES = (
     "embeddings",
 )
 
-# Small dimensions that should always be broadcast in star joins. At any
-# realistic scale factor these stay tiny (region=5, nation=25 rows) or
-# grow far slower than the fact tables.
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "customer", "part"})
-
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Where dt-partitioned warehouse copies of the fixture tables live. The

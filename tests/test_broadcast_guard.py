@@ -16,12 +16,18 @@ Categories used in the allowlist:
   dim        — nation (25) / region (5), fixed by the data model
   grid       — bounded by a value grid or category domain (event types,
                languages, flags, day/date spine, #partitions, k-row
-               probe/query/config sets), not by row count
+               probe/query/config sets, query-term-filtered postings),
+               not by row count
   sketch     — fixed-size sketch state (bitset words, codebooks,
                centroids, LUTs, count-min counters, KMV registers)
-  vocab      — token vocabulary (sublinear in corpus, documented in the
-               op's docstring)
   stream-dim — documented per-batch stream-static enrichment pattern
+
+The former "vocab" category (token vocabulary, "sublinear in corpus")
+is retired: a whitespace vocabulary of a web corpus is heavy-tailed and
+grows into the billions of distinct tokens — not actually bounded. Its
+two members were reclassified: text_bm25_topk's df is query-term
+filtered (bounded by the fixed query set → grid); text_unigram_logprob
+now joins its corpus-sized frequency table plainly and lets AQE choose.
 """
 
 from __future__ import annotations
@@ -128,9 +134,8 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/statistics.py", "stats_brown_forsythe", "med"): "grid",
     ("operators/statistics.py", "stats_brown_forsythe", "med_wide"): "scalar",
     ("operators/text.py", "text_tfidf_top_term", "n"): "scalar",
-    ("operators/text.py", "text_bm25_topk", "df"): "vocab",
+    ("operators/text.py", "text_bm25_topk", "df"): "grid",
     ("operators/text.py", "text_bm25_topk", "stats"): "scalar",
-    ("operators/text.py", "text_unigram_logprob", "freq"): "vocab",
     ("operators/text.py", "text_unigram_logprob", "tot"): "scalar",
     ("operators/text.py", "text_token_drift_snapshots", "totals"): "grid",
     ("operators/text.py", "text_rrf_fusion", "qv"): "grid",
@@ -220,7 +225,7 @@ def test_no_growth_coupled_forced_broadcasts():
     assert not unknown, (
         "Unclassified F.broadcast site(s). A forced broadcast is only "
         "allowed on a provably bounded frame (scalar/dim/grid/sketch/"
-        "vocab/stream-dim) — never on a frame derived row-per-row from "
+        "stream-dim) — never on a frame derived row-per-row from "
         f"{GROWTH_TABLES}. Classify in tests/test_broadcast_guard.py "
         "or drop the hint and let AQE choose:\n" + "\n".join(unknown)
     )
