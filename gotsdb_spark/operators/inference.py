@@ -55,10 +55,19 @@ def ks_dnum_by_group(pts: DataFrame) -> DataFrame:
     test (tests/test_property_inference.py), so the construction under
     test is the construction that ships. See stats_ks_priority_price
     for the numeric and scale rationale.
+
+    ONE pass over the fact frame builds the (prio, v) dictionary
+    (map-side combinable), localCheckpointed so the per-value totals
+    and the priority domain derive from it instead of re-scanning the
+    fact table (3 scans before the round-10 audit fix).
     """
-    cnt = pts.groupBy("prio", "v").agg(F.count("*").alias("cin"))
-    tot = pts.groupBy("v").agg(F.count("*").alias("ctot"))
-    prios = pts.select("prio").distinct()
+    cnt = (
+        pts.groupBy("prio", "v")
+        .agg(F.count("*").alias("cin"))
+        .localCheckpoint(eager=False)
+    )
+    tot = cnt.groupBy("v").agg(F.sum("cin").alias("ctot"))
+    prios = cnt.select("prio").distinct()
     grid = (
         tot.crossJoin(F.broadcast(prios))
         .join(cnt, ["prio", "v"], "left")
@@ -653,7 +662,10 @@ def ts_cross_correlation_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense hour grid comes from exploding sequence(min,max) off a 1-row
     bounds frame; lag alignment is an equi-join of the grid against
     itself on h+lag with the 7-row lag frame broadcast. Everything
-    after the first shuffle is O(hours), not O(events).
+    after the first shuffle is O(hours), not O(events) — and the
+    hourly frame is localCheckpointed so bounds, the grid fill, and
+    both join sides share ONE events pass (4 scans before the
+    round-10 audit fix).
     """
     ev = load_table(spark, "events", sf_dir)
     hourly = (
@@ -671,6 +683,7 @@ def ts_cross_correlation_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("y"),
         )
+        .localCheckpoint(eager=False)
     )
     bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     grid = (
@@ -884,12 +897,21 @@ def stats_association_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     on exact integer counts and floored to an e6/e9 integer BEFORE its
     sum, so cross-engine float order cannot flip a digit. V's sqrt and
     U's integer ratio happen once on those integer sums. Everything
-    past the first shuffle is O(|flag|×|status|) cells.
+    past the first shuffle is O(|flag|×|status|) cells — and the cell
+    table is localCheckpointed so the five consumers (both margins,
+    the grand totals, χ², H(X|Y)) share ONE lineitem pass instead of
+    re-deriving the groupBy per reference (the fixed round-10 scan
+    audit showed 10 lineitem scans here; at 100 TB that is 10× the IO
+    of the single pass the math needs).
     """
     li = load_table(spark, "lineitem", sf_dir)
-    cells = li.groupBy(
-        F.col("l_returnflag").alias("f"), F.col("l_linestatus").alias("s")
-    ).agg(F.count("*").alias("c"))
+    cells = (
+        li.groupBy(
+            F.col("l_returnflag").alias("f"), F.col("l_linestatus").alias("s")
+        )
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     mf = cells.groupBy("f").agg(F.sum("c").cast("long").alias("cf"))
     ms = cells.groupBy("s").agg(F.sum("c").cast("long").alias("cs"))
     g = cells.agg(
@@ -1038,10 +1060,15 @@ def stats_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     length dictionary via dist_rank (no global window); decile
     assignment is a broadcast 9-edge comparison.
 
-    Scale: cells are |sources|·|langs| + 10·|langs| rows past two
-    map-side-combinable groupBys; everything downstream is
-    cell-bounded. The same template extends to any feature audit —
-    swap the x column.
+    Scale: ONE documents pass builds the (source, lang, n_chars)
+    base dictionary (map-side combinable; |sources|·|langs|·|distinct
+    lengths| rows — tiny next to the corpus), which is
+    localCheckpointed and feeds every downstream consumer: the grand
+    total, the length dictionary for decile edges, both feature cell
+    tables, and H(lang). Before round 10 each consumer re-scanned
+    documents (9 scans in the plan audit); now everything past the
+    single pass is dictionary-bounded. The same template extends to
+    any feature audit — swap the x column.
     """
     from gotsdb_spark.operators.distrank import (
         decile_bin_col,
@@ -1051,25 +1078,29 @@ def stats_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select(
         "lang", "source", "n_chars"
     )
-    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    dic = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    base = (
+        docs.groupBy("source", "lang", "n_chars")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = base.agg(F.sum("c").cast("long").alias("n"))
+    dic = base.groupBy("n_chars").agg(F.sum("c").alias("c"))
     edges = dictionary_decile_edges(dic, "n_chars", "c", tot, "n")
     bin_col = decile_bin_col("n_chars")
-    feat = (
-        docs.select(
+    cells = (
+        base.groupBy(
             F.lit("source").alias("feature"),
             F.col("source").alias("x"),
             "lang",
-        )
+        ).agg(F.sum("c").cast("long").alias("cxl"))
     ).unionByName(
-        docs.crossJoin(F.broadcast(edges)).select(
+        base.crossJoin(F.broadcast(edges))
+        .groupBy(
             F.lit("length_decile").alias("feature"),
             bin_col.cast("string").alias("x"),
             "lang",
         )
-    )
-    cells = feat.groupBy("feature", "x", "lang").agg(
-        F.count(F.lit(1)).cast("long").alias("cxl")
+        .agg(F.sum("c").cast("long").alias("cxl"))
     )
     margx = cells.groupBy("feature", "x").agg(
         F.sum("cxl").cast("long").alias("cx")
@@ -1089,8 +1120,8 @@ def stats_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(term).cast("long").alias("h_cond_e9"))
     )
     hlang = (
-        docs.groupBy("lang")
-        .agg(F.count(F.lit(1)).cast("long").alias("cl"))
+        base.groupBy("lang")
+        .agg(F.sum("c").cast("long").alias("cl"))
         .crossJoin(F.broadcast(tot))
         .agg(
             F.sum(
@@ -1419,8 +1450,11 @@ def stats_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one map-side-combinable groupBy to the grid, two tiny
     marginal groupBys, one broadcast self-join of a <=550-row table,
-    one scalar aggregate. Nothing downstream of the first groupBy is
-    row-count-sized.
+    one scalar aggregate. The grid is localCheckpointed so its five
+    consumers (both self-join sides, both marginals, the total) share
+    ONE lineitem pass — the fixed round-10 scan audit caught the
+    un-checkpointed version re-scanning lineitem 5×. Nothing
+    downstream of the first groupBy is row-count-sized.
 
     Reference parity: the reference (j0shgrant/gotsdb) has no
     statistical surface (internal/storage/types.go:3); this is
@@ -1430,8 +1464,10 @@ def stats_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("bigint").alias("q"),
         F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint").alias("d"),
     )
-    cells = base.groupBy("q", "d").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    cells = (
+        base.groupBy("q", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
     a = cells.select(
         F.col("q").alias("qa"), F.col("d").alias("da"), F.col("c").alias("ca")

@@ -87,27 +87,38 @@ _FK_EDGES = [
 def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audit every FK edge of the star schema: row count, NULL FKs, orphans.
 
-    Each orphan count is a LEFT ANTI join of the fact's FK against the
-    dimension's (distinct, projected) key column. Dimensions broadcast
-    — at 100 TB the fact side never shuffles; the scan reads exactly
-    one column per audit (column pruning). The per-edge results are
-    one-row aggregates unioned into a seven-row report.
+    Each audit is ONE pass over the fact's FK column: a LEFT OUTER
+    join against the dimension's (distinct, projected) key column —
+    unhinted, so AQE broadcasts the genuinely small key sets
+    (nation/region/supplier) and falls back to sort-merge where the
+    "dimension" is itself growth-coupled (the lineitem→orders edge's
+    key set is orders-sized; forcing it through the 8 GB broadcast
+    ceiling would be the exact failure the broadcast guard exists to
+    stop) — then a
+    single aggregate counts rows, NULL FKs, and orphans (FK present,
+    no matching PK) together. The pre-round-10 shape ran a separate
+    anti-join pass and a separate count pass per edge (two fact scans
+    per audit, 6 lineitem scans total — the fixed scan audit caught
+    it). The per-edge results are one-row aggregates unioned into a
+    seven-row report.
     """
     out: DataFrame | None = None
     for name, fact_t, fk, dim_t, pk in _FK_EDGES:
         fact = load_table(spark, fact_t, sf_dir).select(fk)
         dim_keys = load_table(spark, dim_t, sf_dir).select(pk).distinct()
-        orphans = (
-            fact.where(F.col(fk).isNotNull())
-            .join(dim_keys, on=fact[fk] == dim_keys[pk], how="left_anti")
-            .agg(F.count("*").alias("orphans"))
-        )
-        base = fact.agg(
-            F.count("*").alias("fk_rows"),
-            F.count(F.when(F.col(fk).isNull(), 1)).alias("null_fks"),
-        )
         row = (
-            base.crossJoin(F.broadcast(orphans))
+            fact.join(
+                dim_keys,
+                on=fact[fk] == dim_keys[pk],
+                how="left",
+            )
+            .agg(
+                F.count("*").alias("fk_rows"),
+                F.count(F.when(F.col(fk).isNull(), 1)).alias("null_fks"),
+                F.count(
+                    F.when(F.col(fk).isNotNull() & F.col(pk).isNull(), 1)
+                ).alias("orphans"),
+            )
             .select(
                 F.lit(name).alias("relationship"), "fk_rows", "null_fks", "orphans"
             )
@@ -710,52 +721,65 @@ def quality_snapshot_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer before any summation, so the total PSI is an exact integer
     sum downstream.
 
-    Scale: one groupBy to the length dictionary, two linear dist_rank
-    shuffles over it, one broadcast of 9 edges, one (snap, bin)
-    aggregation. Nothing data-sized crosses a single executor.
+    Scale: ONE documents pass builds the (snapshot, n_chars)
+    dictionary (map-side combinable, saturating length grid),
+    localCheckpointed so the snapshot totals, the reference-half
+    dictionary, and the binning all derive from it — the pre-round-10
+    shape re-scanned documents per consumer (3 scans in the fixed
+    audit). Two linear dist_rank shuffles over the dictionary, one
+    broadcast of 9 edges, one (snap, bin) aggregation. Nothing
+    data-sized crosses a single executor.
     """
     from gotsdb_spark.operators.distrank import (
         decile_bin_col,
         dictionary_decile_edges,
     )
 
-    docs = load_table(spark, "documents", sf_dir).select(
-        "n_chars",
-        (
-            F.expr("conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)")
-            .cast("bigint")
-            % 2
-        ).alias("s"),
+    base = (
+        load_table(spark, "documents", sf_dir)
+        .select(
+            "n_chars",
+            (
+                F.expr(
+                    "conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)"
+                )
+                .cast("bigint")
+                % 2
+            ).alias("s"),
+        )
+        .groupBy("s", "n_chars")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
-    tot = docs.agg(
-        F.sum(F.when(F.col("s") == 0, 1).otherwise(0))
+    tot = base.agg(
+        F.sum(F.when(F.col("s") == 0, F.col("c")).otherwise(0))
         .cast("long")
         .alias("na"),
-        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        F.sum(F.when(F.col("s") == 1, F.col("c")).otherwise(0))
         .cast("long")
         .alias("nb"),
     )
     dic = (
-        docs.where(F.col("s") == 0)
+        base.where(F.col("s") == 0)
         .groupBy("n_chars")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("c").alias("c"))
     )
     # Edges are quantiles of the REFERENCE half (n_col="na"), then both
     # halves are binned against them — that asymmetry is the PSI
     # definition, and why the helper takes `tot` separately from `dic`.
     edges = dictionary_decile_edges(dic, "n_chars", "c", tot, "na")
-    binned = docs.crossJoin(F.broadcast(edges)).select(
-        "s", decile_bin_col("n_chars").alias("bin")
+    binned = base.crossJoin(F.broadcast(edges)).select(
+        "s", decile_bin_col("n_chars").alias("bin"), "c"
     )
     spine = spark.range(1, 11).select(F.col("id").cast("int").alias("bin"))
     counts = (
         spine.join(binned, "bin", "left")
         .groupBy("bin")
         .agg(
-            F.coalesce(F.sum(F.when(F.col("s") == 0, 1)), F.lit(0))
+            F.coalesce(F.sum(F.when(F.col("s") == 0, F.col("c"))), F.lit(0))
             .cast("long")
             .alias("c_ref"),
-            F.coalesce(F.sum(F.when(F.col("s") == 1, 1)), F.lit(0))
+            F.coalesce(F.sum(F.when(F.col("s") == 1, F.col("c"))), F.lit(0))
             .cast("long")
             .alias("c_cur"),
         )
@@ -839,24 +863,28 @@ def quality_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame
     stats_information_gain convention), so per-source sums are exact
     integer additions in any order.
 
-    Scale: three map-side-combinable groupBys (cells, two marginals);
-    the spine is |sources| x |langs| — mixture-bounded, not data-sized;
-    marginals broadcast.
+    Scale: ONE map-side-combinable groupBy to the (source, lang) cell
+    table — |sources|·|langs| rows, mixture-bounded — which is
+    localCheckpointed and feeds both marginals and the grand total
+    (the pre-round-10 shape re-scanned documents for each of the four
+    aggregates); the spine is cell-sized, marginals broadcast.
 
     Reference parity: the reference (j0shgrant/gotsdb) has no
     aggregation surface (internal/storage/types.go:3); this is
     [TARGET] curation machinery.
     """
     docs = load_table(spark, "documents", sf_dir).select("source", "lang")
-    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    lmarg = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("cl")
+    cells = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("csl"))
+        .localCheckpoint(eager=False)
     )
-    smarg = docs.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("ns")
+    tot = cells.agg(F.sum("csl").cast("long").alias("n"))
+    lmarg = cells.groupBy("lang").agg(
+        F.sum("csl").cast("long").alias("cl")
     )
-    cells = docs.groupBy("source", "lang").agg(
-        F.count(F.lit(1)).cast("long").alias("csl")
+    smarg = cells.groupBy("source").agg(
+        F.sum("csl").cast("long").alias("ns")
     )
     spine = (
         smarg.crossJoin(F.broadcast(lmarg))
@@ -987,36 +1015,49 @@ def quality_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|sources| rows — Catalyst broadcasts it unhinted at any realistic
     source count).
 
-    Scale: one groupBy to the (source, n_chars) dictionary, one
-    dictionary-bounded partitioned window, one grid-sized edges join,
-    one (source, bin) aggregation. Nothing data-sized crosses a single
-    executor, and adding sources adds partitions, not skew.
+    Scale: ONE documents pass builds the (source, snapshot, n_chars)
+    dictionary (map-side combinable, saturating length grid),
+    localCheckpointed so the per-source totals, the reference-half
+    dictionary, and the binning all derive from it (the pre-round-10
+    shape re-scanned documents per consumer — 5 scans in the fixed
+    audit); then one dictionary-bounded partitioned window, one
+    grid-sized edges join, one (source, bin) aggregation. Nothing
+    data-sized crosses a single executor, and adding sources adds
+    partitions, not skew.
 
     Reference parity: the reference (j0shgrant/gotsdb) has no
     aggregation surface at all (internal/storage/types.go:3); this is
     [TARGET] data-quality machinery.
     """
-    docs = load_table(spark, "documents", sf_dir).select(
-        "source",
-        "n_chars",
-        (
-            F.expr("conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)")
-            .cast("bigint")
-            % 2
-        ).alias("s"),
+    base = (
+        load_table(spark, "documents", sf_dir)
+        .select(
+            "source",
+            "n_chars",
+            (
+                F.expr(
+                    "conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)"
+                )
+                .cast("bigint")
+                % 2
+            ).alias("s"),
+        )
+        .groupBy("source", "s", "n_chars")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
-    tot = docs.groupBy("source").agg(
-        F.sum(F.when(F.col("s") == 0, 1).otherwise(0))
+    tot = base.groupBy("source").agg(
+        F.sum(F.when(F.col("s") == 0, F.col("c")).otherwise(0))
         .cast("long")
         .alias("na"),
-        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        F.sum(F.when(F.col("s") == 1, F.col("c")).otherwise(0))
         .cast("long")
         .alias("nb"),
     )
     dic = (
-        docs.where(F.col("s") == 0)
+        base.where(F.col("s") == 0)
         .groupBy("source", "n_chars")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("c").alias("c"))
     )
     w = (
         W.partitionBy("source")
@@ -1040,8 +1081,8 @@ def quality_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_col = bin_col + F.when(
             F.col("n_chars") > F.col(f"e{k}"), 1
         ).otherwise(0)
-    binned = docs.join(edges, "source").select(
-        "source", "s", bin_col.alias("bin")
+    binned = base.join(edges, "source").select(
+        "source", "s", bin_col.alias("bin"), "c"
     )
     spine = tot.select("source").crossJoin(
         spark.range(1, 11).select(F.col("id").cast("int").alias("bin"))
@@ -1050,10 +1091,10 @@ def quality_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         spine.join(binned, ["source", "bin"], "left")
         .groupBy("source", "bin")
         .agg(
-            F.coalesce(F.sum(F.when(F.col("s") == 0, 1)), F.lit(0))
+            F.coalesce(F.sum(F.when(F.col("s") == 0, F.col("c"))), F.lit(0))
             .cast("long")
             .alias("c_ref"),
-            F.coalesce(F.sum(F.when(F.col("s") == 1, 1)), F.lit(0))
+            F.coalesce(F.sum(F.when(F.col("s") == 1, F.col("c"))), F.lit(0))
             .cast("long")
             .alias("c_cur"),
         )

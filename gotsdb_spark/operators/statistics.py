@@ -413,22 +413,36 @@ def stats_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     hunt, so one fat-fingered value can't drag the threshold. Values
     are integer-scaled per row, so both engines interpolate medians
     over identical integers (exact double midpoints); the flag
-    compares |v−med|·1.4826 > 3.5·MAD in that same exact space. Two
-    percentile passes + one counting pass, each a per-type
-    aggregation — three shuffles of per-group scalars, no global
-    sort. At 100 TB the medians would come from percentile_approx
-    (sketch-mergeable, documented for exact_median_price too).
+    compares |v−med|·1.4826 > 3.5·MAD in that same exact space.
+
+    Scale: ONE events pass collapses to the (type, value) dictionary
+    (map-side combinable, saturating value grid), localCheckpointed;
+    both medians use percentile's FREQUENCY argument over the
+    dictionary — exactly the row-level interpolation, computed from
+    counts — and the outlier count is a frequency-weighted sum. Before
+    the round-10 scan-audit fix each percentile/count pass re-scanned
+    events (4 scans); now everything past the single pass is
+    dictionary-bounded. At 100 TB the medians would come from
+    percentile_approx (sketch-mergeable, documented for
+    exact_median_price too).
     """
     ev = load_table(spark, "events", sf_dir)
-    scaled = ev.select(
-        "event_type",
-        "event_id",
-        F.floor(F.col("value") * 1000).cast("long").alias("v"),
+    dic = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * 1000).cast("long").alias("v"),
+        )
+        .groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    med = scaled.groupBy("event_type").agg(F.percentile("v", 0.5).alias("med"))
-    dev = scaled.join(F.broadcast(med), "event_type")
+    med = dic.groupBy("event_type").agg(
+        F.percentile("v", F.lit(0.5), F.col("c")).alias("med")
+    )
+    dev = dic.join(F.broadcast(med), "event_type")
     mad = dev.groupBy("event_type").agg(
-        F.percentile(F.abs(F.col("v") - F.col("med")), 0.5).alias("mad")
+        F.percentile(F.abs(F.col("v") - F.col("med")), F.lit(0.5), F.col("c"))
+        .alias("mad")
     )
     flagged = (
         dev.join(F.broadcast(mad), "event_type")
@@ -438,13 +452,13 @@ def stats_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mad").cast("double").alias("mad_e3"),
         )
         .agg(
-            F.count("*").alias("n"),
+            F.sum("c").cast("long").alias("n"),
             F.sum(
                 F.when(
                     F.abs(F.col("v") - F.col("med")) * _MAD_SIGMA
                     > _MAD_CUT * F.col("mad"),
-                    1,
-                ).otherwise(0)
+                    F.col("c"),
+                ).otherwise(F.lit(0))
             )
             .cast("long")
             .alias("n_outliers"),
@@ -1104,12 +1118,19 @@ def stats_trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     trick) — then the two bracketing order statistics selected by
     conditional min and interpolated once in double, identically in
     both engines (no engine quantile function is trusted anywhere).
-    Means are exact integer divisions of Σ(v·c) by Σc.
+    Means are exact integer divisions of Σ(v·c) by Σc. The dictionary
+    is localCheckpointed so its three consumers (cumulative, totals,
+    the trimmed aggregation) share ONE events pass instead of
+    re-deriving the groupBy per reference (round-10 scan-audit fix).
     """
     ev = load_table(spark, "events", sf_dir).select(
         "event_type", F.floor(F.col("value") * 1000).cast("bigint").alias("v")
     )
-    dic = ev.groupBy("event_type", "v").agg(F.count("*").alias("c"))
+    dic = (
+        ev.groupBy("event_type", "v")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     cum = dic.withColumn(
         "cc", F.sum("c").over(W.partitionBy("event_type").orderBy("v"))
     )
@@ -1574,6 +1595,79 @@ KAPLAN_MEIER_ORACLE = f"""
 """
 
 
+def _km_cohort_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (cohort_week, dur, d, n_all) duration dictionary for the
+    two Kaplan-Meier queries (stats_kaplan_meier pools it over
+    cohorts; stats_km_by_cohort stratifies on it).
+
+    Two events passes total, down from 4 (pooled) / 8 (stratified)
+    before the round-10 scan-audit fix: pass one is a per-user
+    aggregate producing BOTH the first-view timestamp and the user's
+    max event time (whose global max is the censoring horizon — so
+    tmax no longer needs its own scan); pass two joins purchases
+    against those first views for the first-conversion time. The
+    per-user frame is localCheckpointed because three consumers need
+    it (the subjects join, the conversion join, the horizon max) and
+    re-deriving it would be a fact scan + shuffle per consumer; the
+    final dictionary (calendar-bounded minutes × weeks) is
+    checkpointed for the same reason.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", "ts"
+    )
+    base = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).alias("v_ts"),
+            F.max("ts").alias("u_max"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    views = base.where(F.col("v_ts").isNotNull()).select("user_id", "v_ts")
+    tmax = base.agg(F.max("u_max").alias("m"))
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(views, "user_id")
+        .where(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    subjects = (
+        views.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            F.date_trunc("week", "v_ts").alias("cohort_week"),
+            F.when(
+                F.col("p_ts").isNotNull(),
+                F.expr(
+                    "CAST((unix_timestamp(p_ts) - unix_timestamp(v_ts))"
+                    " DIV 60 AS BIGINT)"
+                ),
+            )
+            .otherwise(
+                F.expr(
+                    "CAST((unix_timestamp(m) - unix_timestamp(v_ts))"
+                    " DIV 60 AS BIGINT)"
+                )
+            )
+            .alias("dur"),
+            F.when(F.col("p_ts").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("ev"),
+        )
+    )
+    return (
+        subjects.groupBy("cohort_week", "dur")
+        .agg(
+            F.sum("ev").cast("long").alias("d"),
+            F.count(F.lit(1)).cast("long").alias("n_all"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
 @query("stats_kaplan_meier", oracle=KAPLAN_MEIER_ORACLE)
 def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival curve for time-to-convert (first view →
@@ -1599,50 +1693,16 @@ def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes, no single-partition window — the same machinery as Gini /
     equi-depth); at-risk counts derive from the inclusive cumulative
     by algebra, not a second ordering. The horizon readout is a
-    broadcast 5-row join + max_by over unique durations.
+    broadcast 5-row join + max_by over unique durations. The subjects
+    build (two events passes, checkpointed) is shared with
+    stats_km_by_cohort via _km_cohort_dict; pooling its per-cohort
+    dictionary over cohorts gives the identical global dictionary.
     """
     from gotsdb_spark.operators.distrank import dist_rank
 
-    ev = load_table(spark, "events", sf_dir)
-    views = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("v_ts"))
-    )
-    conv = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(views, "user_id")
-        .where(F.col("ts") >= F.col("v_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("p_ts"))
-    )
-    tmax = ev.agg(F.max("ts").alias("m"))
-    subjects = (
-        views.join(conv, "user_id", "left")
-        .crossJoin(F.broadcast(tmax))
-        .select(
-            F.when(
-                F.col("p_ts").isNotNull(),
-                F.expr(
-                    "CAST((unix_timestamp(p_ts) - unix_timestamp(v_ts))"
-                    " DIV 60 AS BIGINT)"
-                ),
-            )
-            .otherwise(
-                F.expr(
-                    "CAST((unix_timestamp(m) - unix_timestamp(v_ts))"
-                    " DIV 60 AS BIGINT)"
-                )
-            )
-            .alias("dur"),
-            F.when(F.col("p_ts").isNotNull(), F.lit(1))
-            .otherwise(F.lit(0))
-            .alias("ev"),
-        )
-    )
-    dic = subjects.groupBy("dur").agg(
-        F.sum("ev").cast("long").alias("d"),
-        F.count(F.lit(1)).cast("long").alias("n_all"),
+    dic = _km_cohort_dict(spark, sf_dir).groupBy("dur").agg(
+        F.sum("d").cast("long").alias("d"),
+        F.sum("n_all").cast("long").alias("n_all"),
     )
     tot = dic.agg(F.sum("n_all").cast("long").alias("total"))
     cum = dist_rank(dic, ["dur"], rank_col="_rk", sum_cols={"cum_all": "n_all"})
@@ -1790,50 +1850,11 @@ def stats_km_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly — thousands of cohorts run as independent window
     partitions. Horizon readout (1d / 7d) is a conditional max_by per
     cohort, NULL when a cohort has no step at the horizon yet
-    (identically in both engines).
+    (identically in both engines). The subjects build (two events
+    passes, checkpointed) is shared with stats_kaplan_meier via
+    _km_cohort_dict.
     """
-    ev = load_table(spark, "events", sf_dir)
-    views = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("v_ts"))
-    )
-    conv = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(views, "user_id")
-        .where(F.col("ts") >= F.col("v_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("p_ts"))
-    )
-    tmax = ev.agg(F.max("ts").alias("m"))
-    subjects = (
-        views.join(conv, "user_id", "left")
-        .crossJoin(F.broadcast(tmax))
-        .select(
-            F.date_trunc("week", "v_ts").alias("cohort_week"),
-            F.when(
-                F.col("p_ts").isNotNull(),
-                F.expr(
-                    "CAST((unix_timestamp(p_ts) - unix_timestamp(v_ts))"
-                    " DIV 60 AS BIGINT)"
-                ),
-            )
-            .otherwise(
-                F.expr(
-                    "CAST((unix_timestamp(m) - unix_timestamp(v_ts))"
-                    " DIV 60 AS BIGINT)"
-                )
-            )
-            .alias("dur"),
-            F.when(F.col("p_ts").isNotNull(), F.lit(1))
-            .otherwise(F.lit(0))
-            .alias("ev"),
-        )
-    )
-    dic = subjects.groupBy("cohort_week", "dur").agg(
-        F.sum("ev").cast("long").alias("d"),
-        F.count(F.lit(1)).cast("long").alias("n_all"),
-    )
+    dic = _km_cohort_dict(spark, sf_dir)
     tot = dic.groupBy("cohort_week").agg(
         F.sum("n_all").cast("long").alias("total")
     )
@@ -2213,8 +2234,13 @@ def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("flag"),
         F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
     )
-    dic = pts.groupBy("flag", "cents").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # Checkpointed: the cumulative-median pass and the deviation pass
+    # both consume the dictionary; without it each re-derives the
+    # groupBy from a fresh lineitem scan (round-10 scan-audit fix).
+    dic = (
+        pts.groupBy("flag", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
     w_cum = (
         W.partitionBy("flag")

@@ -225,18 +225,27 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: most characteristic term per document.
 
     tf is a per-doc count; df a per-term distinct-doc count; idf the
-    smoothed log ratio. Both aggregations are map-side-combinable. The
-    vocabulary (df) table grows with the corpus — sublinearly but
-    unboundedly — so it is joined back with a shuffle-hash equi-join on
-    the term, NOT broadcast (a corpus-growing broadcast is a driver
-    OOM at 100 TB). The only broadcast is the 1-row corpus size, kept
-    lazy as an aggregate frame instead of a driver-side count().
-    Deterministic tie-break on the term string.
+    smoothed log ratio. ONE explode+groupBy pass builds tf
+    (map-side-combinable), localCheckpointed because it has two
+    consumers: df derives from it for free (tf holds exactly one row
+    per (doc, term), so counting tf rows per term IS the distinct-doc
+    count — no second corpus pass, no countDistinct shuffle), and the
+    scoring join reads it back. The vocabulary (df) table grows with
+    the corpus — sublinearly but unboundedly — so it is joined back
+    with a shuffle-hash equi-join on the term, NOT broadcast (a
+    corpus-growing broadcast is a driver OOM at 100 TB). The only
+    broadcast is the 1-row corpus size, kept lazy as an aggregate
+    frame instead of a driver-side count(). Deterministic tie-break
+    on the term string.
     """
     docs = load_table(spark, "documents", sf_dir)
     tokens = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    tf = tokens.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    df = tokens.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    tf = (
+        tokens.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(df.hint("shuffle_hash"), "w")
@@ -563,7 +572,15 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # Both corpus passes are checkpointed: dl feeds the stats aggregate
+    # AND the scoring join; tf feeds df AND the scoring join — without
+    # the checkpoints each second consumer re-derived its groupBy from
+    # a fresh documents scan (4 scans before the round-10 audit fix).
+    dl = (
+        toks.groupBy("doc_id")
+        .agg(F.count("*").alias("dl"))
+        .localCheckpoint(eager=False)
+    )
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").cast("long").alias("sum_dl")
     )
@@ -571,8 +588,11 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.where(F.col("w").isin(*_BM25_TERMS))
         .groupBy("doc_id", F.col("w").alias("term"))
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
-    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # tf holds one row per (doc, term), so counting rows per term IS
+    # the distinct-doc count — no countDistinct Expand needed.
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     avgdl = F.col("sum_dl") * 1.0 / F.col("n_docs")
     idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     denom = F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
@@ -626,10 +646,12 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     by its mean token negative log-probability — documents full of
     rare junk score high, fluent in-distribution text scores low.
     This is the KenLM-style filter of pretraining pipelines reduced
-    to its Spark-native core: one vocabulary groupBy (map-side
-    combinable), the frequency table joined back onto the token
-    stream, and a per-doc integer sum — token NLLs are scaled to 1e-6
-    integers BEFORE summing, so accumulation order is irrelevant.
+    to its Spark-native core: ONE explode+groupBy pass to the
+    (doc, token, k) dictionary (map-side combinable,
+    localCheckpointed), from which the corpus frequency table and the
+    total are exact sums — no second corpus pass — and a per-doc
+    integer sum weighted by k; token NLLs are scaled to 1e-6 integers
+    BEFORE summing, so accumulation order is irrelevant.
     The frequency join is deliberately NOT hinted: a whitespace
     tokenization of a 100 TB web corpus has a heavy-tailed vocabulary
     in the billions of distinct tokens (typos, URLs, numbers), so the
@@ -641,22 +663,30 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    freq = toks.groupBy("w").agg(F.count("*").alias("c"))
+    dtoks = (
+        toks.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    freq = dtoks.groupBy("w").agg(F.sum("k").alias("c"))
     tot = freq.agg(F.sum("c").cast("long").alias("total"))
     nll = (
-        toks.join(freq, "w")
+        dtoks.join(freq, "w")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
+            "k",
             F.floor(-F.log(F.col("c") * 1.0 / F.col("total")) * 1e6 + 0.5001)
             .cast("long")
             .alias("nll_e6"),
         )
     )
     return nll.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.sum("nll_e6").cast("long").alias("sum_nll_e6"),
-        F.floor(F.sum("nll_e6") * 1.0 / F.count("*") + 0.5001)
+        F.sum("k").alias("n_tokens"),
+        F.sum(F.col("k") * F.col("nll_e6")).cast("long").alias("sum_nll_e6"),
+        F.floor(
+            F.sum(F.col("k") * F.col("nll_e6")) * 1.0 / F.sum("k") + 0.5001
+        )
         .cast("long")
         .alias("avg_nll_e6"),
     )
@@ -966,13 +996,18 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums don't); the normalized form is an integer ratio of two
     e-scaled values, engine-identically truncated. Two map-side-
     combinable groupBys keyed by (doc, token) and doc — per-doc state
-    bounded by document length, never corpus size.
+    bounded by document length, never corpus size. The (doc, token)
+    count table is localCheckpointed: its three consumers (the per-doc
+    totals, the contribution join, the final readout join) share ONE
+    corpus pass instead of re-deriving the explode+groupBy each
+    (round-10 scan-audit fix).
     """
     docs = load_table(spark, "documents", sf_dir)
     cnt = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
     )
     tot = cnt.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias("n_tokens"),
@@ -1045,14 +1080,20 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     which the bag-of-words unigram score cannot see. This is the KenLM
     n-gram filter of pretraining pipelines at n=2, Spark-native.
 
-    P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V), fit on the corpus itself; both
-    count tables come from map-side-combinable groupBys over the bigram
-    stream (built row-locally with a JVM transform over the token
-    array, no self-join). Scoring joins the bigram stream back on the
-    (w1,w2) equi-key — a shuffle join, NOT a broadcast: at corpus scale
-    the bigram table is itself corpus-sized, exactly what must never be
-    collected. Per-position NLLs floor to e6 integers before the doc
-    sum (association-safe); avg is exact integer division.
+    P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V), fit on the corpus itself. ONE
+    explode pass collapses the bigram stream to the per-document
+    (doc, w1, w2, k) dictionary (map-side combinable, built
+    row-locally with a JVM transform over the token array, no
+    self-join), localCheckpointed because everything else derives
+    from it: the corpus pair counts are Σk over docs, the w1 marginal
+    is Σk over (docs, w2) — no separate bigram passes — and scoring
+    joins the dictionary back on the (w1,w2) equi-key, weighting each
+    NLL by k. The join is a shuffle join, NOT a broadcast: at corpus
+    scale the bigram table is itself corpus-sized, exactly what must
+    never be collected. Only the unigram VOCABULARY size needs its own
+    corpus pass (1-token docs contribute vocabulary but no bigrams).
+    Per-position NLLs floor to e6 integers before the doc sum
+    (association-safe); avg is exact integer division.
     """
     docs = load_table(spark, "documents", sf_dir)
     ws = docs.select("doc_id", F.split("text", " ").alias("a"))
@@ -1074,17 +1115,23 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    dbg = (
+        bg.groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    c12 = dbg.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
+    c1 = dbg.groupBy("w1").agg(F.sum("k").alias("c1"))
     v = docs.select(
         F.explode(F.split("text", " ")).alias("w")
     ).agg(F.countDistinct("w").alias("v"))
     scored = (
-        bg.join(c12, ["w1", "w2"])
+        dbg.join(c12, ["w1", "w2"])
         .join(c1, ["w1"])
         .crossJoin(F.broadcast(v))
         .select(
             "doc_id",
+            "k",
             F.floor(
                 -F.log((F.col("c12") + 1) * 1.0 / (F.col("c1") + F.col("v")))
                 * 1e6
@@ -1095,9 +1142,11 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"),
-        F.sum("nll_e6").cast("long").alias("sum_nll_e6"),
-        F.expr("CAST(sum(nll_e6) DIV count(*) AS BIGINT)").alias("avg_nll_e6"),
+        F.sum("k").alias("n_bigrams"),
+        F.sum(F.col("k") * F.col("nll_e6")).cast("long").alias("sum_nll_e6"),
+        F.expr(
+            "CAST(sum(k * nll_e6) DIV sum(k) AS BIGINT)"
+        ).alias("avg_nll_e6"),
     )
 
 
@@ -1154,11 +1203,15 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order (pmi desc, w1, w2) plans as TakeOrdered — per-task
     heaps, no global sort.
 
-    Scale: three map-side-combinable groupBys over the bigram stream
+    Scale: ONE map-side-combinable groupBy over the bigram stream
     (built row-locally, same guarded position build as
-    text_bigram_logprob); the marginal joins are shuffle equi-joins on
-    word keys — corpus-sized tables deliberately NOT broadcast. The
-    1-row total is a broadcast cross join.
+    text_bigram_logprob) to the (w1, w2) pair-count table,
+    localCheckpointed — the total and BOTH positional marginals are
+    exact sums over it, so nothing re-reads the corpus (the
+    pre-round-10 shape ran four bigram passes). The marginal joins
+    are shuffle equi-joins on word keys — corpus-sized tables
+    deliberately NOT broadcast. The 1-row total is a broadcast cross
+    join.
     """
     docs = load_table(spark, "documents", sf_dir)
     ws = docs.select("doc_id", F.split("text", " ").alias("a"))
@@ -1171,10 +1224,14 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b")
     ).select("b.w1", "b.w2")
-    tot = bg.agg(F.count(F.lit(1)).alias("n"))
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    c2 = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    c12 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    tot = c12.agg(F.sum("c12").alias("n"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
     return (
         c12.where(F.col("c12") >= _PMI_MIN_COUNT)
         .join(c1, "w1")

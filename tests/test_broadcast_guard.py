@@ -76,7 +76,6 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/inference.py", "stats_kendall_tau_b", "tot"): "scalar",
     ("operators/integration.py", "streaming_static_enrich", "customer.join"): "stream-dim",
     ("operators/pipeline_ops.py", "curate_dataset_card", "top_lang"): "grid",
-    ("operators/quality.py", "quality_referential_integrity", "orphans"): "scalar",
     ("operators/quality.py", "quality_snapshot_psi", "edges"): "grid",
     ("operators/quality.py", "quality_snapshot_psi", "tot"): "scalar",
     ("operators/quality.py", "quality_js_divergence_sources", "lmarg"): "grid",
@@ -125,10 +124,9 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/statistics.py", "stats_equidepth_bins", "total"): "scalar",
     ("operators/statistics.py", "stats_trimmed_mean_value", "thr"): "grid",
     ("operators/statistics.py", "stats_winsorized_mean", "bounds"): "grid",
-    ("operators/statistics.py", "stats_kaplan_meier", "tmax"): "scalar",
+    ("operators/statistics.py", "_km_cohort_dict", "tmax"): "scalar",
     ("operators/statistics.py", "stats_kaplan_meier", "tot"): "scalar",
     ("operators/statistics.py", "stats_kaplan_meier", "horizons"): "grid",
-    ("operators/statistics.py", "stats_km_by_cohort", "tmax"): "scalar",
     ("operators/statistics.py", "stats_km_by_cohort", "tot"): "grid",
     ("operators/statistics.py", "lineitem_abc_pareto", "tot"): "scalar",
     ("operators/statistics.py", "stats_brown_forsythe", "med"): "grid",

@@ -242,12 +242,20 @@ def test_countmin_counters_partial_agg(spark):
 
 
 def test_referential_integrity_broadcasts_dims(spark):
-    from gotsdb_spark.plans import formatted_plan
+    from gotsdb_spark.plans import fact_scan_counts, formatted_plan
 
     df = QUERIES["quality_referential_integrity"](spark, SF)
-    # every anti-join against a dimension key set must broadcast
+    # joins are unhinted (the lineitem→orders edge's key set is
+    # growth-coupled); at fixture scale AQE still broadcasts every
+    # key-set side, and nothing may plan cartesian
     assert broadcast_join_count(df) >= 7
     assert "CartesianProduct" not in formatted_plan(df)
+    # one single-column pass per FK edge: lineitem carries exactly its
+    # three FK audits, orders its own audit + the lineitem edge's key
+    # side — never the old two-passes-per-edge shape (6 lineitem scans)
+    scans = fact_scan_counts(df)
+    assert scans.get("lineitem", 0) == 3, scans
+    assert scans.get("orders", 0) == 2, scans
 
 
 def test_zorder_audit_is_scan_plus_agg(spark):
@@ -855,33 +863,19 @@ _FACT_RESCAN_ALLOWED: dict[str, str] = {
     "dedup_source_overlap_matrix": "PENDING TRIAGE (r10)",
     "dedup_exact_substring_spans": "PENDING TRIAGE (r10)",
     "dedup_rate_by_source": "PENDING TRIAGE (r10)",
-    "text_tfidf_top_term": "PENDING TRIAGE (r10)",
-    "text_bm25_topk": "PENDING TRIAGE (r10)",
-    "text_unigram_logprob": "PENDING TRIAGE (r10)",
-    "text_rrf_fusion": "PENDING TRIAGE (r10)",
-    "text_token_entropy": "PENDING TRIAGE (r10)",
-    "text_bigram_logprob": "PENDING TRIAGE (r10)",
-    "text_pmi_bigrams": "PENDING TRIAGE (r10)",
     "hll_mergeable_distinct": "PENDING TRIAGE (r10)",
     "rollup_share_of_parent": "PENDING TRIAGE (r10)",
-    "stats_ks_priority_price": "PENDING TRIAGE (r10)",
-    "ts_cross_correlation_types": "PENDING TRIAGE (r10)",
-    "stats_association_strength": "PENDING TRIAGE (r10)",
-    "stats_information_gain": "PENDING TRIAGE (r10)",
-    "stats_kendall_tau_b": "PENDING TRIAGE (r10)",
     "incremental_daily_agg": "PENDING TRIAGE (r10)",
     "warehouse_merge_upsert": "PENDING TRIAGE (r10)",
     "incremental_join_view": "PENDING TRIAGE (r10)",
-    "quality_referential_integrity": "PENDING TRIAGE (r10)",
-    "quality_snapshot_psi": "PENDING TRIAGE (r10)",
-    "quality_js_divergence_sources": "PENDING TRIAGE (r10)",
-    "quality_psi_by_source": "PENDING TRIAGE (r10)",
+    "quality_referential_integrity": (
+        "one single-column scan per FK edge; lineitem carries three "
+        "independent FK audits (orderkey/partkey/suppkey), each reading "
+        "a DIFFERENT one-column projection, so the scans share no IO — "
+        "merging them would read the same total bytes in one wider scan "
+        "for no shuffle savings (each edge is already one pass as of r10)"
+    ),
     "bloom_semi_join_audit": "PENDING TRIAGE (r10)",
-    "stats_mad_robust_outliers": "PENDING TRIAGE (r10)",
-    "stats_trimmed_mean_value": "PENDING TRIAGE (r10)",
-    "stats_kaplan_meier": "PENDING TRIAGE (r10)",
-    "stats_km_by_cohort": "PENDING TRIAGE (r10)",
-    "stats_brown_forsythe": "PENDING TRIAGE (r10)",
 }
 
 
