@@ -1671,9 +1671,17 @@ def hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fixed input, so the ±5% verdict is stable.
     """
     ev = load_table(spark, "events", sf_dir)
-    per_type = ev.groupBy(F.col("event_type").alias("scope")).agg(
-        F.expr("hll_sketch_agg(user_id)").alias("sk"),
-        F.countDistinct("user_id").alias("n_exact"),
+    # Checkpointed: the per-type readout and the union-merge both
+    # consume the sketch frame (a handful of rows); only the global
+    # exact count needs its own pass (users span types, so it cannot
+    # derive from the per-type exact counts).
+    per_type = (
+        ev.groupBy(F.col("event_type").alias("scope"))
+        .agg(
+            F.expr("hll_sketch_agg(user_id)").alias("sk"),
+            F.countDistinct("user_id").alias("n_exact"),
+        )
+        .localCheckpoint(eager=False)
     )
     total = per_type.agg(
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),

@@ -741,7 +741,13 @@ def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation already did the hard part.
     """
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    src = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    # One (doc_id, source) pass feeds both pair ends (checkpointed —
+    # re-deriving it would re-scan documents per join side).
+    src = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", "source")
+        .localCheckpoint(eager=False)
+    )
     sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
     sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
     return (
@@ -801,7 +807,12 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard an equi-join self-pairing needs at 100 TB). Surviving
     postings lists are ≤ {_SPAN_CAP} docs, so the pair fan-out per
     span is bounded and the shuffle carries (span, doc_id) rows only —
-    document text never moves past the scan.
+    document text never moves past the scan. The narrowed postings
+    (spans surviving the df cap — a tiny fraction of the span stream)
+    are localCheckpointed so both self-join sides read them back
+    instead of re-running the explode+df-filter per side (4 documents
+    scans before the round-10 audit fix; now 2: the df pass and the
+    narrowing pass).
     """
     docs = fan_out(load_table(spark, "documents", sf_dir))
     spans = docs.select(
@@ -813,7 +824,7 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df").between(2, _SPAN_CAP))
         .select("sp")
     )
-    narrowed = spans.join(keep, "sp")
+    narrowed = spans.join(keep, "sp").localCheckpoint(eager=False)
     b = narrowed.select(F.col("doc_id").alias("doc_b"), F.col("sp").alias("sp_b"))
     return (
         narrowed.join(
@@ -1327,15 +1338,15 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribution of BOTH dedup families in one result — the rollup that
     decides which ingestion pipelines to fix first at 100 TB.
     """
-    docs = load_table(spark, "documents", sf_dir)
-    copies = (
-        docs.select(F.md5("text").alias("h"), "doc_id")
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("copies"))
+    # One documents pass hashes the bodies (checkpointed: the cluster
+    # sizing and the per-doc join both read it — text never re-scans).
+    hashed = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", "source", F.md5("text").alias("h"))
+        .localCheckpoint(eager=False)
     )
-    exact = docs.select("doc_id", "source", F.md5("text").alias("h")).join(
-        copies, "h"
-    )
+    copies = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("copies"))
+    exact = hashed.join(copies, "h")
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     near_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))

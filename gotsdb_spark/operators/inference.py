@@ -2024,3 +2024,254 @@ def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_JB_KURT_E6).alias("kurt_e6"),
         F.expr(_JB_STAT_E3).alias("jb_e3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage trend test — round 10.
+# ---------------------------------------------------------------------------
+
+COCHRAN_ARMITAGE_ORACLE = """
+    WITH cells AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+             CAST(count(*) AS BIGINT) AS n_k,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r_k
+      FROM orders GROUP BY 1
+    ), suff AS (
+      SELECT CAST(sum(n_k) AS BIGINT) AS n,
+             CAST(sum(r_k) AS BIGINT) AS r,
+             CAST(sum(w * r_k) AS BIGINT) AS swr,
+             CAST(sum(w * n_k) AS BIGINT) AS swn,
+             CAST(sum(w * w * n_k) AS BIGINT) AS swwn
+      FROM cells
+    )
+    SELECT n, r,
+           CAST(n * swr - r * swn AS BIGINT) AS a_num,
+           CAST(n * swwn - swn * swn AS BIGINT) AS b_den,
+           CAST(floor(
+             (n * 1.0 * (CAST(n AS HUGEINT) * swr - CAST(r AS HUGEINT) * swn)
+                * (CAST(n AS HUGEINT) * swr - CAST(r AS HUGEINT) * swn))
+             / (r * 1.0 * (n - r)
+                * (CAST(n AS HUGEINT) * swwn - CAST(swn AS HUGEINT) * swn))
+             * 1e6 + 0.5001) AS BIGINT) AS z2_e6,
+           (n * swr - r * swn) > 0 AS trend_positive
+    FROM suff
+"""
+
+
+@query("stats_cochran_armitage_trend", oracle=COCHRAN_ARMITAGE_ORACLE)
+def stats_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage test for TREND: does the fraction of finalized
+    orders (o_orderstatus = 'F') rise or fall monotonically with the
+    ORDERED priority level (1-URGENT … 5-LOW)? The ordered-alternative
+    member of the chi-square family: the plain independence test
+    (stats_chi_square_priority_flag) spends its power on ANY departure,
+    while this one concentrates it on the dose-response direction an
+    ops review actually asks about ('do lower priorities finalize
+    more?'), using the priority rank itself as the score w_k.
+
+    z² = n·A² / (R·(n−R)·B) with A = n·Σw·r_k − R·Σw·n_k and
+    B = n·Σw²·n_k − (Σw·n_k)² — all exact integer sufficient
+    statistics from ONE map-side-combinable groupBy over the 5-row
+    priority grid; the products run in DECIMAL(38,0)/HUGEINT (A is
+    ~5n² ≈ 1e13·n², so A² passes int64 before sf1), and the single
+    float division is evaluated once on those exact integers with an
+    identical expression in both engines, then floored to e6. The
+    signed trend direction (sign of A) rides alongside.
+
+    Scale: one scan, one 5-row shuffle, one scalar row. Nothing
+    downstream of the first groupBy is row-count-sized.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    statistical surface (internal/storage/types.go:3); this is
+    [TARGET] inference machinery.
+    """
+    cells = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy(
+            F.substring("o_orderpriority", 1, 1).cast("bigint").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_k"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("long")
+            .alias("r_k"),
+        )
+    )
+    suff = cells.agg(
+        F.sum("n_k").cast("long").alias("n"),
+        F.sum("r_k").cast("long").alias("r"),
+        F.sum(F.col("w") * F.col("r_k")).cast("long").alias("swr"),
+        F.sum(F.col("w") * F.col("n_k")).cast("long").alias("swn"),
+        F.sum(F.col("w") * F.col("w") * F.col("n_k"))
+        .cast("long")
+        .alias("swwn"),
+    )
+    dec = "decimal(38,0)"
+    return suff.select(
+        "n",
+        "r",
+        (F.col("n") * F.col("swr") - F.col("r") * F.col("swn"))
+        .cast("long")
+        .alias("a_num"),
+        (F.col("n") * F.col("swwn") - F.col("swn") * F.col("swn"))
+        .cast("long")
+        .alias("b_den"),
+        F.floor(
+            (
+                F.col("n")
+                * 1.0
+                * (
+                    F.col("n").cast(dec) * F.col("swr")
+                    - F.col("r").cast(dec) * F.col("swn")
+                )
+                * (
+                    F.col("n").cast(dec) * F.col("swr")
+                    - F.col("r").cast(dec) * F.col("swn")
+                )
+            )
+            / (
+                F.col("r")
+                * 1.0
+                * (F.col("n") - F.col("r"))
+                * (
+                    F.col("n").cast(dec) * F.col("swwn")
+                    - F.col("swn").cast(dec) * F.col("swn")
+                )
+            )
+            * 1e6
+            + 0.5001
+        )
+        .cast("long")
+        .alias("z2_e6"),
+        (
+            (F.col("n") * F.col("swr") - F.col("r") * F.col("swn")) > 0
+        ).alias("trend_positive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q + McNemar for paired binary gates — round 10.
+# ---------------------------------------------------------------------------
+
+_CQ_G1 = "n_chars >= 500"
+_CQ_G2 = "(length(text) - length(replace(text, ' ', '')) + 1) >= 80"
+_CQ_G3 = "lang = 'en'"
+
+COCHRAN_Q_ORACLE = f"""
+    WITH flags AS (
+      SELECT CASE WHEN {_CQ_G1} THEN 1 ELSE 0 END AS g1,
+             CASE WHEN {_CQ_G2} THEN 1 ELSE 0 END AS g2,
+             CASE WHEN {_CQ_G3} THEN 1 ELSE 0 END AS g3
+      FROM documents
+    ), suff AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(g1) AS BIGINT) AS c1,
+             CAST(sum(g2) AS BIGINT) AS c2,
+             CAST(sum(g3) AS BIGINT) AS c3,
+             CAST(sum(g1 + g2 + g3) AS BIGINT) AS sr,
+             CAST(sum((g1 + g2 + g3) * (g1 + g2 + g3)) AS BIGINT) AS sr2,
+             CAST(sum(CASE WHEN g1 = 0 AND g2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n01,
+             CAST(sum(CASE WHEN g1 = 1 AND g2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n10
+      FROM flags
+    )
+    SELECT n_docs, c1, c2, c3,
+           CAST(floor(
+             2.0 * (3 * (CAST(c1 AS HUGEINT) * c1 + CAST(c2 AS HUGEINT) * c2
+                         + CAST(c3 AS HUGEINT) * c3)
+                    - CAST(sr AS HUGEINT) * sr)
+             / (3.0 * sr - sr2) * 1e6 + 0.5001) AS BIGINT) AS q_e6,
+           n01, n10,
+           CAST(floor((n01 - n10) * 1.0 * (n01 - n10) / (n01 + n10)
+                      * 1e6 + 0.5001) AS BIGINT) AS mcnemar_chi2_e6
+    FROM suff
+"""
+
+
+@query("stats_cochran_q_mcnemar", oracle=COCHRAN_Q_ORACLE)
+def stats_cochran_q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across three paired binary quality gates per
+    document (length ≥ 500 chars, ≥ 80 whitespace tokens, lang = en)
+    plus McNemar's test for the first gate pair — the snapshot-diff
+    family's PAIRED significance layer: when a curation run swaps gate
+    v1 for gate v2 over the SAME corpus, the question is not whether
+    the two pass rates differ (two-proportion z assumes independent
+    samples) but whether they differ GIVEN the pairing — only the
+    discordant documents carry information, which is exactly what
+    McNemar counts and what Q generalizes to k gates.
+
+    Q = (k−1)·(k·ΣC_j² − (ΣC_j)²) / (k·ΣR_i − ΣR_i²) over per-gate
+    column totals C_j and per-document row sums R_i; McNemar's
+    χ² = (n01−n10)²/(n01+n10) over the discordant counts. ALL
+    sufficient statistics (C_j, ΣR, ΣR², n01, n10) come from ONE
+    map-side-combinable aggregate over one documents pass — the row
+    sums collapse per-partition, nothing per-document survives the
+    scan — with HUGEINT/DECIMAL(38,0) squares and one float division
+    per statistic, e6-floored, identical in both engines.
+
+    Scale: one scan, one 1-row shuffle. The gates are row-local
+    predicates; swapping in real gate columns keeps the shape.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    statistical surface (internal/storage/types.go:3); this is
+    [TARGET] inference machinery.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    g1 = F.when(F.expr(_CQ_G1), 1).otherwise(0)
+    g2 = F.when(F.expr(_CQ_G2), 1).otherwise(0)
+    g3 = F.when(F.expr(_CQ_G3), 1).otherwise(0)
+    flags = docs.select(
+        g1.alias("g1"), g2.alias("g2"), g3.alias("g3")
+    ).withColumn("rsum", F.col("g1") + F.col("g2") + F.col("g3"))
+    dec = "decimal(38,0)"
+    suff = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("g1").cast("long").alias("c1"),
+        F.sum("g2").cast("long").alias("c2"),
+        F.sum("g3").cast("long").alias("c3"),
+        F.sum("rsum").cast("long").alias("sr"),
+        F.sum(F.col("rsum") * F.col("rsum")).cast("long").alias("sr2"),
+        F.sum(F.when((F.col("g1") == 0) & (F.col("g2") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n01"),
+        F.sum(F.when((F.col("g1") == 1) & (F.col("g2") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n10"),
+    )
+    return suff.select(
+        "n_docs",
+        "c1",
+        "c2",
+        "c3",
+        F.floor(
+            2.0
+            * (
+                3
+                * (
+                    F.col("c1").cast(dec) * F.col("c1")
+                    + F.col("c2").cast(dec) * F.col("c2")
+                    + F.col("c3").cast(dec) * F.col("c3")
+                )
+                - F.col("sr").cast(dec) * F.col("sr")
+            )
+            / (3.0 * F.col("sr") - F.col("sr2"))
+            * 1e6
+            + 0.5001
+        )
+        .cast("long")
+        .alias("q_e6"),
+        "n01",
+        "n10",
+        F.floor(
+            (F.col("n01") - F.col("n10"))
+            * 1.0
+            * (F.col("n01") - F.col("n10"))
+            / (F.col("n01") + F.col("n10"))
+            * 1e6
+            + 0.5001
+        )
+        .cast("long")
+        .alias("mcnemar_chi2_e6"),
+    )

@@ -1190,12 +1190,21 @@ def quality_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
+    # Multi-column combos count distinct STRUCTS, not bare column
+    # tuples: Spark's countDistinct(a, b) drops any row where EITHER
+    # column is NULL, while the DuckDB oracle's count(DISTINCT (a, b))
+    # counts ROW tuples containing NULLs — a struct is never NULL even
+    # when its fields are, so the struct form matches the oracle's
+    # tuple semantics on nullable inputs (single-column distincts
+    # already agree: both engines ignore NULL scalars).
     agg = base.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.countDistinct("o_orderkey").cast("long").alias("d1"),
-        F.countDistinct("o_custkey", "o_orderdate").cast("long").alias("d2"),
+        F.countDistinct(F.struct("o_custkey", "o_orderdate"))
+        .cast("long")
+        .alias("d2"),
         F.countDistinct("o_orderdate").cast("long").alias("d3"),
-        F.countDistinct("o_custkey", "o_orderdate", "cents")
+        F.countDistinct(F.struct("o_custkey", "o_orderdate", "cents"))
         .cast("long")
         .alias("d4"),
     )

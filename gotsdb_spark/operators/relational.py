@@ -1133,15 +1133,24 @@ def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic. Supports join back as map-side lookups; the scalar
     order count broadcasts.
     """
+    # The distinct basket-item table feeds four consumers (order count,
+    # support, both self-join sides) and the support table feeds two —
+    # both checkpointed so the lineitem scan and the distinct shuffle
+    # run once (5 scans before the round-10 audit fix).
     items = (
         load_table(spark, "lineitem", sf_dir)
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_orders = items.agg(
         F.countDistinct("l_orderkey").cast("long").alias("n")
     )
-    support = items.groupBy("l_partkey").agg(F.count("*").alias("s"))
+    support = (
+        items.groupBy("l_partkey")
+        .agg(F.count("*").alias("s"))
+        .localCheckpoint(eager=False)
+    )
     b = items.select(
         F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b")
     )

@@ -274,6 +274,11 @@ def rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("rev_cents")
         )
+        # Checkpointed: the region re-aggregation, the grand total, and
+        # the final readout all consume this ≤|nations|-row leaf frame;
+        # without it each re-derived the orders⋈customer join from
+        # fresh fact scans (3 orders scans before the round-10 fix).
+        .localCheckpoint(eager=False)
     )
     regions = rev.groupBy("region").agg(
         F.sum("rev_cents").cast("bigint").alias("region_cents")

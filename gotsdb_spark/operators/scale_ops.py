@@ -243,23 +243,18 @@ def incremental_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
         (F.col("ts") < F.lit("2024-01-20").cast("timestamp")).alias("is_base"),
     )
-    base_state = (
-        ev.where("is_base")
-        .groupBy("day")
-        .agg(F.count("*").alias("n"), F.sum("v_milli").alias("s"))
+    # ONE pass builds both partials keyed by (day, is_base) — the
+    # base state and the delta are slices of it, so the incremental
+    # path costs one scan. The full recompute is DELIBERATELY an
+    # independent second pass over the raw events: deriving it from
+    # the same partials would compare a derivation against itself and
+    # prove nothing.
+    part = ev.groupBy("day", "is_base").agg(
+        F.count("*").alias("n"), F.sum("v_milli").alias("s")
     )
-    delta = (
-        ev.where(~F.col("is_base"))
-        .groupBy("day")
-        .agg(F.count("*").alias("n"), F.sum("v_milli").alias("s"))
-    )
-    merged = (
-        base_state.unionByName(delta)
-        .groupBy("day")
-        .agg(
-            F.sum("n").cast("long").alias("n_merged"),
-            F.sum("s").cast("long").alias("sum_milli_merged"),
-        )
+    merged = part.groupBy("day").agg(
+        F.sum("n").cast("long").alias("n_merged"),
+        F.sum("s").cast("long").alias("sum_milli_merged"),
     )
     full = ev.groupBy("day").agg(
         F.count("*").alias("n_full"),
@@ -515,7 +510,14 @@ def warehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
             "o_orderdate", "o_orderpriority"]
     base = load_table(spark, "orders", sf_dir).select(*cols)
-    updates = base.where(F.col("o_orderkey") % 7 == 0).select(
+    # The synthetic delta derives from the snapshot itself, so its two
+    # branches share ONE filtered pass (checkpointed — ~18% of orders);
+    # the only other orders scan is the MERGE join's base side. In
+    # production the delta arrives from CDC and this pass disappears.
+    dsrc = base.where(
+        (F.col("o_orderkey") % 7 == 0) | (F.col("o_orderkey") % 13 == 0)
+    ).localCheckpoint(eager=False)
+    updates = dsrc.where(F.col("o_orderkey") % 7 == 0).select(
         "o_orderkey",
         "o_custkey",
         F.lit("U").alias("o_orderstatus"),
@@ -523,7 +525,7 @@ def warehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         "o_orderpriority",
     )
-    inserts = base.where(F.col("o_orderkey") % 13 == 0).select(
+    inserts = dsrc.where(F.col("o_orderkey") % 13 == 0).select(
         (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
         "o_custkey",
         F.lit("N").alias("o_orderstatus"),
@@ -612,16 +614,30 @@ def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment are integers, so merged-vs-full equality is exact and the
     per-segment `consistent` verdict rides in the result.
     """
-    o = load_table(spark, "orders", sf_dir).select(
-        "o_custkey",
-        (F.col("o_orderdate") >= F.lit("1995-06-01").cast("timestamp")).alias(
-            "o_new"
-        ),
+    # Both input projections are checkpointed: each feeds two delta
+    # slices plus the full-recompute verification join, and without
+    # the checkpoint every consumer re-scanned its parquet file (5
+    # orders / 5 customer scans before the round-10 audit fix). The
+    # verification still compares two different JOIN decompositions —
+    # sharing the scan does not trivialize it.
+    o = (
+        load_table(spark, "orders", sf_dir)
+        .select(
+            "o_custkey",
+            (
+                F.col("o_orderdate") >= F.lit("1995-06-01").cast("timestamp")
+            ).alias("o_new"),
+        )
+        .localCheckpoint(eager=False)
     )
-    c = load_table(spark, "customer", sf_dir).select(
-        "c_custkey",
-        "c_mktsegment",
-        (F.col("c_custkey") % 10 == 0).alias("c_new"),
+    c = (
+        load_table(spark, "customer", sf_dir)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            (F.col("c_custkey") % 10 == 0).alias("c_new"),
+        )
+        .localCheckpoint(eager=False)
     )
     # The delta rule executes as SEPARATE delta-sized joins — the shape
     # that makes a refresh O(Δ) instead of a base⋈base rescan. (A

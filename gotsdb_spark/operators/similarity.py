@@ -199,8 +199,16 @@ def sim_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate generation is the bucket equi-join (sub-quadratic); the
     expensive cosine runs only on same-bucket pairs. This is embedding-
     based near-dup detection for a training-data pipeline.
+
+    Scan shape: the (vec_id, bucket) projection is computed ONCE and
+    localCheckpointed — both self-join sides read it back, so the
+    16-hyperplane SRP projection runs one pass instead of two. The
+    re-rank deliberately re-SCANS the embeddings table for each pair
+    end instead of checkpointing the vectors: raw vectors are the
+    corpus's bulk, and two column-pruned parquet reads beat
+    materializing a full copy into executor storage.
     """
-    buckets = sim_lsh_bucket(spark, sf_dir)
+    buckets = sim_lsh_bucket(spark, sf_dir).localCheckpoint(eager=False)
     emb = load_table(spark, "embeddings", sf_dir)
     a = buckets.select(F.col("vec_id").alias("vec_a"), "bucket")
     b = buckets.select(F.col("vec_id").alias("vec_b"), F.col("bucket").alias("bucket_b"))
@@ -314,18 +322,32 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d2"),
     )
     w_assign = W.partitionBy("vec_id").orderBy("d2", "c_label")
-    ranked = dists.withColumn("rn", F.row_number().over(w_assign))
-    assigned = ranked.where(F.col("rn") == 1).select(
+    # The 2-nearest-list rows feed BOTH the corpus assignment (rn=1)
+    # and the query probes (rn<=2) — checkpointed so the n×k distance
+    # evaluation and its window run once, not once per consumer
+    # (round-10 scan-audit fix).
+    top2 = (
+        dists.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") <= 2)
+        .localCheckpoint(eager=False)
+    )
+    assigned = top2.where(F.col("rn") == 1).select(
         "vec_id", F.col("c_label").alias("list_id")
     )
     probes = (
-        ranked.where((F.col("vec_id") < 10) & (F.col("rn") <= 2))
+        top2.where((F.col("vec_id") < 10) & (F.col("rn") <= 2))
         .select(F.col("vec_id").alias("q_id"), F.col("c_label").alias("list_id"))
     )
     cand = assigned.join(F.broadcast(probes), "list_id").where(
         F.col("vec_id") != F.col("q_id")
     )
-    eq = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("e_q"))
+    # The query-vector side is FILTERED to the fixed query set BEFORE
+    # the broadcast — broadcasting the unfiltered table would ship the
+    # whole corpus's vectors to every executor (the join's q_id filter
+    # only applies after the build side is already materialized).
+    eq = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("e_q")
+    )
     en = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e_n")
     )
@@ -519,9 +541,14 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see oracle comment).
     """
     emb = fan_out(load_table(spark, "embeddings", sf_dir))
+    # The point set is read once and checkpointed — the canonical
+    # iterative-training materialization (MLlib's KMeans caches its
+    # input the same way): every Lloyd round's assignment, the update
+    # join, and the seed all read it back instead of re-scanning
+    # parquet per consumer (4 scans before the round-10 audit fix).
     v = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
-    )
+    ).localCheckpoint(eager=False)
     cent = v.where(F.col("vec_id") < _KMEANS_K).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("cv")
     )
@@ -712,6 +739,10 @@ def _pq_codes(spark: SparkSession, sf_dir: str):
             )
         ),
     ).select("vec_id", F.col("pos").alias("m"), F.col("col").alias("sub"))
+    # Checkpointed: the code assignment AND the query LUT slice both
+    # consume the (vector, subspace, codeword, d2) frame; re-deriving
+    # it repeats the subspace slicing and the codebook distance pass
+    # (two extra embeddings scans before the round-10 audit fix).
     enc = subs.join(F.broadcast(cb), "m").select(
         "vec_id",
         "m",
@@ -721,7 +752,7 @@ def _pq_codes(spark: SparkSession, sf_dir: str):
             F.lit(0.0),
             lambda acc, v: acc + v,
         ).alias("d2"),
-    )
+    ).localCheckpoint(eager=False)
     w_enc = W.partitionBy("vec_id", "m").orderBy("d2", "g")
     codes = (
         enc.withColumn("rn", F.row_number().over(w_enc))

@@ -103,11 +103,17 @@ def bloom_semi_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     KB) and broadcast. Probe side: every lineitem row passes iff all
     {k} of its positions are set. Bloom guarantees no false negatives,
     so false positives = bloom_pass - true_match, measured here by
-    running the exact semi-join next to the filter (unhinted: the
+    running the exact join next to the filter (unhinted: the
     build side grows with orders, so the strategy is AQE's call).
 
     At 100 TB: the fact table never shuffles — the filter rides to the
     map tasks as a broadcast variable and candidates alone continue.
+    Scan shape (round-10 audit fix): the build key set is computed
+    once and checkpointed (it feeds the bit positions, the exact
+    join, and the key count), and the probe side is ONE lineitem
+    pass — the bloom flag and the exact-match flag are evaluated
+    row-by-row in the same scan and counted in a single aggregate,
+    instead of three separate probe passes.
     """
     orders = load_table(spark, "orders", sf_dir)
     lineitem = load_table(spark, "lineitem", sf_dir)
@@ -115,6 +121,7 @@ def bloom_semi_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.where(F.col("o_totalprice") > _BLOOM_PRICE)
         .select("o_orderkey")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     key = F.col("o_orderkey")
     # Pack set positions into a dense array of m/64 longs: the probe's
@@ -157,30 +164,35 @@ def bloom_semi_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" CAST({p} % 64 AS INT)) & 1) = 1"
         )
 
-    passed = (
+    # build is distinct on the key, so a LEFT join marks exact matches
+    # without duplication and the whole audit is one probe pass.
+    counts = (
         probe.crossJoin(F.broadcast(bits.select("bs")))
-        .where(_bit_set(0) & _bit_set(1) & _bit_set(2))
-        .agg(F.count("*").alias("n_bloom_pass"))
+        .join(
+            build.select(F.col("o_orderkey"), F.lit(1).alias("hit")),
+            pk == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n_probe_rows"),
+            F.count(
+                F.when(_bit_set(0) & _bit_set(1) & _bit_set(2), 1)
+            ).alias("n_bloom_pass"),
+            F.count("hit").alias("n_true_match"),
+        )
     )
-    true_m = probe.join(
-        build, pk == F.col("o_orderkey"), "left_semi"
-    ).agg(F.count("*").alias("n_true_match"))
     meta = build.agg(F.count("*").alias("n_build_keys")).crossJoin(
         bits.select(F.col("n_set").alias("n_bits_set"))
-    ).crossJoin(probe.agg(F.count("*").alias("n_probe_rows")))
-    return (
-        meta.crossJoin(F.broadcast(passed))
-        .crossJoin(F.broadcast(true_m))
-        .select(
-            "n_build_keys",
-            "n_bits_set",
-            "n_probe_rows",
-            "n_bloom_pass",
-            "n_true_match",
-            (F.col("n_bloom_pass") - F.col("n_true_match")).alias(
-                "n_false_positives"
-            ),
-        )
+    )
+    return meta.crossJoin(F.broadcast(counts)).select(
+        "n_build_keys",
+        "n_bits_set",
+        "n_probe_rows",
+        "n_bloom_pass",
+        "n_true_match",
+        (F.col("n_bloom_pass") - F.col("n_true_match")).alias(
+            "n_false_positives"
+        ),
     )
 
 

@@ -173,14 +173,20 @@ def ts_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The spine is sequence()+explode over the global [min,max] day range —
     generated distributed, broadcast-joined back (tiny vs the fact side).
+    ONE events pass builds the per-(type, day) aggregate (checkpointed);
+    the day bounds and the type domain both derive from it —
+    min/max over truncated days equals the truncated global min/max ts,
+    so no separate bounds scan is needed (round-10 scan-audit fix).
     """
     ev = load_table(spark, "events", sf_dir)
-    bounds = ev.agg(
-        F.date_trunc("day", F.min("ts")).alias("lo"),
-        F.date_trunc("day", F.max("ts")).alias("hi"),
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum("value").alias("day_value"))
+        .localCheckpoint(eager=False)
     )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     spine = (
-        ev.select("event_type")
+        daily.select("event_type")
         .distinct()
         .crossJoin(F.broadcast(bounds))
         .select(
@@ -188,9 +194,6 @@ def ts_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day"),
         )
     )
-    daily = ev.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.sum("value").alias("day_value"))
     return (
         spine.join(daily, ["event_type", "day"], "left")
         .select(
@@ -441,8 +444,14 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of collapsing to one task.
     """
     ev = load_table(spark, "events", sf_dir)
-    samples = ev.where(F.col("event_type") == "purchase").select(
-        "ts", "value", "event_id"
+    # Checkpointed: the grid bounds, the tagged union (read twice) and
+    # the per-day summary all consume the filtered sample set; without
+    # it each consumer re-scanned events (5 scans before the round-10
+    # audit fix).
+    samples = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("ts", "value", "event_id")
+        .localCheckpoint(eager=False)
     )
     bounds = samples.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
@@ -1564,12 +1573,16 @@ def ts_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "ts", "value", F.to_date("ts").alias("bkt")
     )
     # Intra-bucket position: window key (event_type, bkt) scales.
+    # Checkpointed — the bucket metadata, the carry rows, and the home
+    # rows all consume it, and re-deriving it per consumer repeats the
+    # scan AND the position-window shuffle (4 events scans before the
+    # round-10 audit fix).
     pos = ev.withColumn(
         "j",
         F.row_number().over(
             W.partitionBy("event_type", "bkt").orderBy("ts", "event_id")
         ),
-    )
+    ).localCheckpoint(eager=False)
     # Tiny per-bucket metadata: row count + cumulative rows before it.
     meta = pos.groupBy("event_type", "bkt").agg(F.count("*").alias("cnt"))
     cum = F.coalesce(
@@ -2319,7 +2332,14 @@ def ts_time_to_convert_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("gap_min"),
     )
-    dic = gaps.groupBy("cohort_day", "gap_min").agg(F.count("*").alias("c"))
+    # Checkpointed: the cumulative window and the per-cohort totals
+    # both consume the dictionary; without it each re-derived the full
+    # views⋈purchases chain (4 events scans before the round-10 fix).
+    dic = (
+        gaps.groupBy("cohort_day", "gap_min")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     cum = dic.withColumn(
         "cc", F.sum("c").over(W.partitionBy("cohort_day").orderBy("gap_min"))
     )
@@ -3251,13 +3271,17 @@ def ts_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "x")
         .agg(F.expr("CAST(sum(v_e3) DIV count(*) AS BIGINT)").alias("y_e3"))
+        # Checkpointed: the moment stats and the rank pass both consume
+        # the dictionary (round-10 scan-audit fix — one events pass).
+        .localCheckpoint(eager=False)
     )
     dec = "decimal(38,0)"
+    # Also checkpointed: three joins read the grid-sized stats frame.
     stats = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("y_e3").cast(dec)).alias("s1"),
         F.sum(F.col("y_e3").cast(dec) * F.col("y_e3")).alias("s2"),
-    )
+    ).localCheckpoint(eager=False)
     idx = daily.select(
         "event_type",
         "y_e3",

@@ -15,11 +15,39 @@ settings:
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def _cleanup_warehouse(path: str) -> None:
+    """Best-effort removal of this process's private warehouse dir.
+
+    The per-PID default (see get_spark) fixes the concurrent-rmtree
+    race but would otherwise leak a bucketed-table copy into /tmp per
+    process; registered via atexit so the directory dies with the
+    process that materialized it. An explicitly shared
+    SPARK_GRAFT_WAREHOUSE is never touched — its lifecycle belongs to
+    the user.
+    """
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _warehouse_dir() -> str:
+    """Warehouse path: explicit SPARK_GRAFT_WAREHOUSE wins; otherwise a
+    per-PID /tmp dir with atexit cleanup (registered once)."""
+    explicit = os.environ.get("SPARK_GRAFT_WAREHOUSE")
+    if explicit:
+        return explicit
+    path = f"/tmp/spark_graft_warehouse_{os.getpid()}"
+    if not getattr(_warehouse_dir, "_registered", False):
+        atexit.register(_cleanup_warehouse, path)
+        _warehouse_dir._registered = True  # type: ignore[attr-defined]
+    return path
 
 
 def get_spark(app_name: str = "gotsdb_spark", cpus: int | None = None) -> SparkSession:
@@ -59,14 +87,10 @@ def get_spark(app_name: str = "gotsdb_spark", cpus: int | None = None) -> SparkS
         # warehouse can rmtree a directory the other is mid-scan on
         # (observed as FAILED_READ_FILE when a sweep ran beside the
         # test suite). A shared path can still be opted into via
-        # SPARK_GRAFT_WAREHOUSE for single-process runs.
-        .config(
-            "spark.sql.warehouse.dir",
-            os.environ.get(
-                "SPARK_GRAFT_WAREHOUSE",
-                f"/tmp/spark_graft_warehouse_{os.getpid()}",
-            ),
-        )
+        # SPARK_GRAFT_WAREHOUSE for single-process runs; the per-PID
+        # default is atexit-removed so repeated runs don't accumulate
+        # unbounded /tmp disk.
+        .config("spark.sql.warehouse.dir", _warehouse_dir())
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

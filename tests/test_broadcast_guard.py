@@ -107,8 +107,7 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/similarity.py", "sim_centroid_separation", "nb"): "grid",
     ("operators/similarity.py", "sim_knn_classify", "test"): "grid",
     ("operators/sketches.py", "bloom_semi_join_audit", "bits.select"): "sketch",
-    ("operators/sketches.py", "bloom_semi_join_audit", "passed"): "scalar",
-    ("operators/sketches.py", "bloom_semi_join_audit", "true_m"): "scalar",
+    ("operators/sketches.py", "bloom_semi_join_audit", "counts"): "scalar",
     ("operators/sketches.py", "heavy_hitters_countmin", "counters"): "sketch",
     ("operators/sketches.py", "sketch_kmv_distinct_users", "total"): "scalar",
     ("operators/sketches.py", "sketch_kmv_key_overlap", "xb"): "sketch",

@@ -225,8 +225,11 @@ def test_bloom_probe_fact_never_shuffles(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
-    # the exact-match check is a broadcast semi-join
-    assert "BroadcastHashJoin LeftSemi" in plan
+    # the exact-match check is a broadcast outer join fused into the
+    # same probe pass as the bloom flag (one lineitem scan total)
+    assert "BroadcastHashJoin" in plan
+    from gotsdb_spark.plans import fact_scan_counts
+    assert fact_scan_counts(df).get("lineitem", 0) <= 1
 
 
 def test_countmin_counters_partial_agg(spark):
@@ -533,14 +536,17 @@ def test_semantic_dedup_cluster_scoped_no_cartesian(spark):
 
 def test_exact_substring_spans_no_cartesian_and_partial_agg(spark):
     """Span candidates must come from the span equi-join (df-capped
-    postings), never an all-pairs product; span doc-frequency must be a
-    map-side-combinable HashAggregate on the span key."""
-    import re
+    postings), never an all-pairs product. As of r10 the narrowed
+    postings are checkpointed (the df-cap HashAggregate lives inside
+    that subtree), so the visible plan must self-join the ExistingRDD
+    postings and scan documents zero times."""
+    from gotsdb_spark.plans import fact_scan_counts
 
     df = QUERIES["dedup_exact_substring_spans"](spark, SF)
     assert not has_cartesian_product(df)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert re.search(r"HashAggregate.*keys=\[sp#\d+\]", plan), plan[:2000]
+    assert "Scan ExistingRDD" in plan, plan[:2000]
+    assert fact_scan_counts(df).get("documents", 0) == 0
 
 
 def test_boilerplate_share_no_window_on_shingle(spark):
@@ -847,27 +853,6 @@ _FACT_RESCAN_BUDGET = 2
 # each fix deletes its row, and this dict must never grow a pending
 # entry again.
 _FACT_RESCAN_ALLOWED: dict[str, str] = {
-    "basket_part_pair_lift": "PENDING TRIAGE (r10)",
-    "ts_gap_fill_daily": "PENDING TRIAGE (r10)",
-    "ts_linear_interpolate": "PENDING TRIAGE (r10)",
-    "ts_rolling_zscore_anomaly": "PENDING TRIAGE (r10)",
-    "ts_time_to_convert_cohorts": "PENDING TRIAGE (r10)",
-    "ts_sax_symbolic": "PENDING TRIAGE (r10)",
-    "sim_lsh_near_pairs": "PENDING TRIAGE (r10)",
-    "ann_ivf_search": "PENDING TRIAGE (r10)",
-    "ann_ivf_recall": "PENDING TRIAGE (r10)",
-    "kmeans_lloyd_clusters": "PENDING TRIAGE (r10)",
-    "ann_pq_adc_topk": "PENDING TRIAGE (r10)",
-    "ann_pq_recall": "PENDING TRIAGE (r10)",
-    "dedup_embedding_cosine": "PENDING TRIAGE (r10)",
-    "dedup_source_overlap_matrix": "PENDING TRIAGE (r10)",
-    "dedup_exact_substring_spans": "PENDING TRIAGE (r10)",
-    "dedup_rate_by_source": "PENDING TRIAGE (r10)",
-    "hll_mergeable_distinct": "PENDING TRIAGE (r10)",
-    "rollup_share_of_parent": "PENDING TRIAGE (r10)",
-    "incremental_daily_agg": "PENDING TRIAGE (r10)",
-    "warehouse_merge_upsert": "PENDING TRIAGE (r10)",
-    "incremental_join_view": "PENDING TRIAGE (r10)",
     "quality_referential_integrity": (
         "one single-column scan per FK edge; lineitem carries three "
         "independent FK audits (orderkey/partkey/suppkey), each reading "
@@ -875,7 +860,14 @@ _FACT_RESCAN_ALLOWED: dict[str, str] = {
         "merging them would read the same total bytes in one wider scan "
         "for no shuffle savings (each edge is already one pass as of r10)"
     ),
-    "bloom_semi_join_audit": "PENDING TRIAGE (r10)",
+    "ann_ivf_recall": (
+        "recall@k compares TWO independent retrieval methods over the "
+        "same vectors by definition: the brute-force arm reads the "
+        "corpus + query vectors (2 pruned scans) and the IVF arm reads "
+        "them for centroid training + re-rank (its own 2); sharing a "
+        "materialized vector copy would double storage at corpus scale "
+        "for four column-pruned parquet reads"
+    ),
 }
 
 
@@ -958,11 +950,18 @@ def test_round6_ops_plan_shapes(spark):
     properties a refactor could silently lose."""
     from gotsdb_spark.plans import plan_report
 
-    # Hierarchical shares: dims broadcast, the only shuffles are the
-    # leaf aggregation + parent re-aggregations of the tiny leaf frame.
-    r = plan_report(QUERIES["rollup_share_of_parent"](spark, SF))
-    assert r["broadcast_joins"] >= 3
+    # Hierarchical shares: the leaf frame is checkpointed (as of r10),
+    # so the visible plan is ExistingRDD ⋈ broadcast(regions) plus the
+    # 1-row grand-total nested loop — the dim broadcasts live inside
+    # the checkpointed subtree. Pin: ≥1 broadcast join, no global
+    # window, and at most one orders scan end-to-end.
+    from gotsdb_spark.plans import fact_scan_counts
+
+    df = QUERIES["rollup_share_of_parent"](spark, SF)
+    r = plan_report(df)
+    assert r["broadcast_joins"] >= 1
     assert r["global_windows"] == 0
+    assert fact_scan_counts(df).get("orders", 0) <= 1
 
     # Reconciliation: one keyed join + two groupBys; no cartesian.
     r = plan_report(QUERIES["quality_order_reconciliation"](spark, SF))

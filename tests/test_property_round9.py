@@ -253,7 +253,11 @@ def test_hits_fuzz(spark, edges):
 
 ck_rows = st.lists(
     st.tuples(
-        st.integers(min_value=1, max_value=6),  # custkey — heavy reuse
+        # custkey — heavy reuse, with NULLs: multi-column distinct must
+        # count tuples containing NULL (DuckDB ROW semantics), which
+        # Spark's bare countDistinct(a, b) silently drops — the struct
+        # form under test keeps them.
+        st.one_of(st.none(), st.integers(min_value=1, max_value=6)),
         st.integers(min_value=0, max_value=3),  # date offset
         st.integers(min_value=1, max_value=4),  # cents/100
     ),
