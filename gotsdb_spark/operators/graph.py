@@ -1197,3 +1197,209 @@ def graph_hits_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_hits_nations.__doc__ = graph_hits_nations.__doc__.format(
     it=_HITS_ROUNDS
 )
+
+
+# ---------------------------------------------------------------------------
+# Exact betweenness centrality on the nation trade graph — round 10.
+# ---------------------------------------------------------------------------
+
+_BC_MAX_HOPS = 6
+
+
+def _betweenness_oracle() -> str:
+    return f"""
+    WITH RECURSIVE flows AS ({_EDGES_SQL}),
+    sel AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+        FROM flows WHERE src <> dst
+      ) t WHERE rn <= {_BFS_FANOUT}
+    ),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM sel
+    ),
+    ed AS (
+      SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+    ),
+    walk(s, v, len) AS (
+      SELECT n_nationkey, n_nationkey, 0 FROM nation
+      UNION ALL
+      SELECT w.s, e.b, w.len + 1
+      FROM walk w JOIN ed e ON e.a = w.v
+      WHERE w.len < {_BC_MAX_HOPS}
+    ),
+    sp AS (
+      SELECT s, v, CAST(min(len) AS BIGINT) AS d FROM walk GROUP BY s, v
+    ),
+    sigma AS (
+      SELECT w.s, w.v, p.d, CAST(count(*) AS BIGINT) AS sig
+      FROM walk w JOIN sp p ON p.s = w.s AND p.v = w.v AND p.d = w.len
+      GROUP BY w.s, w.v, p.d
+    ),
+    terms AS (
+      SELECT m.v AS node,
+             CAST(l.sig * r.sig * 1000000000 // st.sig AS BIGINT) AS t_e9
+      FROM sigma l
+      JOIN sigma r ON r.s = l.v
+      JOIN sigma m ON m.s = l.s AND m.v = l.v
+      JOIN sigma st ON st.s = l.s AND st.v = r.v
+      WHERE l.s < r.v AND l.v <> l.s AND l.v <> r.v
+        AND l.d + r.d = st.d
+    )
+    SELECT n.n_name,
+           CAST(coalesce(sum(t.t_e9), 0) AS BIGINT) AS betweenness_e9
+    FROM nation n LEFT JOIN terms t ON t.node = n.n_nationkey
+    GROUP BY n.n_name
+    """
+
+
+@query("graph_betweenness_nations", oracle=_betweenness_oracle())
+def graph_betweenness_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact betweenness centrality over the sparsified UNDIRECTED
+    nation trade graph (the top-{k}-partner selection of
+    graph_reachability_hops, symmetrized): for every nation v, the sum
+    over ordered pairs s < t of σ_st(v)/σ_st — the fraction of
+    shortest s→t paths passing THROUGH v. The broker score: PageRank
+    (volume of attention) and k-core (embeddedness) both miss the
+    cut-vertex whose removal disconnects trading blocs, which is
+    precisely what betweenness ranks first.
+
+    Algorithm: level-synchronous all-pairs BFS as dataflow — the
+    frontier carries (source, node, σ) rows for ALL {n} sources at
+    once (one equi-join against the static edge table + one anti-join
+    per level, σ summed across predecessors, the multi-source
+    generalization of graph_reachability_hops), capped at {h} hops;
+    then betweenness via the all-pairs identity σ_st(v) = σ_sv·σ_vt
+    when d(s,v)+d(v,t)=d(s,t) — a triple equi-join over the ≤ n²-row
+    distance/count table, O(n³) pairs on a dimension-bounded graph
+    (15 625 candidate triples at n=25; Brandes' backward accumulation
+    only wins when n² no longer fits — at which point betweenness is
+    approximated by source-sampling THIS same dataflow). Each term is
+    the exact integer σ_sv·σ_vt·1e9 DIV σ_st, so the sum is an exact
+    integer in both engines; the DuckDB oracle is a capped recursive
+    WALK enumeration (minimal-length walks are exactly the shortest
+    paths) — a genuinely different algorithm agreeing on every count.
+
+    Scale: the fact-sized flows aggregation runs once (checkpointed
+    edge table, the round-9 multi-reference lesson); every BFS level
+    is a ≤ n²-row join; the per-level frontier is checkpointed so the
+    lineage stays linear in levels.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no graph
+    surface (internal/storage/types.go:3); this is [TARGET] graph
+    machinery.
+    """
+    from pyspark.sql.window import Window
+
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+
+    flows = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    sel = (
+        flows.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+            ),
+        )
+        .where(F.col("rn") <= _BFS_FANOUT)
+        .select("src", "dst")
+    )
+    und = sel.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    ed = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+
+    reach = (
+        nation.select(
+            F.col("n_nationkey").alias("s"),
+            F.col("n_nationkey").alias("v"),
+            F.lit(0).cast("long").alias("d"),
+            F.lit(1).cast("long").alias("sig"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    frontier = reach
+    for lvl in range(1, _BC_MAX_HOPS + 1):
+        newly = (
+            frontier.join(ed, frontier.v == ed.a)
+            .groupBy("s", F.col("b").alias("nv"))
+            .agg(F.sum("sig").cast("long").alias("sig"))
+            .join(
+                reach.select("s", F.col("v").alias("nv")),
+                ["s", "nv"],
+                "left_anti",
+            )
+            .select(
+                "s",
+                F.col("nv").alias("v"),
+                F.lit(lvl).cast("long").alias("d"),
+                "sig",
+            )
+            .localCheckpoint(eager=False)
+        )
+        reach = reach.unionByName(newly)
+        frontier = newly
+    reach = reach.localCheckpoint(eager=False)
+
+    left = reach.select(
+        F.col("s").alias("ls"), F.col("v").alias("lv"),
+        F.col("d").alias("ld"), F.col("sig").alias("lsig"),
+    )
+    right = reach.select(
+        F.col("s").alias("rs"), F.col("v").alias("rv"),
+        F.col("d").alias("rd"), F.col("sig").alias("rsig"),
+    )
+    st = reach.select(
+        F.col("s").alias("ts"), F.col("v").alias("tv"),
+        F.col("d").alias("td"), F.col("sig").alias("tsig"),
+    )
+    terms = (
+        left.join(right, F.col("lv") == F.col("rs"))
+        .join(
+            st,
+            (F.col("ts") == F.col("ls")) & (F.col("tv") == F.col("rv")),
+        )
+        .where(
+            (F.col("ls") < F.col("rv"))
+            & (F.col("lv") != F.col("ls"))
+            & (F.col("lv") != F.col("rv"))
+            & (F.col("ld") + F.col("rd") == F.col("td"))
+        )
+        .select(
+            F.col("lv").alias("node"),
+            F.expr("CAST(lsig * rsig * 1000000000 DIV tsig AS BIGINT)").alias(
+                "t_e9"
+            ),
+        )
+    )
+    return (
+        nation.select(F.col("n_nationkey").alias("node"), "n_name")
+        .join(terms, "node", "left")
+        .groupBy("n_name")
+        .agg(
+            F.coalesce(F.sum("t_e9"), F.lit(0))
+            .cast("long")
+            .alias("betweenness_e9")
+        )
+    )
+
+
+graph_betweenness_nations.__doc__ = graph_betweenness_nations.__doc__.format(
+    k=_BFS_FANOUT, n=25, h=_BC_MAX_HOPS
+)

@@ -793,3 +793,207 @@ def heavy_hitters_spacesaving(
         )
     )
     return exact
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equal-count quantile digest (t-digest family) — round 10.
+# ---------------------------------------------------------------------------
+
+_QD_K = 32  # centroids per shard (day)
+
+QUANTILE_DIGEST_ORACLE = f"""
+    WITH base AS (
+      SELECT datediff('day', DATE '2025-01-01', CAST(ts AS DATE)) AS d,
+             CAST(floor(value * 1000) AS BIGINT) AS v
+      FROM events
+    ), dic AS (
+      SELECT d, v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY d, v
+    ), cum AS (
+      SELECT d, v, c,
+             CAST(sum(c) OVER (PARTITION BY d ORDER BY v) AS BIGINT) AS cc,
+             CAST(sum(c) OVER (PARTITION BY d) AS BIGINT) AS n_day
+      FROM dic
+    ), cents AS (
+      SELECT d, (cc - 1) * {_QD_K} // n_day AS cid,
+             CAST(sum(c) AS BIGINT) AS w,
+             CAST(sum(v * c) AS BIGINT) AS sv,
+             CAST(min(v) AS BIGINT) AS mn,
+             CAST(max(v) AS BIGINT) AS mx
+      FROM cum GROUP BY d, (cc - 1) * {_QD_K} // n_day
+    ), merged AS (
+      SELECT sv // w AS m_e3, d, cid, w, mx - mn AS span,
+             CAST(sum(w) OVER (ORDER BY sv // w, d, cid) AS BIGINT) AS cumw,
+             CAST(sum(w) OVER () AS BIGINT) AS tw,
+             CAST(count(*) OVER () AS BIGINT) AS n_cent,
+             CAST(max(mx - mn) OVER () AS BIGINT) AS max_span
+      FROM cents
+    ), gdic AS (
+      SELECT v, CAST(sum(c) AS BIGINT) AS c FROM dic GROUP BY v
+    ), gcum AS (
+      SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cc,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+      FROM gdic
+    ), q AS (SELECT unnest([50, 95]) AS q_pct), est AS (
+      SELECT q.q_pct,
+             arg_min(m.m_e3, CASE WHEN m.cumw * 100 >= q.q_pct * m.tw
+                              THEN m.cumw END) AS est_e3,
+             CAST(max(m.n_cent) AS BIGINT) AS n_centroids,
+             CAST(max(m.max_span) AS BIGINT) AS max_span_e3
+      FROM merged m CROSS JOIN q GROUP BY q.q_pct
+    ), exact AS (
+      SELECT q.q_pct,
+             min(CASE WHEN g.cc * 100 >= q.q_pct * g.n THEN g.v END)
+               AS exact_e3
+      FROM gcum g CROSS JOIN q GROUP BY q.q_pct
+    )
+    SELECT e.q_pct, CAST(e.est_e3 AS BIGINT) AS est_e3,
+           CAST(x.exact_e3 AS BIGINT) AS exact_e3,
+           CAST(e.est_e3 - x.exact_e3 AS BIGINT) AS err_e3,
+           e.n_centroids, e.max_span_e3,
+           abs(e.est_e3 - x.exact_e3) <= e.max_span_e3 AS within_span
+    FROM est e JOIN exact x USING (q_pct)
+"""
+
+
+@query("sketch_quantile_digest", oracle=QUANTILE_DIGEST_ORACLE)
+def sketch_quantile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equal-count quantile digest (the t-digest idea, made
+    engine-deterministic): each DAY compresses its value distribution
+    into {k} centroids of ~equal count — (weight, value-sum, min, max)
+    tuples — and the global p50/p95 are read from the MERGED centroid
+    stream, next to the exact quantiles and a hard error certificate
+    (|estimate − exact| ≤ the widest centroid span, the q-digest/
+    GK-style bound that holds because merging by centroid mean can
+    displace a rank boundary by at most one centroid's width here).
+
+    This is the complement of stats_equidepth_bins for domains that do
+    NOT saturate: the equi-depth dictionary trick needs the value grid
+    to stop growing, while per-shard digests stay {k} rows per shard
+    FOREVER — the shard→merge algebra (persist per-day digests,
+    re-merge to any coarser grain without touching raw data) is
+    exactly how production percentile dashboards avoid re-scanning
+    100 TB per refresh.
+
+    Determinism: values are e3 integers; centroid assignment is the
+    integer rank rule (cc−1)·{k} DIV n_day over the per-day value
+    dictionary (each dictionary value lands wholly in one centroid);
+    centroid means are integer floor-divisions of non-negative sums;
+    the merge order is the total (mean, day, centroid) integer sort;
+    quantile readout is the first centroid whose cumulative weight
+    clears q·W — selected as min_by over the strictly-increasing
+    integer cumulative weight, no float anywhere.
+
+    Scale: one map-side-combinable shuffle to the per-day dictionary
+    (checkpointed — the digest build and the exact-quantile baseline
+    both read it), day-partitioned windows (calendar-bounded), then
+    days×{k} centroid rows. The exact side exists only to certify the
+    sketch at fixture scale; production keeps the digest alone.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    aggregation surface (internal/storage/types.go:3); this is
+    [TARGET] sketch machinery.
+    """
+    from pyspark.sql.window import Window as W
+
+    dic = (
+        load_table(spark, "events", sf_dir)
+        .select(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2025-01-01").cast("date")
+            ).alias("d"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+        )
+        .groupBy("d", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    cum = dic.select(
+        "d",
+        "v",
+        "c",
+        F.sum("c").over(W.partitionBy("d").orderBy("v")).cast("long").alias("cc"),
+        F.sum("c").over(W.partitionBy("d")).cast("long").alias("n_day"),
+    )
+    cents = (
+        cum.groupBy(
+            "d",
+            F.expr(f"(cc - 1) * {_QD_K} DIV n_day").alias("cid"),
+        )
+        .agg(
+            F.sum("c").cast("long").alias("w"),
+            F.sum(F.col("v") * F.col("c")).cast("long").alias("sv"),
+            F.min("v").cast("long").alias("mn"),
+            F.max("v").cast("long").alias("mx"),
+        )
+    )
+    w_ord = W.orderBy(F.expr("sv DIV w"), "d", "cid")
+    w_all = W.partitionBy()
+    merged = cents.select(
+        F.expr("sv DIV w").alias("m_e3"),
+        "d",
+        "cid",
+        "w",
+        F.sum("w").over(w_ord.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cumw"),
+        F.sum("w").over(w_all).cast("long").alias("tw"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_cent"),
+        F.max(F.col("mx") - F.col("mn")).over(w_all).cast("long").alias("max_span"),
+    )
+    qs = spark.range(0, 2).select(
+        F.when(F.col("id") == 0, 50).otherwise(95).cast("int").alias("q_pct")
+    )
+    est = (
+        merged.crossJoin(F.broadcast(qs))
+        .groupBy("q_pct")
+        .agg(
+            F.min_by(
+                "m_e3",
+                F.when(
+                    F.col("cumw") * 100 >= F.col("q_pct") * F.col("tw"),
+                    F.col("cumw"),
+                ),
+            ).alias("est_e3"),
+            F.max("n_cent").cast("long").alias("n_centroids"),
+            F.max("max_span").cast("long").alias("max_span_e3"),
+        )
+    )
+    gcum = (
+        dic.groupBy("v")
+        .agg(F.sum("c").alias("c"))
+        .select(
+            "v",
+            F.sum("c").over(W.orderBy("v").rowsBetween(W.unboundedPreceding, 0))
+            .cast("long")
+            .alias("cc"),
+            F.sum("c").over(w_all).cast("long").alias("n"),
+        )
+    )
+    exact = (
+        gcum.crossJoin(F.broadcast(qs))
+        .groupBy("q_pct")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cc") * 100 >= F.col("q_pct") * F.col("n"),
+                    F.col("v"),
+                )
+            )
+            .cast("long")
+            .alias("exact_e3")
+        )
+    )
+    return est.join(exact, "q_pct").select(
+        "q_pct",
+        F.col("est_e3").cast("long").alias("est_e3"),
+        "exact_e3",
+        (F.col("est_e3") - F.col("exact_e3")).cast("long").alias("err_e3"),
+        "n_centroids",
+        "max_span_e3",
+        (
+            F.abs(F.col("est_e3") - F.col("exact_e3")) <= F.col("max_span_e3")
+        ).alias("within_span"),
+    )
+
+
+sketch_quantile_digest.__doc__ = sketch_quantile_digest.__doc__.format(k=_QD_K)

@@ -2303,3 +2303,198 @@ def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_BF_F_E6).alias("f_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IRLS quantile (median) regression — round 10.
+# ---------------------------------------------------------------------------
+
+_IRLS_EPS_E6 = 10_000  # |residual| floor in e6 y-units (1e-2 cents)
+_IRLS_WNUM = 10**12
+
+
+def _irls_round_sql(src: str, out: str) -> str:
+    """One DuckDB IRLS round: reweight by 1/max(|resid|, eps), solve
+    the weighted normal equations, floor the params to the e6 grid."""
+    return f"""
+    {out}_w AS (
+      SELECT d.x, d.y_e2,
+             {_IRLS_WNUM} // greatest(
+               abs(CAST(d.y_e2 AS HUGEINT) * 1000000
+                   - p.a_e6 - CAST(p.b_e6 AS HUGEINT) * d.x),
+               {_IRLS_EPS_E6}) AS w,
+             p.ols_b_e6, p.n_days
+      FROM dic d CROSS JOIN {src} p
+    ), {out}_s AS (
+      SELECT CAST(sum(w) AS HUGEINT) AS sw,
+             CAST(sum(w * x) AS HUGEINT) AS swx,
+             CAST(sum(w * y_e2) AS HUGEINT) AS swy,
+             CAST(sum(w * x * x) AS HUGEINT) AS swxx,
+             CAST(sum(w * x * y_e2) AS HUGEINT) AS swxy,
+             max(ols_b_e6) AS ols_b_e6, max(n_days) AS n_days
+      FROM {out}_w
+    ), {out} AS (
+      SELECT n_days, ols_b_e6,
+             CAST(floor(CAST(sw * swxy - swx * swy AS DOUBLE)
+                        / CAST(sw * swxx - swx * swx AS DOUBLE)
+                        * 1e6 + 0.5001) AS BIGINT) AS b_e6,
+             CAST(floor(CAST(swy * 1000000
+                             - CAST(floor(CAST(sw * swxy - swx * swy AS DOUBLE)
+                                          / CAST(sw * swxx - swx * swx AS DOUBLE)
+                                          * 1e6 + 0.5001) AS HUGEINT) * swx
+                             AS DOUBLE)
+                        / CAST(sw AS DOUBLE) + 0.5001) AS BIGINT) AS a_e6
+      FROM {out}_s
+    )"""
+
+
+IRLS_QUANTREG_ORACLE = f"""
+    WITH dic AS (
+      SELECT datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               AS x,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y_e2
+      FROM orders GROUP BY 1
+    ), s0 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y_e2) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(x AS HUGEINT) * y_e2) AS HUGEINT) AS sxy
+      FROM dic
+    ), p0 AS (
+      SELECT n AS n_days,
+             CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE)
+                        * 1e6 + 0.5001) AS BIGINT) AS ols_b_e6,
+             CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE)
+                        * 1e6 + 0.5001) AS BIGINT) AS b_e6,
+             CAST(floor(CAST(sy * 1000000
+                             - CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                                          / CAST(n * sxx - sx * sx AS DOUBLE)
+                                          * 1e6 + 0.5001) AS HUGEINT) * sx
+                             AS DOUBLE)
+                        / CAST(n AS DOUBLE) + 0.5001) AS BIGINT) AS a_e6
+      FROM s0
+    ), {_irls_round_sql('p0', 'p1')}, {_irls_round_sql('p1', 'p2')}
+    SELECT n_days, ols_b_e6, a_e6, b_e6 FROM p2
+"""
+
+
+@query("stats_irls_quantile_regression", oracle=IRLS_QUANTREG_ORACLE)
+def stats_irls_quantile_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median (L1 / quantile) regression of daily revenue on time via
+    two IRLS rounds — the robust-trend companion of
+    stats_ols_trend_by_type (L2, outlier-dragged) and
+    stats_theil_sen_slope (pairwise median, O(days²) pairs): IRLS
+    re-solves weighted least squares with weights 1/max(|residual|, ε),
+    which converges to the L1 (median) fit — one revenue-spike day
+    barely moves the line, while the OLS slope reported alongside
+    shows exactly how far the spike dragged L2.
+
+    Determinism (the kmeans/Holt-Winters iterative convention): the
+    day dictionary carries exact integer (x, cents); each round's
+    weights are integer floor-divisions 1e12 // max(|resid_e6|, ε) of
+    exact DECIMAL(38,0)/HUGEINT residuals; the weighted normal-
+    equation sums stay exact integers, and each round's (a, b) are
+    floored to the e6 grid from ONE double expression per parameter —
+    both engines enter every round with bit-identical state, so two
+    unrolled rounds land on identical integers.
+
+    Scale: one map-side-combinable shuffle to the (day, cents)
+    dictionary (checkpointed — every IRLS round re-reads it), then per
+    round a 1-row aggregate over the calendar-bounded dictionary and a
+    broadcast of the 1-row parameter frame. Rounds are a fixed unroll:
+    nothing iterates on the driver but the loop counter.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    statistical surface (internal/storage/types.go:3); this is
+    [TARGET] inference machinery.
+    """
+    dec = "decimal(38,0)"
+    dic = (
+        load_table(spark, "orders", sf_dir)
+        .select(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+            ).alias("x"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("x")
+        .agg(F.sum("cents").cast("long").alias("y_e2"))
+        .localCheckpoint(eager=False)
+    )
+    s0 = dic.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y_e2").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y_e2")).alias("sxy"),
+    )
+    b0 = F.floor(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * 1e6
+        + 0.5001
+    ).cast("long")
+    params = s0.select(
+        F.col("n").alias("n_days"),
+        b0.alias("ols_b_e6"),
+        b0.alias("b_e6"),
+        F.floor(
+            (
+                F.col("sy") * 1000000 - b0.cast(dec) * F.col("sx")
+            ).cast("double")
+            / F.col("n").cast("double")
+            + 0.5001
+        )
+        .cast("long")
+        .alias("a_e6"),
+    )
+    for _ in range(2):
+        wcol = F.expr(
+            f"CAST({_IRLS_WNUM} AS DECIMAL(38,0)) DIV greatest("
+            "abs(CAST(y_e2 AS DECIMAL(38,0)) * 1000000"
+            " - a_e6 - CAST(b_e6 AS DECIMAL(38,0)) * x),"
+            f" CAST({_IRLS_EPS_E6} AS DECIMAL(38,0)))"
+        )
+        weighted = dic.crossJoin(F.broadcast(params)).select(
+            "x", "y_e2", "ols_b_e6", "n_days", wcol.alias("w")
+        )
+        s = weighted.agg(
+            F.sum("w").cast(dec).alias("sw"),
+            F.sum(F.col("w") * F.col("x")).cast(dec).alias("swx"),
+            F.sum(F.col("w") * F.col("y_e2")).cast(dec).alias("swy"),
+            F.sum(F.col("w") * F.col("x") * F.col("x")).cast(dec).alias("swxx"),
+            F.sum(F.col("w") * F.col("x") * F.col("y_e2"))
+            .cast(dec)
+            .alias("swxy"),
+            F.max("ols_b_e6").alias("ols_b_e6"),
+            F.max("n_days").alias("n_days"),
+        )
+        bn = F.floor(
+            (F.col("sw") * F.col("swxy") - F.col("swx") * F.col("swy")).cast(
+                "double"
+            )
+            / (
+                F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+            ).cast("double")
+            * 1e6
+            + 0.5001
+        ).cast("long")
+        params = s.select(
+            "n_days",
+            "ols_b_e6",
+            bn.alias("b_e6"),
+            F.floor(
+                (
+                    F.col("swy") * 1000000 - bn.cast(dec) * F.col("swx")
+                ).cast("double")
+                / F.col("sw").cast("double")
+                + 0.5001
+            )
+            .cast("long")
+            .alias("a_e6"),
+        )
+    return params.select("n_days", "ols_b_e6", "a_e6", "b_e6")

@@ -3327,3 +3327,124 @@ def ts_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ts_sax_symbolic.__doc__ = ts_sax_symbolic.__doc__.format(p=_SAX_P)
+
+
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition by moving averages — round 10.
+# ---------------------------------------------------------------------------
+
+SEASONAL_DECOMP_ORACLE = """
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2025-01-01', CAST(ts AS DATE)) AS x,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) // count(*)
+                  AS BIGINT) AS y_e3
+      FROM events GROUP BY 1, 2
+    ), ma AS (
+      SELECT event_type, x, y_e3,
+             CAST(sum(y_e3) OVER w AS BIGINT) AS trend_sum_e3,
+             CAST(count(*) OVER w AS BIGINT) AS frame_n
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY x
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), det AS (
+      SELECT event_type, ((x % 7) + 7) % 7 AS dow,
+             7 * y_e3 - trend_sum_e3 AS det_x7_e3
+      FROM ma WHERE frame_n = 7
+    ), raw AS (
+      SELECT event_type, dow,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(floor(sum(det_x7_e3) * 1.0 / (7 * count(*)) + 0.5001)
+                  AS BIGINT) AS seas_raw_e3
+      FROM det GROUP BY event_type, dow
+    )
+    SELECT event_type, dow, n_days, seas_raw_e3,
+           CAST(7 * seas_raw_e3
+                - sum(seas_raw_e3) OVER (PARTITION BY event_type)
+                AS BIGINT) AS seas_adj_x7_e3
+    FROM raw
+"""
+
+
+@query("ts_seasonal_decompose", oracle=SEASONAL_DECOMP_ORACLE)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition by moving averages: per
+    event_type, the weekly seasonal indices of the daily series —
+    trend = centered 7-day moving average, detrended = series − trend,
+    seasonal index = per-weekday mean of the detrended values, then
+    adjusted so the 7 indices sum to zero. This is decompose()/
+    seasonal_decompose(model='additive') reduced to dataflow — the
+    DIAGNOSTIC complement of the Holt-Winters smoothing family
+    (ts_holt_winters_*), which fits a forecast recursively; the MA
+    decomposition instead answers 'what IS the weekly shape?' with no
+    smoothing-constant choices.
+
+    Exactness: the daily series is the e3 integer dictionary; the
+    centered MA is kept as the INTEGER frame sum (never divided), so
+    detrended·7 = 7y − Σframe is exact; per-weekday means make the
+    single float division, floored once on identical integers in both
+    engines; the sum-to-zero adjustment multiplies through by 7 so it
+    stays an exact integer (seas_adj_x7_e3 = 7·raw − Σraw).
+    Incomplete edge frames (count < 7) are excluded, as classical
+    decomposition does.
+
+    Scale: one map-side-combinable shuffle to the (type, day)
+    dictionary (single consumer, so no checkpoint is needed), one
+    type-partitioned window whose input is calendar-bounded per
+    type, one grid-sized groupBy, one 7-row-per-type window. Nothing
+    row-count-sized past the first shuffle.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no series
+    surface (internal/storage/types.go:3); this is [TARGET]
+    time-series machinery.
+    """
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2025-01-01").cast("date")
+            ).alias("x"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("v_e3"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.expr("CAST(sum(v_e3) DIV count(*) AS BIGINT)").alias("y_e3"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(-3, 3)
+    )
+    ma = daily.select(
+        "event_type",
+        "x",
+        "y_e3",
+        F.sum("y_e3").over(w).cast("long").alias("trend_sum_e3"),
+        F.count(F.lit(1)).over(w).cast("long").alias("frame_n"),
+    )
+    det = ma.where(F.col("frame_n") == 7).select(
+        "event_type",
+        # ((x % 7) + 7) % 7: SQL's % keeps the dividend's sign, and the
+        # series anchor (2025-01-01) postdates part of the fixture, so
+        # a bare x % 7 would split one weekday into ±k buckets.
+        (((F.col("x") % 7) + 7) % 7).alias("dow"),
+        (7 * F.col("y_e3") - F.col("trend_sum_e3")).alias("det_x7_e3"),
+    )
+    raw = det.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.floor(
+            F.sum("det_x7_e3") * 1.0 / (7 * F.count(F.lit(1))) + 0.5001
+        )
+        .cast("long")
+        .alias("seas_raw_e3"),
+    )
+    w_adj = W.partitionBy("event_type")
+    return raw.select(
+        "event_type",
+        "dow",
+        "n_days",
+        "seas_raw_e3",
+        (7 * F.col("seas_raw_e3") - F.sum("seas_raw_e3").over(w_adj))
+        .cast("long")
+        .alias("seas_adj_x7_e3"),
+    )

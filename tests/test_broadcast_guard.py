@@ -109,6 +109,7 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/sketches.py", "bloom_semi_join_audit", "bits.select"): "sketch",
     ("operators/sketches.py", "bloom_semi_join_audit", "counts"): "scalar",
     ("operators/sketches.py", "heavy_hitters_countmin", "counters"): "sketch",
+    ("operators/sketches.py", "sketch_quantile_digest", "qs"): "grid",
     ("operators/sketches.py", "sketch_kmv_distinct_users", "total"): "scalar",
     ("operators/sketches.py", "sketch_kmv_key_overlap", "xb"): "sketch",
     ("operators/sketches.py", "sketch_kmv_key_overlap", "xo"): "sketch",
@@ -117,6 +118,7 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/sketches.py", "sketch_kmv_key_overlap", "eu"): "scalar",
     ("operators/sketches.py", "heavy_hitters_spacesaving", "candidates"): "sketch",
     ("operators/statistics.py", "ts_cusum_changepoint", "stats"): "grid",
+    ("operators/statistics.py", "stats_irls_quantile_regression", "params"): "scalar",
     ("operators/statistics.py", "stats_mad_robust_outliers", "med"): "grid",
     ("operators/statistics.py", "stats_mad_robust_outliers", "mad"): "grid",
     ("operators/statistics.py", "stats_gini_revenue_concentration", "tot"): "scalar",

@@ -709,6 +709,8 @@ def test_weighted_median_windows_dictionary_domain(spark):
 # the sweep.
 ALLOWED_GLOBAL_WINDOWS = {
     "ts_linear_interpolate",  # day-spine frame (rows = days in range)
+    "sketch_quantile_digest",  # merged centroid stream (days × 32 rows)
+    # and the saturating global value dictionary
     "orders_mom_growth",  # monthly series
     "window_share_of_total",  # ~15 (status, priority) grouped rows
     "concurrent_open_orders",  # sweep-line over day-granularity deltas
