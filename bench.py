@@ -160,6 +160,13 @@ HEADLINE = [
     "graph_hits_nations",
     "quality_candidate_keys",
     "ts_sax_symbolic",
+    # round 10 additions
+    "stats_cochran_armitage_trend",
+    "stats_cochran_q_mcnemar",
+    "ts_seasonal_decompose",
+    "sketch_quantile_digest",
+    "stats_irls_quantile_regression",
+    "graph_betweenness_nations",
 ]
 
 # Streaming replays + the KV engine roundtrip execute real multi-wave

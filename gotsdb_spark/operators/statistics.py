@@ -2309,22 +2309,37 @@ def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IRLS quantile (median) regression — round 10.
 # ---------------------------------------------------------------------------
 
-_IRLS_EPS_E6 = 10_000  # |residual| floor in e6 y-units (1e-2 cents)
-_IRLS_WNUM = 10**12
+# Weight = (mar·1000) // max(|resid|, max(mar//1000, 1)) where mar is
+# the round's MEAN ABSOLUTE residual — scale-FREE by construction
+# (w ≈ 1000·mar/|r| ∈ [0, 1e6] at any data volume), unlike a fixed
+# numerator, which zeroes every weight once residual magnitudes
+# outgrow it (the original 1e12 form failed exactly that way in the
+# sf1 rehearsal: 10× daily revenue → |resid| > 1e12 → all-zero
+# weights → 0/0 normal equations). The 1e6 cap also bounds the
+# weighted sums inside DECIMAL(38,0) through sf1000.
+_IRLS_WSCALE = 1000
 
 
 def _irls_round_sql(src: str, out: str) -> str:
-    """One DuckDB IRLS round: reweight by 1/max(|resid|, eps), solve
-    the weighted normal equations, floor the params to the e6 grid."""
+    """One DuckDB IRLS round: residuals → mean-absolute-residual scale
+    → scale-free integer weights → weighted normal equations → params
+    floored to the e6 grid."""
     return f"""
-    {out}_w AS (
+    {out}_r AS (
       SELECT d.x, d.y_e2,
-             {_IRLS_WNUM} // greatest(
-               abs(CAST(d.y_e2 AS HUGEINT) * 1000000
-                   - p.a_e6 - CAST(p.b_e6 AS HUGEINT) * d.x),
-               {_IRLS_EPS_E6}) AS w,
+             abs(CAST(d.y_e2 AS HUGEINT) * 1000000
+                 - p.a_e6 - CAST(p.b_e6 AS HUGEINT) * d.x) AS r,
              p.ols_b_e6, p.n_days
       FROM dic d CROSS JOIN {src} p
+    ), {out}_m AS (
+      SELECT CAST(sum(r) // count(*) AS HUGEINT) AS mar FROM {out}_r
+    ), {out}_w AS (
+      SELECT r.x, r.y_e2,
+             CAST(m.mar * {_IRLS_WSCALE} AS HUGEINT)
+               // greatest(r.r, greatest(m.mar // {_IRLS_WSCALE},
+                                         CAST(1 AS HUGEINT))) AS w,
+             r.ols_b_e6, r.n_days
+      FROM {out}_r r CROSS JOIN {out}_m m
     ), {out}_s AS (
       SELECT CAST(sum(w) AS HUGEINT) AS sw,
              CAST(sum(w * x) AS HUGEINT) AS swx,
@@ -2395,8 +2410,10 @@ def stats_irls_quantile_regression(spark: SparkSession, sf_dir: str) -> DataFram
 
     Determinism (the kmeans/Holt-Winters iterative convention): the
     day dictionary carries exact integer (x, cents); each round's
-    weights are integer floor-divisions 1e12 // max(|resid_e6|, ε) of
-    exact DECIMAL(38,0)/HUGEINT residuals; the weighted normal-
+    weights are SCALE-FREE integer floor-divisions (mar·1000) //
+    max(|resid_e6|, mar//1000) of exact DECIMAL(38,0)/HUGEINT
+    residuals, where mar is the round's mean absolute residual — see
+    _IRLS_WSCALE for why a fixed numerator fails at volume; the weighted normal-
     equation sums stay exact integers, and each round's (a, b) are
     floored to the e6 grid from ONE double expression per parameter —
     both engines enter every round with bit-identical state, so two
@@ -2453,23 +2470,45 @@ def stats_irls_quantile_regression(spark: SparkSession, sf_dir: str) -> DataFram
         .alias("a_e6"),
     )
     for _ in range(2):
-        wcol = F.expr(
-            f"CAST({_IRLS_WNUM} AS DECIMAL(38,0)) DIV greatest("
-            "abs(CAST(y_e2 AS DECIMAL(38,0)) * 1000000"
-            " - a_e6 - CAST(b_e6 AS DECIMAL(38,0)) * x),"
-            f" CAST({_IRLS_EPS_E6} AS DECIMAL(38,0)))"
+        resid = (
+            dic.crossJoin(F.broadcast(params))
+            .select(
+                "x",
+                "y_e2",
+                "ols_b_e6",
+                "n_days",
+                F.expr(
+                    "abs(CAST(y_e2 AS DECIMAL(38,0)) * 1000000"
+                    " - a_e6 - CAST(b_e6 AS DECIMAL(38,0)) * x)"
+                ).alias("r"),
+            )
+            # two consumers (the scale aggregate and the reweighting)
+            .localCheckpoint(eager=False)
         )
-        weighted = dic.crossJoin(F.broadcast(params)).select(
-            "x", "y_e2", "ols_b_e6", "n_days", wcol.alias("w")
+        mar = resid.agg(
+            F.expr("CAST(sum(r) DIV count(*) AS DECIMAL(38,0))").alias("mar")
         )
+        weighted = resid.crossJoin(F.broadcast(mar)).select(
+            "x",
+            "y_e2",
+            "ols_b_e6",
+            "n_days",
+            F.expr(
+                f"CAST(mar * {_IRLS_WSCALE} AS DECIMAL(38,0)) DIV greatest("
+                f"r, greatest(mar DIV {_IRLS_WSCALE},"
+                " CAST(1 AS DECIMAL(38,0))))"
+            ).alias("w"),
+        )
+        # Spark's DIV yields LONG, so w must widen to DECIMAL BEFORE
+        # the products: w·x·y_e2 ≈ 1e6·2.4e3·2.3e10 ≈ 5.5e19 passes
+        # int64 already at the sf1 rehearsal volume.
+        wd = F.col("w").cast(dec)
         s = weighted.agg(
-            F.sum("w").cast(dec).alias("sw"),
-            F.sum(F.col("w") * F.col("x")).cast(dec).alias("swx"),
-            F.sum(F.col("w") * F.col("y_e2")).cast(dec).alias("swy"),
-            F.sum(F.col("w") * F.col("x") * F.col("x")).cast(dec).alias("swxx"),
-            F.sum(F.col("w") * F.col("x") * F.col("y_e2"))
-            .cast(dec)
-            .alias("swxy"),
+            F.sum(wd).alias("sw"),
+            F.sum(wd * F.col("x")).alias("swx"),
+            F.sum(wd * F.col("y_e2")).alias("swy"),
+            F.sum(wd * F.col("x") * F.col("x")).alias("swxx"),
+            F.sum(wd * F.col("x") * F.col("y_e2")).cast(dec).alias("swxy"),
             F.max("ols_b_e6").alias("ols_b_e6"),
             F.max("n_days").alias("n_days"),
         )

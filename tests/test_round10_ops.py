@@ -235,9 +235,10 @@ def test_irls_quantreg_matches_python_reference(spark):
     a = math.floor((sy * 1000000 - b * sx) / n + 0.5001)
     ols_b = b
     for _ in range(2):
+        rs = {x: abs(daily[x] * 1000000 - a - b * x) for x in xs}
+        mar = sum(rs.values()) // n
         ws = {
-            x: 10**12 // max(abs(daily[x] * 1000000 - a - b * x), 10_000)
-            for x in xs
+            x: mar * 1000 // max(rs[x], max(mar // 1000, 1)) for x in xs
         }
         sw = sum(ws.values())
         swx = sum(w * x for x, w in ws.items())

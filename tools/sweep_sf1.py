@@ -156,7 +156,35 @@ ROUND9_CLASS = [
     "ts_sax_symbolic",
 ]
 
-SWEEP_CLASS = OVERFLOW_CLASS + DICT_WINDOW_CLASS + ROUND8_CLASS + ROUND9_CLASS
+# Round-10 additions (VERDICT r9 item 6): the dedup/LSH family had
+# never run at 10× — band-join fan-out, packed-array verify memory,
+# and prefix-filter candidate counts all change shape with volume
+# (and the key-shifted copies make every document 10× duplicated, so
+# the candidate streams are ~100× sf0.1 — a real fan-out stress).
+# Plus the round-10 registrations with volume-coupled accumulators:
+# Cochran-Armitage's A² ~ 25n⁴ ≈ 2.5e25 at sf1 (DECIMAL-guarded),
+# Cochran's Q squared column totals, the digest's w·v sums, IRLS's
+# w·x·y products (~2.5e23), and the seasonal decomposition's 10×
+# daily sums.
+ROUND10_CLASS = [
+    "dedup_minhash_lsh",
+    "dedup_prefix_filter_jaccard",
+    "dedup_lsh_band_sensitivity",
+    "curate_fuzzy_contamination",
+    "stats_cochran_armitage_trend",
+    "stats_cochran_q_mcnemar",
+    "sketch_quantile_digest",
+    "stats_irls_quantile_regression",
+    "ts_seasonal_decompose",
+]
+
+SWEEP_CLASS = (
+    OVERFLOW_CLASS
+    + DICT_WINDOW_CLASS
+    + ROUND8_CLASS
+    + ROUND9_CLASS
+    + ROUND10_CLASS
+)
 
 
 def _strides() -> dict[tuple[str, str], int]:
