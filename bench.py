@@ -167,6 +167,7 @@ HEADLINE = [
     "sketch_quantile_digest",
     "stats_irls_quantile_regression",
     "graph_betweenness_nations",
+    "stats_cucconi_location_scale",
 ]
 
 # Streaming replays + the KV engine roundtrip execute real multi-wave

@@ -2275,3 +2275,149 @@ def stats_cochran_q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mcnemar_chi2_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cucconi location-scale test — round 10.
+# ---------------------------------------------------------------------------
+
+CUCCONI_ORACLE = """
+    WITH base AS (
+      SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+             l_returnflag AS flag
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    ), dic AS (
+      SELECT cents,
+             CAST(sum(CASE WHEN flag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+             CAST(count(*) AS BIGINT) AS c
+      FROM base GROUP BY cents
+    ), cum AS (
+      SELECT cb, c, 2 * sum(c) OVER (ORDER BY cents) - c + 1 AS m2 FROM dic
+    ), suff AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(cb) AS BIGINT) AS n2,
+             CAST(sum(CAST(cb AS HUGEINT) * m2) AS HUGEINT) AS sb_x2,
+             CAST(sum(CAST(cb AS HUGEINT) * m2 * m2) AS HUGEINT) AS s2b_x4
+      FROM cum
+    )
+    SELECT n, CAST(n - n2 AS BIGINT) AS n1, n2,
+           CAST(sb_x2 AS BIGINT) AS rank_sum_b_x2,
+           CAST(s2b_x4 AS VARCHAR) AS rank_sq_sum_b_x4,
+           CAST(floor(
+             (u.u * u.u + v.v * v.v - 2.0 * r.r * u.u * v.v)
+             / (2.0 * (1 - r.r * r.r))
+             * 1e6 + 0.5001) AS BIGINT) AS q_e6
+    FROM suff,
+    LATERAL (SELECT sqrt(CAST(n - n2 AS DOUBLE) * n2 * (n + 1) * (2 * n + 1)
+                         * (8 * n + 11) / 5) AS d) d,
+    LATERAL (SELECT (6.0 * (CAST(s2b_x4 AS DOUBLE) / 4)
+                     - CAST(n2 AS DOUBLE) * (n + 1) * (2 * n + 1)) / d.d AS u) u,
+    LATERAL (SELECT (6.0 * (CAST(n2 AS DOUBLE) * (n + 1) * (n + 1)
+                            - (n + 1) * CAST(sb_x2 AS DOUBLE)
+                            + CAST(s2b_x4 AS DOUBLE) / 4)
+                     - CAST(n2 AS DOUBLE) * (n + 1) * (2 * n + 1)) / d.d AS v) v,
+    LATERAL (SELECT 2.0 * (CAST(n AS DOUBLE) * n - 4)
+                    / ((2 * n + 1) * CAST(8 * n + 11 AS DOUBLE)) - 1 AS r) r
+"""
+
+
+@query("stats_cucconi_location_scale", oracle=CUCCONI_ORACLE)
+def stats_cucconi_location_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cucconi's joint location-scale rank test between the 'A' and
+    'R' return-flag price distributions — the two-sample family's
+    joint-alternative member: Mann-Whitney (stats_mann_whitney_u)
+    sees location shifts, Brown-Forsythe (stats_brown_forsythe) sees
+    scale shifts, KS (stats_ks_priority_price) sees any gap but
+    diffusely; Cucconi combines a squared-rank statistic U and its
+    contrary-rank mirror V with their known correlation ρ into one
+    Q = (U² + V² − 2ρUV) / (2(1−ρ²)), with better power than the
+    Lepage combination it predates.
+
+    Tie handling: doubled MIDRANKS over the cents dictionary (the
+    stats_mann_whitney_u / spearman convention) — m2 = 2·cc − c + 1 is
+    an exact integer per distinct price, so the B-sample rank sum (×2)
+    and squared-rank sum (×4) are exact HUGEINT/DECIMAL(38,0) integers
+    (Σcb·m2² ≈ 4N³ ≈ 8.6e20 at sf1, past int64 before sf0.5); the /2
+    and /4 fold into ONE shared float expression evaluated on those
+    exact integers identically in both engines, then floored to e6.
+    The contrary-rank sum needs no second ordering: Σ(N+1−R)² expands
+    algebraically from N, ΣR, ΣR².
+
+    Scale: one map-side-combinable groupBy to the price dictionary,
+    one dictionary-bounded cumulative (saturating value grid — the
+    dictionary trick), one scalar row. Nothing row-count-sized past
+    the first shuffle. The squared-rank sum is reported as a STRING
+    (it exceeds int64; DuckDB hands DECIMAL to pandas as float64,
+    which would wreck the hash gate — the Jarque-Bera convention).
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    statistical surface (internal/storage/types.go:3); this is
+    [TARGET] inference machinery.
+    """
+    dec = "decimal(38,0)"
+    base = load_table(spark, "lineitem", sf_dir).where(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    dic = (
+        base.select(
+            F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("b"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum("b").cast("long").alias("cb"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+    )
+    cum = dic.select(
+        "cb",
+        "c",
+        (
+            2 * F.sum("c").over(W.orderBy("cents").rowsBetween(W.unboundedPreceding, 0))
+            - F.col("c")
+            + 1
+        ).alias("m2"),
+    )
+    suff = cum.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("cb").cast("long").alias("n2"),
+        F.sum(F.col("cb").cast(dec) * F.col("m2")).alias("sb_x2"),
+        F.sum(F.col("cb").cast(dec) * F.col("m2") * F.col("m2")).alias("s2b_x4"),
+    )
+    # Double-first for the same reason as rho — and because the exact
+    # decimal product n1·n2·(n+1)·(2n+1)·(8n+11) ≈ 5n⁵ would overflow
+    # DECIMAL(38,0) around sf30.
+    den = (
+        "sqrt(CAST(n - n2 AS DOUBLE) * n2 * (n + 1) * (2 * n + 1)"
+        " * (8 * n + 11) / 5)"
+    )
+    u = (
+        f"((6.0 * (CAST(s2b_x4 AS DOUBLE) / 4)"
+        f" - CAST(n2 AS DOUBLE) * (n + 1) * (2 * n + 1)) / {den})"
+    )
+    v = (
+        f"((6.0 * (CAST(n2 AS DOUBLE) * (n + 1) * (n + 1)"
+        f" - (n + 1) * CAST(sb_x2 AS DOUBLE)"
+        f" + CAST(s2b_x4 AS DOUBLE) / 4)"
+        f" - CAST(n2 AS DOUBLE) * (n + 1) * (2 * n + 1)) / {den})"
+    )
+    # CAST to DOUBLE explicitly: Spark parses 2.0/1.0 literals as
+    # DECIMAL, and an all-integer/decimal rho would silently evaluate
+    # in 10-digit decimal arithmetic (caught by a 3e-6 cross-engine
+    # drift during this op's oracle bring-up).
+    rho = (
+        "(2.0 * (CAST(n AS DOUBLE) * n - 4)"
+        " / ((2 * n + 1) * CAST(8 * n + 11 AS DOUBLE)) - 1)"
+    )
+    return suff.select(
+        "n",
+        (F.col("n") - F.col("n2")).cast("long").alias("n1"),
+        "n2",
+        F.col("sb_x2").cast("long").alias("rank_sum_b_x2"),
+        F.col("s2b_x4").cast("string").alias("rank_sq_sum_b_x4"),
+        F.expr(
+            f"CAST(floor(({u} * {u} + {v} * {v}"
+            f" - 2.0 * {rho} * {u} * {v})"
+            f" / (2.0 * (1 - {rho} * {rho})) * 1e6 + 0.5001) AS BIGINT)"
+        ).alias("q_e6"),
+    )

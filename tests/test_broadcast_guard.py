@@ -119,6 +119,7 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/sketches.py", "heavy_hitters_spacesaving", "candidates"): "sketch",
     ("operators/statistics.py", "ts_cusum_changepoint", "stats"): "grid",
     ("operators/statistics.py", "stats_irls_quantile_regression", "params"): "scalar",
+    ("operators/statistics.py", "stats_irls_quantile_regression", "mar"): "scalar",
     ("operators/statistics.py", "stats_mad_robust_outliers", "med"): "grid",
     ("operators/statistics.py", "stats_mad_robust_outliers", "mad"): "grid",
     ("operators/statistics.py", "stats_gini_revenue_concentration", "tot"): "scalar",

@@ -345,3 +345,42 @@ def test_betweenness_matches_python_reference(spark):
     # the sparse trade graph must actually have brokers, or the test
     # (and the operator) is vacuous
     assert any(v > 0 for v in expect.values())
+
+
+# ------------------------------------------------- Cucconi Q
+
+
+def test_cucconi_matches_python_reference(spark):
+    rows = (
+        load_table(spark, "lineitem", SF)
+        .where(F.col("l_returnflag").isin("A", "R"))
+        .select(
+            F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("v"),
+            (F.col("l_returnflag") == "R").alias("b"),
+        )
+        .collect()
+    )
+    cnt = Counter(r["v"] for r in rows)
+    cb = Counter(r["v"] for r in rows if r["b"])
+    n = len(rows)
+    n2 = sum(cb.values())
+    cc = 0
+    sb_x2 = s2b_x4 = 0
+    for v in sorted(cnt):
+        m2 = 2 * (cc + cnt[v]) - cnt[v] + 1
+        sb_x2 += cb.get(v, 0) * m2
+        s2b_x4 += cb.get(v, 0) * m2 * m2
+        cc += cnt[v]
+    d = math.sqrt((n - n2) * n2 * (n + 1) * (2 * n + 1) * (8 * n + 11) / 5)
+    u = (6.0 * (s2b_x4 / 4) - n2 * 1.0 * (n + 1) * (2 * n + 1)) / d
+    v_ = (
+        6.0 * (n2 * 1.0 * (n + 1) * (n + 1) - (n + 1) * float(sb_x2) + s2b_x4 / 4)
+        - n2 * 1.0 * (n + 1) * (2 * n + 1)
+    ) / d
+    r_ = 2.0 * (n * 1.0 * n - 4) / ((2 * n + 1) * 1.0 * (8 * n + 11)) - 1
+    q = (u * u + v_ * v_ - 2.0 * r_ * u * v_) / (2.0 * (1 - r_ * r_))
+    got = QUERIES["stats_cucconi_location_scale"](spark, SF).collect()[0]
+    assert got["n"] == n and got["n2"] == n2 and got["n1"] == n - n2
+    assert got["rank_sum_b_x2"] == sb_x2
+    assert got["rank_sq_sum_b_x4"] == str(s2b_x4)
+    assert got["q_e6"] == _e6(q)

@@ -176,6 +176,7 @@ ROUND10_CLASS = [
     "sketch_quantile_digest",
     "stats_irls_quantile_regression",
     "ts_seasonal_decompose",
+    "stats_cucconi_location_scale",  # Σcb·m2² ≈ 4N³ ≈ 8.6e20 at sf1
 ]
 
 SWEEP_CLASS = (
