@@ -2369,14 +2369,16 @@ def stats_cucconi_location_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("c"),
         )
     )
-    cum = dic.select(
+    from gotsdb_spark.operators.distrank import dist_rank
+
+    # dist_rank, not a global window: the cumulative runs as two
+    # linear passes over the saturating cents dictionary (the
+    # spearman / Kaplan-Meier machinery) instead of funneling the
+    # dictionary through one partition.
+    cum = dist_rank(dic, ["cents"], rank_col="_rk", sum_cols={"cc": "c"}).select(
         "cb",
         "c",
-        (
-            2 * F.sum("c").over(W.orderBy("cents").rowsBetween(W.unboundedPreceding, 0))
-            - F.col("c")
-            + 1
-        ).alias("m2"),
+        (2 * F.col("cc") - F.col("c") + 1).alias("m2"),
     )
     suff = cum.agg(
         F.sum("c").cast("long").alias("n"),
