@@ -2182,9 +2182,9 @@ COCHRAN_Q_ORACLE = f"""
              2.0 * (3 * (CAST(c1 AS HUGEINT) * c1 + CAST(c2 AS HUGEINT) * c2
                          + CAST(c3 AS HUGEINT) * c3)
                     - CAST(sr AS HUGEINT) * sr)
-             / (3.0 * sr - sr2) * 1e6 + 0.5001) AS BIGINT) AS q_e6,
+             / nullif(3.0 * sr - sr2, 0) * 1e6 + 0.5001) AS BIGINT) AS q_e6,
            n01, n10,
-           CAST(floor((n01 - n10) * 1.0 * (n01 - n10) / (n01 + n10)
+           CAST(floor((n01 - n10) * 1.0 * (n01 - n10) / nullif(n01 + n10, 0)
                       * 1e6 + 0.5001) AS BIGINT) AS mcnemar_chi2_e6
     FROM suff
 """
@@ -2256,7 +2256,9 @@ def stats_cochran_q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 - F.col("sr").cast(dec) * F.col("sr")
             )
-            / (3.0 * F.col("sr") - F.col("sr2"))
+            # all-concordant degenerate corpus (sr2 == 3·sr) → NULL in
+            # both engines, not NaN/Infinity (oracle uses nullif too)
+            / F.nullif(3.0 * F.col("sr") - F.col("sr2"), F.lit(0.0))
             * 1e6
             + 0.5001
         )
@@ -2268,7 +2270,8 @@ def stats_cochran_q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n01") - F.col("n10"))
             * 1.0
             * (F.col("n01") - F.col("n10"))
-            / (F.col("n01") + F.col("n10"))
+            # no discordant docs → NULL in both engines
+            / F.nullif(F.col("n01") + F.col("n10"), F.lit(0)).cast("double")
             * 1e6
             + 0.5001
         )

@@ -886,8 +886,11 @@ def sketch_quantile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one map-side-combinable shuffle to the per-day dictionary
     (checkpointed — the digest build and the exact-quantile baseline
     both read it), day-partitioned windows (calendar-bounded), then
-    days×{k} centroid rows. The exact side exists only to certify the
-    sketch at fixture scale; production keeps the digest alone.
+    days×{k} centroid rows. The exact certification arm's cumulative
+    count goes through dist_rank (no unpartitioned window — the value
+    dictionary grows by premise); the only remaining global window is
+    the merged centroid stream itself, bounded at days×{k} rows.
+    Production keeps the digest alone.
 
     Reference parity: the reference (j0shgrant/gotsdb) has no
     aggregation surface (internal/storage/types.go:3); this is
@@ -958,17 +961,19 @@ def sketch_quantile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_span").cast("long").alias("max_span_e3"),
         )
     )
-    gcum = (
-        dic.groupBy("v")
-        .agg(F.sum("c").alias("c"))
-        .select(
-            "v",
-            F.sum("c").over(W.orderBy("v").rowsBetween(W.unboundedPreceding, 0))
-            .cast("long")
-            .alias("cc"),
-            F.sum("c").over(w_all).cast("long").alias("n"),
-        )
+    # Exact-quantile certification arm: the value dictionary does NOT
+    # saturate (that's this op's premise), so its cumulative count is
+    # routed through dist_rank (range-partition + partition-local
+    # running sums + O(P) offsets) instead of an unpartitioned window —
+    # same convention as stats_equidepth_bins.
+    from gotsdb_spark.operators.distrank import dist_rank
+
+    gdic = dic.groupBy("v").agg(F.sum("c").cast("long").alias("c"))
+    gcum = dist_rank(gdic, ["v"], rank_col="_rnk", sum_cols={"cc": "c"}).drop(
+        "_rnk"
     )
+    gtot = gcum.agg(F.sum("c").cast("long").alias("n"))
+    gcum = gcum.crossJoin(F.broadcast(gtot))
     exact = (
         gcum.crossJoin(F.broadcast(qs))
         .groupBy("q_pct")

@@ -2485,8 +2485,17 @@ def stats_irls_quantile_regression(spark: SparkSession, sf_dir: str) -> DataFram
             # two consumers (the scale aggregate and the reweighting)
             .localCheckpoint(eager=False)
         )
+        # Spark's integral DIV returns LONG, which would overflow/null
+        # once mean |resid_e6| passes ~9.2e18 (≈ sf300-400) while the
+        # DuckDB oracle's `//` stays HUGEINT — so the mar path uses
+        # decimal floor-division instead (DECIMAL(38,6) intermediate:
+        # 32 integral digits, matching the documented sf1000 bound).
+        # r ≥ 0 and count > 0, so floor == DuckDB's `//` exactly.
         mar = resid.agg(
-            F.expr("CAST(sum(r) DIV count(*) AS DECIMAL(38,0))").alias("mar")
+            F.expr(
+                "CAST(floor(CAST(sum(r) AS DECIMAL(38,0)) / count(*))"
+                " AS DECIMAL(38,0))"
+            ).alias("mar")
         )
         weighted = resid.crossJoin(F.broadcast(mar)).select(
             "x",
@@ -2495,7 +2504,8 @@ def stats_irls_quantile_regression(spark: SparkSession, sf_dir: str) -> DataFram
             "n_days",
             F.expr(
                 f"CAST(mar * {_IRLS_WSCALE} AS DECIMAL(38,0)) DIV greatest("
-                f"r, greatest(mar DIV {_IRLS_WSCALE},"
+                f"r, greatest(CAST(floor(mar / {_IRLS_WSCALE})"
+                " AS DECIMAL(38,0)),"
                 " CAST(1 AS DECIMAL(38,0))))"
             ).alias("w"),
         )

@@ -110,6 +110,7 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/sketches.py", "bloom_semi_join_audit", "counts"): "scalar",
     ("operators/sketches.py", "heavy_hitters_countmin", "counters"): "sketch",
     ("operators/sketches.py", "sketch_quantile_digest", "qs"): "grid",
+    ("operators/sketches.py", "sketch_quantile_digest", "gtot"): "scalar",
     ("operators/sketches.py", "sketch_kmv_distinct_users", "total"): "scalar",
     ("operators/sketches.py", "sketch_kmv_key_overlap", "xb"): "sketch",
     ("operators/sketches.py", "sketch_kmv_key_overlap", "xo"): "sketch",

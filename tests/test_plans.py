@@ -709,8 +709,8 @@ def test_weighted_median_windows_dictionary_domain(spark):
 # the sweep.
 ALLOWED_GLOBAL_WINDOWS = {
     "ts_linear_interpolate",  # day-spine frame (rows = days in range)
-    "sketch_quantile_digest",  # merged centroid stream (days × 32 rows)
-    # and the saturating global value dictionary
+    "sketch_quantile_digest",  # merged centroid stream (days × 32 rows);
+    # the exact-arm value-dictionary cumulative goes through dist_rank
     "orders_mom_growth",  # monthly series
     "window_share_of_total",  # ~15 (status, priority) grouped rows
     "concurrent_open_orders",  # sweep-line over day-granularity deltas
@@ -1226,5 +1226,83 @@ def test_round9b_ops_plan_shapes(spark):
     # stats joins are grid-sized equi-joins; no cartesian, no global
     # window.
     r = plan_report(QUERIES["ts_sax_symbolic"](spark, SF))
+    assert r["global_windows"] == 0
+    assert not r["cartesian"]
+
+
+def test_detector_catches_cartesian(spark):
+    """Canary: has_cartesian_product must flag BOTH physical shapes a
+    non-equi cross join can take — BroadcastNestedLoopJoin (small
+    side broadcast) and CartesianProduct (shuffle-replicate) — so the
+    ~12 no-cartesian pins across this file can never pass vacuously
+    the way the scan audit did in rounds 6-9 (VERDICT r10)."""
+    from gotsdb_spark.plans.inspect import has_cartesian_product
+
+    a = spark.range(100)
+    b = spark.range(100).withColumnRenamed("id", "id2")
+    # Plain crossJoin of two tiny frames plans as BroadcastNestedLoopJoin.
+    assert has_cartesian_product(a.crossJoin(b))
+    # SHUFFLE_REPLICATE_NL forces the CartesianProduct operator.
+    assert has_cartesian_product(a.crossJoin(b.hint("SHUFFLE_REPLICATE_NL")))
+    # And an equi-join over the same frames must NOT trip the detector.
+    c = spark.range(100).withColumnRenamed("id", "id")
+    assert not has_cartesian_product(
+        a.join(c, "id").filter("id >= 0").select("id")
+    )
+
+
+def test_round10_ops_plan_shapes(spark):
+    """Plan pins for the seven round-10 operators (VERDICT r10 #1)."""
+    from gotsdb_spark.plans import plan_report
+
+    # Betweenness: multi-source BFS sigma tables are frontier
+    # equi-joins over the checkpointed <=25-node nation graph; the
+    # s-v-t path-identity triple join must plan as hash joins, never
+    # a cartesian or nested-loop blowup.
+    r = plan_report(QUERIES["graph_betweenness_nations"](spark, SF))
+    assert not r["cartesian"] and not r["nested_loop"]
+    assert r["global_windows"] == 0
+
+    # Quantile digest: the only global window is the merged centroid
+    # stream (days x K rows, allowlisted); the exact-arm value
+    # dictionary goes through dist_rank, so the chain count stays at
+    # the centroid-merge windows and cannot grow with the value grid.
+    r = plan_report(QUERIES["sketch_quantile_digest"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] <= 2
+
+    # IRLS median regression: a fixed 2-round unroll — per round one
+    # 1-row mar aggregate and one weighted normal-equation aggregate
+    # over the checkpointed day dictionary; 1-row parameter frames
+    # ride broadcast nested loops (intended), never a cartesian, and
+    # no window anywhere.
+    r = plan_report(QUERIES["stats_irls_quantile_regression"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+
+    # Cucconi: doubled-midrank cumulative via dist_rank (commit
+    # c047a70) — dictionary-bounded shuffles, no global window.
+    r = plan_report(QUERIES["stats_cucconi_location_scale"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+
+    # Cochran-Armitage: contingency sufficient statistics in one
+    # map-side-combinable pass over the 5-level priority grid.
+    r = plan_report(QUERIES["stats_cochran_armitage_trend"](spark, SF))
+    assert r["global_windows"] == 0
+    assert not r["cartesian"] and not r["nested_loop"]
+
+    # Cochran Q + McNemar: ONE aggregate over one documents scan —
+    # no join of any kind, <=2 shuffles (partial+final of the 1-row
+    # combine).
+    r = plan_report(QUERIES["stats_cochran_q_mcnemar"](spark, SF))
+    assert r["global_windows"] == 0
+    assert not r["cartesian"] and not r["nested_loop"]
+    assert r["broadcast_joins"] == 0 and r["sortmerge_joins"] == 0
+    assert r["shuffles"] <= 2
+
+    # Seasonal decompose: every window is partitioned (day-of-week /
+    # series keys); trend MA is a bounded frame; no cartesian.
+    r = plan_report(QUERIES["ts_seasonal_decompose"](spark, SF))
     assert r["global_windows"] == 0
     assert not r["cartesian"]
