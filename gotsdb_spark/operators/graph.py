@@ -1206,6 +1206,85 @@ graph_hits_nations.__doc__ = graph_hits_nations.__doc__.format(
 _BC_MAX_HOPS = 6
 
 
+def _nation_bfs_sigma(spark: SparkSession, sf_dir: str):
+    """Shared build for the betweenness family (node betweenness,
+    round 10; Girvan-Newman edge betweenness, round 11): the
+    sparsified undirected nation trade graph and the all-pairs
+    level-synchronous BFS table reach(s, v, d, sig) — shortest
+    distance d and shortest-path count sigma for every source —
+    capped at _BC_MAX_HOPS. Returns (nation, ed, reach); ed carries
+    both orientations of every undirected edge. All three frames are
+    checkpointed: the fact-sized flows aggregation runs exactly once
+    per calling query no matter how many consumers downstream."""
+    from pyspark.sql.window import Window
+
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+
+    flows = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    sel = (
+        flows.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+            ),
+        )
+        .where(F.col("rn") <= _BFS_FANOUT)
+        .select("src", "dst")
+    )
+    und = sel.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    ed = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+
+    reach = (
+        nation.select(
+            F.col("n_nationkey").alias("s"),
+            F.col("n_nationkey").alias("v"),
+            F.lit(0).cast("long").alias("d"),
+            F.lit(1).cast("long").alias("sig"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    frontier = reach
+    for lvl in range(1, _BC_MAX_HOPS + 1):
+        newly = (
+            frontier.join(ed, frontier.v == ed.a)
+            .groupBy("s", F.col("b").alias("nv"))
+            .agg(F.sum("sig").cast("long").alias("sig"))
+            .join(
+                reach.select("s", F.col("v").alias("nv")),
+                ["s", "nv"],
+                "left_anti",
+            )
+            .select(
+                "s",
+                F.col("nv").alias("v"),
+                F.lit(lvl).cast("long").alias("d"),
+                "sig",
+            )
+            .localCheckpoint(eager=False)
+        )
+        reach = reach.unionByName(newly)
+        frontier = newly
+    reach = reach.localCheckpoint(eager=False)
+    return nation, ed, reach
+
+
 def _betweenness_oracle() -> str:
     return f"""
     WITH RECURSIVE flows AS ({_EDGES_SQL}),
@@ -1290,72 +1369,7 @@ def graph_betweenness_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface (internal/storage/types.go:3); this is [TARGET] graph
     machinery.
     """
-    from pyspark.sql.window import Window
-
-    lineitem = load_table(spark, "lineitem", sf_dir)
-    orders = load_table(spark, "orders", sf_dir)
-    customer = load_table(spark, "customer", sf_dir)
-    supplier = load_table(spark, "supplier", sf_dir)
-    nation = load_table(spark, "nation", sf_dir)
-
-    flows = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
-        .groupBy(
-            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
-        )
-        .agg(F.count("*").alias("w"))
-        .where(F.col("src") != F.col("dst"))
-    )
-    sel = (
-        flows.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
-            ),
-        )
-        .where(F.col("rn") <= _BFS_FANOUT)
-        .select("src", "dst")
-    )
-    und = sel.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
-    ed = und.unionByName(
-        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=False)
-
-    reach = (
-        nation.select(
-            F.col("n_nationkey").alias("s"),
-            F.col("n_nationkey").alias("v"),
-            F.lit(0).cast("long").alias("d"),
-            F.lit(1).cast("long").alias("sig"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    frontier = reach
-    for lvl in range(1, _BC_MAX_HOPS + 1):
-        newly = (
-            frontier.join(ed, frontier.v == ed.a)
-            .groupBy("s", F.col("b").alias("nv"))
-            .agg(F.sum("sig").cast("long").alias("sig"))
-            .join(
-                reach.select("s", F.col("v").alias("nv")),
-                ["s", "nv"],
-                "left_anti",
-            )
-            .select(
-                "s",
-                F.col("nv").alias("v"),
-                F.lit(lvl).cast("long").alias("d"),
-                "sig",
-            )
-            .localCheckpoint(eager=False)
-        )
-        reach = reach.unionByName(newly)
-        frontier = newly
-    reach = reach.localCheckpoint(eager=False)
+    nation, ed, reach = _nation_bfs_sigma(spark, sf_dir)
 
     left = reach.select(
         F.col("s").alias("ls"), F.col("v").alias("lv"),
@@ -1402,4 +1416,187 @@ def graph_betweenness_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 graph_betweenness_nations.__doc__ = graph_betweenness_nations.__doc__.format(
     k=_BFS_FANOUT, n=25, h=_BC_MAX_HOPS
+)
+
+
+# ---------------------------------------------------------------------------
+# Girvan-Newman edge betweenness (first-split driver) — round 11.
+# ---------------------------------------------------------------------------
+
+_GN_TOPK = 10
+
+
+def _gn_oracle() -> str:
+    return f"""
+    WITH RECURSIVE flows AS ({_EDGES_SQL}),
+    sel AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+        FROM flows WHERE src <> dst
+      ) t WHERE rn <= {_BFS_FANOUT}
+    ),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM sel
+    ),
+    ed AS (
+      SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+    ),
+    walk(s, v, len) AS (
+      SELECT n_nationkey, n_nationkey, 0 FROM nation
+      UNION ALL
+      SELECT w.s, e.b, w.len + 1
+      FROM walk w JOIN ed e ON e.a = w.v
+      WHERE w.len < {_BC_MAX_HOPS}
+    ),
+    sp AS (
+      SELECT s, v, CAST(min(len) AS BIGINT) AS d FROM walk GROUP BY s, v
+    ),
+    sigma AS (
+      SELECT w.s, w.v, p.d, CAST(count(*) AS BIGINT) AS sig
+      FROM walk w JOIN sp p ON p.s = w.s AND p.v = w.v AND p.d = w.len
+      GROUP BY w.s, w.v, p.d
+    ),
+    terms AS (
+      SELECT least(e.a, e.b) AS ea, greatest(e.a, e.b) AS eb,
+             CAST(l.sig * r.sig * 1000000000 // st.sig AS BIGINT) AS t_e9
+      FROM ed e
+      JOIN sigma l ON l.v = e.a
+      JOIN sigma r ON r.s = e.b
+      JOIN sigma st ON st.s = l.s AND st.v = r.v
+      WHERE l.s < r.v AND l.d + 1 + r.d = st.d
+    ),
+    ebc AS (
+      SELECT ea, eb, CAST(sum(t_e9) AS BIGINT) AS ebc_e9
+      FROM terms GROUP BY ea, eb
+    ),
+    cut AS (
+      SELECT ea, eb FROM ebc ORDER BY ebc_e9 DESC, ea, eb LIMIT 1
+    ),
+    top AS (
+      SELECT ea, eb, ebc_e9 FROM ebc ORDER BY ebc_e9 DESC, ea, eb
+      LIMIT {_GN_TOPK}
+    )
+    SELECT na.n_name AS a_name, nb.n_name AS b_name, t.ebc_e9,
+           (t.ea = c.ea AND t.eb = c.eb) AS is_first_cut
+    FROM top t
+    JOIN nation na ON na.n_nationkey = t.ea
+    JOIN nation nb ON nb.n_nationkey = t.eb
+    CROSS JOIN cut c
+    """
+
+
+@query("graph_girvan_newman_edges", oracle=_gn_oracle())
+def graph_girvan_newman_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Girvan-Newman FIRST SPLIT driver: exact edge betweenness over
+    the sparsified undirected nation trade graph — for every edge
+    {{u, v}}, the sum over node pairs s < t of the fraction of
+    shortest s-t paths that traverse the edge. The community
+    structure question node betweenness (graph_betweenness_nations)
+    cannot answer: GN peels a graph into communities by repeatedly
+    REMOVING the highest-betweenness EDGE, and this op computes that
+    removal target (is_first_cut) plus the top-{k} cut candidates —
+    the inter-community bridges that carry traffic precisely because
+    no intra-community shortcut bypasses them.
+
+    Algorithm: reuses _nation_bfs_sigma's all-pairs BFS table —
+    distances d and path counts sigma for all {n} sources at once —
+    then the EDGE-keyed path identity: a shortest s-t path uses
+    directed edge (u, v) iff d(s,u) + 1 + d(v,t) = d(s,t), with
+    exactly sigma_su * sigma_vt such paths (the s-u prefix and v-t
+    suffix choose independently; the u-v hop is forced). Each term is
+    the exact integer sigma_su*sigma_vt*1e9 DIV sigma_st, summed per
+    undirected edge over both orientations (for a fixed (s, t) only
+    one orientation can satisfy the distance identity, so nothing
+    double-counts). The DuckDB oracle derives sigma from a capped
+    recursive WALK enumeration — a genuinely different algorithm
+    agreeing on every count (the round-10 betweenness convention).
+
+    Scale: the fact-sized flows aggregation runs once (checkpointed
+    inside the shared helper); the edge-term join is ed ⋈ reach ⋈
+    reach ⋈ reach — O(|E| * n^2) candidate triples on a
+    dimension-bounded graph (~75 directed edges * 625 pairs); top-k
+    selection is TakeOrderedAndProject, and the 1-row argmax cut
+    frame broadcasts. At web-graph scale, GN itself is abandoned for
+    modularity methods (graph_label_propagation is the repo's
+    scale-path community op); edge betweenness stays exact only while
+    n is dimension-bounded, the same stated domain as node
+    betweenness.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no graph
+    surface (internal/storage/types.go:3); this is [TARGET] graph
+    machinery.
+    """
+    nation, ed, reach = _nation_bfs_sigma(spark, sf_dir)
+
+    left = reach.select(
+        F.col("s").alias("ls"), F.col("v").alias("lv"),
+        F.col("d").alias("ld"), F.col("sig").alias("lsig"),
+    )
+    right = reach.select(
+        F.col("s").alias("rs"), F.col("v").alias("rv"),
+        F.col("d").alias("rd"), F.col("sig").alias("rsig"),
+    )
+    st = reach.select(
+        F.col("s").alias("ts"), F.col("v").alias("tv"),
+        F.col("d").alias("td"), F.col("sig").alias("tsig"),
+    )
+    terms = (
+        ed.join(left, F.col("lv") == F.col("a"))
+        .join(right, F.col("rs") == F.col("b"))
+        .join(
+            st,
+            (F.col("ts") == F.col("ls")) & (F.col("tv") == F.col("rv")),
+        )
+        .where(
+            (F.col("ls") < F.col("rv"))
+            & (F.col("ld") + 1 + F.col("rd") == F.col("td"))
+        )
+        .select(
+            F.least("a", "b").alias("ea"),
+            F.greatest("a", "b").alias("eb"),
+            F.expr("CAST(lsig * rsig * 1000000000 DIV tsig AS BIGINT)").alias(
+                "t_e9"
+            ),
+        )
+    )
+    ebc = (
+        terms.groupBy("ea", "eb")
+        .agg(F.sum("t_e9").cast("long").alias("ebc_e9"))
+        # two consumers: the argmax cut and the top-k report
+        .localCheckpoint(eager=False)
+    )
+    cut = (
+        ebc.orderBy(F.desc("ebc_e9"), "ea", "eb")
+        .limit(1)
+        .select(F.col("ea").alias("ca"), F.col("eb").alias("cb"))
+    )
+    top = ebc.orderBy(F.desc("ebc_e9"), "ea", "eb").limit(_GN_TOPK)
+    return (
+        top.join(
+            nation.select(
+                F.col("n_nationkey").alias("ea"), F.col("n_name").alias("a_name")
+            ),
+            "ea",
+        )
+        .join(
+            nation.select(
+                F.col("n_nationkey").alias("eb"), F.col("n_name").alias("b_name")
+            ),
+            "eb",
+        )
+        .crossJoin(F.broadcast(cut))
+        .select(
+            "a_name",
+            "b_name",
+            "ebc_e9",
+            (
+                (F.col("ea") == F.col("ca")) & (F.col("eb") == F.col("cb"))
+            ).alias("is_first_cut"),
+        )
+    )
+
+
+graph_girvan_newman_edges.__doc__ = graph_girvan_newman_edges.__doc__.format(
+    k=_GN_TOPK, n=25
 )

@@ -935,3 +935,285 @@ def curate_keep_drop_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         reason.alias("reason"),
         (reason == "kept").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reservoir-sampled group-by audit — round 11.
+# ---------------------------------------------------------------------------
+
+_RAUDIT_K = 64
+
+RESERVOIR_AUDIT_ORACLE = f"""
+    WITH keyed AS (
+      SELECT event_type,
+             CAST(floor(value * 1000) AS BIGINT) AS v_e3,
+             md5(CAST(event_id AS VARCHAR)) AS hk,
+             event_id
+      FROM events
+    ), ranked AS (
+      SELECT event_type, v_e3,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY hk, event_id) AS rk
+      FROM keyed
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN rk <= {_RAUDIT_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS k_used,
+           CAST(sum(v_e3) // count(*) AS BIGINT) AS exact_mean_e3,
+           CAST(sum(CASE WHEN rk <= {_RAUDIT_K} THEN v_e3 END)
+                // sum(CASE WHEN rk <= {_RAUDIT_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS est_mean_e3,
+           CAST(sum(CASE WHEN rk <= {_RAUDIT_K} THEN v_e3 END)
+                // sum(CASE WHEN rk <= {_RAUDIT_K} THEN 1 ELSE 0 END)
+                - sum(v_e3) // count(*)
+                AS BIGINT) AS err_e3
+    FROM ranked
+    GROUP BY event_type
+"""
+
+
+@query("sample_reservoir_group_audit", oracle=RESERVOIR_AUDIT_ORACLE)
+def sample_reservoir_group_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group reservoir-sample AUDIT: for every event_type, the
+    exact mean of the value column next to the mean ESTIMATED from a
+    deterministic k={k} reservoir (md5-race k-smallest, the same fixed
+    uniform keys as sample_reservoir_per_group) and the signed error —
+    the calibration report a pipeline publishes before it trusts
+    sampled statistics at 100 TB, where "estimate the quality-score
+    distribution from 64 docs per source" is the only affordable
+    preview and this op answers how far that preview sits from truth.
+
+    The reservoir is a pure function of row identity (md5(event_id)),
+    so the sampled set — and therefore the estimate AND its error —
+    is bit-stable across runs, partition layouts, and engines; a
+    stream-order reservoir could not be oracle-checked at all.
+
+    Scale: ONE events scan; the rank window and the final groupBy
+    share the event_type hash partitioning, so the whole audit is one
+    shuffle. Means are integer floor-divisions of e3-scaled sums
+    (exact in both engines); no float crosses the boundary.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no sampling
+    surface (internal/storage/types.go:3); this is [TARGET] pipeline
+    machinery.
+    """
+    keyed = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v_e3"),
+        F.md5(F.col("event_id").cast("string")).alias("hk"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("hk", "event_id")
+    ranked = keyed.select(
+        "event_type",
+        "v_e3",
+        F.row_number().over(w).alias("rk"),
+    )
+    in_res = F.when(F.col("rk") <= _RAUDIT_K, 1).otherwise(0)
+    res_v = F.when(F.col("rk") <= _RAUDIT_K, F.col("v_e3"))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(in_res).cast("long").alias("k_used"),
+            F.sum("v_e3").alias("_sv"),
+            F.sum(res_v).alias("_ssv"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "k_used",
+            F.expr("CAST(_sv DIV n AS BIGINT)").alias("exact_mean_e3"),
+            F.expr("CAST(_ssv DIV k_used AS BIGINT)").alias("est_mean_e3"),
+            F.expr(
+                "CAST(_ssv DIV k_used - _sv DIV n AS BIGINT)"
+            ).alias("err_e3"),
+        )
+    )
+
+
+sample_reservoir_group_audit.__doc__ = (
+    sample_reservoir_group_audit.__doc__.format(k=_RAUDIT_K)
+)
+
+
+# ---------------------------------------------------------------------------
+# Alias-method weighted sampler materialization — round 11.
+# ---------------------------------------------------------------------------
+
+def _alias_round_sql(src: str, out: str) -> str:
+    """One unrolled Vose pairing round in DuckDB: pick the
+    lexicographically-first small (u < W) and large (u >= W) buckets,
+    finalize the small (threshold = its u, alias = the large), and
+    shrink the large by the donated mass W - u_small."""
+    return f"""
+    {out}_p AS (
+      SELECT min(CASE WHEN NOT done AND u < wtot THEN pr END) AS smp,
+             min(CASE WHEN NOT done AND u >= wtot THEN pr END) AS lgp
+      FROM {src}
+    ), {out}_u AS (
+      SELECT p.smp, p.lgp, s.u AS usm
+      FROM {out}_p p LEFT JOIN {src} s ON s.pr = p.smp
+    ), {out} AS (
+      SELECT s.pr, s.w,
+             CASE WHEN s.pr = p.smp THEN s.u
+                  WHEN p.smp IS NOT NULL AND s.pr = p.lgp
+                    THEN s.u - (s.wtot - p.usm)
+                  ELSE s.u END AS u,
+             CASE WHEN s.pr = p.smp THEN s.u ELSE s.thr END AS thr,
+             CASE WHEN s.pr = p.smp THEN p.lgp ELSE s.al END AS al,
+             (s.done OR COALESCE(s.pr = p.smp, FALSE)) AS done,
+             s.u0, s.wtot
+      FROM {src} s CROSS JOIN {out}_u p
+    )"""
+
+
+ALIAS_TABLE_ORACLE = f"""
+    WITH wt AS (
+      SELECT o_orderpriority AS pr, CAST(count(*) AS BIGINT) AS w
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(w) AS BIGINT) AS wtot FROM wt
+    ), s0 AS (
+      SELECT pr, w, 5 * w AS u,
+             CAST(NULL AS BIGINT) AS thr, CAST(NULL AS VARCHAR) AS al,
+             FALSE AS done, 5 * w AS u0, wtot
+      FROM wt CROSS JOIN tot
+    ), {_alias_round_sql('s0', 's1')}, {_alias_round_sql('s1', 's2')},
+    {_alias_round_sql('s2', 's3')}, {_alias_round_sql('s3', 's4')},
+    fin AS (
+      SELECT pr, w, u0, COALESCE(thr, wtot) AS thr,
+             COALESCE(al, pr) AS alias_pr, wtot
+      FROM s4
+    ), extra AS (
+      SELECT alias_pr AS pr, CAST(sum(wtot - thr) AS BIGINT) AS x
+      FROM fin WHERE alias_pr <> pr GROUP BY 1
+    )
+    SELECT f.pr AS priority, f.w, f.u0, f.thr, f.alias_pr,
+           CAST(f.thr + COALESCE(e.x, 0) AS BIGINT) AS mass,
+           (f.thr + COALESCE(e.x, 0) = f.u0) AS mass_ok
+    FROM fin f LEFT JOIN extra e ON e.pr = f.pr
+"""
+
+
+@query("sample_alias_table_build", oracle=ALIAS_TABLE_ORACLE)
+def sample_alias_table_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vose alias-table MATERIALIZATION for O(1)-draw weighted
+    sampling over the 5 order priorities: weights are the priority
+    counts; the table is the classic (threshold, alias) pair per
+    bucket — draw a bucket uniformly, draw a uniform in [0, W), take
+    the bucket if below its threshold else its alias. This is how a
+    100 TB mixture sampler turns per-source weights into a constant-
+    time draw (curate_mixture_sample's Bernoulli gates resample per
+    row; an alias table is built ONCE and broadcast), and building it
+    as dataflow keeps the whole pipeline declarative.
+
+    Construction is Vose's algorithm with EXACT integer mass: scaled
+    weights u_i = n·w_i against the common denominator W = Σw (no
+    float probabilities anywhere); each of the 4 unrolled pairing
+    rounds finalizes the lexicographically-first small bucket
+    (u < W) against the first large one — a deterministic pick order,
+    so both engines build the identical table. Conservation is
+    certified in-query: mass(j) = thr_j + Σ_{{alias_i=j}} (W − thr_i)
+    must equal u0_j = n·w_j for every bucket (`mass_ok`) — the
+    audit-grade invariant that the table really redistributes all and
+    only the input mass.
+
+    Scale: ONE map-side-combinable orders scan to the 5-row weight
+    frame (checkpointed — the total and the initial state both read
+    it); the 4 rounds are 1-row-aggregate + broadcast updates over a
+    5-row state, independent of data volume. The pairing loop is
+    inherently sequential in n (Vose is O(n) serial), which is
+    exactly why the bucket domain must be bounded — per-SOURCE or
+    per-priority mixtures are; per-row weights go to
+    sample_weighted_priority's exponential races instead.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no sampling
+    surface (internal/storage/types.go:3); this is [TARGET] pipeline
+    machinery.
+    """
+    wt = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy(F.col("o_orderpriority").alias("pr"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        # two consumers: the total and the initial state
+        .localCheckpoint(eager=False)
+    )
+    tot = wt.agg(F.sum("w").cast("long").alias("wtot"))
+    state = wt.crossJoin(F.broadcast(tot)).select(
+        "pr",
+        "w",
+        (5 * F.col("w")).alias("u"),
+        F.lit(None).cast("long").alias("thr"),
+        F.lit(None).cast("string").alias("al"),
+        F.lit(False).alias("done"),
+        (5 * F.col("w")).alias("u0"),
+        "wtot",
+    )
+    for _ in range(4):
+        picks = state.agg(
+            F.min(
+                F.when(
+                    ~F.col("done") & (F.col("u") < F.col("wtot")),
+                    F.struct("pr", "u"),
+                )
+            ).alias("sm"),
+            F.min(
+                F.when(
+                    ~F.col("done") & (F.col("u") >= F.col("wtot")),
+                    F.col("pr"),
+                )
+            ).alias("lgp"),
+        )
+        is_sm = F.col("pr") == F.col("sm.pr")
+        state = (
+            state.crossJoin(F.broadcast(picks))
+            .select(
+                "pr",
+                "w",
+                F.when(is_sm, F.col("u"))
+                .when(
+                    F.col("sm.pr").isNotNull() & (F.col("pr") == F.col("lgp")),
+                    F.col("u") - (F.col("wtot") - F.col("sm.u")),
+                )
+                .otherwise(F.col("u"))
+                .alias("u"),
+                F.when(is_sm, F.col("u")).otherwise(F.col("thr")).alias("thr"),
+                F.when(is_sm, F.col("lgp")).otherwise(F.col("al")).alias("al"),
+                (F.col("done") | F.coalesce(is_sm, F.lit(False))).alias("done"),
+                "u0",
+                "wtot",
+            )
+            .localCheckpoint(eager=False)
+        )
+    fin = state.select(
+        "pr",
+        "w",
+        "u0",
+        F.coalesce("thr", "wtot").alias("thr"),
+        F.coalesce("al", "pr").alias("alias_pr"),
+        "wtot",
+    )
+    extra = (
+        fin.where(F.col("alias_pr") != F.col("pr"))
+        .groupBy(F.col("alias_pr").alias("pr"))
+        .agg(F.sum(F.col("wtot") - F.col("thr")).cast("long").alias("x"))
+    )
+    return (
+        fin.join(extra, "pr", "left")
+        .select(
+            F.col("pr").alias("priority"),
+            "w",
+            "u0",
+            "thr",
+            "alias_pr",
+            (F.col("thr") + F.coalesce(F.col("x"), F.lit(0)))
+            .cast("long")
+            .alias("mass"),
+            (
+                F.col("thr") + F.coalesce(F.col("x"), F.lit(0))
+                == F.col("u0")
+            ).alias("mass_ok"),
+        )
+    )

@@ -57,6 +57,7 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/graph.py", "graph_triangle_stats", "wedges"): "scalar",
     ("operators/graph.py", "graph_reachability_hops", "load_table"): "dim",
     ("operators/graph.py", "graph_kcore_nations", "ftot"): "scalar",
+    ("operators/graph.py", "graph_girvan_newman_edges", "cut"): "scalar",
     ("operators/graph.py", "graph_hits_nations", "sa"): "scalar",
     ("operators/graph.py", "graph_hits_nations", "sh"): "scalar",
     ("operators/graph.py", "graph_link_prediction_jaccard", "ftot"): "scalar",
@@ -76,6 +77,8 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/inference.py", "stats_kendall_tau_b", "tot"): "scalar",
     ("operators/integration.py", "streaming_static_enrich", "customer.join"): "stream-dim",
     ("operators/pipeline_ops.py", "curate_dataset_card", "top_lang"): "grid",
+    ("operators/pipeline_ops.py", "sample_alias_table_build", "tot"): "scalar",
+    ("operators/pipeline_ops.py", "sample_alias_table_build", "picks"): "scalar",
     ("operators/quality.py", "quality_snapshot_psi", "edges"): "grid",
     ("operators/quality.py", "quality_snapshot_psi", "tot"): "scalar",
     ("operators/quality.py", "quality_js_divergence_sources", "lmarg"): "grid",

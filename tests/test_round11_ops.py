@@ -1,0 +1,204 @@
+"""Round-11 operator tests: independent Python reference
+implementations for the new registered queries (the DuckDB hash gate
+is the primary check; these pin semantics against a second, non-SQL
+implementation — the round-7 convention)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from gotsdb_spark.operators.registry import QUERIES
+from gotsdb_spark.sources.registry import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------- reservoir-sampled group audit
+
+
+def test_reservoir_group_audit_matches_python_reference(spark):
+    rows = (
+        load_table(spark, "events", SF)
+        .select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * 1000).cast("bigint").alias("v_e3"),
+        )
+        .collect()
+    )
+    by_type = defaultdict(list)
+    for x in rows:
+        hk = hashlib.md5(str(x["event_id"]).encode()).hexdigest()
+        by_type[x["event_type"]].append((hk, x["event_id"], x["v_e3"]))
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["sample_reservoir_group_audit"](spark, SF).collect()
+    }
+    assert set(got) == set(by_type)
+    for et, items in by_type.items():
+        items.sort()
+        n = len(items)
+        k = min(64, n)
+        sv = sum(v for _, _, v in items)
+        ssv = sum(v for _, _, v in items[:k])
+        exact = sv // n if sv >= 0 else -((-sv) // n)
+        # Spark/DuckDB integer DIV truncates toward zero
+        def tdiv(a, b):
+            q = abs(a) // abs(b)
+            return q if (a >= 0) == (b >= 0) else -q
+        exact = tdiv(sv, n)
+        est = tdiv(ssv, k)
+        r = got[et]
+        assert r["n"] == n and r["k_used"] == k
+        assert r["exact_mean_e3"] == exact
+        assert r["est_mean_e3"] == est
+        assert r["err_e3"] == est - exact
+
+
+# --------------------------------------------- alias-method sampler
+
+
+def test_alias_table_matches_python_reference(spark):
+    rows = (
+        load_table(spark, "orders", SF)
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()
+    )
+    w = {r["o_orderpriority"]: r["count"] for r in rows}
+    n = len(w)
+    assert n == 5
+    wtot = sum(w.values())
+    u = {pr: n * cnt for pr, cnt in w.items()}
+    thr, al, done = {}, {}, set()
+    for _ in range(n - 1):
+        smalls = sorted(pr for pr in u if pr not in done and u[pr] < wtot)
+        larges = sorted(pr for pr in u if pr not in done and u[pr] >= wtot)
+        if not smalls:
+            continue
+        s, l = smalls[0], larges[0]
+        thr[s], al[s] = u[s], l
+        done.add(s)
+        u[l] -= wtot - u[s]
+    for pr in w:
+        thr.setdefault(pr, wtot)
+        al.setdefault(pr, pr)
+    # conservation: every bucket's table mass equals its scaled weight
+    mass = {pr: thr[pr] for pr in w}
+    for pr in w:
+        if al[pr] != pr:
+            mass[al[pr]] += wtot - thr[pr]
+    got = {
+        r["priority"]: r
+        for r in QUERIES["sample_alias_table_build"](spark, SF).collect()
+    }
+    assert set(got) == set(w)
+    for pr in w:
+        r = got[pr]
+        assert r["w"] == w[pr]
+        assert r["u0"] == n * w[pr]
+        assert r["thr"] == thr[pr]
+        assert r["alias_pr"] == al[pr]
+        assert r["mass"] == mass[pr] == n * w[pr]
+        assert r["mass_ok"]
+
+
+# --------------------------------------- Girvan-Newman edge betweenness
+
+
+def test_girvan_newman_matches_python_reference(spark):
+    from collections import Counter
+
+    li = load_table(spark, "lineitem", SF).select(
+        "l_orderkey", "l_suppkey"
+    ).collect()
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in load_table(spark, "orders", SF)
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    }
+    cust = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in load_table(spark, "customer", SF)
+        .select("c_custkey", "c_nationkey")
+        .collect()
+    }
+    supp = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in load_table(spark, "supplier", SF)
+        .select("s_suppkey", "s_nationkey")
+        .collect()
+    }
+    names = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, "nation", SF)
+        .select("n_nationkey", "n_name")
+        .collect()
+    }
+    flows = Counter()
+    for r in li:
+        src = cust[orders[r["l_orderkey"]]]
+        dst = supp[r["l_suppkey"]]
+        if src != dst:
+            flows[(src, dst)] += 1
+    by_src = defaultdict(list)
+    for (src, dst), w in flows.items():
+        by_src[src].append((-w, dst))
+    und = set()
+    for src, lst in by_src.items():
+        for _, dst in sorted(lst)[:3]:
+            und.add((min(src, dst), max(src, dst)))
+    adj = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    nodes = sorted(names)
+    H = 6
+    dist, sig = {}, {}
+    for s in nodes:
+        dist[(s, s)], sig[(s, s)] = 0, 1
+        frontier = {s: 1}
+        for lvl in range(1, H + 1):
+            nxt = Counter()
+            for v, k in frontier.items():
+                for nb in adj[v]:
+                    nxt[nb] += k
+            frontier = {}
+            for v, k in nxt.items():
+                if (s, v) not in dist:
+                    dist[(s, v)], sig[(s, v)] = lvl, k
+                    frontier[v] = k
+    ebc = Counter()
+    for a, b in und:
+        for (u, v) in ((a, b), (b, a)):
+            for s in nodes:
+                if (s, u) not in dist:
+                    continue
+                for t in nodes:
+                    if t <= s:
+                        continue
+                    if (v, t) not in dist or (s, t) not in dist:
+                        continue
+                    if dist[(s, u)] + 1 + dist[(v, t)] == dist[(s, t)]:
+                        ebc[(min(u, v), max(u, v))] += (
+                            sig[(s, u)] * sig[(v, t)] * 10**9 // sig[(s, t)]
+                        )
+    ranked = sorted(ebc.items(), key=lambda kv: (-kv[1], kv[0]))
+    top = ranked[:10]
+    cut = top[0][0]
+    expect = {
+        (names[a], names[b]): (v, (a, b) == cut) for (a, b), v in top
+    }
+    got = {
+        (r["a_name"], r["b_name"]): (r["ebc_e9"], r["is_first_cut"])
+        for r in QUERIES["graph_girvan_newman_edges"](spark, SF).collect()
+    }
+    assert got == expect
+    # exactly one first-cut edge, and betweenness must be nontrivial
+    assert sum(1 for _, fc in got.values() if fc) == 1
+    assert any(v > 0 for v, _ in got.values())
