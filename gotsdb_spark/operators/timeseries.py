@@ -3448,3 +3448,190 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("seas_adj_x7_e3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# STL-style ROBUST seasonal decomposition — round 11.
+# ---------------------------------------------------------------------------
+
+STL_ROBUST_ORACLE = """
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2025-01-01', CAST(ts AS DATE)) AS x,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) // count(*)
+                  AS BIGINT) AS y_e3
+      FROM events GROUP BY 1, 2
+    ), ma AS (
+      SELECT event_type, x, y_e3,
+             CAST(sum(y_e3) OVER w AS BIGINT) AS trend_sum_e3,
+             CAST(count(*) OVER w AS BIGINT) AS frame_n
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY x
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), det AS (
+      SELECT event_type, x, ((x % 7) + 7) % 7 AS dow,
+             7 * y_e3 - trend_sum_e3 AS det_x7_e3
+      FROM ma WHERE frame_n = 7
+    ), raw AS (
+      SELECT event_type, dow,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(floor(sum(det_x7_e3) * 1.0 / (7 * count(*)) + 0.5001)
+                  AS BIGINT) AS seas_raw_e3
+      FROM det GROUP BY event_type, dow
+    ), resid AS (
+      SELECT d.event_type, d.dow, d.det_x7_e3,
+             abs(CAST(d.det_x7_e3 AS HUGEINT) - 7 * r.seas_raw_e3) AS ar
+      FROM det d JOIN raw r
+        ON r.event_type = d.event_type AND r.dow = d.dow
+    ), marm AS (
+      SELECT event_type, CAST(sum(ar) // count(*) AS HUGEINT) AS mar
+      FROM resid GROUP BY event_type
+    ), wtd AS (
+      SELECT r.event_type, r.dow, r.det_x7_e3,
+             CAST(m.mar * 1000 AS HUGEINT)
+               // greatest(r.ar, greatest(m.mar // 1000,
+                                          CAST(1 AS HUGEINT))) AS w
+      FROM resid r JOIN marm m ON m.event_type = r.event_type
+    ), rob AS (
+      SELECT event_type, dow,
+             CAST(floor(sum(CAST(w AS HUGEINT) * det_x7_e3) * 1.0
+                        / (7 * sum(w)) + 0.5001) AS BIGINT) AS seas_rob_e3
+      FROM wtd GROUP BY event_type, dow
+    )
+    SELECT r.event_type, r.dow, r.n_days, r.seas_raw_e3, b.seas_rob_e3,
+           CAST(7 * b.seas_rob_e3
+                - sum(b.seas_rob_e3) OVER (PARTITION BY r.event_type)
+                AS BIGINT) AS rob_adj_x7_e3
+    FROM raw r JOIN rob b
+      ON b.event_type = r.event_type AND b.dow = r.dow
+"""
+
+
+@query("ts_stl_robust_decompose", oracle=STL_ROBUST_ORACLE)
+def ts_stl_robust_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style ROBUST seasonal decomposition (loess-free): the
+    classical MA-7 decomposition of ts_seasonal_decompose, iterated
+    once with outlier DOWN-WEIGHTING — exactly STL's robustness
+    iteration idea (Cleveland et al.: fit, compute residuals, derive
+    robustness weights, re-fit with the weights), with the loess
+    smoothers replaced by this repo's integer-exact MA/weekday-mean
+    machinery and the bisquare replaced by the scale-free IRLS weight
+    rule already proven in stats_irls_quantile_regression
+    (statistics.py:2401): w = (mar·1000) // max(|r|, mar//1000, 1),
+    mar the per-type mean absolute residual — w ∈ [0, 1e6] at ANY
+    data volume, so one anomalous spike week no longer drags its
+    weekday's seasonal index (the raw index is reported alongside;
+    the gap IS the outlier diagnostic).
+
+    Exactness: residuals r = det_x7 − 7·seas_raw are exact integers
+    on the ×7 e3 grid; mar is an integer floor-division kept
+    HUGEINT/decimal (the round-11 DIV-overflow convention); weights
+    are integer floor-divisions of exact integers; the re-weighted
+    weekday mean makes ONE float division floored identically in both
+    engines; the sum-to-zero adjustment multiplies through by 7 to
+    stay integer (rob_adj_x7_e3 = 7·rob − Σrob).
+
+    Scale: one map-side-combinable shuffle to the (type, day)
+    dictionary, one type-partitioned bounded-frame window, then
+    everything downstream is dictionary- or grid-sized (det is
+    checkpointed — the raw fit, the residual pass, and the
+    re-weighted fit all consume it; raw is checkpointed for the
+    residual join and the final report). The weight join keys on
+    event_type (grid-sized mar frame) — no broadcast hint needed.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no series
+    surface (internal/storage/types.go:3); this is [TARGET]
+    time-series machinery.
+    """
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2025-01-01").cast("date")
+            ).alias("x"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("v_e3"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.expr("CAST(sum(v_e3) DIV count(*) AS BIGINT)").alias("y_e3"))
+    )
+    w = W.partitionBy("event_type").orderBy("x").rowsBetween(-3, 3)
+    ma = daily.select(
+        "event_type",
+        "x",
+        "y_e3",
+        F.sum("y_e3").over(w).cast("long").alias("trend_sum_e3"),
+        F.count(F.lit(1)).over(w).cast("long").alias("frame_n"),
+    )
+    det = (
+        ma.where(F.col("frame_n") == 7)
+        .select(
+            "event_type",
+            "x",
+            (((F.col("x") % 7) + 7) % 7).alias("dow"),
+            (7 * F.col("y_e3") - F.col("trend_sum_e3")).alias("det_x7_e3"),
+        )
+        # three consumers: raw fit, residual pass, re-weighted fit
+        .localCheckpoint(eager=False)
+    )
+    raw = (
+        det.groupBy("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.floor(
+                F.sum("det_x7_e3") * 1.0 / (7 * F.count(F.lit(1))) + 0.5001
+            )
+            .cast("long")
+            .alias("seas_raw_e3"),
+        )
+        # two consumers: the residual join and the final report
+        .localCheckpoint(eager=False)
+    )
+    dec = "decimal(38,0)"
+    resid = det.join(
+        raw.select("event_type", "dow", "seas_raw_e3"), ["event_type", "dow"]
+    ).select(
+        "event_type",
+        "dow",
+        "det_x7_e3",
+        F.expr(
+            "abs(CAST(det_x7_e3 AS DECIMAL(38,0)) - 7 * seas_raw_e3)"
+        ).alias("ar"),
+    )
+    marm = resid.groupBy("event_type").agg(
+        F.expr(
+            "CAST(floor(CAST(sum(ar) AS DECIMAL(38,0)) / count(*))"
+            " AS DECIMAL(38,0))"
+        ).alias("mar")
+    )
+    wtd = resid.join(marm, "event_type").select(
+        "event_type",
+        "dow",
+        "det_x7_e3",
+        F.expr(
+            "CAST(mar * 1000 AS DECIMAL(38,0)) DIV greatest("
+            "ar, greatest(CAST(floor(mar / 1000) AS DECIMAL(38,0)),"
+            " CAST(1 AS DECIMAL(38,0))))"
+        ).alias("w"),
+    )
+    rob = wtd.groupBy("event_type", "dow").agg(
+        F.floor(
+            F.sum(F.col("w").cast(dec) * F.col("det_x7_e3")).cast("double")
+            * 1.0
+            / (7 * F.sum("w")).cast("double")
+            + 0.5001
+        )
+        .cast("long")
+        .alias("seas_rob_e3")
+    )
+    w_adj = W.partitionBy("event_type")
+    return raw.join(rob, ["event_type", "dow"]).select(
+        "event_type",
+        "dow",
+        "n_days",
+        "seas_raw_e3",
+        "seas_rob_e3",
+        (7 * F.col("seas_rob_e3") - F.sum("seas_rob_e3").over(w_adj))
+        .cast("long")
+        .alias("rob_adj_x7_e3"),
+    )

@@ -1306,3 +1306,41 @@ def test_round10_ops_plan_shapes(spark):
     r = plan_report(QUERIES["ts_seasonal_decompose"](spark, SF))
     assert r["global_windows"] == 0
     assert not r["cartesian"]
+
+
+def test_round11_ops_plan_shapes(spark):
+    """Plan pins for the round-11 operators."""
+    from gotsdb_spark.plans import plan_report
+
+    # Reservoir group audit: the rank window and the final groupBy
+    # share the event_type hash partitioning — ONE shuffle, ONE scan,
+    # no join of any kind.
+    r = plan_report(QUERIES["sample_reservoir_group_audit"](spark, SF))
+    assert r["shuffles"] == 1 and r["scans"] == 1
+    assert r["broadcast_joins"] == 0 and r["sortmerge_joins"] == 0
+    assert not r["cartesian"] and not r["nested_loop"]
+    assert r["global_windows"] == 0
+
+    # Alias-table build: one map-side-combinable orders shuffle into
+    # the checkpointed 5-row weight frame; the 4 Vose rounds hide
+    # behind per-round checkpoints, so the visible plan is 5-row
+    # joins/aggregates only — never a cartesian, no window.
+    r = plan_report(QUERIES["sample_alias_table_build"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+    assert r["shuffles"] <= 2
+
+    # Girvan-Newman: the edge-keyed triple join runs over the
+    # checkpointed BFS table as hash equi-joins; the only nested loop
+    # is the 1-row argmax cut broadcast (intended); top-k is a limit,
+    # not a global sort.
+    r = plan_report(QUERIES["graph_girvan_newman_edges"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+
+    # STL robust decompose: every window is type-partitioned
+    # (bounded MA frame / 7-row adjustment); the weight join keys on
+    # event_type; no cartesian, no nested loop, no global window.
+    r = plan_report(QUERIES["ts_stl_robust_decompose"](spark, SF))
+    assert not r["cartesian"] and not r["nested_loop"]
+    assert r["global_windows"] == 0

@@ -202,3 +202,72 @@ def test_girvan_newman_matches_python_reference(spark):
     # exactly one first-cut edge, and betweenness must be nontrivial
     assert sum(1 for _, fc in got.values() if fc) == 1
     assert any(v > 0 for v, _ in got.values())
+
+
+# ------------------------------------ STL-style robust decomposition
+
+
+def test_stl_robust_decompose_matches_python_reference(spark):
+    rows = (
+        load_table(spark, "events", SF)
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2025-01-01").cast("date")
+            ).alias("x"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("v_e3"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.expr("CAST(sum(v_e3) DIV count(*) AS BIGINT)").alias("y_e3"))
+        .collect()
+    )
+    series = {}
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["x"])):
+        series.setdefault(r["event_type"], []).append((r["x"], r["y_e3"]))
+    expect = {}
+    for et, pts in series.items():
+        det = []
+        for i in range(len(pts)):
+            lo, hi = i - 3, i + 3
+            if lo < 0 or hi >= len(pts):
+                continue
+            frame = [pts[j][1] for j in range(lo, hi + 1)]
+            det.append((pts[i][0] % 7, 7 * pts[i][1] - sum(frame)))
+        raw, n_days = {}, {}
+        by_dow = defaultdict(list)
+        for dow, d in det:
+            by_dow[dow].append(d)
+        for dow, vals in by_dow.items():
+            n_days[dow] = len(vals)
+            raw[dow] = math.floor(sum(vals) / (7 * len(vals)) + 0.5001)
+        ars = [(dow, d, abs(d - 7 * raw[dow])) for dow, d in det]
+        mar = sum(a for _, _, a in ars) // len(ars)
+        rob = {}
+        wacc = defaultdict(lambda: [0, 0])
+        for dow, d, a in ars:
+            w = (mar * 1000) // max(a, max(mar // 1000, 1))
+            wacc[dow][0] += w * d
+            wacc[dow][1] += w
+        for dow, (swd, sw) in wacc.items():
+            rob[dow] = math.floor(swd / (7 * sw) + 0.5001)
+        total_rob = sum(rob.values())
+        for dow in raw:
+            expect[(et, dow)] = (
+                n_days[dow],
+                raw[dow],
+                rob[dow],
+                7 * rob[dow] - total_rob,
+            )
+    got = {
+        (r["event_type"], r["dow"]): (
+            r["n_days"],
+            r["seas_raw_e3"],
+            r["seas_rob_e3"],
+            r["rob_adj_x7_e3"],
+        )
+        for r in QUERIES["ts_stl_robust_decompose"](spark, SF).collect()
+    }
+    assert got == expect
+    # robustness must actually move at least one index, or the
+    # down-weighting (and this test) is vacuous
+    assert any(g[1] != g[2] for g in got.values())
