@@ -1002,3 +1002,187 @@ def sketch_quantile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 sketch_quantile_digest.__doc__ = sketch_quantile_digest.__doc__.format(k=_QD_K)
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch set operations: pairwise Jaccard / intersection — round 11.
+# ---------------------------------------------------------------------------
+
+_KMVJ_K = 256
+
+KMV_JACCARD_ORACLE = f"""
+    WITH ut AS (
+      SELECT DISTINCT event_type AS t, user_id FROM events
+    ), hk AS (
+      SELECT t, md5(CAST(user_id AS VARCHAR)) AS h FROM ut
+    ), sk AS (
+      SELECT t, h FROM (
+        SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rk
+        FROM hk) x
+      WHERE rk <= {_KMVJ_K}
+    ), nt AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY t
+    ), inter AS (
+      SELECT a.t AS t1, b.t AS t2, CAST(count(*) AS BIGINT) AS ninter
+      FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.t < b.t
+      GROUP BY 1, 2
+    ), sides AS (
+      SELECT a.t AS t1, b.t AS t2, s.h, 1 AS in1, 0 AS in2
+      FROM nt a JOIN nt b ON a.t < b.t JOIN sk s ON s.t = a.t
+      UNION ALL
+      SELECT a.t AS t1, b.t AS t2, s.h, 0 AS in1, 1 AS in2
+      FROM nt a JOIN nt b ON a.t < b.t JOIN sk s ON s.t = b.t
+    ), merged AS (
+      SELECT t1, t2, h, max(in1) AS in1, max(in2) AS in2
+      FROM sides GROUP BY t1, t2, h
+    ), kept AS (
+      SELECT t1, t2, in1, in2 FROM (
+        SELECT t1, t2, in1, in2,
+               row_number() OVER (PARTITION BY t1, t2 ORDER BY h) AS rk
+        FROM merged) x
+      WHERE rk <= {_KMVJ_K}
+    ), est AS (
+      SELECT t1, t2,
+             CAST(sum(in1 * in2) AS BIGINT) AS both_in_k,
+             CAST(count(*) AS BIGINT) AS k_eff
+      FROM kept GROUP BY t1, t2
+    )
+    SELECT e.t1, e.t2, na.n AS n1, nb.n AS n2,
+           COALESCE(i.ninter, 0) AS exact_inter,
+           CAST(COALESCE(i.ninter, 0) * 1000000
+                // (na.n + nb.n - COALESCE(i.ninter, 0)) AS BIGINT)
+             AS exact_jaccard_e6,
+           CAST(e.both_in_k * 1000000 // e.k_eff AS BIGINT)
+             AS kmv_jaccard_e6,
+           CAST(e.both_in_k * 1000000 // e.k_eff
+                - COALESCE(i.ninter, 0) * 1000000
+                  // (na.n + nb.n - COALESCE(i.ninter, 0)) AS BIGINT)
+             AS err_e6
+    FROM est e
+    JOIN nt na ON na.t = e.t1
+    JOIN nt nb ON nb.t = e.t2
+    LEFT JOIN inter i ON i.t1 = e.t1 AND i.t2 = e.t2
+"""
+
+
+@query("sketch_kmv_jaccard_pairs", oracle=KMV_JACCARD_ORACLE)
+def sketch_kmv_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k / theta-sketch-style) SET OPERATIONS: pairwise
+    Jaccard and audience overlap between every pair of event types,
+    estimated from k={k} bottom-hash sketches and certified against
+    the exact values computed alongside. The audience-overlap matrix
+    ("what fraction of clickers also purchase?") is the canonical
+    sketch-union/intersection workload: at 100 TB the per-type
+    distinct-user sets cannot be pairwise-joined per dashboard
+    refresh, but their k-row sketches can — the KMV estimator takes
+    the k smallest hashes of the UNION of two sketches and counts how
+    many sit in both (Beyer et al.; the same mergeable-sketch algebra
+    as sketch_kmv_distinct_users, extended from cardinality to set
+    operations).
+
+    Determinism: hashes are md5(user_id) hex strings (total order,
+    engine-portable); the sketch is the k smallest DISTINCT hashes
+    per type; estimates are exact integer arithmetic —
+    both_in_k·1e6 DIV k_eff — so the estimate, the exact Jaccard,
+    and their signed gap all hash-match cross-engine.
+
+    Scale: ONE distinct shuffle to the (type, user) dictionary
+    (checkpointed — the counts, the exact-intersection self-join,
+    and the sketch build all consume it); the rank filter plans as
+    WindowGroupLimit, so each task pre-trims to its k smallest
+    hashes before the per-type sort (the sample_reservoir_per_group
+    property, pinned in the plan test). The exact arm is quadratic
+    only per-user (≤ types²/2 pair rows per user) and exists to
+    certify the estimator at fixture scale; production keeps the
+    k-row sketches and re-merges them at any grain.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    aggregation surface (internal/storage/types.go:3); this is
+    [TARGET] sketch machinery.
+    """
+    from pyspark.sql.window import Window as W
+
+    ut = (
+        load_table(spark, "events", sf_dir)
+        .select(F.col("event_type").alias("t"), "user_id")
+        .distinct()
+        # four consumers: per-type counts, exact self-join (both
+        # sides), and the sketch build
+        .localCheckpoint(eager=False)
+    )
+    hk = ut.select("t", F.md5(F.col("user_id").cast("string")).alias("h"))
+    sk = (
+        hk.withColumn(
+            "rk", F.row_number().over(W.partitionBy("t").orderBy("h"))
+        )
+        .where(F.col("rk") <= _KMVJ_K)
+        .select("t", "h")
+        # two consumers: both sides of the pair fan-out
+        .localCheckpoint(eager=False)
+    )
+    nt = (
+        ut.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # three consumers: the pair spine (twice) and the final report
+        .localCheckpoint(eager=False)
+    )
+    a = ut.select(F.col("t").alias("t1"), "user_id")
+    b = ut.select(F.col("t").alias("t2"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).cast("long").alias("ninter"))
+    )
+    pairs = (
+        nt.select(F.col("t").alias("t1"))
+        .join(nt.select(F.col("t").alias("t2")))
+        .where(F.col("t1") < F.col("t2"))
+    )
+    sides = pairs.join(
+        sk.select(F.col("t").alias("t1"), "h"), "t1"
+    ).select(
+        "t1", "t2", "h", F.lit(1).alias("in1"), F.lit(0).alias("in2")
+    ).unionByName(
+        pairs.join(sk.select(F.col("t").alias("t2"), "h"), "t2").select(
+            "t1", "t2", "h", F.lit(0).alias("in1"), F.lit(1).alias("in2")
+        )
+    )
+    merged = sides.groupBy("t1", "t2", "h").agg(
+        F.max("in1").alias("in1"), F.max("in2").alias("in2")
+    )
+    kept = (
+        merged.withColumn(
+            "rk",
+            F.row_number().over(W.partitionBy("t1", "t2").orderBy("h")),
+        )
+        .where(F.col("rk") <= _KMVJ_K)
+    )
+    est = kept.groupBy("t1", "t2").agg(
+        F.sum(F.col("in1") * F.col("in2")).cast("long").alias("both_in_k"),
+        F.count(F.lit(1)).cast("long").alias("k_eff"),
+    )
+    exact_j = F.expr(
+        "COALESCE(ninter, 0) * 1000000 DIV (n1 + n2 - COALESCE(ninter, 0))"
+    )
+    kmv_j = F.expr("both_in_k * 1000000 DIV k_eff")
+    return (
+        est.join(nt.select(F.col("t").alias("t1"), F.col("n").alias("n1")), "t1")
+        .join(nt.select(F.col("t").alias("t2"), F.col("n").alias("n2")), "t2")
+        .join(inter, ["t1", "t2"], "left")
+        .select(
+            "t1",
+            "t2",
+            "n1",
+            "n2",
+            F.coalesce("ninter", F.lit(0)).cast("long").alias("exact_inter"),
+            exact_j.cast("long").alias("exact_jaccard_e6"),
+            kmv_j.cast("long").alias("kmv_jaccard_e6"),
+            (kmv_j - exact_j).cast("long").alias("err_e6"),
+        )
+    )
+
+
+sketch_kmv_jaccard_pairs.__doc__ = sketch_kmv_jaccard_pairs.__doc__.format(
+    k=_KMVJ_K
+)

@@ -1344,3 +1344,19 @@ def test_round11_ops_plan_shapes(spark):
     r = plan_report(QUERIES["ts_stl_robust_decompose"](spark, SF))
     assert not r["cartesian"] and not r["nested_loop"]
     assert r["global_windows"] == 0
+
+
+def test_kmv_jaccard_plan_shapes(spark):
+    """sketch_kmv_jaccard_pairs: the rank filters plan as
+    WindowGroupLimit (per-task bottom-k pre-trim before the per-type
+    sort — without it the sketch build sorts every distinct user
+    through 5 tasks); no CartesianProduct (the 5x5 type-pair spine is
+    an intended broadcast nested loop over checkpointed 5-row
+    frames); windows are type-/pair-partitioned, never global."""
+    from gotsdb_spark.plans import formatted_plan, plan_report
+
+    df = QUERIES["sketch_kmv_jaccard_pairs"](spark, SF)
+    assert "WindowGroupLimit" in formatted_plan(df)
+    r = plan_report(df)
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0

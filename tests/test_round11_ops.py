@@ -271,3 +271,53 @@ def test_stl_robust_decompose_matches_python_reference(spark):
     # robustness must actually move at least one index, or the
     # down-weighting (and this test) is vacuous
     assert any(g[1] != g[2] for g in got.values())
+
+
+# ------------------------------------------ KMV Jaccard set operations
+
+
+def test_kmv_jaccard_pairs_matches_python_reference(spark):
+    rows = (
+        load_table(spark, "events", SF)
+        .select("event_type", "user_id")
+        .distinct()
+        .collect()
+    )
+    sets = defaultdict(set)
+    for r in rows:
+        sets[r["event_type"]].add(r["user_id"])
+    K = 256
+    sk = {
+        t: sorted(hashlib.md5(str(u).encode()).hexdigest() for u in us)[:K]
+        for t, us in sets.items()
+    }
+    expect = {}
+    for t1 in sorted(sets):
+        for t2 in sorted(sets):
+            if t1 >= t2:
+                continue
+            n1, n2 = len(sets[t1]), len(sets[t2])
+            inter = len(sets[t1] & sets[t2])
+            s1, s2 = set(sk[t1]), set(sk[t2])
+            kept = sorted(s1 | s2)[:K]
+            both = sum(1 for h in kept if h in s1 and h in s2)
+            k_eff = len(kept)
+            exact_j = inter * 10**6 // (n1 + n2 - inter)
+            kmv_j = both * 10**6 // k_eff
+            expect[(t1, t2)] = (n1, n2, inter, exact_j, kmv_j, kmv_j - exact_j)
+    got = {
+        (r["t1"], r["t2"]): (
+            r["n1"],
+            r["n2"],
+            r["exact_inter"],
+            r["exact_jaccard_e6"],
+            r["kmv_jaccard_e6"],
+            r["err_e6"],
+        )
+        for r in QUERIES["sketch_kmv_jaccard_pairs"](spark, SF).collect()
+    }
+    assert got == expect
+    # the estimator must be non-degenerate: some overlap exists and at
+    # least one estimate is nonzero
+    assert any(v[2] > 0 for v in expect.values())
+    assert any(v[4] > 0 for v in expect.values())

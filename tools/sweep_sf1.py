@@ -179,12 +179,36 @@ ROUND10_CLASS = [
     "stats_cucconi_location_scale",  # Σcb·m2² ≈ 4N³ ≈ 8.6e20 at sf1
 ]
 
+# Round-11 additions (VERDICT r10 item 4): the iterative/graph family
+# had never run at 10× — checkpoint-chain depth, frontier fan-out, and
+# the e9 fixed-point accumulators all change shape with volume even
+# when |V| stays dimension-bounded (nation keys are unshifted in the
+# sf1 copies, so the graph keeps ≤25 nodes while the fact-sized flows
+# aggregation feeding it grows 10×). Plus the four round-11
+# registrations: the reservoir audit's rank window at 10× group sizes,
+# the alias table's W = Σw scaling 10× (u_i = 5·w_i against it), GN's
+# edge-term fan-out, and the STL weight products Σw·det (~1e6·1e7·days).
+ROUND11_CLASS = [
+    "graph_reachability_hops",
+    "graph_kcore_nations",
+    "graph_betweenness_nations",
+    "graph_components_star_contraction",
+    "graph_label_propagation",
+    "graph_girvan_newman_edges",
+    "sample_reservoir_group_audit",
+    "sample_alias_table_build",
+    "ts_stl_robust_decompose",
+    "sketch_kmv_jaccard_pairs",  # 10× distinct users through the
+    # bottom-k build and the exact self-join fan-out
+]
+
 SWEEP_CLASS = (
     OVERFLOW_CLASS
     + DICT_WINDOW_CLASS
     + ROUND8_CLASS
     + ROUND9_CLASS
     + ROUND10_CLASS
+    + ROUND11_CLASS
 )
 
 
