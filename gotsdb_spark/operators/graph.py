@@ -354,7 +354,7 @@ def graph_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STAR_CC_ORACLE = """
     WITH RECURSIVE {ctes},
-    uedges AS (
+    uedges AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION ALL
       SELECT doc_b, doc_a FROM pairs
@@ -600,11 +600,11 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LP_ROUNDS = 3
 
 LABEL_PROP_ORACLE = f"""
-    WITH flows AS ({_EDGES_SQL}),
-    ue AS (
+    WITH flows AS MATERIALIZED ({_EDGES_SQL}),
+    ue AS MATERIALIZED (
       SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
       FROM flows WHERE src <> dst
-    ), adj AS (
+    ), adj AS MATERIALIZED (
       SELECT a AS v, b AS u FROM ue
       UNION ALL SELECT b, a FROM ue
       UNION ALL
@@ -1287,18 +1287,18 @@ def _nation_bfs_sigma(spark: SparkSession, sf_dir: str):
 
 def _betweenness_oracle() -> str:
     return f"""
-    WITH RECURSIVE flows AS ({_EDGES_SQL}),
-    sel AS (
+    WITH RECURSIVE flows AS MATERIALIZED ({_EDGES_SQL}),
+    sel AS MATERIALIZED (
       SELECT src, dst FROM (
         SELECT src, dst,
                row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
         FROM flows WHERE src <> dst
       ) t WHERE rn <= {_BFS_FANOUT}
     ),
-    und AS (
+    und AS MATERIALIZED (
       SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM sel
     ),
-    ed AS (
+    ed AS MATERIALIZED (
       SELECT a, b FROM und UNION ALL SELECT b, a FROM und
     ),
     walk(s, v, len) AS (
@@ -1308,10 +1308,10 @@ def _betweenness_oracle() -> str:
       FROM walk w JOIN ed e ON e.a = w.v
       WHERE w.len < {_BC_MAX_HOPS}
     ),
-    sp AS (
+    sp AS MATERIALIZED (
       SELECT s, v, CAST(min(len) AS BIGINT) AS d FROM walk GROUP BY s, v
     ),
-    sigma AS (
+    sigma AS MATERIALIZED (
       SELECT w.s, w.v, p.d, CAST(count(*) AS BIGINT) AS sig
       FROM walk w JOIN sp p ON p.s = w.s AND p.v = w.v AND p.d = w.len
       GROUP BY w.s, w.v, p.d
@@ -1428,18 +1428,18 @@ _GN_TOPK = 10
 
 def _gn_oracle() -> str:
     return f"""
-    WITH RECURSIVE flows AS ({_EDGES_SQL}),
-    sel AS (
+    WITH RECURSIVE flows AS MATERIALIZED ({_EDGES_SQL}),
+    sel AS MATERIALIZED (
       SELECT src, dst FROM (
         SELECT src, dst,
                row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
         FROM flows WHERE src <> dst
       ) t WHERE rn <= {_BFS_FANOUT}
     ),
-    und AS (
+    und AS MATERIALIZED (
       SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM sel
     ),
-    ed AS (
+    ed AS MATERIALIZED (
       SELECT a, b FROM und UNION ALL SELECT b, a FROM und
     ),
     walk(s, v, len) AS (
@@ -1449,10 +1449,10 @@ def _gn_oracle() -> str:
       FROM walk w JOIN ed e ON e.a = w.v
       WHERE w.len < {_BC_MAX_HOPS}
     ),
-    sp AS (
+    sp AS MATERIALIZED (
       SELECT s, v, CAST(min(len) AS BIGINT) AS d FROM walk GROUP BY s, v
     ),
-    sigma AS (
+    sigma AS MATERIALIZED (
       SELECT w.s, w.v, p.d, CAST(count(*) AS BIGINT) AS sig
       FROM walk w JOIN sp p ON p.s = w.s AND p.v = w.v AND p.d = w.len
       GROUP BY w.s, w.v, p.d
