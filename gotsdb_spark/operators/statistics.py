@@ -2547,3 +2547,242 @@ def stats_irls_quantile_regression(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("a_e6"),
         )
     return params.select("n_days", "ols_b_e6", "a_e6", "b_e6")
+
+
+# ---------------------------------------------------------------------------
+# Binary-segmentation change points (2 levels) — round 11.
+# ---------------------------------------------------------------------------
+
+BINSEG_ORACLE = """
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2025-01-01', CAST(ts AS DATE)) AS day,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS x_e3
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, day, x_e3,
+             CAST(row_number() OVER w AS BIGINT) AS i,
+             CAST(sum(x_e3) OVER w AS BIGINT) AS pfx
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), st AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x_e3) AS BIGINT) AS total
+      FROM idx GROUP BY event_type
+    ), s1 AS (
+      SELECT i.event_type, i.day, i.i,
+             abs(CAST(s.n AS HUGEINT) * i.pfx
+                 - CAST(i.i AS HUGEINT) * s.total) AS score,
+             s.n
+      FROM idx i JOIN st s USING (event_type)
+      WHERE i.i < s.n
+    ), cut1 AS (
+      SELECT event_type, day AS cut_day, i AS cut_i, score, n AS seg_n
+      FROM (
+        SELECT event_type, day, i, score, n,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY score DESC, i) AS rk
+        FROM s1) t
+      WHERE rk = 1
+    ), seg AS (
+      SELECT i.event_type,
+             CASE WHEN i.i <= c.cut_i THEN 'L' ELSE 'R' END AS segment,
+             i.day, i.x_e3,
+             CAST(row_number() OVER sw AS BIGINT) AS i,
+             CAST(sum(i.x_e3) OVER sw AS BIGINT) AS pfx
+      FROM idx i JOIN cut1 c USING (event_type)
+      WINDOW sw AS (PARTITION BY i.event_type,
+                    CASE WHEN i.i <= c.cut_i THEN 'L' ELSE 'R' END
+                    ORDER BY i.day)
+    ), sst AS (
+      SELECT event_type, segment, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x_e3) AS BIGINT) AS total
+      FROM seg GROUP BY event_type, segment
+    ), s2 AS (
+      SELECT g.event_type, g.segment, g.day, g.i,
+             abs(CAST(s.n AS HUGEINT) * g.pfx
+                 - CAST(g.i AS HUGEINT) * s.total) AS score,
+             s.n
+      FROM seg g JOIN sst s
+        ON s.event_type = g.event_type AND s.segment = g.segment
+      WHERE g.i < s.n
+    ), cut2 AS (
+      SELECT event_type, segment, day AS cut_day, i AS cut_i, score,
+             n AS seg_n
+      FROM (
+        SELECT event_type, segment, day, i, score, n,
+               row_number() OVER (PARTITION BY event_type, segment
+                                  ORDER BY score DESC, i) AS rk
+        FROM s2) t
+      WHERE rk = 1
+    )
+    SELECT event_type, 1 AS level, 'all' AS segment,
+           CAST(cut_day AS BIGINT) AS cut_day,
+           cut_i, CAST(score AS BIGINT) AS score_scaled, seg_n
+    FROM cut1
+    UNION ALL
+    SELECT event_type, 2 AS level, segment,
+           CAST(cut_day AS BIGINT) AS cut_day,
+           cut_i, CAST(score AS BIGINT) AS score_scaled, seg_n
+    FROM cut2
+"""
+
+
+@query("ts_binseg_changepoints", oracle=BINSEG_ORACLE)
+def ts_binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-LEVEL binary segmentation for mean-shift change points per
+    event type — the multi-change-point extension of
+    ts_cusum_changepoint (which scores a single shift): level 1 finds
+    the day k* maximizing the AMOC statistic |n·prefix_k − k·total|
+    (the scaled deviation of the prefix mean from the global mean,
+    exact integers — no division by the mean anywhere); level 2
+    re-runs the same argmax inside each resulting half. This is
+    Scott-Knott / binary segmentation truncated at depth 2: the
+    standard way one change-point detector becomes a change-point
+    TREE, and each deeper level is the same dataflow re-partitioned
+    by (type, segment) — the recursion depth is a fixed unroll
+    exactly like the IRLS/Holt-Winters iterative convention.
+
+    Determinism: daily sums are e3 integers; scores are exact
+    HUGEINT/DECIMAL(38,0) products (n·prefix ≈ 3e17 at sf1000 —
+    headroom verified in the sf1 rehearsal class); the argmax
+    tie-breaks on the earliest day via (score DESC, i) row_number in
+    both engines; level-2 prefixes come from a fresh window over the
+    segment, not from subtracting level-1 prefixes, so both engines
+    compute the identical expression tree.
+
+    Scale: one map-side-combinable shuffle to the (type, day)
+    dictionary (checkpointed — both levels and both stats passes
+    consume it); every window is type- or (type, segment)-partitioned
+    over calendar-bounded frames; the argmax is a grid-sized
+    row_number filter, never a global sort.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no series
+    surface (internal/storage/types.go:3); this is [TARGET]
+    time-series machinery.
+    """
+    dec = "decimal(38,0)"
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2025-01-01").cast("date")
+            ).alias("day"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 1000).cast("long"))
+            .cast("long")
+            .alias("x_e3")
+        )
+        # four consumers: level-1 index/stats and level-2 re-window
+        .localCheckpoint(eager=False)
+    )
+    wo = W.partitionBy("event_type").orderBy("day")
+    idx = daily.select(
+        "event_type",
+        "day",
+        "x_e3",
+        F.row_number().over(wo).cast("long").alias("i"),
+        F.sum("x_e3").over(wo).cast("long").alias("pfx"),
+    ).localCheckpoint(eager=False)
+    st = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x_e3").cast("long").alias("total"),
+    )
+    s1 = (
+        idx.join(st, "event_type")
+        .where(F.col("i") < F.col("n"))
+        .select(
+            "event_type",
+            "day",
+            "i",
+            F.abs(
+                F.col("n").cast(dec) * F.col("pfx")
+                - F.col("i").cast(dec) * F.col("total")
+            ).alias("score"),
+            "n",
+        )
+    )
+    wr1 = W.partitionBy("event_type").orderBy(F.desc("score"), "i")
+    cut1 = (
+        s1.withColumn("rk", F.row_number().over(wr1))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("cut_day"),
+            F.col("i").alias("cut_i"),
+            "score",
+            F.col("n").alias("seg_n"),
+        )
+        # two consumers: the level-2 segmentation and the final union
+        .localCheckpoint(eager=False)
+    )
+    seg_col = F.when(F.col("i") <= F.col("cut_i"), "L").otherwise("R")
+    sw = W.partitionBy("event_type", "segment").orderBy("day")
+    seg = (
+        idx.join(cut1.select("event_type", "cut_i"), "event_type")
+        .select("event_type", seg_col.alias("segment"), "day", "x_e3")
+        .select(
+            "event_type",
+            "segment",
+            "day",
+            "x_e3",
+            F.row_number().over(sw).cast("long").alias("i"),
+            F.sum("x_e3").over(sw).cast("long").alias("pfx"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sst = seg.groupBy("event_type", "segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x_e3").cast("long").alias("total"),
+    )
+    s2 = (
+        seg.join(sst, ["event_type", "segment"])
+        .where(F.col("i") < F.col("n"))
+        .select(
+            "event_type",
+            "segment",
+            "day",
+            "i",
+            F.abs(
+                F.col("n").cast(dec) * F.col("pfx")
+                - F.col("i").cast(dec) * F.col("total")
+            ).alias("score"),
+            "n",
+        )
+    )
+    wr2 = W.partitionBy("event_type", "segment").orderBy(
+        F.desc("score"), "i"
+    )
+    cut2 = (
+        s2.withColumn("rk", F.row_number().over(wr2))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "segment",
+            F.col("day").alias("cut_day"),
+            F.col("i").alias("cut_i"),
+            "score",
+            F.col("n").alias("seg_n"),
+        )
+    )
+    lvl1 = cut1.select(
+        "event_type",
+        F.lit(1).cast("int").alias("level"),
+        F.lit("all").alias("segment"),
+        F.col("cut_day").cast("long").alias("cut_day"),
+        "cut_i",
+        F.col("score").cast("long").alias("score_scaled"),
+        "seg_n",
+    )
+    lvl2 = cut2.select(
+        "event_type",
+        F.lit(2).cast("int").alias("level"),
+        "segment",
+        F.col("cut_day").cast("long").alias("cut_day"),
+        "cut_i",
+        F.col("score").cast("long").alias("score_scaled"),
+        "seg_n",
+    )
+    return lvl1.unionByName(lvl2)

@@ -1360,3 +1360,15 @@ def test_kmv_jaccard_plan_shapes(spark):
     r = plan_report(df)
     assert not r["cartesian"]
     assert r["global_windows"] == 0
+
+
+def test_binseg_plan_shapes(spark):
+    """ts_binseg_changepoints: every window is type- or
+    (type, segment)-partitioned over the checkpointed calendar-bounded
+    dictionary; the argmax is a row_number filter (grid-sized), never
+    a global sort; no cartesian anywhere."""
+    from gotsdb_spark.plans import plan_report
+
+    r = plan_report(QUERIES["ts_binseg_changepoints"](spark, SF))
+    assert r["global_windows"] == 0
+    assert not r["cartesian"] and not r["nested_loop"]

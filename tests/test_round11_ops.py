@@ -321,3 +321,66 @@ def test_kmv_jaccard_pairs_matches_python_reference(spark):
     # least one estimate is nonzero
     assert any(v[2] > 0 for v in expect.values())
     assert any(v[4] > 0 for v in expect.values())
+
+
+# ------------------------------------------ binary segmentation cuts
+
+
+def test_binseg_changepoints_matches_python_reference(spark):
+    rows = (
+        load_table(spark, "events", SF)
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2025-01-01").cast("date")
+            ).alias("day"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("x_e3")
+        )
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in rows:
+        series[r["event_type"]].append((r["day"], r["x_e3"]))
+
+    def best_cut(pts):
+        n = len(pts)
+        total = sum(x for _, x in pts)
+        best = None
+        pfx = 0
+        for i, (day, x) in enumerate(pts, start=1):
+            if i >= n:
+                break
+            pfx += x
+            score = abs(n * pfx - i * total)
+            # argmax, ties to the earliest index
+            if best is None or score > best[0]:
+                best = (score, i, day, n)
+        return best
+
+    expect = {}
+    for et, pts in series.items():
+        pts.sort()
+        s, i, d, n = best_cut(pts)
+        expect[(et, 1, "all")] = (d, i, s, n)
+        for segname, seg in (("L", pts[:i]), ("R", pts[i:])):
+            b = best_cut(seg)
+            if b:
+                s2, i2, d2, n2 = b
+                expect[(et, 2, segname)] = (d2, i2, s2, n2)
+    got = {
+        (r["event_type"], r["level"], r["segment"]): (
+            r["cut_day"],
+            r["cut_i"],
+            r["score_scaled"],
+            r["seg_n"],
+        )
+        for r in QUERIES["ts_binseg_changepoints"](spark, SF).collect()
+    }
+    assert got == expect
+    # every type must produce a level-1 cut and at least one level-2 cut
+    types = {k[0] for k in expect}
+    for et in types:
+        assert (et, 1, "all") in got
+        assert (et, 2, "L") in got or (et, 2, "R") in got

@@ -200,6 +200,7 @@ ROUND11_CLASS = [
     "ts_stl_robust_decompose",
     "sketch_kmv_jaccard_pairs",  # 10× distinct users through the
     # bottom-k build and the exact self-join fan-out
+    "ts_binseg_changepoints",  # n·prefix products ≈ 3e17 headroom check
 ]
 
 SWEEP_CLASS = (
