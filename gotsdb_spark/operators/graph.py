@@ -1600,3 +1600,326 @@ def graph_girvan_newman_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_girvan_newman_edges.__doc__ = graph_girvan_newman_edges.__doc__.format(
     k=_GN_TOPK, n=25
 )
+
+
+# ---------------------------------------------------------------------------
+# Trade-backbone shared frame (round 11): top-decile heaviest undirected
+# edges. Node/edge domain is the 25-nation dictionary (<= 300 pairs), so
+# the ranking window is schema-bounded, not data-sized.
+# ---------------------------------------------------------------------------
+
+_BACKBONE_SQL = f"""
+    flows AS MATERIALIZED ({_EDGES_SQL}),
+    ue_all AS (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+             CAST(sum(w) AS BIGINT) AS w
+      FROM flows WHERE src <> dst GROUP BY 1, 2
+    ), ranked AS (
+      SELECT a, b, w,
+             row_number() OVER (ORDER BY w DESC, a, b) AS rk,
+             count(*) OVER () AS ne
+      FROM ue_all
+    ), ue AS MATERIALIZED (
+      SELECT a, b, w FROM ranked
+      WHERE rk <= CAST(ceil(ne / 10.0) AS BIGINT)
+    )
+"""
+
+
+def _backbone_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected weighted trade edges (a < b, w = lineitem count both
+    directions, self-loops dropped), sparsified to the top ~10%
+    heaviest pairs (ties broken by (a, b)). The full pair domain is
+    bounded by the nation dictionary (25*24/2 = 300 rows forever), so
+    the ranking window is a schema-bounded single partition — the
+    documented exception class, not a data-sized window."""
+    from pyspark.sql.window import Window as W
+
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    flows = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+    )
+    ue_all = (
+        flows.where(F.col("src") != F.col("dst"))
+        .groupBy(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    ne = ue_all.agg(F.count(F.lit(1)).alias("ne"))
+    ranked = ue_all.crossJoin(F.broadcast(ne)).withColumn(
+        "rk",
+        F.row_number().over(W.orderBy(F.desc("w"), "a", "b")),
+    )
+    return (
+        ranked.where(
+            F.col("rk") <= F.ceil(F.col("ne") / 10.0).cast("long")
+        )
+        .select("a", "b", "w")
+        # consumed by adjacency, degree, internal-weight and total-mass
+        # branches downstream — freeze the top-decile cut once.
+        .localCheckpoint(eager=False)
+    )
+
+
+MODULARITY_ORACLE = f"""
+    WITH flows AS MATERIALIZED ({_EDGES_SQL}),
+    ue AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+             CAST(sum(w) AS BIGINT) AS w
+      FROM flows WHERE src <> dst GROUP BY 1, 2
+    ), lab AS MATERIALIZED (
+      SELECT n_nationkey AS v, n_regionkey AS community FROM nation
+    ), mm AS (
+      SELECT CAST(sum(w) AS BIGINT) AS m FROM ue
+    ), deg AS (
+      SELECT v, CAST(sum(w) AS BIGINT) AS k FROM (
+        SELECT a AS v, w FROM ue UNION ALL SELECT b, w FROM ue) t
+      GROUP BY v
+    ), comm AS (
+      SELECT l.community, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d.k) AS BIGINT) AS degree_w
+      FROM deg d JOIN lab l ON l.v = d.v GROUP BY 1
+    ), intw AS (
+      SELECT la.community, CAST(sum(e.w) AS BIGINT) AS internal_w
+      FROM ue e JOIN lab la ON la.v = e.a JOIN lab lb ON lb.v = e.b
+      WHERE la.community = lb.community GROUP BY 1
+    )
+    SELECT r.r_name AS region, c.n_nodes,
+           CAST(coalesce(i.internal_w, 0) AS BIGINT) AS internal_w,
+           c.degree_w,
+           CAST(4 * CAST(mm.m AS HUGEINT) * coalesce(i.internal_w, 0)
+                - CAST(c.degree_w AS HUGEINT) * c.degree_w AS BIGINT)
+             AS q_contrib_scaled,
+           CAST(floor((4.0 * mm.m * coalesce(i.internal_w, 0)
+                       - 1.0 * c.degree_w * c.degree_w)
+                      / (4.0 * mm.m * mm.m) * 1e9 + 0.5001) AS BIGINT)
+             AS q_contrib_e9
+    FROM comm c
+    JOIN region r ON r.r_regionkey = c.community
+    LEFT JOIN intw i USING (community) CROSS JOIN mm
+    ORDER BY region
+"""
+
+
+@query("graph_modularity_communities", oracle=MODULARITY_ORACLE)
+def graph_modularity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted Newman modularity of the REGION partition over
+    the full weighted trade graph — the community-quality score that
+    answers "does trade cluster within geographic regions more than a
+    degree-preserving random rewiring would?". Girvan-Newman
+    (graph_girvan_newman_edges) proposes where to cut and
+    graph_label_propagation grows bottom-up communities; modularity is
+    the standard objective that SCORES any such partition, evaluated
+    here on the one ground-truth partition the schema carries
+    (nation -> region).
+
+    Exact integers end to end: with m = total undirected trade weight,
+    in_c = internal edge weight and deg_c = community degree mass,
+    each community's contribution to 4m^2*Q is the exact integer
+    4m*in_c - deg_c^2 (HUGEINT/DECIMAL(38,0) — ~1e20 at sf1000, far
+    inside 38 digits); the e9 readout divides the same integers in an
+    identical double expression in both engines. A whole-graph
+    community scores exactly 0; regions trading mostly internally
+    score positive — no epsilon anywhere.
+
+    Scale: the only data-sized work is the Q7-shape join down to the
+    (src, dst) nation-pair dictionary (one map-side-combinable
+    shuffle); the partition labels are the 25-row nation dimension
+    (broadcast), and degree/internal sums run on <= 300 dictionary
+    rows.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no graph
+    surface (internal/storage/types.go:3); this is [TARGET] graph
+    machinery.
+    """
+    dec = "decimal(38,0)"
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    flows = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+    )
+    ue = (
+        flows.where(F.col("src") != F.col("dst"))
+        .groupBy(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        # consumed by the degree, internal-weight and total-mass branches
+        .localCheckpoint(eager=False)
+    )
+    lab = nation.select(
+        F.col("n_nationkey").alias("v"), F.col("n_regionkey").alias("community")
+    )
+    mm = ue.agg(F.sum("w").cast("long").alias("m"))
+    deg = (
+        ue.select(F.col("a").alias("v"), "w")
+        .unionAll(ue.select(F.col("b").alias("v"), "w"))
+        .groupBy("v")
+        .agg(F.sum("w").cast("long").alias("k"))
+    )
+    comm = (
+        deg.join(F.broadcast(lab), "v")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("k").cast("long").alias("degree_w"),
+        )
+    )
+    la = lab.select(F.col("v").alias("a"), F.col("community").alias("ca"))
+    lb = lab.select(F.col("v").alias("b"), F.col("community").alias("cb"))
+    intw = (
+        ue.join(F.broadcast(la), "a")
+        .join(F.broadcast(lb), "b")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.sum("w").cast("long").alias("internal_w"))
+    )
+    iw = F.coalesce(F.col("internal_w"), F.lit(0))
+    m, dw = F.col("m"), F.col("degree_w")
+    return (
+        comm.join(intw, "community", "left")
+        .join(
+            F.broadcast(
+                region.select(
+                    F.col("r_regionkey").alias("community"),
+                    F.col("r_name").alias("region"),
+                )
+            ),
+            "community",
+        )
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "region",
+            "n_nodes",
+            iw.cast("bigint").alias("internal_w"),
+            "degree_w",
+            (
+                F.lit(4).cast(dec) * m.cast(dec) * iw
+                - dw.cast(dec) * dw
+            )
+            .cast("bigint")
+            .alias("q_contrib_scaled"),
+            F.floor(
+                (F.lit(4.0) * m * iw - F.lit(1.0) * dw * dw)
+                / (F.lit(4.0) * m * m)
+                * 1e9
+                + 0.5001
+            )
+            .cast("bigint")
+            .alias("q_contrib_e9"),
+        )
+        .orderBy("region")
+    )
+
+
+ASSORTATIVITY_ORACLE = f"""
+    WITH {_BACKBONE_SQL},
+    deg AS MATERIALIZED (
+      SELECT v, CAST(count(*) AS BIGINT) AS k FROM (
+        SELECT a AS v FROM ue UNION ALL SELECT b FROM ue) t
+      GROUP BY v
+    ), arcs AS (
+      SELECT a AS x, b AS y FROM ue
+      UNION ALL SELECT b, a FROM ue
+    ), pairs AS (
+      SELECT dx.k AS kx, dy.k AS ky
+      FROM arcs JOIN deg dx ON dx.v = arcs.x
+                JOIN deg dy ON dy.v = arcs.y
+    ), suff AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_arcs,
+             CAST(sum(kx) AS BIGINT) AS sx,
+             CAST(sum(kx * kx) AS BIGINT) AS sxx,
+             CAST(sum(kx * ky) AS BIGINT) AS sxy
+      FROM pairs
+    )
+    SELECT n_arcs, sx AS sum_k, sxx AS sum_k2, sxy AS sum_kxky,
+           CAST((CAST(n_arcs AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx)
+                * 1000000
+                // NULLIF(CAST(n_arcs AS HUGEINT) * sxx
+                          - CAST(sx AS HUGEINT) * sx, 0) AS BIGINT)
+             AS assortativity_e6
+    FROM suff
+"""
+
+
+@query("graph_degree_assortativity", oracle=ASSORTATIVITY_ORACLE)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the trade backbone — the Pearson
+    correlation of endpoint degrees over all directed arcs, THE
+    one-number answer to "do hubs trade with hubs (assortative, r > 0)
+    or with spokes (disassortative, r < 0)?". Infrastructure and trade
+    networks are famously disassortative; this measures ours instead
+    of assuming it.
+
+    Exact integers with NO sqrt: over the symmetrized arc list the two
+    marginals coincide (sy = sx, syy = sxx), so Pearson's denominator
+    sqrt((n*sxx - sx^2)(n*syy - sy^2)) collapses to the integer
+    n*sxx - sx^2 and r is the exact rational
+    (n*sxy - sx^2) / (n*sxx - sx^2), reported as an e6 integer
+    quotient (HUGEINT/DECIMAL(38,0) intermediates; NULL on the
+    degenerate regular graph where the variance is 0, identically in
+    both engines).
+
+    Scale: the data-sized work is the same one-shuffle nation-pair
+    collapse the backbone helper does; degrees, arcs, and the
+    sufficient statistics are dictionary-sized (<= 600 arc rows).
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no graph
+    surface (internal/storage/types.go:3); this is [TARGET] graph
+    machinery.
+    """
+    dec = "decimal(38,0)"
+    ue = _backbone_edges(spark, sf_dir)
+    deg = (
+        ue.select(F.col("a").alias("v"))
+        .unionAll(ue.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    arcs = ue.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
+        ue.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    pairs = (
+        arcs.join(deg.select(F.col("v").alias("x"), F.col("k").alias("kx")), "x")
+        .join(deg.select(F.col("v").alias("y"), F.col("k").alias("ky")), "y")
+    )
+    suff = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_arcs"),
+        F.sum("kx").cast("long").alias("sx"),
+        F.sum(F.col("kx") * F.col("kx")).cast("long").alias("sxx"),
+        F.sum(F.col("kx") * F.col("ky")).cast("long").alias("sxy"),
+    )
+    return suff.select(
+        "n_arcs",
+        F.col("sx").alias("sum_k"),
+        F.col("sxx").alias("sum_k2"),
+        F.col("sxy").alias("sum_kxky"),
+        F.expr(
+            f"CAST((CAST(n_arcs AS {dec}) * sxy - CAST(sx AS {dec}) * sx)"
+            " * 1000000"
+            f" DIV NULLIF(CAST(n_arcs AS {dec}) * sxx"
+            f" - CAST(sx AS {dec}) * sx, 0) AS BIGINT)"
+        ).alias("assortativity_e6"),
+    )

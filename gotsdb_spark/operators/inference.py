@@ -2426,3 +2426,605 @@ def stats_cucconi_location_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / (2.0 * (1 - {rho} * {rho})) * 1e6 + 0.5001) AS BIGINT)"
         ).alias("q_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank paired test — round 11.
+# ---------------------------------------------------------------------------
+
+WILCOXON_ORACLE = """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'click'
+                           THEN CAST(floor(value * 1000) AS BIGINT) END)
+                  // count(CASE WHEN event_type = 'click' THEN 1 END)
+                  AS BIGINT) AS click_e3,
+             CAST(sum(CASE WHEN event_type = 'view'
+                           THEN CAST(floor(value * 1000) AS BIGINT) END)
+                  // count(CASE WHEN event_type = 'view' THEN 1 END)
+                  AS BIGINT) AS view_e3
+      FROM events
+      WHERE event_type IN ('click', 'view')
+      GROUP BY user_id
+      HAVING count(CASE WHEN event_type = 'click' THEN 1 END) > 0
+         AND count(CASE WHEN event_type = 'view' THEN 1 END) > 0
+    ), diffs AS (
+      SELECT click_e3 - view_e3 AS d FROM per_user
+      WHERE click_e3 <> view_e3
+    ), dic AS (
+      SELECT abs(d) AS ad,
+             CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+             CAST(count(*) AS BIGINT) AS c
+      FROM diffs GROUP BY 1
+    ), cum AS (
+      SELECT ad, cpos, c, sum(c) OVER (ORDER BY ad) AS cc FROM dic
+    ), agg AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(cpos * (2 * cc - c + 1)) AS BIGINT) AS w_plus_x2,
+             sum(CAST(c AS HUGEINT) * c * c - c) AS tie3
+      FROM cum
+    )
+    SELECT n, w_plus_x2,
+           CAST(tie3 // n AS BIGINT) AS tie_term_div_n,
+           CAST((2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) - tie3)
+                // n AS BIGINT) AS var_x48_div_n,
+           CAST(CASE WHEN 2 * w_plus_x2 >= CAST(n AS HUGEINT) * (n + 1)
+                     THEN 1 ELSE -1 END
+                * 3 * (2 * CAST(w_plus_x2 AS HUGEINT)
+                       - CAST(n AS HUGEINT) * (n + 1))
+                * (2 * CAST(w_plus_x2 AS HUGEINT)
+                   - CAST(n AS HUGEINT) * (n + 1))
+                * 1000000
+                // NULLIF(2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1)
+                          - tie3, 0) AS BIGINT) AS z2_signed_e6
+    FROM agg
+"""
+
+
+@query("stats_wilcoxon_signed_rank", oracle=WILCOXON_ORACLE)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test of the PAIRED difference between each
+    user's mean click value and mean view value — the nonparametric
+    paired complement to stats_mann_whitney_u (which compares two
+    INDEPENDENT samples): same units, two conditions, does the median
+    difference differ from zero without assuming normality?
+
+    Exact integers end to end via the dictionary trick: per-user means
+    are e3 integer DIVs; zero differences drop (the standard
+    discard-zeros convention); |d| compacts to a (ad, c, c_pos)
+    dictionary whose tie-averaged midranks come from one dist_rank
+    cumulative, doubled (2*cc - c + 1) so half-ranks stay integral.
+    W+ (x2), the tie term sum(t^3 - t), the variance certificate
+    48*Var = 2n(n+1)(2n+1) - tie3 (both reported DIV n so int64 holds
+    even in the all-tied worst case), and the signed z^2 e6-rational
+    3*(4W+ - n(n+1))^2 / (2n(n+1)(2n+1) - tie3) — note 48/16 = 3 —
+    are all exact integer arithmetic (HUGEINT/DECIMAL(38,0)
+    accumulators), NULL on the degenerate all-tied-to-one-value corpus
+    in both engines.
+
+    Scale: one map-side-combinable groupBy to the user dictionary, one
+    to the |d| dictionary (bounded by the e3 value grid), one linear
+    dist_rank over it — never an unpartitioned row-level window.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    statistical surface (internal/storage/types.go:3); this is
+    [TARGET] inference machinery.
+    """
+    from gotsdb_spark.operators.distrank import dist_rank
+
+    dec = "decimal(38,0)"
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("event_type").isin("click", "view"))
+        .select(
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * 1000).cast("bigint").alias("v_e3"),
+        )
+    )
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", F.col("v_e3")))
+            .alias("cs"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("cn"),
+            F.sum(F.when(F.col("event_type") == "view", F.col("v_e3")))
+            .alias("vs"),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("vn"),
+        )
+        .where((F.col("cn") > 0) & (F.col("vn") > 0))
+        .select(
+            F.expr("CAST(cs DIV cn AS BIGINT)").alias("click_e3"),
+            F.expr("CAST(vs DIV vn AS BIGINT)").alias("view_e3"),
+        )
+    )
+    diffs = per_user.where(F.col("click_e3") != F.col("view_e3")).select(
+        (F.col("click_e3") - F.col("view_e3")).alias("d")
+    )
+    dic = diffs.groupBy(F.abs(F.col("d")).alias("ad")).agg(
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("cpos"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    ranked = dist_rank(dic, ["ad"], rank_col="__wx_rk", sum_cols={"cc": "c"})
+    agg = ranked.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("cpos") * (2 * F.col("cc") - F.col("c") + 1))
+        .cast("long")
+        .alias("w_plus_x2"),
+        F.sum(
+            F.col("c").cast(dec) * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie3"),
+    )
+    return agg.select(
+        "n",
+        "w_plus_x2",
+        F.expr("CAST(tie3 DIV n AS BIGINT)").alias("tie_term_div_n"),
+        F.expr(
+            f"CAST((2 * CAST(n AS {dec}) * (n + 1) * (2 * n + 1) - tie3)"
+            " DIV n AS BIGINT)"
+        ).alias("var_x48_div_n"),
+        F.expr(
+            f"CAST(CASE WHEN 2 * w_plus_x2 >= CAST(n AS {dec}) * (n + 1)"
+            " THEN 1 ELSE -1 END"
+            f" * 3 * (2 * CAST(w_plus_x2 AS {dec})"
+            f" - CAST(n AS {dec}) * (n + 1))"
+            f" * (2 * CAST(w_plus_x2 AS {dec})"
+            f" - CAST(n AS {dec}) * (n + 1))"
+            " * 1000000"
+            f" DIV NULLIF(2 * CAST(n AS {dec}) * (n + 1) * (2 * n + 1)"
+            " - tie3, 0) AS BIGINT)"
+        ).alias("z2_signed_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Friedman rank test over block x treatment cells — round 11.
+# ---------------------------------------------------------------------------
+
+FRIEDMAN_ORACLE = """
+    WITH cells AS (
+      SELECT CAST(month(o.o_orderdate) AS BIGINT) AS block,
+             o.o_orderpriority AS treatment,
+             CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT block, treatment,
+             CAST(row_number() OVER (PARTITION BY block
+                                     ORDER BY cents, treatment)
+                  AS BIGINT) AS rnk
+      FROM cells
+    ), sums AS (
+      SELECT treatment, CAST(sum(rnk) AS BIGINT) AS rank_sum
+      FROM ranked GROUP BY treatment
+    ), tot AS (
+      SELECT CAST(count(DISTINCT block) AS BIGINT) AS n_blocks,
+             CAST(count(DISTINCT treatment) AS BIGINT) AS k_treatments
+      FROM cells
+    ), chi AS (
+      SELECT t.n_blocks, t.k_treatments,
+             CAST(12 * CAST(sum(s.rank_sum * s.rank_sum) AS HUGEINT)
+                  * 1000000
+                  // (t.n_blocks * t.k_treatments * (t.k_treatments + 1))
+                  - 3 * t.n_blocks * (t.k_treatments + 1) * 1000000
+                  AS BIGINT) AS chi2_e6
+      FROM sums s CROSS JOIN tot t
+      GROUP BY t.n_blocks, t.k_treatments
+    )
+    SELECT s.treatment, s.rank_sum, c.n_blocks, c.k_treatments, c.chi2_e6
+    FROM sums s CROSS JOIN chi c
+    ORDER BY s.treatment
+"""
+
+
+@query("stats_friedman_ranks", oracle=FRIEDMAN_ORACLE)
+def stats_friedman_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test of order-priority revenue across calendar-
+    month blocks — the k-sample REPEATED-MEASURES complement to
+    stats_kruskal_wallis (independent groups) and
+    stats_wilcoxon_signed_rank (k = 2 paired): each order month is a
+    block that ranks the 5 priorities by revenue, and the test asks
+    whether any priority consistently out-earns the others across
+    blocks.
+
+    Determinism: cell revenues are exact cent sums; within-block ranks
+    are row_number over the total order (cents, treatment) — revenue
+    sums across ~1e5-row cells are effectively tie-free, and the
+    explicit treatment tie-break keeps both engines identical even if
+    two cells collide exactly. chi2_F = 12*sum(R_j^2)/(n*k*(k+1)) -
+    3n(k+1) is an exact integer e6-rational (HUGEINT/DECIMAL(38,0)
+    intermediates).
+
+    Scale: one map-side-combinable shuffle to the 60-cell
+    (month, priority) contingency dictionary; the ranking window is
+    partitioned by block over k = 5 rows; everything after is
+    dictionary-sized.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    statistical surface (internal/storage/types.go:3); this is
+    [TARGET] inference machinery.
+    """
+    from pyspark.sql.window import Window as W
+
+    dec = "decimal(38,0)"
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cells = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.month("o_orderdate").cast("long").alias("block"),
+            F.col("o_orderpriority").alias("treatment"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("long")
+            .alias("cents")
+        )
+        # consumed by the rank branch and the (n, k) domain count
+        .localCheckpoint(eager=False)
+    )
+    ranked = cells.select(
+        "block",
+        "treatment",
+        F.row_number()
+        .over(W.partitionBy("block").orderBy("cents", "treatment"))
+        .cast("long")
+        .alias("rnk"),
+    )
+    sums = ranked.groupBy("treatment").agg(
+        F.sum("rnk").cast("long").alias("rank_sum")
+    )
+    tot = cells.agg(
+        F.countDistinct("block").cast("long").alias("n_blocks"),
+        F.countDistinct("treatment").cast("long").alias("k_treatments"),
+    )
+    chi = (
+        sums.crossJoin(F.broadcast(tot))
+        .groupBy("n_blocks", "k_treatments")
+        .agg(
+            F.sum(
+                F.col("rank_sum").cast(dec) * F.col("rank_sum")
+            ).alias("ss")
+        )
+        .select(
+            "n_blocks",
+            "k_treatments",
+            F.expr(
+                "CAST(12 * ss * 1000000"
+                " DIV (n_blocks * k_treatments * (k_treatments + 1))"
+                " - 3 * n_blocks * (k_treatments + 1) * 1000000"
+                " AS BIGINT)"
+            ).alias("chi2_e6"),
+        )
+    )
+    return (
+        sums.crossJoin(F.broadcast(chi))
+        .select("treatment", "rank_sum", "n_blocks", "k_treatments", "chi2_e6")
+        .orderBy("treatment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau whiteness test — round 11.
+# ---------------------------------------------------------------------------
+
+LJUNG_BOX_ORACLE = """
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2025-01-01', CAST(ts AS DATE)) AS x,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) // count(*)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), nd AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1
+    ), pairs AS (
+      SELECT a.event_type, l.lag, a.y AS ya, b.y AS yb
+      FROM (SELECT unnest(range(1, 8)) AS lag) l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.event_type = a.event_type AND b.x = a.x + l.lag
+    ), suff AS (
+      SELECT event_type, lag, count(*) AS n,
+             CAST(sum(ya) AS BIGINT)      AS sa,
+             CAST(sum(yb) AS BIGINT)      AS sb,
+             CAST(sum(ya * yb) AS BIGINT) AS sab,
+             CAST(sum(ya * ya) AS BIGINT) AS saa,
+             CAST(sum(yb * yb) AS BIGINT) AS sbb
+      FROM pairs GROUP BY event_type, lag
+    ), acf AS (
+      SELECT s.event_type, CAST(s.lag AS INT) AS lag, d.n_days,
+             CAST(floor((s.n * 1.0 * s.sab - s.sa * 1.0 * s.sb)
+                        / sqrt((s.n * 1.0 * s.saa - s.sa * 1.0 * s.sa)
+                               * (s.n * 1.0 * s.sbb - s.sb * 1.0 * s.sb))
+                        * 1e6 + 0.5001) AS BIGINT) AS acf_e6
+      FROM suff s JOIN nd d USING (event_type)
+    ), terms AS (
+      SELECT event_type, lag, n_days, acf_e6,
+             CAST(CAST(n_days AS HUGEINT) * (n_days + 2)
+                  * acf_e6 * acf_e6 // (n_days - lag) AS BIGINT)
+               AS lb_term_e12
+      FROM acf
+    )
+    SELECT event_type, lag, n_days, acf_e6, lb_term_e12,
+           CAST(sum(lb_term_e12)
+                OVER (PARTITION BY event_type ORDER BY lag) AS BIGINT)
+             AS lb_q_e12
+    FROM terms
+    ORDER BY event_type, lag
+"""
+
+
+@query("ts_ljung_box_whiteness", oracle=LJUNG_BOX_ORACLE)
+def ts_ljung_box_whiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test of each event type's daily series at
+    lags 1..7 — the whiteness gate every forecaster's residuals face:
+    where ts_autocorrelation_daily reports the lag-k correlations one
+    at a time, Q_m = n(n+2) * sum_{k<=m} r_k^2/(n-k) pools them into
+    one is-there-ANY-serial-structure statistic (chi-square, m df),
+    reported cumulatively so every prefix m = 1..7 is read off one
+    result.
+
+    Determinism: r_k is the EXACT acf_e6 integer the ACF op publishes
+    (identical suffstat double expression, e6-floored with the ulp
+    nudge); each Ljung-Box term is then pure integer arithmetic
+    n(n+2)*acf_e6^2 DIV (n-k) at e12 scale (HUGEIN/DECIMAL(38,0)
+    intermediates — no float summation order anywhere), and the
+    cumulative Q is an integer running sum over the 7-row lag frame.
+
+    Scale: one map-side-combinable shuffle to the (type, day)
+    dictionary; the lag self-join and the cumulative window are
+    O(days x 7) per type regardless of event volume, and the running
+    sum partitions by event_type.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    statistical surface (internal/storage/types.go:3); this is
+    [TARGET] inference machinery.
+    """
+    from pyspark.sql.window import Window as W
+
+    dec = "decimal(38,0)"
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2025-01-01").cast("date")
+            ).alias("x"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("v_e3"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.expr("CAST(sum(v_e3) DIV count(*) AS BIGINT)").alias("y"))
+        # consumed by both lag-join sides and the per-type day count
+        .localCheckpoint(eager=False)
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select("event_type", "x", F.col("y").alias("ya"))
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    pairs = a.crossJoin(F.broadcast(lags)).join(
+        b,
+        (F.col("event_type") == F.col("et_b"))
+        & (F.col("xb") == F.col("x") + F.col("lag")),
+    )
+    ya, yb = F.col("ya"), F.col("yb")
+    suff = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").alias("n"),
+        F.sum(ya).cast("long").alias("sa"),
+        F.sum(yb).cast("long").alias("sb"),
+        F.sum(ya * yb).cast("long").alias("sab"),
+        F.sum(ya * ya).cast("long").alias("saa"),
+        F.sum(yb * yb).cast("long").alias("sbb"),
+    )
+    acf = suff.join(nd, "event_type").select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        "n_days",
+        F.floor(
+            (F.col("n") * 1.0 * F.col("sab") - F.col("sa") * 1.0 * F.col("sb"))
+            / F.sqrt(
+                (F.col("n") * 1.0 * F.col("saa") - F.col("sa") * 1.0 * F.col("sa"))
+                * (F.col("n") * 1.0 * F.col("sbb") - F.col("sb") * 1.0 * F.col("sb"))
+            )
+            * 1e6
+            + 0.5001
+        )
+        .cast("bigint")
+        .alias("acf_e6"),
+    )
+    terms = acf.select(
+        "event_type",
+        "lag",
+        "n_days",
+        "acf_e6",
+        F.expr(
+            f"CAST(CAST(n_days AS {dec}) * (n_days + 2)"
+            " * acf_e6 * acf_e6 DIV (n_days - lag) AS BIGINT)"
+        ).alias("lb_term_e12"),
+    )
+    return terms.select(
+        "event_type",
+        "lag",
+        "n_days",
+        "acf_e6",
+        "lb_term_e12",
+        F.sum("lb_term_e12")
+        .over(W.partitionBy("event_type").orderBy("lag"))
+        .cast("long")
+        .alias("lb_q_e12"),
+    ).orderBy("event_type", "lag")
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test for randomness — round 11.
+# ---------------------------------------------------------------------------
+
+RUNS_TEST_ORACLE = """
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2025-01-01', CAST(ts AS DATE)) AS day,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), nd AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS ndays
+      FROM daily GROUP BY 1
+    ), ranked AS (
+      SELECT d.event_type, d.y,
+             row_number() OVER (PARTITION BY d.event_type
+                                ORDER BY d.y, d.day) AS rk,
+             n.ndays
+      FROM daily d JOIN nd n USING (event_type)
+    ), med AS (
+      SELECT event_type, y AS med FROM ranked
+      WHERE rk = (ndays + 1) // 2
+    ), signs AS (
+      SELECT d.event_type, d.day,
+             CASE WHEN d.y > m.med THEN 1 ELSE 0 END AS s
+      FROM daily d JOIN med m USING (event_type)
+      WHERE d.y <> m.med
+    ), chg AS (
+      SELECT event_type, s,
+             CASE WHEN lag(s) OVER (PARTITION BY event_type ORDER BY day)
+                       IS DISTINCT FROM s THEN 1 ELSE 0 END AS c
+      FROM signs
+    ), agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(s) AS BIGINT) AS n1,
+             CAST(count(*) - sum(s) AS BIGINT) AS n2,
+             CAST(sum(c) AS BIGINT) AS runs
+      FROM chg GROUP BY event_type
+    )
+    SELECT event_type, n, n1, n2, runs,
+           CAST(1000000 + 2 * n1 * n2 * 1000000 // n AS BIGINT)
+             AS expected_runs_e6,
+           CAST(CASE WHEN n * (runs - 1) >= 2 * n1 * n2
+                     THEN 1 ELSE -1 END
+                * (CAST(n AS HUGEINT) * (runs - 1) - 2 * n1 * n2)
+                * (CAST(n AS HUGEINT) * (runs - 1) - 2 * n1 * n2)
+                * (n - 1) * 1000000
+                // NULLIF(2 * CAST(n1 AS HUGEINT) * n2
+                          * (2 * CAST(n1 AS HUGEINT) * n2 - n), 0)
+                AS BIGINT) AS z2_signed_e6
+    FROM agg
+    ORDER BY event_type
+"""
+
+
+@query("stats_runs_test_daily", oracle=RUNS_TEST_ORACLE)
+def stats_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test of each event type's daily revenue
+    series against its own median — the randomness gate that catches
+    what autocorrelation misses: too FEW runs of above/below-median
+    days means trending or regime-stickiness, too MANY means
+    oscillation, even when the lag-k correlations individually look
+    flat (ts_ljung_box_whiteness pools those; this tests the SIGN
+    pattern).
+
+    Determinism: the per-type median is the lower median — the value
+    at row_number (n+1) DIV 2 over the total order (y, day) — so both
+    engines pick the identical element with no interpolation;
+    median-equal days drop (the standard convention); the run count is
+    counted directly as the number of rows whose sign IS DISTINCT
+    FROM their predecessor's — the first row's NULL lag makes it a
+    change in both engines, folding the +1 in. E[R] and the signed z^2
+    ((n(R-1) - 2*n1*n2)^2 * (n-1)) / (2*n1*n2*(2*n1*n2 - n)) are exact
+    e6 integer rationals (HUGEINT/DECIMAL(38,0)), NULL on degenerate
+    all-same-sign series in both engines.
+
+    Scale: one map-side-combinable shuffle to the (type, day)
+    dictionary; every window is type-partitioned over calendar-bounded
+    frames (the binseg convention); the statistics are scalar
+    aggregates per type.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    statistical surface (internal/storage/types.go:3); this is
+    [TARGET] inference machinery.
+    """
+    from pyspark.sql.window import Window as W
+
+    dec = "decimal(38,0)"
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2025-01-01").cast("date")
+            ).alias("day"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+            .cast("long")
+            .alias("y")
+        )
+        # consumed by the median-rank branch and the sign join
+        .localCheckpoint(eager=False)
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("ndays")
+    )
+    ranked = daily.join(nd, "event_type").select(
+        "event_type",
+        "y",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("y", "day"))
+        .cast("long")
+        .alias("rk"),
+        "ndays",
+    )
+    med = ranked.where(
+        F.col("rk") == F.expr("CAST((ndays + 1) DIV 2 AS BIGINT)")
+    ).select("event_type", F.col("y").alias("med"))
+    signs = (
+        daily.join(med, "event_type")
+        .where(F.col("y") != F.col("med"))
+        .select(
+            "event_type",
+            "day",
+            F.when(F.col("y") > F.col("med"), 1).otherwise(0).alias("s"),
+        )
+    )
+    wd = W.partitionBy("event_type").orderBy("day")
+    chg = signs.select(
+        "event_type",
+        "s",
+        F.when(
+            ~F.lag("s").over(wd).eqNullSafe(F.col("s")), 1
+        )
+        .otherwise(0)
+        .alias("c"),
+    )
+    agg = chg.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("s").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("long").alias("n2"),
+        F.sum("c").cast("long").alias("runs"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "n1",
+        "n2",
+        "runs",
+        F.expr(
+            "CAST(1000000 + 2 * n1 * n2 * 1000000 DIV n AS BIGINT)"
+        ).alias("expected_runs_e6"),
+        F.expr(
+            f"CAST(CASE WHEN n * (runs - 1) >= 2 * n1 * n2"
+            " THEN 1 ELSE -1 END"
+            f" * (CAST(n AS {dec}) * (runs - 1) - 2 * n1 * n2)"
+            f" * (CAST(n AS {dec}) * (runs - 1) - 2 * n1 * n2)"
+            " * (n - 1) * 1000000"
+            f" DIV NULLIF(2 * CAST(n1 AS {dec}) * n2"
+            f" * (2 * CAST(n1 AS {dec}) * n2 - n), 0)"
+            " AS BIGINT)"
+        ).alias("z2_signed_e6"),
+    ).orderBy("event_type")

@@ -1232,3 +1232,99 @@ def quality_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency discovery audit — round 11.
+# ---------------------------------------------------------------------------
+
+# (label, table, lhs, rhs) — the candidate A -> B dependencies to audit.
+_FD_CANDIDATES = [
+    ("part: p_brand -> p_type", "part", "p_brand", "p_type"),
+    ("part: p_type -> p_size", "part", "p_type", "p_size"),
+    ("customer: c_nationkey -> c_mktsegment", "customer", "c_nationkey",
+     "c_mktsegment"),
+    ("orders: o_custkey -> o_orderpriority", "orders", "o_custkey",
+     "o_orderpriority"),
+    ("documents: source -> lang", "documents", "source", "lang"),
+]
+
+FD_VIOLATIONS_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{label}' AS fd,
+           CAST(count(*) AS BIGINT) AS lhs_groups,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS violating_groups,
+           CAST(max(nd) AS BIGINT) AS max_rhs_distinct,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS violation_rate_e6,
+           CAST(CASE WHEN max(nd) = 1 THEN 1 ELSE 0 END AS BIGINT) AS holds
+    FROM (
+      SELECT {lhs}, count(DISTINCT {rhs}) AS nd
+      FROM {table} GROUP BY {lhs}
+    ) g_{i}
+    """
+    for i, (label, table, lhs, rhs) in enumerate(_FD_CANDIDATES)
+) + "\nORDER BY fd"
+
+
+@query("quality_fd_violations", oracle=FD_VIOLATIONS_ORACLE)
+def quality_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery audit: for each candidate
+    A -> B dependency, count the LHS groups whose B is not unique —
+    the profiling complement to quality_candidate_keys (which asks
+    "does this column set identify rows?"; this asks "does this column
+    DETERMINE that one?"). Violated FDs are how denormalization drift,
+    bad joins, and dirty dimension loads show up first, and discovered
+    FDs are what a schema normalizer or a join-key recommender runs
+    on.
+
+    Semantics: a candidate holds iff every LHS group has exactly one
+    distinct RHS value (NULL counts as a value via count(DISTINCT) in
+    both engines identically); the audit reports the violating-group
+    count, the worst group's RHS cardinality, and the e6 violation
+    rate — all exact integers.
+
+    Scale: each candidate is ONE map-side-combinable groupBy on its
+    own table followed by a scalar aggregate — candidates over
+    different tables plan as independent unioned subtrees (no joins,
+    no windows); per-candidate cost is a dictionary shuffle bounded by
+    the LHS cardinality.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    profiling surface (internal/storage/types.go:3); this is [TARGET]
+    quality machinery.
+    """
+    parts = []
+    for label, table, lhs, rhs in _FD_CANDIDATES:
+        g = (
+            load_table(spark, table, sf_dir)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("nd"))
+        )
+        parts.append(
+            g.agg(
+                F.count(F.lit(1)).cast("long").alias("lhs_groups"),
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("violating_groups"),
+                F.max("nd").cast("long").alias("max_rhs_distinct"),
+            ).select(
+                F.lit(label).alias("fd"),
+                "lhs_groups",
+                "violating_groups",
+                "max_rhs_distinct",
+                F.expr(
+                    "CAST(violating_groups * 1000000 DIV lhs_groups"
+                    " AS BIGINT)"
+                ).alias("violation_rate_e6"),
+                F.when(F.col("max_rhs_distinct") == 1, 1)
+                .otherwise(0)
+                .cast("long")
+                .alias("holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("fd")

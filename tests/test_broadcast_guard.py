@@ -49,6 +49,12 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/dedup.py", "dedup_lsh_band_sensitivity", "cfgs"): "grid",
     ("operators/distrank.py", "dist_rank", "offsets"): "grid",
     ("operators/distrank.py", "dictionary_decile_edges", "tot"): "scalar",
+    ("operators/graph.py", "_backbone_edges", "ne"): "scalar",
+    ("operators/graph.py", "graph_modularity_communities", "lab"): "dim",
+    ("operators/graph.py", "graph_modularity_communities", "la"): "dim",
+    ("operators/graph.py", "graph_modularity_communities", "lb"): "dim",
+    ("operators/graph.py", "graph_modularity_communities", "mm"): "scalar",
+    ("operators/graph.py", "graph_modularity_communities", "region.select"): "dim",
     ("operators/graph.py", "graph_pagerank_nations", "contrib"): "dim",
     ("operators/graph.py", "graph_pagerank_nations", "r"): "dim",
     ("operators/graph.py", "graph_triangle_stats", "e2"): "dim",
@@ -61,6 +67,9 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/graph.py", "graph_hits_nations", "sa"): "scalar",
     ("operators/graph.py", "graph_hits_nations", "sh"): "scalar",
     ("operators/graph.py", "graph_link_prediction_jaccard", "ftot"): "scalar",
+    ("operators/inference.py", "stats_friedman_ranks", "tot"): "scalar",
+    ("operators/inference.py", "stats_friedman_ranks", "chi"): "scalar",
+    ("operators/inference.py", "ts_ljung_box_whiteness", "lags"): "grid",
     ("operators/inference.py", "ks_dnum_by_group", "prios"): "grid",
     ("operators/inference.py", "ts_cross_correlation_types", "lags"): "grid",
     ("operators/inference.py", "ts_autocorrelation_daily", "lags"): "grid",

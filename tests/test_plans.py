@@ -1372,3 +1372,72 @@ def test_binseg_plan_shapes(spark):
     r = plan_report(QUERIES["ts_binseg_changepoints"](spark, SF))
     assert r["global_windows"] == 0
     assert not r["cartesian"] and not r["nested_loop"]
+
+
+def test_round11b_ops_plan_shapes(spark):
+    """Plan pins for the round-11 second-window operators."""
+    from gotsdb_spark.plans import plan_report
+
+    # Region-partition modularity: the Q7-shape join collapses to the
+    # nation-pair dictionary once (checkpointed — degree/internal/mass
+    # branches reuse it); labels and region names are broadcasts; no
+    # cartesian beyond the intended 1-row total-mass broadcast.
+    r = plan_report(QUERIES["graph_modularity_communities"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+
+    # Degree assortativity: same checkpointed backbone; the suffstat
+    # aggregate is scalar; the only single-partition window is the
+    # schema-bounded (<= 300 nation-pair rows) backbone rank, which
+    # lives BEHIND the checkpoint so the visible plan has none.
+    r = plan_report(QUERIES["graph_degree_assortativity"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+
+    # Wilcoxon signed-rank: user dictionary shuffle -> |d| dictionary
+    # shuffle -> dist_rank (checkpointed, linear) -> scalar aggregate.
+    # The only join is dist_rank's broadcast of the O(P)-row partition
+    # offsets; no global window in the visible plan.
+    r = plan_report(QUERIES["stats_wilcoxon_signed_rank"](spark, SF))
+    assert not r["cartesian"] and not r["nested_loop"]
+    assert r["global_windows"] == 0
+    assert r["sortmerge_joins"] == 0 and r["broadcast_joins"] <= 1
+
+    # Friedman: one fact shuffle to the checkpointed 60-cell
+    # dictionary; the rank window partitions by block; chi2 is a
+    # broadcast of a 1-row frame (intended nested loop).
+    r = plan_report(QUERIES["stats_friedman_ranks"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+
+    # Ljung-Box: the lag spine is an intended 7-row broadcast; the
+    # cumulative Q window partitions by event_type; the (type, day)
+    # dictionary is checkpointed so the fact scans once.
+    r = plan_report(QUERIES["ts_ljung_box_whiteness"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+    assert r["scans"] <= 1
+
+    # AMS F2: ONE fact scan, ONE dictionary shuffle, then a scalar
+    # aggregate computing all 32 signed sums in a single pass — no
+    # join, no window, no per-estimator row blowup.
+    r = plan_report(QUERIES["sketch_ams_f2_moment"](spark, SF))
+    assert r["scans"] == 1
+    assert not r["cartesian"] and not r["nested_loop"]
+    assert r["global_windows"] == 0
+    assert r["broadcast_joins"] == 0 and r["sortmerge_joins"] == 0
+
+    # FD audit: five independent groupBy->scalar subtrees unioned —
+    # no joins anywhere, no windows, one scan per candidate table.
+    r = plan_report(QUERIES["quality_fd_violations"](spark, SF))
+    assert not r["cartesian"] and not r["nested_loop"]
+    assert r["broadcast_joins"] == 0 and r["sortmerge_joins"] == 0
+    assert r["global_windows"] == 0
+
+    # Runs test: type-partitioned rank/lag windows over the
+    # checkpointed calendar dictionary; median pick is a row_number
+    # filter; one fact scan.
+    r = plan_report(QUERIES["stats_runs_test_daily"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+    assert r["scans"] <= 1
