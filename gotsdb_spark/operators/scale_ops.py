@@ -688,3 +688,95 @@ def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             "consistent"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition layout planner (target-file-size binning) — round 11.
+# ---------------------------------------------------------------------------
+
+_PLAN_TARGET_ROWS = 100_000  # rows per output file the writer should aim at
+
+LAYOUT_PLANNER_ORACLE = f"""
+    WITH per_day AS (
+      SELECT CAST(ts AS DATE) AS dt, CAST(count(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM per_day
+    )
+    SELECT CAST(p.dt AS DATE) AS dt, p.n_rows,
+           CAST((p.n_rows + {_PLAN_TARGET_ROWS} - 1)
+                // {_PLAN_TARGET_ROWS} AS BIGINT) AS files_recommended,
+           CAST(p.n_rows * 1000000 // t.total AS BIGINT) AS share_e6,
+           CAST(p.n_rows * t.n_days * 1000000 // t.total AS BIGINT)
+             AS skew_vs_mean_e6,
+           CAST(CASE WHEN p.n_rows * t.n_days > 2 * t.total
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_hot
+    FROM per_day p CROSS JOIN tot t
+    ORDER BY dt
+"""
+
+
+@query("scale_layout_planner", oracle=LAYOUT_PLANNER_ORACLE)
+def scale_layout_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition layout planner for the dt-partitioned events
+    warehouse: per calendar day, the row count, the file count a
+    writer should emit at {target} rows/file (ceil division — the
+    maxRecordsPerFile / AQE coalesce knob, decided from data instead
+    of guessed), the day's share of total volume, its skew against
+    the per-day mean, and a hot-partition flag at 2x mean. This is
+    the planning half of the small-files problem: scale_key_skew_audit
+    diagnoses SHUFFLE skew, this prescribes the WRITE layout.
+
+    Exact integers: ceil via (n + target - 1) DIV target; the skew
+    ratio n_rows * n_days / total and the e6 share are exact integer
+    quotients; the hot flag compares the same integers uninverted so
+    no rounding can flip it.
+
+    Scale: ONE map-side-combinable shuffle of events to the calendar
+    dictionary, a 1-row total broadcast — the planner costs one scan
+    regardless of volume, and its output is the day grid.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no layout
+    surface (cold.go:18 writes one gob file per collection); this is
+    [TARGET] scale machinery.
+    """
+    per_day = (
+        load_table(spark, "events", sf_dir)
+        .groupBy(F.col("ts").cast("date").alias("dt"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        # consumed by the total aggregate and the output projection
+        .localCheckpoint(eager=False)
+    )
+    tot = per_day.agg(
+        F.sum("n_rows").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    t = _PLAN_TARGET_ROWS
+    return (
+        per_day.crossJoin(F.broadcast(tot))
+        .select(
+            "dt",
+            "n_rows",
+            F.expr(f"CAST((n_rows + {t} - 1) DIV {t} AS BIGINT)").alias(
+                "files_recommended"
+            ),
+            F.expr("CAST(n_rows * 1000000 DIV total AS BIGINT)").alias(
+                "share_e6"
+            ),
+            F.expr(
+                "CAST(n_rows * n_days * 1000000 DIV total AS BIGINT)"
+            ).alias("skew_vs_mean_e6"),
+            F.expr(
+                "CAST(CASE WHEN n_rows * n_days > 2 * total"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("is_hot"),
+        )
+        .orderBy("dt")
+    )
+
+
+scale_layout_planner.__doc__ = scale_layout_planner.__doc__.format(
+    target=_PLAN_TARGET_ROWS
+)

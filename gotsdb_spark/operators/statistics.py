@@ -2786,3 +2786,394 @@ def ts_binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg_n",
     )
     return lvl1.unionByName(lvl2)
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley drift monitor — round 11.
+# ---------------------------------------------------------------------------
+
+_PH_DELTA_E3 = 10  # drift slack per step, in e3 value units
+
+PAGE_HINKLEY_ORACLE = f"""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2025-01-01', CAST(ts AS DATE)) AS day,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) // count(*)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), st AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s
+      FROM daily GROUP BY 1
+    ), cum AS (
+      SELECT d.event_type, d.day, t.n,
+             CAST(t.n AS HUGEINT)
+               * sum(d.y) OVER (PARTITION BY d.event_type ORDER BY d.day)
+             - CAST(row_number() OVER (PARTITION BY d.event_type
+                                       ORDER BY d.day) AS HUGEINT)
+               * (t.s + t.n * {_PH_DELTA_E3}) AS ph
+      FROM daily d JOIN st t USING (event_type)
+    ), stat AS (
+      SELECT event_type, day, n,
+             ph - min(ph) OVER (PARTITION BY event_type ORDER BY day)
+               AS stat
+      FROM cum
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(day AS BIGINT) AS alarm_day,
+           CAST(stat AS BIGINT) AS ph_stat_scaled
+    FROM (
+      SELECT event_type, day, n, stat,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY stat DESC, day) AS rk
+      FROM stat) t
+    WHERE rk = 1
+    ORDER BY event_type
+"""
+
+
+@query("ts_page_hinkley_drift", oracle=PAGE_HINKLEY_ORACLE)
+def ts_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward-drift monitor on each event type's daily
+    mean series — the SEQUENTIAL change detector that production drift
+    monitors (and river/scikit-multiflow) run online: track the
+    cumulative deviation from the global mean (minus a per-step slack
+    delta), subtract its running minimum, and alarm where that gap
+    peaks. Distinct from ts_binseg_changepoints (offline argmax of the
+    |deviation| curve): PH is one-sided, slack-tolerant, and its
+    min-tracking makes it sensitive to SUSTAINED drift rather than a
+    single split.
+
+    Exact integers end to end: the deviation is kept scaled by n
+    (cum_t = n*prefix_t - t*(S + n*delta), HUGEINT/DECIMAL(38,0)) so
+    the mean never divides anything; the running min and the argmax
+    tie-break (stat DESC, earliest day) are integer window operations
+    identical in both engines.
+
+    Scale: one map-side-combinable shuffle to the (type, day)
+    dictionary (checkpointed); all four windows partition by
+    event_type over calendar-bounded frames (the binseg convention).
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no series
+    surface (internal/storage/types.go:3); this is [TARGET]
+    time-series machinery.
+    """
+    dec = "decimal(38,0)"
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2025-01-01").cast("date")
+            ).alias("day"),
+        )
+        .agg(F.expr(
+            "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) DIV count(*)"
+            " AS BIGINT)"
+        ).alias("y"))
+        # consumed by the per-type stats and the cumulative branch
+        .localCheckpoint(eager=False)
+    )
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    wd = W.partitionBy("event_type").orderBy("day")
+    cum = daily.join(st, "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        (
+            F.col("n").cast(dec) * F.sum("y").over(wd)
+            - F.row_number().over(wd).cast(dec)
+            * (F.col("s") + F.col("n") * _PH_DELTA_E3)
+        ).alias("ph"),
+    )
+    stat = cum.select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("ph") - F.min("ph").over(wd)).alias("stat"),
+    )
+    wr = W.partitionBy("event_type").orderBy(F.desc("stat"), "day")
+    return (
+        stat.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("day").cast("bigint").alias("alarm_day"),
+            F.col("stat").cast("bigint").alias("ph_stat_scaled"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Index-of-dispersion (variance-to-mean) audit — round 11.
+# ---------------------------------------------------------------------------
+
+DISPERSION_ORACLE = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), suff AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS ss
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, n AS n_days, s AS total_events,
+           CAST(s * 1000000 // n AS BIGINT) AS mean_e6,
+           CAST((CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+                * 1000000 // (CAST(n AS HUGEINT) * (n - 1))
+                AS BIGINT) AS var_e6,
+           CAST((CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+                * 1000000 // (CAST(n - 1 AS HUGEINT) * s)
+                AS BIGINT) AS vmr_e6
+    FROM suff
+    ORDER BY event_type
+"""
+
+
+@query("stats_dispersion_vmr", oracle=DISPERSION_ORACLE)
+def stats_dispersion_vmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio) of daily event
+    counts per type — the one-number Poisson-ness gate: a Poisson
+    arrival process has VMR = 1, VMR >> 1 means bursty/overdispersed
+    traffic (capacity planning needs the tail, not the mean), VMR < 1
+    means regularized arrivals. The count-process complement to
+    stats_runs_test_daily (sign patterns) and ts_ljung_box_whiteness
+    (serial correlation).
+
+    Exact integers: with n days, S = total and SS = sum of squared
+    daily counts, the sample variance is (n*SS - S^2)/(n(n-1)) and
+    VMR = (n*SS - S^2)/((n-1)*S) — both exact e6 integer quotients in
+    HUGEINT/DECIMAL(38,0); no float anywhere.
+
+    Scale: one map-side-combinable shuffle to the (type, date)
+    dictionary, one to the per-type sufficient statistics; nothing
+    else.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    statistical surface (internal/storage/types.go:3); this is
+    [TARGET] inference machinery.
+    """
+    dec = "decimal(38,0)"
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    suff = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    return suff.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("s").alias("total_events"),
+        F.expr("CAST(s * 1000000 DIV n AS BIGINT)").alias("mean_e6"),
+        F.expr(
+            f"CAST((CAST(n AS {dec}) * ss - CAST(s AS {dec}) * s)"
+            f" * 1000000 DIV (CAST(n AS {dec}) * (n - 1)) AS BIGINT)"
+        ).alias("var_e6"),
+        F.expr(
+            f"CAST((CAST(n AS {dec}) * ss - CAST(s AS {dec}) * s)"
+            f" * 1000000 DIV (CAST(n - 1 AS {dec}) * s) AS BIGINT)"
+        ).alias("vmr_e6"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Cook's distance influence scan — round 11.
+# ---------------------------------------------------------------------------
+
+COOKS_ORACLE = """
+    WITH daily AS (
+      SELECT datediff('day', DATE '2025-01-01', o_orderdate) AS x,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), suff AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM daily
+    ), fit AS (
+      SELECT n, sx, sy,
+             CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS d,
+             CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS b,
+             (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+               * (CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy)
+             - (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+               * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+               AS sse_num
+      FROM suff
+    ), ints AS (
+      SELECT d2.x, d2.y, f.n, f.d, f.sse_num,
+             CAST(f.n AS HUGEINT) * f.d * d2.y - f.d * f.sy
+               - f.b * (CAST(f.n AS HUGEINT) * d2.x - f.sx) AS enum,
+             (CAST(f.n AS HUGEINT) * d2.x - f.sx)
+               * (CAST(f.n AS HUGEINT) * d2.x - f.sx) AS hnum
+      FROM daily d2 CROSS JOIN fit f
+    ), flt AS (
+      SELECT x, y,
+             CAST(enum AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(d AS DOUBLE)) AS e,
+             1.0 / CAST(n AS DOUBLE)
+               + CAST(hnum AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(d AS DOUBLE)) AS h,
+             CAST(sse_num AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(d AS DOUBLE)
+                  * CAST(n - 2 AS DOUBLE)) AS mse
+      FROM ints
+    )
+    SELECT CAST(x AS BIGINT) AS day,
+           y AS revenue_cents,
+           CAST(floor(e * 1e2 + 0.5001) AS BIGINT) AS resid_e2,
+           CAST(floor(h * 1e9 + 0.5001) AS BIGINT) AS leverage_e9,
+           CAST(floor(e * e * h
+                      / (2.0 * mse * (1.0 - h) * (1.0 - h))
+                      * 1e9 + 0.5001) AS BIGINT) AS cooks_e9
+    FROM flt
+    ORDER BY day
+"""
+
+
+@query("stats_cooks_distance_days", oracle=COOKS_ORACLE)
+def stats_cooks_distance_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance of every day in the daily-revenue-vs-time OLS
+    fit — the influence diagnostic that answers "which days would
+    CHANGE the trend line if deleted?", separating high-leverage
+    endpoints from mid-series outliers (neither a residual scan nor
+    the IQR fences sees the combination): D_i = e_i^2 * h_i /
+    (p * s^2 * (1 - h_i)^2) with p = 2 and leverage h_i = 1/n +
+    (x_i - xbar)^2 / Sxx.
+
+    Determinism — NO data-ordered float sum anywhere: every float is
+    derived from exact integer sufficient statistics through an
+    explicit CAST(... AS DOUBLE) expression tree that is identical in
+    both engines (implicit decimal/double coercion differs between
+    them — this op hit Spark quantizing a mixed decimal division to
+    scale 6 before the explicit casts were added). With
+    D = n*Sxx - Sx^2 and B = n*Sxy - Sx*Sy (exact HUGEINT /
+    DECIMAL(38,0)):
+      scaled residual  E_i = n*D*y_i - D*Sy - B*(n*x_i - Sx)   (exact)
+      e_i = E_i / (nD);  h_i = 1/n + (n*x_i - Sx)^2 / (nD)
+      SSE via the ANOVA identity: SSE_num = D*(n*Syy - Sy^2) - B^2
+      s^2 = SSE_num / (nD(n-2))
+    so Cook's D is a pure per-row function of exact integers — the
+    float sum of squared residuals never happens. The 38-digit
+    intermediates hold through ~sf3 of daily cent revenue
+    (D*(n*Syy - Sy^2) ~ 1e36 at sf1); beyond that rescale cents to
+    whole currency in the same construction.
+
+    Scale: one map-side-combinable shuffle of orders to the
+    calendar-day grid (checkpointed — suffstats and the residual
+    projection both consume it); the fit is a 1-row broadcast; output
+    rows = the day grid.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    statistical surface (internal/storage/types.go:3); this is
+    [TARGET] inference machinery.
+    """
+    dec = "decimal(38,0)"
+    daily = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("2025-01-01").cast("date")
+            ).alias("x")
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("long")
+            .alias("y")
+        )
+        # consumed by the suffstat pass and the residual projection
+        .localCheckpoint(eager=False)
+    )
+    suff = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+    )
+    fit = suff.select(
+        "n",
+        "sx",
+        "sy",
+        F.expr(f"CAST(n AS {dec}) * sxx - CAST(sx AS {dec}) * sx").alias("d"),
+        F.expr(f"CAST(n AS {dec}) * sxy - CAST(sx AS {dec}) * sy").alias("b"),
+        F.expr(
+            f"(CAST(n AS {dec}) * sxx - CAST(sx AS {dec}) * sx)"
+            f" * (CAST(n AS {dec}) * syy - CAST(sy AS {dec}) * sy)"
+            f" - (CAST(n AS {dec}) * sxy - CAST(sx AS {dec}) * sy)"
+            f" * (CAST(n AS {dec}) * sxy - CAST(sx AS {dec}) * sy)"
+        ).alias("sse_num"),
+    )
+    ints = daily.crossJoin(F.broadcast(fit)).select(
+        "x",
+        "y",
+        "n",
+        "d",
+        "sse_num",
+        F.expr(
+            f"CAST(n AS {dec}) * d * y - d * sy"
+            f" - b * (CAST(n AS {dec}) * x - sx)"
+        ).alias("enum"),
+        F.expr(
+            f"(CAST(n AS {dec}) * x - sx) * (CAST(n AS {dec}) * x - sx)"
+        ).alias("hnum"),
+    )
+    flt = ints.select(
+        "x",
+        "y",
+        F.expr(
+            "CAST(enum AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * CAST(d AS DOUBLE))"
+        ).alias("e"),
+        F.expr(
+            "1.0 / CAST(n AS DOUBLE)"
+            " + CAST(hnum AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * CAST(d AS DOUBLE))"
+        ).alias("h"),
+        F.expr(
+            "CAST(sse_num AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * CAST(d AS DOUBLE)"
+            " * CAST(n - 2 AS DOUBLE))"
+        ).alias("mse"),
+    )
+    return flt.select(
+        F.col("x").cast("bigint").alias("day"),
+        F.col("y").alias("revenue_cents"),
+        F.floor(F.col("e") * 1e2 + 0.5001).cast("bigint").alias("resid_e2"),
+        F.floor(F.col("h") * 1e9 + 0.5001)
+        .cast("bigint")
+        .alias("leverage_e9"),
+        F.floor(
+            F.col("e")
+            * F.col("e")
+            * F.col("h")
+            / (
+                F.lit(2.0)
+                * F.col("mse")
+                * (F.lit(1.0) - F.col("h"))
+                * (F.lit(1.0) - F.col("h"))
+            )
+            * 1e9
+            + 0.5001
+        )
+        .cast("bigint")
+        .alias("cooks_e9"),
+    ).orderBy("day")

@@ -3635,3 +3635,149 @@ def ts_stl_robust_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rob_adj_x7_e3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-strength score (variance-explained by the weekly cycle) — round 11.
+# ---------------------------------------------------------------------------
+
+SEASONAL_STRENGTH_ORACLE = """
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2025-01-01', CAST(ts AS DATE)) AS x,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) // count(*)
+                  AS BIGINT) AS y_e3
+      FROM events GROUP BY 1, 2
+    ), ma AS (
+      SELECT event_type, x, y_e3,
+             CAST(sum(y_e3) OVER w AS BIGINT) AS trend_sum_e3,
+             CAST(count(*) OVER w AS BIGINT) AS frame_n
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY x
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), det AS (
+      SELECT event_type,
+             ((x % 7) + 7) % 7 AS dow,
+             7 * y_e3 - trend_sum_e3 AS d_x7
+      FROM ma WHERE frame_n = 7
+    ), sidx AS (
+      SELECT event_type, dow,
+             CAST(sum(d_x7) // count(*) AS BIGINT) AS s_x7
+      FROM det GROUP BY 1, 2
+    ), resid AS (
+      SELECT d.event_type, d.d_x7, d.d_x7 - s.s_x7 AS r_x7
+      FROM det d JOIN sidx s
+        ON s.event_type = d.event_type AND s.dow = d.dow
+    ), suff AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(d_x7) AS BIGINT) AS sd,
+             CAST(sum(CAST(d_x7 AS HUGEINT) * d_x7) AS HUGEINT) AS sdd,
+             CAST(sum(r_x7) AS BIGINT) AS sr,
+             CAST(sum(CAST(r_x7 AS HUGEINT) * r_x7) AS HUGEINT) AS srr
+      FROM resid GROUP BY 1
+    )
+    SELECT event_type, n AS n_days_used,
+           CAST((CAST(n AS HUGEINT) * srr - CAST(sr AS HUGEINT) * sr)
+                * 1000000
+                // NULLIF(CAST(n AS HUGEINT) * sdd
+                          - CAST(sd AS HUGEINT) * sd, 0) AS BIGINT)
+             AS resid_var_ratio_e6,
+           CAST(greatest(0, 1000000
+                - (CAST(n AS HUGEINT) * srr - CAST(sr AS HUGEINT) * sr)
+                  * 1000000
+                  // NULLIF(CAST(n AS HUGEINT) * sdd
+                            - CAST(sd AS HUGEINT) * sd, 0)) AS BIGINT)
+             AS seasonal_strength_e6
+    FROM suff
+    ORDER BY event_type
+"""
+
+
+@query("ts_seasonal_strength", oracle=SEASONAL_STRENGTH_ORACLE)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-strength score F_s = max(0, 1 - Var(remainder) /
+    Var(detrended)) per event type — the Hyndman feasts/tsfeatures
+    feature that turns ts_seasonal_decompose's components into ONE
+    forecasting-readiness number: near 1 means the weekly cycle
+    explains the detrended variance (model the seasonality), near 0
+    means the "seasonal" indices are noise (don't).
+
+    Composition: the same centered MA-7 trend and sign-safe weekday
+    bucketing as ts_seasonal_decompose (full 7-day frames only), kept
+    at x7 scale so the detrended series d_x7 = 7y - trend_sum and the
+    weekday index s_x7 (floor-div mean) stay exact integers; the
+    remainder is r_x7 = d_x7 - s_x7, and the variance ratio
+    (n*Srr - Sr^2)/(n*Sdd - Sd^2) is an exact e6 integer quotient
+    (scale cancels; HUGEINT/DECIMAL(38,0) accumulators) with NULL on a
+    constant series, clamped at 0 via greatest in both engines.
+
+    Scale: one map-side-combinable shuffle to the (type, day)
+    dictionary (checkpointed — the MA window and both aggregate passes
+    consume it); the MA window is type-partitioned with a bounded
+    7-row frame; everything after is dictionary-sized.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no series
+    surface (internal/storage/types.go:3); this is [TARGET]
+    time-series machinery.
+    """
+    dec = "decimal(38,0)"
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2025-01-01").cast("date")
+            ).alias("x"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("v_e3"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.expr("CAST(sum(v_e3) DIV count(*) AS BIGINT)").alias("y_e3"))
+        .localCheckpoint(eager=False)
+    )
+    w = W.partitionBy("event_type").orderBy("x").rowsBetween(-3, 3)
+    det = (
+        daily.select(
+            "event_type",
+            "x",
+            "y_e3",
+            F.sum("y_e3").over(w).cast("long").alias("trend_sum_e3"),
+            F.count(F.lit(1)).over(w).cast("long").alias("frame_n"),
+        )
+        .where(F.col("frame_n") == 7)
+        .select(
+            "event_type",
+            (((F.col("x") % 7) + 7) % 7).alias("dow"),
+            (F.lit(7) * F.col("y_e3") - F.col("trend_sum_e3")).alias("d_x7"),
+        )
+        # consumed by the weekday-index aggregate and the residual join
+        .localCheckpoint(eager=False)
+    )
+    sidx = det.groupBy("event_type", "dow").agg(
+        F.expr("CAST(sum(d_x7) DIV count(*) AS BIGINT)").alias("s_x7")
+    )
+    resid = det.join(sidx, ["event_type", "dow"]).select(
+        "event_type",
+        "d_x7",
+        (F.col("d_x7") - F.col("s_x7")).alias("r_x7"),
+    )
+    suff = resid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d_x7").cast("long").alias("sd"),
+        F.sum(F.col("d_x7").cast(dec) * F.col("d_x7")).alias("sdd"),
+        F.sum("r_x7").cast("long").alias("sr"),
+        F.sum(F.col("r_x7").cast(dec) * F.col("r_x7")).alias("srr"),
+    )
+    ratio = (
+        f"(CAST(n AS {dec}) * srr - CAST(sr AS {dec}) * sr) * 1000000"
+        f" DIV NULLIF(CAST(n AS {dec}) * sdd - CAST(sd AS {dec}) * sd, 0)"
+    )
+    return suff.select(
+        "event_type",
+        F.col("n").alias("n_days_used"),
+        F.expr(f"CAST({ratio} AS BIGINT)").alias("resid_var_ratio_e6"),
+        F.expr(
+            f"CAST(greatest(CAST(0 AS {dec}), 1000000 - ({ratio}))"
+            " AS BIGINT)"
+        ).alias("seasonal_strength_e6"),
+    ).orderBy("event_type")

@@ -55,6 +55,12 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/graph.py", "graph_modularity_communities", "lb"): "dim",
     ("operators/graph.py", "graph_modularity_communities", "mm"): "scalar",
     ("operators/graph.py", "graph_modularity_communities", "region.select"): "dim",
+    ("operators/graph.py", "graph_personalized_pagerank", "seeds"): "dim",
+    ("operators/graph.py", "graph_personalized_pagerank", "contrib"): "dim",
+    ("operators/graph.py", "graph_personalized_pagerank", "r"): "dim",
+    ("operators/graph.py", "graph_local_clustering", "e2"): "dim",
+    ("operators/graph.py", "graph_local_clustering", "e3"): "dim",
+    ("operators/graph.py", "graph_local_clustering", "nation.select"): "dim",
     ("operators/graph.py", "graph_pagerank_nations", "contrib"): "dim",
     ("operators/graph.py", "graph_pagerank_nations", "r"): "dim",
     ("operators/graph.py", "graph_triangle_stats", "e2"): "dim",
@@ -100,6 +106,8 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/relational.py", "basket_part_pair_lift", "n_orders"): "scalar",
     ("operators/relational.py", "customer_rfm_segments", "gmax"): "scalar",
     ("operators/relational.py", "customer_rfm_segments", "edges"): "grid",
+    ("operators/scale_ops.py", "scale_layout_planner", "tot"): "scalar",
+    ("operators/statistics.py", "stats_cooks_distance_days", "fit"): "scalar",
     ("operators/rollups.py", "rollup_share_of_parent", "nation"): "dim",
     ("operators/rollups.py", "rollup_share_of_parent", "region"): "dim",
     ("operators/rollups.py", "rollup_share_of_parent", "regions"): "dim",

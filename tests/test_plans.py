@@ -1441,3 +1441,57 @@ def test_round11b_ops_plan_shapes(spark):
     assert not r["cartesian"]
     assert r["global_windows"] == 0
     assert r["scans"] <= 1
+
+
+def test_round11c_ops_plan_shapes(spark):
+    """Plan pins for the round-11 third-window operators."""
+    from gotsdb_spark.plans import plan_report
+
+    # Personalized PageRank: the checkpointed <=625-row edge table is
+    # the only thing each iteration joins; ranks/seeds are broadcasts;
+    # never a cartesian, never a global window in the visible plan.
+    r = plan_report(QUERIES["graph_personalized_pagerank"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+
+    # Local clustering: triple equi-join over the checkpointed
+    # backbone; corner fan-out is a union, not a join.
+    r = plan_report(QUERIES["graph_local_clustering"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+
+    # Page-Hinkley: all four windows partition by event_type over the
+    # checkpointed calendar dictionary; one fact scan.
+    r = plan_report(QUERIES["ts_page_hinkley_drift"](spark, SF))
+    assert not r["cartesian"] and not r["nested_loop"]
+    assert r["global_windows"] == 0
+    assert r["scans"] <= 1
+
+    # Dispersion: two map-side-combinable shuffles, nothing else — no
+    # joins, no windows, one scan.
+    r = plan_report(QUERIES["stats_dispersion_vmr"](spark, SF))
+    assert r["scans"] == 1
+    assert not r["cartesian"] and not r["nested_loop"]
+    assert r["global_windows"] == 0
+    assert r["broadcast_joins"] == 0 and r["sortmerge_joins"] == 0
+
+    # Cook's distance: day-grid dictionary checkpointed (suffstats +
+    # residual projection), 1-row fit broadcast (intended nested
+    # loop); no window anywhere.
+    r = plan_report(QUERIES["stats_cooks_distance_days"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+
+    # Seasonal strength: type-partitioned bounded MA frame over the
+    # checkpointed dictionary; index join keys on (type, dow).
+    r = plan_report(QUERIES["ts_seasonal_strength"](spark, SF))
+    assert not r["cartesian"] and not r["nested_loop"]
+    assert r["global_windows"] == 0
+
+    # Layout planner: one calendar shuffle + 1-row total broadcast
+    # (intended nested loop); the day grid is checkpointed so the
+    # visible plan scans at most once; no windows.
+    r = plan_report(QUERIES["scale_layout_planner"](spark, SF))
+    assert r["scans"] <= 1
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
