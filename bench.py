@@ -168,6 +168,18 @@ HEADLINE = [
     "stats_irls_quantile_regression",
     "graph_betweenness_nations",
     "stats_cucconi_location_scale",
+    # round 11 additions
+    "ts_stl_robust_decompose",
+    "graph_girvan_newman_edges",
+    "sketch_kmv_jaccard_pairs",
+    "ts_binseg_changepoints",
+    "stats_wilcoxon_signed_rank",
+    "sketch_ams_f2_moment",
+    "graph_modularity_communities",
+    "stats_cooks_distance_days",
+    "stats_mann_kendall_trend",
+    "ts_page_hinkley_drift",
+    "quality_join_fanout_audit",
 ]
 
 # Streaming replays + the KV engine roundtrip execute real multi-wave

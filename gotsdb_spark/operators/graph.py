@@ -2174,3 +2174,122 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph eccentricity / diameter / center — round 11.
+# ---------------------------------------------------------------------------
+
+ECCENTRICITY_ORACLE = f"""
+    WITH RECURSIVE flows AS MATERIALIZED ({_EDGES_SQL}),
+    sel AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+        FROM flows WHERE src <> dst
+      ) t WHERE rn <= {_BFS_FANOUT}
+    ),
+    und AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM sel
+    ),
+    ed AS MATERIALIZED (
+      SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+    ),
+    walk(s, v, len) AS (
+      SELECT n_nationkey, n_nationkey, 0 FROM nation
+      UNION ALL
+      SELECT w.s, e.b, w.len + 1
+      FROM walk w JOIN ed e ON e.a = w.v
+      WHERE w.len < {_BC_MAX_HOPS}
+    ),
+    sp AS MATERIALIZED (
+      SELECT s, v, CAST(min(len) AS BIGINT) AS d FROM walk GROUP BY s, v
+    ),
+    ecc AS MATERIALIZED (
+      SELECT s, CAST(max(d) AS BIGINT) AS eccentricity,
+             CAST(count(*) AS BIGINT) AS n_reachable
+      FROM sp GROUP BY s
+    ),
+    gd AS (
+      SELECT CAST(min(eccentricity) AS BIGINT) AS radius,
+             CAST(max(eccentricity) AS BIGINT) AS diameter
+      FROM ecc
+    )
+    SELECT n.n_name, e.eccentricity, e.n_reachable, g.radius, g.diameter,
+           CAST(CASE WHEN e.eccentricity = g.radius THEN 1 ELSE 0 END
+                AS BIGINT) AS is_center,
+           CAST(CASE WHEN e.eccentricity = g.diameter THEN 1 ELSE 0 END
+                AS BIGINT) AS is_peripheral
+    FROM ecc e
+    JOIN nation n ON n.n_nationkey = e.s
+    CROSS JOIN gd g
+    ORDER BY n.n_name
+"""
+
+
+@query("graph_eccentricity_nations", oracle=ECCENTRICITY_ORACLE)
+def graph_eccentricity_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eccentricity, radius, diameter, center and periphery of the
+    sparsified nation trade graph — the distance-profile summary the
+    betweenness family doesn't give: eccentricity(v) = the longest
+    shortest path OUT of v (within the {h}-hop BFS cap), the diameter
+    is the worst such distance anywhere, and the center (ecc = radius)
+    is where a coordinator or a cache belongs. Reuses the shared
+    all-pairs BFS table (_nation_bfs_sigma) that betweenness and
+    Girvan-Newman consume, so the fact-sized flows aggregation still
+    runs exactly once.
+
+    Determinism: distances and counts are exact BFS integers; the
+    min/max/flag comparisons never round anything. n_reachable (self
+    included) exposes disconnection honestly instead of an infinite
+    eccentricity: a node's ecc is over its reachable set within the
+    cap, identically in both engines (the DuckDB oracle enumerates
+    capped minimal walks — a different algorithm agreeing on every
+    distance).
+
+    Scale: the BFS is the betweenness dataflow (one equi-join + one
+    anti-join per level against the checkpointed <= n^2-row reach
+    table); eccentricity is one groupBy over it; radius/diameter a
+    1-row broadcast.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no graph
+    surface (internal/storage/types.go:3); this is [TARGET] graph
+    machinery.
+    """
+    nation, ed, reach = _nation_bfs_sigma(spark, sf_dir)
+    ecc = reach.groupBy("s").agg(
+        F.max("d").cast("long").alias("eccentricity"),
+        F.count(F.lit(1)).cast("long").alias("n_reachable"),
+    )
+    glob = ecc.agg(
+        F.min("eccentricity").cast("long").alias("radius"),
+        F.max("eccentricity").cast("long").alias("diameter"),
+    )
+    return (
+        ecc.join(
+            F.broadcast(
+                nation.select(F.col("n_nationkey").alias("s"), "n_name")
+            ),
+            "s",
+        )
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "n_name",
+            "eccentricity",
+            "n_reachable",
+            "radius",
+            "diameter",
+            (F.col("eccentricity") == F.col("radius"))
+            .cast("long")
+            .alias("is_center"),
+            (F.col("eccentricity") == F.col("diameter"))
+            .cast("long")
+            .alias("is_peripheral"),
+        )
+        .orderBy("n_name")
+    )
+
+
+graph_eccentricity_nations.__doc__ = graph_eccentricity_nations.__doc__.format(
+    h=_BC_MAX_HOPS
+)

@@ -3028,3 +3028,400 @@ def stats_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("z2_signed_e6"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson residual autocorrelation — round 11.
+# ---------------------------------------------------------------------------
+
+DURBIN_WATSON_ORACLE = """
+    WITH daily AS (
+      SELECT datediff('day', DATE '2025-01-01', o_orderdate) AS x,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), suff AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM daily
+    ), fit AS (
+      SELECT n, sx, sy,
+             CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS d,
+             CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS b
+      FROM suff
+    ), r AS (
+      SELECT d2.x,
+             (CAST(f.n AS HUGEINT) * f.d * d2.y - f.d * f.sy
+              - f.b * (CAST(f.n AS HUGEINT) * d2.x - f.sx))
+             // ((CAST(f.n AS HUGEINT) * f.d) // 100) AS re2
+      FROM daily d2 CROSS JOIN fit f
+    ), lagged AS (
+      SELECT re2, lag(re2) OVER (ORDER BY x) AS pre2 FROM r
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN pre2 IS NOT NULL
+                         THEN (re2 - pre2) * (re2 - pre2) END)
+                * 1000000
+                // NULLIF(sum(re2 * re2), 0) AS BIGINT) AS dw_e6
+    FROM lagged
+"""
+
+
+@query("stats_durbin_watson", oracle=DURBIN_WATSON_ORACLE)
+def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic of the daily-revenue-vs-time OLS
+    residuals — the classic did-the-regression-miss-serial-structure
+    gate (DW ~ 2 means white residuals, toward 0 positive
+    autocorrelation, toward 4 negative): Cook's distance
+    (stats_cooks_distance_days) asks which points bend the line, DW
+    asks whether the line's errors are even independent — the two
+    diagnostics every OLS readout should ship with.
+
+    Determinism: residuals come from the same exact integer
+    construction as Cook's (E_t = n*D*y_t - D*Sy - B*(n*x_t - Sx)),
+    then are truncated ONCE to centi-cent scale by the exact integer
+    division E_t DIV (nD DIV 100) — identical truncation in both
+    engines — so the squared sums fit HUGEINT/DECIMAL(38,0) through
+    sf1000 (r^2*n ~ 1e33) and DW is the exact e6 integer quotient
+    sum((r_t - r_{{t-1}})^2) * 1e6 DIV sum(r_t^2). No float exists
+    anywhere in this op.
+
+    Scale: one map-side-combinable shuffle of orders to the
+    calendar-day grid (checkpointed); the fit is a 1-row broadcast;
+    the single-series lag runs over the calendar-bounded day grid
+    (the orders_mom_growth allowlist class — rows = days, not data).
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    statistical surface (internal/storage/types.go:3); this is
+    [TARGET] inference machinery.
+    """
+    from pyspark.sql.window import Window as W
+
+    dec = "decimal(38,0)"
+    daily = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("2025-01-01").cast("date")
+            ).alias("x")
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("long")
+            .alias("y")
+        )
+        # consumed by the suffstat pass and the residual projection
+        .localCheckpoint(eager=False)
+    )
+    suff = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+    )
+    fit = suff.select(
+        "n",
+        "sx",
+        "sy",
+        F.expr(f"CAST(n AS {dec}) * sxx - CAST(sx AS {dec}) * sx").alias("d"),
+        F.expr(f"CAST(n AS {dec}) * sxy - CAST(sx AS {dec}) * sy").alias("b"),
+    )
+    r = daily.crossJoin(F.broadcast(fit)).select(
+        "x",
+        F.expr(
+            f"(CAST(n AS {dec}) * d * y - d * sy"
+            f" - b * (CAST(n AS {dec}) * x - sx))"
+            f" DIV ((CAST(n AS {dec}) * d) DIV 100)"
+        ).alias("re2"),
+    )
+    lagged = r.select(
+        "re2", F.lag("re2").over(W.orderBy("x")).alias("pre2")
+    )
+    return lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr(
+            "CAST(sum(CASE WHEN pre2 IS NOT NULL"
+            " THEN CAST(re2 - pre2 AS DECIMAL(38,0)) * (re2 - pre2) END)"
+            " * 1000000"
+            " DIV NULLIF(sum(CAST(re2 AS DECIMAL(38,0)) * re2), 0)"
+            " AS BIGINT)"
+        ).alias("dw_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Turning-points randomness test — round 11.
+# ---------------------------------------------------------------------------
+
+TURNING_POINTS_ORACLE = """
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2025-01-01', CAST(ts AS DATE)) AS day,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) // count(*)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), tri AS (
+      SELECT event_type, y,
+             lag(y)  OVER w AS py,
+             lead(y) OVER w AS ny
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN py < y AND ny < y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS peaks,
+             CAST(sum(CASE WHEN py > y AND ny > y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS troughs
+      FROM tri GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days, peaks, troughs,
+           CAST(peaks + troughs AS BIGINT) AS turning_points,
+           CAST(2 * (n - 2) * 1000000 // 3 AS BIGINT) AS expected_e6,
+           CAST(CASE WHEN 3 * (peaks + troughs) >= 2 * (n - 2)
+                     THEN 1 ELSE -1 END
+                * (3 * (peaks + troughs) - 2 * (n - 2))
+                * (3 * (peaks + troughs) - 2 * (n - 2))
+                * 10 * 1000000
+                // NULLIF(9 * (16 * n - 29), 0) AS BIGINT)
+             AS z2_signed_e6
+    FROM agg
+    ORDER BY event_type
+"""
+
+
+@query("stats_turning_points_test", oracle=TURNING_POINTS_ORACLE)
+def stats_turning_points_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-points test of each event type's daily series — the
+    third classical randomness gate beside the runs test (sign
+    pattern) and Ljung-Box (pooled correlation): count strict local
+    peaks and troughs; an i.i.d. series has E[T] = 2(n-2)/3 and
+    Var[T] = (16n-29)/90, too few turning points means momentum, too
+    many means alternation. Ties produce neither a peak nor a trough
+    (strict inequalities), which is exactly how both engines evaluate
+    the same comparisons.
+
+    Exact integers: T, E[T] as an e6 quotient, and the signed z^2 =
+    (3T - 2(n-2))^2 * 10 / (9*(16n - 29)) as an exact e6 integer
+    rational — the 1/9 from squaring (T - E) = (3T - 2(n-2))/3 and
+    the 90/9 = 10 folded exactly.
+
+    Scale: one map-side-combinable shuffle to the (type, day)
+    dictionary; one type-partitioned lag/lead window over the
+    calendar-bounded frame; a scalar aggregate per type.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    statistical surface (internal/storage/types.go:3); this is
+    [TARGET] inference machinery.
+    """
+    from pyspark.sql.window import Window as W
+
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2025-01-01").cast("date")
+            ).alias("day"),
+        )
+        .agg(F.expr(
+            "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) DIV count(*)"
+            " AS BIGINT)"
+        ).alias("y"))
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    tri = daily.select(
+        "event_type",
+        "y",
+        F.lag("y").over(w).alias("py"),
+        F.lead("y").over(w).alias("ny"),
+    )
+    agg = tri.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when((F.col("py") < F.col("y")) & (F.col("ny") < F.col("y")), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("peaks"),
+        F.sum(
+            F.when((F.col("py") > F.col("y")) & (F.col("ny") > F.col("y")), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("troughs"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "peaks",
+        "troughs",
+        (F.col("peaks") + F.col("troughs"))
+        .cast("long")
+        .alias("turning_points"),
+        F.expr("CAST(2 * (n - 2) * 1000000 DIV 3 AS BIGINT)").alias(
+            "expected_e6"
+        ),
+        F.expr(
+            "CAST(CASE WHEN 3 * (peaks + troughs) >= 2 * (n - 2)"
+            " THEN 1 ELSE -1 END"
+            " * (3 * (peaks + troughs) - 2 * (n - 2))"
+            " * (3 * (peaks + troughs) - 2 * (n - 2))"
+            " * 10 * 1000000"
+            " DIV NULLIF(9 * (16 * n - 29), 0) AS BIGINT)"
+        ).alias("z2_signed_e6"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test — round 11.
+# ---------------------------------------------------------------------------
+
+MANN_KENDALL_ORACLE = """
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2025-01-01', CAST(ts AS DATE)) AS day,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) // count(*)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT a.event_type,
+             CAST(sum(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.day > a.day
+      GROUP BY a.event_type
+    ), nd AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM daily GROUP BY 1
+    ), ties AS (
+      SELECT event_type,
+             CAST(coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)),
+                           0) AS HUGEINT) AS tie_term
+      FROM (
+        SELECT event_type, y, count(*) AS t
+        FROM daily GROUP BY event_type, y
+      ) g WHERE t > 1
+      GROUP BY event_type
+    )
+    SELECT n.event_type, n.n AS n_days, s.s AS kendall_s,
+           CAST((CAST(n.n AS HUGEINT) * (n.n - 1) * (2 * n.n + 5)
+                 - coalesce(t.tie_term, 0)) // 18 AS BIGINT) AS var_s,
+           CAST(CASE WHEN s.s >= 0 THEN 1 ELSE -1 END
+                * CAST(s.s AS HUGEINT) * s.s * 18 * 1000000
+                // NULLIF(CAST(n.n AS HUGEINT) * (n.n - 1) * (2 * n.n + 5)
+                          - coalesce(t.tie_term, 0), 0) AS BIGINT)
+             AS z2_signed_e6
+    FROM nd n
+    JOIN s USING (event_type)
+    LEFT JOIN ties t USING (event_type)
+    ORDER BY event_type
+"""
+
+
+@query("stats_mann_kendall_trend", oracle=MANN_KENDALL_ORACLE)
+def stats_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per event type — THE
+    nonparametric is-it-drifting test hydrology and monitoring run
+    before fitting any slope (stats_theil_sen_slope is its paired
+    estimator): S = sum over day pairs i < j of sign(y_j - y_i),
+    with the tie-corrected variance Var(S) = [n(n-1)(2n+5) -
+    sum t(t-1)(2t+5)]/18.
+
+    Exact integers: S from sign comparisons, the tie term from the
+    per-type value dictionary, and the signed z^2 = 18*S^2 /
+    (n(n-1)(2n+5) - tie_term) as an exact e6 integer rational in
+    HUGEINT/DECIMAL(38,0); NULL on a constant series in both engines.
+
+    Scale: the pair enumeration is a self-join on the (type, day)
+    DICTIONARY (checkpointed) — pairs are bounded by the calendar
+    squared per type (~3M rows for 2 years x 5 types at ANY data
+    volume), never by row count; the docstring-quarantined quadratic
+    class does not apply because the quadratic is over the bounded
+    time grid. One fact shuffle, then dictionary-sized work.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    statistical surface (internal/storage/types.go:3); this is
+    [TARGET] inference machinery.
+    """
+    dec = "decimal(38,0)"
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2025-01-01").cast("date")
+            ).alias("day"),
+        )
+        .agg(F.expr(
+            "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) DIV count(*)"
+            " AS BIGINT)"
+        ).alias("y"))
+        # consumed by both pair-join sides, the day count and the ties
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select("event_type", F.col("day").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("day").alias("db"),
+        F.col("y").alias("yb"),
+    )
+    s = (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("et_b")) & (F.col("db") > F.col("da")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ties = (
+        daily.groupBy("event_type", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .where(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t").cast(dec) * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0).cast(dec),
+            ).alias("tie_term")
+        )
+    )
+    return (
+        nd.join(s, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.col("s").alias("kendall_s"),
+            F.expr(
+                f"CAST((CAST(n AS {dec}) * (n - 1) * (2 * n + 5)"
+                f" - coalesce(tie_term, CAST(0 AS {dec}))) DIV 18"
+                " AS BIGINT)"
+            ).alias("var_s"),
+            F.expr(
+                "CAST(CASE WHEN s >= 0 THEN 1 ELSE -1 END"
+                f" * CAST(s AS {dec}) * s * 18 * 1000000"
+                f" DIV NULLIF(CAST(n AS {dec}) * (n - 1) * (2 * n + 5)"
+                f" - coalesce(tie_term, CAST(0 AS {dec})), 0) AS BIGINT)"
+            ).alias("z2_signed_e6"),
+        )
+        .orderBy("event_type")
+    )

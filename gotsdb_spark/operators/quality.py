@@ -1328,3 +1328,96 @@ def quality_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("fd")
+
+
+# ---------------------------------------------------------------------------
+# Join fan-out audit — round 11.
+# ---------------------------------------------------------------------------
+
+JOIN_FANOUT_ORACLE = """
+    WITH fo AS (
+      SELECT o.o_orderkey,
+             CAST(count(l.l_orderkey) AS BIGINT) AS fanout
+      FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey
+    ), hist AS (
+      SELECT fanout, CAST(count(*) AS BIGINT) AS n_orders
+      FROM fo GROUP BY fanout
+    ), tot AS (
+      SELECT CAST(sum(n_orders) AS BIGINT) AS total_orders,
+             CAST(sum(fanout * n_orders) AS BIGINT) AS total_join_rows
+      FROM hist
+    )
+    SELECT h.fanout, h.n_orders,
+           CAST(h.fanout * h.n_orders AS BIGINT) AS join_rows,
+           CAST(h.n_orders * 1000000 // t.total_orders AS BIGINT)
+             AS orders_share_e6,
+           CAST(h.fanout * h.n_orders * 1000000
+                // NULLIF(t.total_join_rows, 0) AS BIGINT)
+             AS rows_share_e6
+    FROM hist h CROSS JOIN tot t
+    ORDER BY h.fanout
+"""
+
+
+@query("quality_join_fanout_audit", oracle=JOIN_FANOUT_ORACLE)
+def quality_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fan-out histogram of the orders -> lineitem foreign key: for
+    each multiplicity f, how many orders have exactly f lineitems and
+    what share of the JOIN OUTPUT those orders produce — the join-size
+    profile a planner prices equi-joins with (sum f*n = exact join
+    cardinality; the f = 0 bucket is the referential dead weight an
+    inner join silently drops, complementing the FK-orphan audit
+    which looks in the opposite direction).
+
+    Exact integers: the per-key fanout is a LEFT-join count (NULL
+    children count 0 in both engines via count(l_orderkey)); the
+    histogram, join-row products, and both e6 shares are exact
+    integer arithmetic.
+
+    Scale: one shuffle of lineitem to the order-key dictionary (the
+    left join plans as a sort-merge/shuffled-hash on the FK), one
+    map-side-combinable histogram shuffle bounded by the multiplicity
+    domain (1..7 in TPC-H shape), a 1-row total broadcast.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no join
+    surface (SURVEY.md §2.2); this is [TARGET] quality machinery.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    fo = (
+        orders.join(
+            lineitem.select("l_orderkey"),
+            orders.o_orderkey == lineitem.l_orderkey,
+            "left",
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").cast("long").alias("fanout"))
+    )
+    hist = fo.groupBy("fanout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    ).localCheckpoint(eager=False)
+    tot = hist.agg(
+        F.sum("n_orders").cast("long").alias("total_orders"),
+        F.sum(F.col("fanout") * F.col("n_orders"))
+        .cast("long")
+        .alias("total_join_rows"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "fanout",
+            "n_orders",
+            (F.col("fanout") * F.col("n_orders"))
+            .cast("long")
+            .alias("join_rows"),
+            F.expr(
+                "CAST(n_orders * 1000000 DIV total_orders AS BIGINT)"
+            ).alias("orders_share_e6"),
+            F.expr(
+                "CAST(fanout * n_orders * 1000000"
+                " DIV NULLIF(total_join_rows, 0) AS BIGINT)"
+            ).alias("rows_share_e6"),
+        )
+        .orderBy("fanout")
+    )

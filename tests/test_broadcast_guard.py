@@ -61,6 +61,8 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/graph.py", "graph_local_clustering", "e2"): "dim",
     ("operators/graph.py", "graph_local_clustering", "e3"): "dim",
     ("operators/graph.py", "graph_local_clustering", "nation.select"): "dim",
+    ("operators/graph.py", "graph_eccentricity_nations", "nation.select"): "dim",
+    ("operators/graph.py", "graph_eccentricity_nations", "glob"): "scalar",
     ("operators/graph.py", "graph_pagerank_nations", "contrib"): "dim",
     ("operators/graph.py", "graph_pagerank_nations", "r"): "dim",
     ("operators/graph.py", "graph_triangle_stats", "e2"): "dim",
@@ -76,6 +78,7 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/inference.py", "stats_friedman_ranks", "tot"): "scalar",
     ("operators/inference.py", "stats_friedman_ranks", "chi"): "scalar",
     ("operators/inference.py", "ts_ljung_box_whiteness", "lags"): "grid",
+    ("operators/inference.py", "stats_durbin_watson", "fit"): "scalar",
     ("operators/inference.py", "ks_dnum_by_group", "prios"): "grid",
     ("operators/inference.py", "ts_cross_correlation_types", "lags"): "grid",
     ("operators/inference.py", "ts_autocorrelation_daily", "lags"): "grid",
@@ -94,6 +97,7 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/pipeline_ops.py", "curate_dataset_card", "top_lang"): "grid",
     ("operators/pipeline_ops.py", "sample_alias_table_build", "tot"): "scalar",
     ("operators/pipeline_ops.py", "sample_alias_table_build", "picks"): "scalar",
+    ("operators/quality.py", "quality_join_fanout_audit", "tot"): "scalar",
     ("operators/quality.py", "quality_snapshot_psi", "edges"): "grid",
     ("operators/quality.py", "quality_snapshot_psi", "tot"): "scalar",
     ("operators/quality.py", "quality_js_divergence_sources", "lmarg"): "grid",

@@ -1495,3 +1495,44 @@ def test_round11c_ops_plan_shapes(spark):
     assert r["scans"] <= 1
     assert not r["cartesian"]
     assert r["global_windows"] == 0
+
+
+def test_round11d_ops_plan_shapes(spark):
+    """Plan pins for the round-11 fourth-window operators."""
+    from gotsdb_spark.plans import plan_report
+
+    # Durbin-Watson: exact-integer residuals off the checkpointed day
+    # grid; the single-series lag is the calendar-bounded allowlist
+    # class; 1-row fit broadcast is the only join.
+    r = plan_report(QUERIES["stats_durbin_watson"](spark, SF))
+    assert not r["cartesian"]
+    assert r["scans"] <= 1
+
+    # Turning points: one type-partitioned lag/lead window over the
+    # day dictionary; no joins at all.
+    r = plan_report(QUERIES["stats_turning_points_test"](spark, SF))
+    assert not r["cartesian"] and not r["nested_loop"]
+    assert r["global_windows"] == 0
+    assert r["broadcast_joins"] == 0 and r["sortmerge_joins"] == 0
+
+    # Mann-Kendall: the pair self-join runs on the CHECKPOINTED
+    # (type, day) dictionary — calendar-squared rows, never
+    # fact-sized; it must plan as an equi-join on event_type, not a
+    # cartesian.
+    r = plan_report(QUERIES["stats_mann_kendall_trend"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+
+    # Eccentricity: the shared BFS dataflow (frontier equi-joins +
+    # anti-joins behind checkpoints); radius/diameter is a 1-row
+    # broadcast; no global window.
+    r = plan_report(QUERIES["graph_eccentricity_nations"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+
+    # Join fan-out: FK left join + histogram shuffle + 1-row total
+    # broadcast; the histogram is checkpointed so the fan-out pass
+    # runs once.
+    r = plan_report(QUERIES["quality_join_fanout_audit"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0

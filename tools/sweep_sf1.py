@@ -203,6 +203,20 @@ ROUND11_CLASS = [
     "ts_binseg_changepoints",  # n·prefix products ≈ 3e17 headroom check
 ]
 
+ROUND11B_CLASS = [
+    "stats_wilcoxon_signed_rank",  # n(n+1)(2n+1) user-count cubes
+    "sketch_ams_f2_moment",  # signed-sum squares at 10x frequencies
+    "ts_ljung_box_whiteness",  # n(n+2)*acf^2 e12 terms
+    "ts_page_hinkley_drift",  # n*prefix HUGEINT products
+    "stats_cooks_distance_days",  # SSE_num = D(nSyy-Sy^2)-B^2 headroom
+    "stats_dispersion_vmr",  # n*SS - S^2 count products
+    "ts_seasonal_strength",  # x7-scaled variance products
+    "stats_runs_test_daily",  # 2n1n2(2n1n2-n) products
+    "graph_modularity_communities",  # 4m*in_c at 10x edge mass
+    "graph_degree_assortativity",  # backbone rank at 10x weights
+    "scale_layout_planner",  # rows*days*1e6 share products
+]
+
 SWEEP_CLASS = (
     OVERFLOW_CLASS
     + DICT_WINDOW_CLASS
@@ -210,6 +224,7 @@ SWEEP_CLASS = (
     + ROUND9_CLASS
     + ROUND10_CLASS
     + ROUND11_CLASS
+    + ROUND11B_CLASS
 )
 
 
