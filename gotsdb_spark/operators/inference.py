@@ -3425,3 +3425,131 @@ def stats_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bartlett variance-homogeneity test — round 11.
+# ---------------------------------------------------------------------------
+
+BARTLETT_ORACLE = """
+    WITH base AS (
+      SELECT o_orderpriority AS grp,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), g AS (
+      SELECT grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss
+      FROM base GROUP BY grp
+    ), terms AS (
+      SELECT n,
+             CAST((CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s) // n
+                  AS HUGEINT) AS vnum,
+             CAST(floor(CAST(n - 1 AS DOUBLE)
+                        * ln((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                             / (CAST(n AS DOUBLE)
+                                * CAST(n - 1 AS DOUBLE)))
+                        * 1e9 + 0.5001) AS BIGINT) AS ln_term_e9,
+             CAST(1000000000000 // (n - 1) AS BIGINT) AS inv_e12
+      FROM g
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS bign,
+             CAST(sum(vnum) AS HUGEINT) AS pooled_num,
+             CAST(sum(ln_term_e9) AS BIGINT) AS sum_ln_e9,
+             CAST(sum(inv_e12) AS BIGINT) AS inv_sum_e12
+      FROM terms
+    )
+    SELECT k AS n_groups, bign AS n_total,
+           CAST(floor(((CAST(bign AS DOUBLE) - CAST(k AS DOUBLE))
+                        * ln(CAST(pooled_num AS DOUBLE)
+                             / (CAST(bign AS DOUBLE) - CAST(k AS DOUBLE)))
+                       - CAST(sum_ln_e9 AS DOUBLE) / 1e9)
+                      / (1.0 + (CAST(inv_sum_e12 AS DOUBLE) / 1e12
+                                - 1.0 / (CAST(bign AS DOUBLE)
+                                         - CAST(k AS DOUBLE)))
+                               / (3.0 * (CAST(k AS DOUBLE) - 1.0)))
+                      * 1e6 + 0.5001) AS BIGINT) AS bartlett_chi2_e6
+    FROM tot
+"""
+
+
+@query("stats_bartlett_variance", oracle=BARTLETT_ORACLE)
+def stats_bartlett_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test of variance homogeneity across the 5 order
+    priorities — the PARAMETRIC complement to stats_brown_forsythe:
+    Bartlett is the most powerful equal-variance test under normality
+    (it is the likelihood-ratio test), Brown-Forsythe the robust one;
+    running both is how a practitioner attributes a rejection to
+    variance vs to tails.
+
+    Determinism — no order-sensitive float sum: per-group sufficient
+    statistics (n, S, SS) are exact integers; each group's
+    (n_i - 1) * ln(var_i) term is e9-floored to an INTEGER before the
+    cross-group sum (the stats_information_gain idiom), the pooled
+    variance numerator is the exact integer DIV (n*SS - S^2) DIV n
+    summed in HUGEINT/DECIMAL(38,0), and 1/(n_i - 1) is the exact
+    integer 1e12 DIV (n_i - 1) — so every aggregate is an integer sum
+    and the single final double expression is identical in both
+    engines, e6-floored with the ulp nudge.
+
+    Scale: one map-side-combinable shuffle of orders to the 5-group
+    sufficient statistics, then a 5-row scalar aggregate. Nothing
+    else.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    statistical surface (internal/storage/types.go:3); this is
+    [TARGET] inference machinery.
+    """
+    dec = "decimal(38,0)"
+    g = (
+        load_table(spark, "orders", sf_dir)
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+            F.sum(F.col("cents").cast(dec) * F.col("cents")).alias("ss"),
+        )
+    )
+    terms = g.select(
+        "n",
+        F.expr(
+            f"CAST((CAST(n AS {dec}) * ss - CAST(s AS {dec}) * s) DIV n"
+            f" AS {dec})"
+        ).alias("vnum"),
+        F.expr(
+            "CAST(floor(CAST(n - 1 AS DOUBLE)"
+            " * ln((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)"
+            " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"
+            " * 1e9 + 0.5001) AS BIGINT)"
+        ).alias("ln_term_e9"),
+        F.expr("CAST(1000000000000 DIV (n - 1) AS BIGINT)").alias("inv_e12"),
+    )
+    tot = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("bign"),
+        F.sum("vnum").alias("pooled_num"),
+        F.sum("ln_term_e9").cast("long").alias("sum_ln_e9"),
+        F.sum("inv_e12").cast("long").alias("inv_sum_e12"),
+    )
+    return tot.select(
+        F.col("k").alias("n_groups"),
+        F.col("bign").alias("n_total"),
+        F.expr(
+            "CAST(floor(((CAST(bign AS DOUBLE) - CAST(k AS DOUBLE))"
+            " * ln(CAST(pooled_num AS DOUBLE)"
+            " / (CAST(bign AS DOUBLE) - CAST(k AS DOUBLE)))"
+            " - CAST(sum_ln_e9 AS DOUBLE) / 1e9)"
+            " / (1.0 + (CAST(inv_sum_e12 AS DOUBLE) / 1e12"
+            " - 1.0 / (CAST(bign AS DOUBLE) - CAST(k AS DOUBLE)))"
+            " / (3.0 * (CAST(k AS DOUBLE) - 1.0)))"
+            " * 1e6 + 0.5001) AS BIGINT)"
+        ).alias("bartlett_chi2_e6"),
+    )

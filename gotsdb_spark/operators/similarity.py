@@ -1356,3 +1356,139 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 DIV count(*) AS BIGINT)"
         ).alias("acc_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette audit over labeled embeddings — round 11.
+# ---------------------------------------------------------------------------
+
+SILHOUETTE_ORACLE = """
+    WITH comps AS (
+      SELECT label, vec_id, u.dim AS d,
+             CAST(floor(u.x * 1000000) AS BIGINT) AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS dim) u
+    ), cent AS (
+      SELECT label AS c_label, d,
+             CAST(sum(x) // count(*) AS BIGINT) AS c
+      FROM comps GROUP BY label, d
+    ), dists AS (
+      SELECT p.vec_id, p.label, ct.c_label,
+             CAST(sum(CAST(p.x - ct.c AS HUGEINT) * (p.x - ct.c))
+                  AS HUGEINT) AS d2
+      FROM comps p JOIN cent ct ON ct.d = p.d
+      GROUP BY p.vec_id, p.label, ct.c_label
+    ), per_vec AS (
+      SELECT vec_id, label,
+             max(CASE WHEN c_label = label THEN d2 END) AS a2,
+             min(CASE WHEN c_label <> label THEN d2 END) AS b2
+      FROM dists GROUP BY vec_id, label
+    ), scored AS (
+      SELECT label,
+             CAST(floor((sqrt(CAST(b2 AS DOUBLE))
+                         - sqrt(CAST(a2 AS DOUBLE)))
+                        / sqrt(CAST(greatest(a2, b2) AS DOUBLE))
+                        * 1e6 + 0.5001) AS BIGINT) AS s_e6,
+             CASE WHEN b2 < a2 THEN 1 ELSE 0 END AS misassigned
+      FROM per_vec WHERE greatest(a2, b2) > 0
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(s_e6) // count(*) AS BIGINT) AS mean_silhouette_e6,
+           CAST(sum(misassigned) AS BIGINT) AS n_misassigned,
+           CAST(sum(misassigned) * 1000000 // count(*) AS BIGINT)
+             AS misassigned_e6
+    FROM scored
+    GROUP BY label
+    ORDER BY label
+"""
+
+
+@query("embed_silhouette_audit", oracle=SILHOUETTE_ORACLE)
+def embed_silhouette_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per embedding label —
+    the per-POINT cluster-quality audit that sim_centroid_separation's
+    centroid-pairwise cosine can't see: s = (b - a)/max(a, b) with
+    a = distance to the OWN label centroid and b = the nearest OTHER
+    centroid, so a label can have well-separated centroids and still
+    score badly if its members straddle the boundary; n_misassigned
+    (b < a) is the k-means-style impurity count. This is the medoid-
+    free silhouette used for cluster validation at scale (full
+    silhouette is O(n^2)).
+
+    Determinism: components quantize to e6 integers at the scan;
+    centroids are exact integer DIV means; every squared distance is
+    an exact HUGEINT/DECIMAL(38,0) integer; the only float is one
+    sqrt-ratio per vector from those integers (identical expression),
+    e6-floored BEFORE the per-label mean (exact integer DIV) — the
+    information-gain idiom.
+
+    Scale: one posexplode -> map-side-combinable groupBy builds the
+    |labels| x 64 centroid table (broadcast-sized); distances join
+    components to centroids on the DIMENSION key so the shuffle
+    carries |rows| x |labels| partials, all JVM-side integer math —
+    no Python, no window; the scan runs once (checkpointed comps).
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no vector
+    surface (internal/storage/types.go:3); this is [TARGET]
+    similarity machinery.
+    """
+    dec = "decimal(38,0)"
+    comps = (
+        load_table(spark, "embeddings", sf_dir)
+        .select("label", "vec_id", F.posexplode("embedding"))
+        .select(
+            "label",
+            "vec_id",
+            (F.col("pos") + 1).alias("d"),
+            F.floor(F.col("col").cast("double") * 1e6)
+            .cast("long")
+            .alias("x"),
+        )
+        # consumed by the centroid build and the distance join
+        .localCheckpoint(eager=False)
+    )
+    cent = comps.groupBy(F.col("label").alias("c_label"), "d").agg(
+        F.expr("CAST(sum(x) DIV count(*) AS BIGINT)").alias("c")
+    )
+    dists = (
+        comps.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("c")).cast(dec) * (F.col("x") - F.col("c"))
+            ).alias("d2")
+        )
+    )
+    per_vec = dists.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("c_label") == F.col("label"), F.col("d2"))).alias(
+            "a2"
+        ),
+        F.min(F.when(F.col("c_label") != F.col("label"), F.col("d2"))).alias(
+            "b2"
+        ),
+    )
+    scored = per_vec.where(F.expr("greatest(a2, b2) > 0")).select(
+        "label",
+        F.expr(
+            "CAST(floor((sqrt(CAST(b2 AS DOUBLE))"
+            " - sqrt(CAST(a2 AS DOUBLE)))"
+            " / sqrt(CAST(greatest(a2, b2) AS DOUBLE))"
+            " * 1e6 + 0.5001) AS BIGINT)"
+        ).alias("s_e6"),
+        F.when(F.col("b2") < F.col("a2"), 1).otherwise(0).alias("misassigned"),
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.expr("CAST(sum(s_e6) DIV count(*) AS BIGINT)").alias(
+                "mean_silhouette_e6"
+            ),
+            F.sum("misassigned").cast("long").alias("n_misassigned"),
+            F.expr(
+                "CAST(sum(misassigned) * 1000000 DIV count(*) AS BIGINT)"
+            ).alias("misassigned_e6"),
+        )
+        .orderBy("label")
+    )

@@ -3781,3 +3781,233 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("seasonal_strength_e6"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent by rescaled-range (R/S) analysis — round 11.
+# ---------------------------------------------------------------------------
+
+_HURST_SIZES = (4, 8, 16)
+
+HURST_ORACLE = f"""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2025-01-01', CAST(ts AS DATE)) AS day,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, y,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) AS t
+      FROM daily
+    ), sized AS (
+      SELECT i.event_type, m.m, i.y, i.t,
+             (i.t - 1) // m.m AS blk,
+             CAST(row_number() OVER (PARTITION BY i.event_type, m.m,
+                                                  (i.t - 1) // m.m
+                                     ORDER BY i.t) AS BIGINT) AS j,
+             CAST(sum(i.y) OVER (PARTITION BY i.event_type, m.m,
+                                              (i.t - 1) // m.m
+                                 ORDER BY i.t) AS BIGINT) AS pfx
+      FROM idx i CROSS JOIN (
+        SELECT unnest([{", ".join(str(m) for m in _HURST_SIZES)}]) AS m) m
+    ), wrows AS (
+      SELECT event_type, m, blk, y, j, pfx,
+             CAST(sum(y) OVER (PARTITION BY event_type, m, blk)
+                  AS BIGINT) AS bs
+      FROM sized
+    ), blocks AS (
+      SELECT event_type, m, blk,
+             CAST(count(*) AS BIGINT) AS bn,
+             CAST(max(bs) AS BIGINT) AS bs,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS bss,
+             CAST(max(CAST(m AS HUGEINT) * pfx - CAST(j AS HUGEINT) * bs)
+                  AS HUGEINT) AS wmax,
+             CAST(min(CAST(m AS HUGEINT) * pfx - CAST(j AS HUGEINT) * bs)
+                  AS HUGEINT) AS wmin
+      FROM wrows
+      GROUP BY event_type, m, blk
+    ), rs AS (
+      SELECT event_type, m,
+             CAST(floor(CAST(wmax - wmin AS DOUBLE)
+                        / sqrt(CAST(CAST(m AS HUGEINT) * bss
+                                    - CAST(bs AS HUGEINT) * bs AS DOUBLE))
+                        * 1e9 + 0.5001) AS BIGINT) AS rs_e9
+      FROM blocks
+      WHERE bn = m
+        AND CAST(m AS HUGEINT) * bss - CAST(bs AS HUGEINT) * bs > 0
+    ), per_size AS (
+      SELECT event_type, m,
+             CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(rs_e9) // count(*) AS BIGINT) AS mean_rs_e9,
+             CAST(floor(ln(CAST(m AS DOUBLE)) * 1e9 + 0.5001) AS BIGINT)
+               AS x_e9,
+             CAST(floor(ln(CAST(sum(rs_e9) // count(*) AS DOUBLE) / 1e9)
+                        * 1e9 + 0.5001) AS BIGINT) AS y_e9
+      FROM rs GROUP BY event_type, m
+    ), slope AS (
+      SELECT event_type,
+             CAST((count(*) * sum(CAST(x_e9 AS HUGEINT) * y_e9)
+                   - CAST(sum(x_e9) AS HUGEINT) * sum(y_e9)) * 1000000
+                  // NULLIF(count(*) * sum(CAST(x_e9 AS HUGEINT) * x_e9)
+                            - CAST(sum(x_e9) AS HUGEINT) * sum(x_e9), 0)
+                  AS BIGINT) AS hurst_e6
+      FROM per_size GROUP BY event_type
+    )
+    SELECT p.event_type, CAST(p.m AS BIGINT) AS window_size, p.n_blocks,
+           p.mean_rs_e9, s.hurst_e6
+    FROM per_size p JOIN slope s USING (event_type)
+    ORDER BY p.event_type, p.m
+"""
+
+
+@query("ts_hurst_exponent", oracle=HURST_ORACLE)
+def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of each event type's daily series by classical
+    rescaled-range (R/S) analysis over dyadic windows (4, 8, 16 days) — the
+    long-memory detector: H ~ 0.5 is a random walk, H > 0.5 trending
+    persistence (shocks echo for weeks — forecast with long context),
+    H < 0.5 mean reversion. The log-log slope generalizes what
+    ts_autocorrelation_daily sees one lag at a time.
+
+    Determinism: within each full m-day block the mean-adjusted
+    cumulative deviations are kept at xm scale (W_i = m*prefix_i -
+    i*block_sum, exact HUGEINT/DECIMAL), so the range R*m = max W -
+    min W is an exact integer, and m*S = sqrt(m*SS - S^2) makes
+    R/S = (R*m)/(m*S) ONE double division + sqrt of exact integers —
+    identical in both engines, e9-floored per block BEFORE the
+    cross-block mean (an exact integer DIV), the information-gain
+    idiom that keeps every aggregate an integer sum. The final slope
+    is an exact integer OLS over the 4 (ln m, ln mean_RS) points,
+    both coordinates e9-floored first.
+
+    Scale: one map-side-combinable shuffle to the (type, day)
+    dictionary (checkpointed); the 4-size spine is a broadcast grid;
+    every window partitions by (type, m, block) over bounded frames;
+    blocks and sizes are calendar-bounded regardless of data volume.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no series
+    surface (internal/storage/types.go:3); this is [TARGET]
+    time-series machinery.
+    """
+    dec = "decimal(38,0)"
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2025-01-01").cast("date")
+            ).alias("day"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+            .cast("long")
+            .alias("y")
+        )
+        .localCheckpoint(eager=False)
+    )
+    idx = daily.select(
+        "event_type",
+        "y",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("t"),
+    )
+    sizes = daily.sparkSession.createDataFrame(
+        [(m,) for m in _HURST_SIZES], "m INT"
+    )
+    sized = idx.crossJoin(F.broadcast(sizes)).select(
+        "event_type",
+        "m",
+        "y",
+        "t",
+        ((F.col("t") - 1) / F.col("m")).cast("long").alias("blk"),
+    )
+    wb = W.partitionBy("event_type", "m", "blk").orderBy("t")
+    seq = sized.select(
+        "event_type",
+        "m",
+        "blk",
+        "y",
+        F.row_number().over(wb).cast("long").alias("j"),
+        F.sum("y").over(wb).cast("long").alias("pfx"),
+        F.sum("y")
+        .over(W.partitionBy("event_type", "m", "blk"))
+        .cast("long")
+        .alias("bs"),
+    )
+    blocks = (
+        seq.select(
+            "event_type",
+            "m",
+            "blk",
+            "y",
+            "bs",
+            (
+                F.col("m").cast(dec) * F.col("pfx")
+                - F.col("j").cast(dec) * F.col("bs")
+            ).alias("w"),
+        )
+        .groupBy("event_type", "m", "blk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("bn"),
+            F.first("bs").alias("bsum"),
+            F.sum(F.col("y").cast(dec) * F.col("y")).alias("bss"),
+            F.max("w").alias("wmax"),
+            F.min("w").alias("wmin"),
+        )
+    )
+    rs = blocks.where(
+        (F.col("bn") == F.col("m"))
+        & (
+            F.expr(f"CAST(m AS {dec}) * bss - CAST(bsum AS {dec}) * bsum")
+            > 0
+        )
+    ).select(
+        "event_type",
+        "m",
+        F.expr(
+            "CAST(floor(CAST(wmax - wmin AS DOUBLE)"
+            f" / sqrt(CAST(CAST(m AS {dec}) * bss"
+            f" - CAST(bsum AS {dec}) * bsum AS DOUBLE))"
+            " * 1e9 + 0.5001) AS BIGINT)"
+        ).alias("rs_e9"),
+    )
+    per_size = rs.groupBy("event_type", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.expr("CAST(sum(rs_e9) DIV count(*) AS BIGINT)").alias(
+            "mean_rs_e9"
+        ),
+    ).select(
+        "event_type",
+        "m",
+        "n_blocks",
+        "mean_rs_e9",
+        F.expr(
+            "CAST(floor(ln(CAST(m AS DOUBLE)) * 1e9 + 0.5001) AS BIGINT)"
+        ).alias("x_e9"),
+        F.expr(
+            "CAST(floor(ln(CAST(mean_rs_e9 AS DOUBLE) / 1e9)"
+            " * 1e9 + 0.5001) AS BIGINT)"
+        ).alias("y_e9"),
+    ).localCheckpoint(eager=False)
+    slope = per_size.groupBy("event_type").agg(
+        F.expr(
+            f"CAST((count(*) * sum(CAST(x_e9 AS {dec}) * y_e9)"
+            f" - CAST(sum(x_e9) AS {dec}) * sum(y_e9)) * 1000000"
+            f" DIV NULLIF(count(*) * sum(CAST(x_e9 AS {dec}) * x_e9)"
+            f" - CAST(sum(x_e9) AS {dec}) * sum(x_e9), 0) AS BIGINT)"
+        ).alias("hurst_e6")
+    )
+    return (
+        per_size.join(slope, "event_type")
+        .select(
+            "event_type",
+            F.col("m").cast("bigint").alias("window_size"),
+            "n_blocks",
+            "mean_rs_e9",
+            "hurst_e6",
+        )
+        .orderBy("event_type", "window_size")
+    )

@@ -112,10 +112,12 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/relational.py", "customer_rfm_segments", "edges"): "grid",
     ("operators/scale_ops.py", "scale_layout_planner", "tot"): "scalar",
     ("operators/statistics.py", "stats_cooks_distance_days", "fit"): "scalar",
+    ("operators/timeseries.py", "ts_hurst_exponent", "sizes"): "grid",
     ("operators/rollups.py", "rollup_share_of_parent", "nation"): "dim",
     ("operators/rollups.py", "rollup_share_of_parent", "region"): "dim",
     ("operators/rollups.py", "rollup_share_of_parent", "regions"): "dim",
     ("operators/rollups.py", "rollup_share_of_parent", "grand"): "scalar",
+    ("operators/similarity.py", "embed_silhouette_audit", "cent"): "sketch",
     ("operators/similarity.py", "sim_cosine_topk", "queries"): "grid",
     ("operators/similarity.py", "ann_ivf_search", "cvec"): "sketch",
     ("operators/similarity.py", "ann_ivf_search", "probes"): "grid",

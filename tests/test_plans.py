@@ -1536,3 +1536,40 @@ def test_round11d_ops_plan_shapes(spark):
     r = plan_report(QUERIES["quality_join_fanout_audit"](spark, SF))
     assert not r["cartesian"]
     assert r["global_windows"] == 0
+
+
+def test_round11e_ops_plan_shapes(spark):
+    """Plan pins for the round-11 fifth-window operators."""
+    from gotsdb_spark.plans import plan_report
+
+    # Bartlett: one 5-group suffstat shuffle + a 5-row scalar
+    # aggregate of pre-rounded integer terms; no joins, no windows.
+    r = plan_report(QUERIES["stats_bartlett_variance"](spark, SF))
+    assert r["scans"] == 1
+    assert not r["cartesian"] and not r["nested_loop"]
+    assert r["global_windows"] == 0
+    assert r["broadcast_joins"] == 0 and r["sortmerge_joins"] == 0
+
+    # Hurst: (type, m, block)-partitioned windows over the
+    # checkpointed day dictionary; the 3-size spine is a broadcast;
+    # the slope join keys on event_type.
+    r = plan_report(QUERIES["ts_hurst_exponent"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+
+    # ARI: per-doc counts are scan-side expressions into one
+    # (lang, source) dictionary shuffle — nothing else.
+    r = plan_report(QUERIES["text_readability_ari"](spark, SF))
+    assert r["scans"] == 1
+    assert not r["cartesian"] and not r["nested_loop"]
+    assert r["global_windows"] == 0
+    assert r["broadcast_joins"] == 0 and r["sortmerge_joins"] == 0
+
+    # Silhouette: centroid build + distance join both consume the
+    # checkpointed component frame; the centroid side is a forced
+    # broadcast (|labels| x 64 rows); everything is JVM integer math —
+    # zero Python stages.
+    r = plan_report(QUERIES["embed_silhouette_audit"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+    assert r["python_stages"] == 0
