@@ -4011,3 +4011,122 @@ def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "window_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov entropy rate of the event-type chain — round 11.
+# ---------------------------------------------------------------------------
+
+MARKOV_ENTROPY_ORACLE = """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ), trans AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ), marg AS (
+      SELECT from_type, CAST(sum(c) AS BIGINT) AS r
+      FROM trans GROUP BY from_type
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS total,
+             CAST(count(DISTINCT from_type) AS BIGINT) AS n_states
+      FROM trans
+    ), terms AS (
+      SELECT CAST(floor(-(CAST(t.c AS DOUBLE) / CAST(o.total AS DOUBLE))
+                        * (ln(CAST(t.c AS DOUBLE) / CAST(m.r AS DOUBLE))
+                           / ln(2.0))
+                        * 1e9 + 0.5001) AS BIGINT) AS h_e9,
+             o.total, o.n_states
+      FROM trans t
+      JOIN marg m USING (from_type)
+      CROSS JOIN tot o
+      WHERE t.c < m.r
+    )
+    SELECT CAST(max(total) AS BIGINT) AS n_transitions,
+           CAST(max(n_states) AS BIGINT) AS n_states,
+           CAST(sum(h_e9) AS BIGINT) AS entropy_rate_e9,
+           CAST(floor(ln(CAST(max(n_states) AS DOUBLE)) / ln(2.0)
+                      * 1e9 + 0.5001) AS BIGINT) AS max_entropy_e9,
+           CAST(sum(h_e9) * 1000000
+                // CAST(floor(ln(CAST(max(n_states) AS DOUBLE)) / ln(2.0)
+                              * 1e9 + 0.5001) AS BIGINT)
+                AS BIGINT) AS efficiency_e6
+    FROM terms
+"""
+
+
+@query("ts_markov_entropy_rate", oracle=MARKOV_ENTROPY_ORACLE)
+def ts_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the first-order event-type Markov chain — the
+    one-number predictability summary of events_markov_transitions:
+    H = -sum_ij (c_ij/C) * log2(c_ij/R_i) bits per step (the empirical
+    joint-weighted conditional entropy), with efficiency = H /
+    log2(|states|); near 1 means next-event prediction is hopeless,
+    near 0 means sessions are near-deterministic scripts — which
+    decides whether sequence features are worth modeling at all.
+
+    Determinism: transitions use the repo's (ts, event_id) total
+    ordering; each cell's term is e9-floored to an INTEGER from exact
+    counts through an identical double expression BEFORE the
+    cross-cell sum (the information-gain idiom — the sum runs over
+    <= |types|^2 integer terms, never floats); deterministic
+    self-certain cells (c = R_i, term exactly 0) are excluded in both
+    engines rather than trusting ln(1.0) == 0 crossing floor.
+
+    Scale: one per-user LEAD window (state bounded by one user's
+    history), one map-side-combinable shuffle to the |types|^2 matrix;
+    everything after is O(1)-sized.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no ordering
+    surface (internal/storage/types.go:3); this is [TARGET]
+    time-series machinery.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    trans = (
+        seq.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # consumed by the marginal and the term projection
+        .localCheckpoint(eager=False)
+    )
+    marg = trans.groupBy("from_type").agg(F.sum("c").cast("long").alias("r"))
+    tot = trans.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.countDistinct("from_type").cast("long").alias("n_states"),
+    )
+    terms = (
+        trans.join(F.broadcast(marg), "from_type")
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("c") < F.col("r"))
+        .select(
+            F.expr(
+                "CAST(floor(-(CAST(c AS DOUBLE) / CAST(total AS DOUBLE))"
+                " * (ln(CAST(c AS DOUBLE) / CAST(r AS DOUBLE))"
+                " / ln(2.0))"
+                " * 1e9 + 0.5001) AS BIGINT)"
+            ).alias("h_e9"),
+            "total",
+            "n_states",
+        )
+    )
+    return terms.agg(
+        F.max("total").cast("long").alias("n_transitions"),
+        F.max("n_states").cast("long").alias("n_states"),
+        F.sum("h_e9").cast("long").alias("entropy_rate_e9"),
+        F.expr(
+            "CAST(floor(ln(CAST(max(n_states) AS DOUBLE)) / ln(2.0)"
+            " * 1e9 + 0.5001) AS BIGINT)"
+        ).alias("max_entropy_e9"),
+        F.expr(
+            "CAST(sum(h_e9) * 1000000"
+            " DIV CAST(floor(ln(CAST(max(n_states) AS DOUBLE)) / ln(2.0)"
+            " * 1e9 + 0.5001) AS BIGINT) AS BIGINT)"
+        ).alias("efficiency_e6"),
+    )

@@ -63,6 +63,7 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/graph.py", "graph_local_clustering", "nation.select"): "dim",
     ("operators/graph.py", "graph_eccentricity_nations", "nation.select"): "dim",
     ("operators/graph.py", "graph_eccentricity_nations", "glob"): "scalar",
+    ("operators/graph.py", "graph_rich_club", "ks"): "grid",
     ("operators/graph.py", "graph_pagerank_nations", "contrib"): "dim",
     ("operators/graph.py", "graph_pagerank_nations", "r"): "dim",
     ("operators/graph.py", "graph_triangle_stats", "e2"): "dim",
@@ -94,6 +95,8 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/inference.py", "stats_kendall_tau_b", "ym"): "scalar",
     ("operators/inference.py", "stats_kendall_tau_b", "tot"): "scalar",
     ("operators/integration.py", "streaming_static_enrich", "customer.join"): "stream-dim",
+    ("operators/text.py", "text_vocab_coverage", "cuts"): "grid",
+    ("operators/text.py", "text_vocab_coverage", "tot"): "scalar",
     ("operators/pipeline_ops.py", "curate_dataset_card", "top_lang"): "grid",
     ("operators/pipeline_ops.py", "sample_alias_table_build", "tot"): "scalar",
     ("operators/pipeline_ops.py", "sample_alias_table_build", "picks"): "scalar",
@@ -113,6 +116,8 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/scale_ops.py", "scale_layout_planner", "tot"): "scalar",
     ("operators/statistics.py", "stats_cooks_distance_days", "fit"): "scalar",
     ("operators/timeseries.py", "ts_hurst_exponent", "sizes"): "grid",
+    ("operators/timeseries.py", "ts_markov_entropy_rate", "marg"): "grid",
+    ("operators/timeseries.py", "ts_markov_entropy_rate", "tot"): "scalar",
     ("operators/rollups.py", "rollup_share_of_parent", "nation"): "dim",
     ("operators/rollups.py", "rollup_share_of_parent", "region"): "dim",
     ("operators/rollups.py", "rollup_share_of_parent", "regions"): "dim",

@@ -712,6 +712,7 @@ ALLOWED_GLOBAL_WINDOWS = {
     "sketch_quantile_digest",  # merged centroid stream (days × 32 rows);
     # the exact-arm value-dictionary cumulative goes through dist_rank
     "orders_mom_growth",  # monthly series
+    "stats_durbin_watson",  # single-series lag over the calendar day grid
     "window_share_of_total",  # ~15 (status, priority) grouped rows
     "concurrent_open_orders",  # sweep-line over day-granularity deltas
     "stats_chi_square_priority_flag",  # contingency cells (domain product)
@@ -1573,3 +1574,36 @@ def test_round11e_ops_plan_shapes(spark):
     assert not r["cartesian"]
     assert r["global_windows"] == 0
     assert r["python_stages"] == 0
+
+
+def test_round11f_ops_plan_shapes(spark):
+    """Plan pins for the round-11 sixth-window operators."""
+    from gotsdb_spark.plans import plan_report
+
+    # Vocab coverage: token dictionary shuffle + linear dist_rank; the
+    # 3-cut inequality join is an intended broadcast nested loop over
+    # the checkpointed ranked dictionary.
+    r = plan_report(QUERIES["text_vocab_coverage"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+
+    # Markov entropy: per-user LEAD window + |types|^2 matrix; the
+    # term sum runs over pre-rounded integers; matrix checkpointed so
+    # the fact scans once.
+    r = plan_report(QUERIES["ts_markov_entropy_rate"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+    assert r["scans"] <= 1
+
+    # Bowley: group-partitioned dictionary cumulative; no joins.
+    r = plan_report(QUERIES["stats_bowley_skewness"](spark, SF))
+    assert not r["cartesian"] and not r["nested_loop"]
+    assert r["global_windows"] == 0
+    assert r["broadcast_joins"] == 0 and r["sortmerge_joins"] == 0
+    assert r["scans"] == 1
+
+    # Rich club: checkpointed backbone + 5-row threshold broadcast;
+    # club joins are node-key equi-joins.
+    r = plan_report(QUERIES["graph_rich_club"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
