@@ -3444,8 +3444,10 @@ BARTLETT_ORACLE = """
       FROM base GROUP BY grp
     ), terms AS (
       SELECT n,
-             CAST((CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s) // n
-                  AS HUGEINT) AS vnum,
+             CAST(floor((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / CAST(n AS DOUBLE) / 1048576.0)
+                  AS BIGINT) AS vnum_mega,
              CAST(floor(CAST(n - 1 AS DOUBLE)
                         * ln((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
                               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
@@ -3457,14 +3459,14 @@ BARTLETT_ORACLE = """
     ), tot AS (
       SELECT CAST(count(*) AS BIGINT) AS k,
              CAST(sum(n) AS BIGINT) AS bign,
-             CAST(sum(vnum) AS HUGEINT) AS pooled_num,
+             CAST(sum(vnum_mega) AS BIGINT) AS pooled_mega,
              CAST(sum(ln_term_e9) AS BIGINT) AS sum_ln_e9,
              CAST(sum(inv_e12) AS BIGINT) AS inv_sum_e12
       FROM terms
     )
     SELECT k AS n_groups, bign AS n_total,
            CAST(floor(((CAST(bign AS DOUBLE) - CAST(k AS DOUBLE))
-                        * ln(CAST(pooled_num AS DOUBLE)
+                        * ln(CAST(pooled_mega AS DOUBLE) * 1048576.0
                              / (CAST(bign AS DOUBLE) - CAST(k AS DOUBLE)))
                        - CAST(sum_ln_e9 AS DOUBLE) / 1e9)
                       / (1.0 + (CAST(inv_sum_e12 AS DOUBLE) / 1e12
@@ -3488,12 +3490,17 @@ def stats_bartlett_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism — no order-sensitive float sum: per-group sufficient
     statistics (n, S, SS) are exact integers; each group's
     (n_i - 1) * ln(var_i) term is e9-floored to an INTEGER before the
-    cross-group sum (the stats_information_gain idiom), the pooled
-    variance numerator is the exact integer DIV (n*SS - S^2) DIV n
-    summed in HUGEINT/DECIMAL(38,0), and 1/(n_i - 1) is the exact
-    integer 1e12 DIV (n_i - 1) — so every aggregate is an integer sum
-    and the single final double expression is identical in both
-    engines, e6-floored with the ulp nudge.
+    cross-group sum (the stats_information_gain idiom); the pooled
+    variance numerator per group is floor((n*SS - S^2)/n / 2^20) of
+    the IDENTICAL double expression, quantized to 2^20 units so the
+    BIGINT holds through sf1000 — two engine traps live here: Spark's
+    integral DIV returns LONG and silently overflowed at sf1 where the
+    raw quotient is ~6e19 (the round-10 IRLS advice class), and
+    Spark's floor() ALSO returns BIGINT where DuckDB's returns DOUBLE,
+    so the un-quantized floor re-overflowed the same way. 1/(n_i - 1)
+    is the exact integer 1e12 DIV (n_i - 1). Every cross-group
+    aggregate is an integer sum and the single final double expression
+    is identical in both engines, e6-floored with the ulp nudge.
 
     Scale: one map-side-combinable shuffle of orders to the 5-group
     sufficient statistics, then a 5-row scalar aggregate. Nothing
@@ -3520,9 +3527,10 @@ def stats_bartlett_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = g.select(
         "n",
         F.expr(
-            f"CAST((CAST(n AS {dec}) * ss - CAST(s AS {dec}) * s) DIV n"
-            f" AS {dec})"
-        ).alias("vnum"),
+            "CAST(floor((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)"
+            " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+            " / CAST(n AS DOUBLE) / 1048576.0) AS BIGINT)"
+        ).alias("vnum_mega"),
         F.expr(
             "CAST(floor(CAST(n - 1 AS DOUBLE)"
             " * ln((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)"
@@ -3535,7 +3543,7 @@ def stats_bartlett_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = terms.agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("n").cast("long").alias("bign"),
-        F.sum("vnum").alias("pooled_num"),
+        F.sum("vnum_mega").cast("long").alias("pooled_mega"),
         F.sum("ln_term_e9").cast("long").alias("sum_ln_e9"),
         F.sum("inv_e12").cast("long").alias("inv_sum_e12"),
     )
@@ -3544,7 +3552,7 @@ def stats_bartlett_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bign").alias("n_total"),
         F.expr(
             "CAST(floor(((CAST(bign AS DOUBLE) - CAST(k AS DOUBLE))"
-            " * ln(CAST(pooled_num AS DOUBLE)"
+            " * ln(CAST(pooled_mega AS DOUBLE) * 1048576.0"
             " / (CAST(bign AS DOUBLE) - CAST(k AS DOUBLE)))"
             " - CAST(sum_ln_e9 AS DOUBLE) / 1e9)"
             " / (1.0 + (CAST(inv_sum_e12 AS DOUBLE) / 1e12"

@@ -38,14 +38,18 @@ def test_bartlett_matches_python_reference(spark):
         groups[r["o_orderpriority"]].append(r["c"])
     k = len(groups)
     bign = sum(len(v) for v in groups.values())
-    pooled_num = 0
+    pooled_mega = 0
     sum_ln_e9 = 0
     inv_sum_e12 = 0
     for vals in groups.values():
         n = len(vals)
         s = sum(vals)
         ss = sum(c * c for c in vals)
-        pooled_num += tdiv(n * ss - s * s, n)
+        pooled_mega += math.floor(
+            (float(n) * float(ss) - float(s) * float(s))
+            / float(n)
+            / 1048576.0
+        )
         var = (float(n) * float(ss) - float(s) * float(s)) / (
             float(n) * float(n - 1)
         )
@@ -54,7 +58,9 @@ def test_bartlett_matches_python_reference(spark):
     chi2 = math.floor(
         (
             (float(bign) - float(k))
-            * math.log(float(pooled_num) / (float(bign) - float(k)))
+            * math.log(
+                float(pooled_mega) * 1048576.0 / (float(bign) - float(k))
+            )
             - float(sum_ln_e9) / 1e9
         )
         / (

@@ -43,6 +43,20 @@ def value_hash(df: pd.DataFrame) -> str:
     return str(pd.util.hash_pandas_object(df.astype(str), index=False).sum())
 
 
+def _release_blocks(spark) -> None:
+    """Free cached/localCheckpoint blocks between queries: a long
+    single-JVM sweep otherwise accumulates every query's checkpoint
+    RDDs until the driver OOMs (the sf1 sweep died at 10x volume after
+    ~40 queries before this existed). Safe between queries — results
+    are already collected, so nothing recomputes."""
+    try:
+        spark.catalog.clearCache()
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist()
+    except Exception:
+        pass
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -96,6 +110,7 @@ def main() -> int:
         else:
             print(f"PASS {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             statuses[name] = "pass"
+        _release_blocks(spark)
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     # Committed sweep artifact: lets a round prove "every registered
     # query hash-matched locally on <date>" even for names outside the

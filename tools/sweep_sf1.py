@@ -217,6 +217,26 @@ ROUND11B_CLASS = [
     "scale_layout_planner",  # rows*days*1e6 share products
 ]
 
+ROUND11C_CLASS = [
+    "stats_durbin_watson",  # SSE/residual DECIMAL headroom at 10x cents
+    "stats_mann_kendall_trend",  # S and tie-corrected Var products
+    "stats_turning_points_test",  # counts only, cheap invariance check
+    "stats_bartlett_variance",  # pooled vnum HUGEINT sums at 10x
+    "stats_bowley_skewness",  # 10x-deep value-dictionary cumulative
+    "ts_hurst_exponent",  # W_i = m*prefix products at 10x daily sums
+    "ts_markov_entropy_rate",  # 10x transitions through the e9 terms
+    "text_vocab_coverage",  # 10x token dictionary through dist_rank
+    "text_readability_ari",  # 471*chars*10000 products at 10x corpus
+    "graph_rich_club",  # backbone weights at 10x trade mass
+    "graph_eccentricity_nations",  # BFS sigma counts at 10x edge weights
+    "quality_join_fanout_audit",  # fanout*n*1e6 share products
+    "embed_silhouette_audit",  # squared-distance HUGEINT sums at 10x
+    "quality_fd_violations",  # 10x LHS dictionaries
+    "stats_friedman_ranks",  # cents sums at 10x through rank cells
+    "graph_personalized_pagerank",  # 10x flow mass through normalization
+    "graph_local_clustering",  # backbone shape at 10x weights
+]
+
 SWEEP_CLASS = (
     OVERFLOW_CLASS
     + DICT_WINDOW_CLASS
@@ -225,6 +245,7 @@ SWEEP_CLASS = (
     + ROUND10_CLASS
     + ROUND11_CLASS
     + ROUND11B_CLASS
+    + ROUND11C_CLASS
 )
 
 
@@ -265,6 +286,20 @@ def generate() -> None:
         print(f"wrote {name}: {src.num_rows} -> {out.num_rows} rows")
 
 
+def _release_blocks(spark) -> None:
+    """Free cached/localCheckpoint blocks between queries: a long
+    single-JVM sweep otherwise accumulates every query's checkpoint
+    RDDs until the driver OOMs (the sf1 sweep died at 10x volume after
+    ~40 queries before this existed). Safe between queries — results
+    are already collected, so nothing recomputes."""
+    try:
+        spark.catalog.clearCache()
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist()
+    except Exception:
+        pass
+
+
 def main() -> int:
     subset = bool(sys.argv[1:])
     only = sys.argv[1:] or SWEEP_CLASS
@@ -293,6 +328,7 @@ def main() -> int:
             print(f"FAIL {name}: {type(exc).__name__}: {exc}"[:300])
             failures.append(name)
             statuses[name] = "error"
+            _release_blocks(spark)
             continue
         problems = []
         if len(sdf) != len(odf):
@@ -311,6 +347,7 @@ def main() -> int:
         else:
             print(f"PASS {name} ({len(sdf)} rows, {timings[name]}s)")
             statuses[name] = "pass"
+        _release_blocks(spark)
     if subset:
         # Ad-hoc subset runs must not clobber the committed full-class
         # artifact.
