@@ -93,7 +93,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalent for each oracle-comparable
-    query. Keys absent here (approx sketches, streaming) get the
-    driver's weaker rows-only check."""
+    """DuckDB-runnable ANSI SQL equivalent for EVERY registered query
+    — no keys are absent (len(ORACLES) == len(QUERIES); the driver's
+    weaker rows-only fallback has been unused since every sketch and
+    streaming operator gained a hand-written deterministic oracle)."""
     return dict(ORACLES)

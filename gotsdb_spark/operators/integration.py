@@ -833,25 +833,27 @@ def streaming_ab_conversion_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode with no watermark: each micro-batch emits only the user-days
     it touched, carrying their new cumulative flag, so a user-day can
     flip 0 -> 1 when its purchase arrives in a later batch than its
-    first event — the upsert (keyed in-memory dict here, the repo's
-    streaming-replay convention; MERGE INTO a state table in
-    production) must converge to the batch answer under the SHUFFLED
-    replay, which is exactly what the hash gate proves: the output is
-    hash-compared against the identical DuckDB batch oracle as the
-    batch query (same SQL text, imported — both engines and both
-    execution modes agree on every integer).
+    first event — the upsert (per-batch MERGE into a keyed parquet
+    state table; Delta/Iceberg MERGE INTO in production) must converge
+    to the batch answer under the SHUFFLED replay, which is exactly
+    what the hash gate proves: the output is hash-compared against the
+    identical DuckDB batch oracle as the batch query (same SQL text,
+    imported — both engines and both execution modes agree on every
+    integer).
 
     Scale: streaming state and store are user-day-bounded (the
-    randomization-unit grain), never event-bounded — but unlike the
+    randomization-unit grain), never event-bounded — and unlike the
     (window, type) leaderboard store, user-day grain GROWS with users
-    x experiment duration, so the driver-side dict is a replay-only
-    convention, not the scale design: at production scale the UPDATE
-    stream's delta rows MERGE INTO a (user_id, day)-keyed state table
-    (Delta/Iceberg), and the read-time z^2 runs as a 4-cell aggregate
-    over that table — executor-side, never through the driver. The
-    read-time aggregate is the same 4-cell scalar as the batch form.
-    The z^2 arithmetic reuses the exact DECIMAL(38,0) cross-multiplied
-    form.
+    x experiment duration, so NOTHING data-sized may pass through the
+    driver. The foreachBatch sink therefore MERGEs each micro-batch's
+    delta rows into a (user_id, day)-keyed parquet state table
+    executor-side: delta-wins-else-base full-outer coalesce (the
+    merge_upsert_segments / warehouse_merge_upsert shape,
+    scale_ops.py:486), written to a versioned store path per batch —
+    the only driver-side state is the current store PATH string, O(1)
+    regardless of volume. The read-time z^2 then runs as a 4-cell
+    aggregate over the final store snapshot — the same DECIMAL(38,0)
+    cross-multiplied exact form as the batch query.
     """
     replay = tempfile.mkdtemp(prefix="gotsdb_stream_ab_")
     checkpoint = tempfile.mkdtemp(prefix="gotsdb_stream_ab_ckpt_")
@@ -870,11 +872,33 @@ def streaming_ab_conversion_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conv")
         )
     )
-    store: dict[tuple, int] = {}
+    store_root = tempfile.mkdtemp(prefix="gotsdb_stream_ab_store_")
+    # Executor-side keyed state table: the only driver-held state is
+    # the current snapshot PATH (O(1)); every batch's rows stay on the
+    # executors through the MERGE write — nothing data-sized ever
+    # crosses to the driver.
+    state_path: list = [None]
 
-    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
-        for row in batch_df.collect():
-            store[(row["user_id"], row["d"])] = row["conv"]
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        target = os.path.join(store_root, f"v{batch_id}")
+        delta = batch_df.select("user_id", "d", "conv")
+        if state_path[0] is None:
+            delta.write.mode("overwrite").parquet(target)
+        else:
+            cur = spark.read.parquet(state_path[0]).withColumnRenamed(
+                "conv", "cur_conv"
+            )
+            merged = cur.join(
+                delta.withColumnRenamed("conv", "delta_conv"),
+                ["user_id", "d"],
+                "full_outer",
+            ).select(
+                "user_id",
+                "d",
+                F.coalesce("delta_conv", "cur_conv").alias("conv"),
+            )
+            merged.write.mode("overwrite").parquet(target)
+        state_path[0] = target
 
     with _replay_partitions(spark):
         q = (
@@ -887,10 +911,7 @@ def streaming_ab_conversion_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-    board = spark.createDataFrame(
-        [(u, c) for (u, _), c in store.items()],
-        "user_id bigint, conv int",
-    ).select(
+    board = spark.read.parquet(state_path[0]).select(
         (
             F.expr(
                 "conv(substring(md5(CAST(user_id AS STRING)), 1, 4), 16, 10)"

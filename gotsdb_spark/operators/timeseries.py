@@ -3878,11 +3878,12 @@ def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical in both engines, e9-floored per block BEFORE the
     cross-block mean (an exact integer DIV), the information-gain
     idiom that keeps every aggregate an integer sum. The final slope
-    is an exact integer OLS over the 4 (ln m, ln mean_RS) points,
+    is an exact integer OLS over the 3 (ln m, ln mean_RS) points
+    (one per entry of _HURST_SIZES),
     both coordinates e9-floored first.
 
     Scale: one map-side-combinable shuffle to the (type, day)
-    dictionary (checkpointed); the 4-size spine is a broadcast grid;
+    dictionary (checkpointed); the 3-size spine is a broadcast grid;
     every window partitions by (type, m, block) over bounded frames;
     blocks and sizes are calendar-bounded regardless of data volume.
 

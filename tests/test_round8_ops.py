@@ -544,6 +544,28 @@ def test_streaming_ab_matches_batch_operator(spark):
     assert got_stream[0].asDict() == got_batch[0].asDict()
 
 
+def test_streaming_ab_sink_is_executor_side():
+    """Scale-design structure pin (round-12, VERDICT r11 #1): the
+    foreachBatch sink must MERGE each micro-batch into a keyed parquet
+    state table executor-side — never batch_df.collect() into a
+    driver-side dict, which grows with users x days and is a driver
+    OOM at scale. The only driver-held state is the store path string."""
+    import inspect
+
+    from gotsdb_spark.operators import integration
+
+    src = inspect.getsource(integration.streaming_ab_conversion_live)
+    assert ".collect()" not in src, (
+        "streaming_ab_conversion_live must not collect batch rows to "
+        "the driver"
+    )
+    # The sink performs the delta-wins keyed MERGE and persists it.
+    assert "full_outer" in src and ".parquet(" in src
+    # And the final readout is loaded back from the executor-side
+    # store, not rebuilt from driver memory.
+    assert "spark.read.parquet(state_path[0])" in src
+
+
 # ---------------------------------------------------------------------------
 # Round-8 late registrations (Kendall / Kruskal-Wallis / ANOVA) —
 # Python-reference tests added round 9 (ADVICE r8: the three ops
