@@ -3561,3 +3561,350 @@ def stats_bartlett_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1e6 + 0.5001) AS BIGINT)"
         ).alias("bartlett_chi2_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hodges-Lehmann shift estimator — round 12.
+# ---------------------------------------------------------------------------
+
+HODGES_LEHMANN_ORACLE = """
+    WITH base AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) // 10000 AS g
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    ), da AS (
+      SELECT g AS ga, CAST(count(*) AS BIGINT) AS ca
+      FROM base WHERE flag = 'A' GROUP BY g
+    ), dr AS (
+      SELECT g AS gr, CAST(count(*) AS BIGINT) AS cr
+      FROM base WHERE flag = 'R' GROUP BY g
+    ), diffs AS (
+      SELECT ga - gr AS d, CAST(sum(ca * cr) AS BIGINT) AS w
+      FROM da CROSS JOIN dr GROUP BY ga - gr
+    ), ranked AS (
+      SELECT d, w,
+             sum(w) OVER (ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cw
+      FROM diffs
+    ), tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS n_a FROM da
+    ), tot_r AS (
+      SELECT CAST(sum(cr) AS BIGINT) AS n_r FROM dr
+    ), med AS (
+      SELECT CAST(min(d) AS BIGINT) AS hl_grid
+      FROM ranked CROSS JOIN tot CROSS JOIN tot_r
+      WHERE 2 * cw >= n_a * n_r
+    )
+    SELECT t.n_a, r.n_r,
+           CAST(t.n_a * r.n_r AS BIGINT) AS n_pairs,
+           m.hl_grid AS hl_shift_usd100,
+           CAST(m.hl_grid * 10000 AS BIGINT) AS hl_shift_cents
+    FROM tot t CROSS JOIN tot_r r CROSS JOIN med m
+"""
+
+
+@query("stats_hodges_lehmann_shift", oracle=HODGES_LEHMANN_ORACLE)
+def stats_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann shift estimator between returnflag groups A and
+    R: the MEDIAN of all pairwise differences price_A - price_R — the
+    robust LOCATION companion to stats_mann_whitney_u the way
+    stats_theil_sen_slope companions stats_mann_kendall_trend: U says
+    WHETHER one group dominates, HL says BY HOW MUCH, immune to the
+    tail outliers that drag the difference of means.
+
+    The n_a x n_r pair cloud is never materialized at row grain: both
+    sides collapse to a COARSENED $100-grid dictionary first (the
+    price domain spans ~$900-$105,000, so each dictionary is <= ~1,050
+    rows forever — value-domain-bounded, volume-independent), the
+    bounded dictionary pair join carries count products as weights,
+    and the weighted LOWER median (smallest difference whose
+    cumulative weight reaches half of n_a * n_r, the
+    stats_weighted_median_price convention) comes from one dist_rank
+    running sum over the difference dictionary — never a data-sized
+    window, never an all-pairs row join.
+
+    Determinism: grid cells, count products, cumulative weights and
+    the crossing point are all exact integers; no float arithmetic
+    anywhere.
+
+    Scale: one map-side-combinable shuffle to each grid dictionary;
+    the pair join is an intended broadcast nested loop over two
+    value-domain-bounded (~1k-row) frames (~1M weighted pairs
+    regardless of data volume); one linear dist_rank over the ~2k-row
+    difference dictionary. At 100 TB every frame past the first
+    shuffle keeps exactly the same size.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    statistical surface (internal/storage/types.go:3); this is
+    [TARGET] inference machinery.
+    """
+    from gotsdb_spark.operators.distrank import dist_rank
+
+    base = (
+        load_table(spark, "lineitem", sf_dir)
+        .where(F.col("l_returnflag").isin("A", "R"))
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.expr(
+                "CAST(floor(l_extendedprice * 100) AS BIGINT) DIV 10000"
+            ).alias("g"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    da = (
+        base.where(F.col("flag") == "A")
+        .groupBy(F.col("g").alias("ga"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ca"))
+        .localCheckpoint(eager=False)
+    )
+    dr = (
+        base.where(F.col("flag") == "R")
+        .groupBy(F.col("g").alias("gr"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cr"))
+        .localCheckpoint(eager=False)
+    )
+    diffs = (
+        da.crossJoin(F.broadcast(dr))
+        .groupBy((F.col("ga") - F.col("gr")).alias("d"))
+        .agg(F.sum(F.col("ca") * F.col("cr")).cast("long").alias("w"))
+    )
+    ranked = dist_rank(diffs, ["d"], rank_col="__hl_rk", sum_cols={"cw": "w"})
+    tot = da.agg(F.sum("ca").cast("long").alias("n_a")).crossJoin(
+        dr.agg(F.sum("cr").cast("long").alias("n_r"))
+    )
+    med = (
+        ranked.crossJoin(F.broadcast(tot))
+        .where(2 * F.col("cw") >= F.col("n_a") * F.col("n_r"))
+        .agg(F.min("d").cast("long").alias("hl_grid"))
+    )
+    return tot.crossJoin(F.broadcast(med)).select(
+        "n_a",
+        "n_r",
+        F.expr("CAST(n_a * n_r AS BIGINT)").alias("n_pairs"),
+        F.col("hl_grid").alias("hl_shift_usd100"),
+        F.expr("CAST(hl_grid * 10000 AS BIGINT)").alias("hl_shift_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partial autocorrelation via unrolled Durbin-Levinson — round 12.
+# ---------------------------------------------------------------------------
+
+# The recursion levels are identical expression TREES in both engines
+# (same parenthesization, same operand order), so each IEEE double op
+# matches bit for bit; inputs are the engine-agreed acf_e6 integers.
+PACF_ORACLE = """
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2025-01-01', CAST(ts AS DATE)) AS x,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) // count(*)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), lags AS (
+      SELECT unnest([1, 2, 3, 4, 5]) AS lag
+    ), suff AS (
+      SELECT a.event_type, l.lag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a.y) AS BIGINT) AS sa,
+             CAST(sum(b.y) AS BIGINT) AS sb,
+             CAST(sum(a.y * b.y) AS BIGINT) AS sab,
+             CAST(sum(a.y * a.y) AS BIGINT) AS saa,
+             CAST(sum(b.y * b.y) AS BIGINT) AS sbb
+      FROM daily a CROSS JOIN lags l
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.x = a.x + l.lag
+      GROUP BY a.event_type, l.lag
+    ), acf AS (
+      SELECT event_type, lag,
+             CAST(floor((n * 1.0 * sab - sa * 1.0 * sb)
+                        / sqrt((n * 1.0 * saa - sa * 1.0 * sa)
+                               * (n * 1.0 * sbb - sb * 1.0 * sb))
+                        * 1e6 + 0.5001) AS BIGINT) AS acf_e6
+      FROM suff
+    ), piv AS (
+      SELECT event_type,
+             CAST(max(CASE WHEN lag = 1 THEN acf_e6 END) AS DOUBLE) / 1e6 AS r1,
+             CAST(max(CASE WHEN lag = 2 THEN acf_e6 END) AS DOUBLE) / 1e6 AS r2,
+             CAST(max(CASE WHEN lag = 3 THEN acf_e6 END) AS DOUBLE) / 1e6 AS r3,
+             CAST(max(CASE WHEN lag = 4 THEN acf_e6 END) AS DOUBLE) / 1e6 AS r4,
+             CAST(max(CASE WHEN lag = 5 THEN acf_e6 END) AS DOUBLE) / 1e6 AS r5
+      FROM acf GROUP BY event_type
+    ), l1 AS (
+      SELECT *, r1 AS phi11 FROM piv
+    ), l2 AS (
+      SELECT *,
+             (r2 - phi11 * r1) / (1.0 - phi11 * r1) AS phi22
+      FROM l1
+    ), l2b AS (
+      SELECT *, phi11 - phi22 * phi11 AS phi21 FROM l2
+    ), l3 AS (
+      SELECT *,
+             (r3 - (phi21 * r2 + phi22 * r1))
+             / (1.0 - (phi21 * r1 + phi22 * r2)) AS phi33
+      FROM l2b
+    ), l3b AS (
+      SELECT *,
+             phi21 - phi33 * phi22 AS phi31,
+             phi22 - phi33 * phi21 AS phi32
+      FROM l3
+    ), l4 AS (
+      SELECT *,
+             (r4 - (phi31 * r3 + phi32 * r2 + phi33 * r1))
+             / (1.0 - (phi31 * r1 + phi32 * r2 + phi33 * r3)) AS phi44
+      FROM l3b
+    ), l4b AS (
+      SELECT *,
+             phi31 - phi44 * phi33 AS phi41,
+             phi32 - phi44 * phi32 AS phi42,
+             phi33 - phi44 * phi31 AS phi43
+      FROM l4
+    ), l5 AS (
+      SELECT *,
+             (r5 - (phi41 * r4 + phi42 * r3 + phi43 * r2 + phi44 * r1))
+             / (1.0 - (phi41 * r1 + phi42 * r2 + phi43 * r3 + phi44 * r4))
+               AS phi55
+      FROM l4b
+    )
+    SELECT event_type,
+           CAST(floor(phi11 * 1e6 + 0.5001) AS BIGINT) AS pacf1_e6,
+           CAST(floor(phi22 * 1e6 + 0.5001) AS BIGINT) AS pacf2_e6,
+           CAST(floor(phi33 * 1e6 + 0.5001) AS BIGINT) AS pacf3_e6,
+           CAST(floor(phi44 * 1e6 + 0.5001) AS BIGINT) AS pacf4_e6,
+           CAST(floor(phi55 * 1e6 + 0.5001) AS BIGINT) AS pacf5_e6
+    FROM l5
+    ORDER BY event_type
+"""
+
+
+@query("ts_pacf_daily", oracle=PACF_ORACLE)
+def ts_pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation function of each event type's daily
+    mean series at lags 1..5 via the Durbin-Levinson recursion,
+    unrolled to a fixed 5-level expression chain (the Holt-Winters
+    fixed-unroll convention) — the AR-ORDER diagnostic that
+    ts_autocorrelation_daily and ts_ljung_box_whiteness cannot give:
+    the ACF of an AR(p) process decays forever, but its PACF cuts off
+    sharply after lag p, so the last significant pacf_k IS the model
+    order a forecaster should fit.
+
+    Determinism: the lag-1..5 autocorrelations are first computed as
+    the SAME engine-agreed e6 integers as ts_autocorrelation_daily
+    (six exact integer sufficient statistics per (type, lag), one
+    double sqrt/divide per value); the recursion then runs on those
+    integers as IDENTICAL expression trees in both engines — same
+    parenthesization, same operand order, so every IEEE operation
+    matches — and each phi_kk is e6-floored with the ulp nudge only
+    at readout.
+
+    Scale: events collapse to one row per (type, day) via a
+    map-side-combinable groupBy (checkpointed — the lag self-join
+    reads it twice); everything after that first shuffle is
+    O(days x 5) per type regardless of event volume; the 5-row lag
+    spine is a broadcast; the recursion is per-row column arithmetic
+    on a type-dictionary-sized frame — no window, no extra shuffle.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no series
+    surface (internal/storage/types.go:3); this is [TARGET] inference
+    machinery.
+    """
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2025-01-01").cast("date")
+            ).alias("x"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("v_e3"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.expr("CAST(sum(v_e3) DIV count(*) AS BIGINT)").alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    lags = daily.sparkSession.range(1, 6).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.select("event_type", "x", F.col("y").alias("ya"))
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    ya, yb = F.col("ya"), F.col("yb")
+    suff = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("event_type") == F.col("et_b"))
+            & (F.col("xb") == F.col("x") + F.col("lag")),
+        )
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(ya).cast("long").alias("sa"),
+            F.sum(yb).cast("long").alias("sb"),
+            F.sum(ya * yb).cast("long").alias("sab"),
+            F.sum(ya * ya).cast("long").alias("saa"),
+            F.sum(yb * yb).cast("long").alias("sbb"),
+        )
+    )
+    acf = suff.select(
+        "event_type",
+        "lag",
+        F.expr(
+            "CAST(floor((n * 1.0 * sab - sa * 1.0 * sb)"
+            " / sqrt((n * 1.0 * saa - sa * 1.0 * sa)"
+            "        * (n * 1.0 * sbb - sb * 1.0 * sb))"
+            " * 1e6 + 0.5001) AS BIGINT)"
+        ).alias("acf_e6"),
+    )
+    piv = acf.groupBy("event_type").agg(
+        *[
+            F.expr(
+                f"CAST(max(CASE WHEN lag = {k} THEN acf_e6 END)"
+                f" AS DOUBLE) / 1e6"
+            ).alias(f"r{k}")
+            for k in range(1, 6)
+        ]
+    )
+    lvl = piv.withColumn("phi11", F.expr("r1"))
+    lvl = lvl.withColumn(
+        "phi22", F.expr("(r2 - phi11 * r1) / (1.0 - phi11 * r1)")
+    )
+    lvl = lvl.withColumn("phi21", F.expr("phi11 - phi22 * phi11"))
+    lvl = lvl.withColumn(
+        "phi33",
+        F.expr(
+            "(r3 - (phi21 * r2 + phi22 * r1))"
+            " / (1.0 - (phi21 * r1 + phi22 * r2))"
+        ),
+    )
+    lvl = lvl.withColumn("phi31", F.expr("phi21 - phi33 * phi22"))
+    lvl = lvl.withColumn("phi32", F.expr("phi22 - phi33 * phi21"))
+    lvl = lvl.withColumn(
+        "phi44",
+        F.expr(
+            "(r4 - (phi31 * r3 + phi32 * r2 + phi33 * r1))"
+            " / (1.0 - (phi31 * r1 + phi32 * r2 + phi33 * r3))"
+        ),
+    )
+    lvl = lvl.withColumn("phi41", F.expr("phi31 - phi44 * phi33"))
+    lvl = lvl.withColumn("phi42", F.expr("phi32 - phi44 * phi32"))
+    lvl = lvl.withColumn("phi43", F.expr("phi33 - phi44 * phi31"))
+    lvl = lvl.withColumn(
+        "phi55",
+        F.expr(
+            "(r5 - (phi41 * r4 + phi42 * r3 + phi43 * r2 + phi44 * r1))"
+            " / (1.0 - (phi41 * r1 + phi42 * r2 + phi43 * r3"
+            " + phi44 * r4))"
+        ),
+    )
+    return lvl.select(
+        "event_type",
+        *[
+            F.expr(
+                f"CAST(floor(phi{k}{k} * 1e6 + 0.5001) AS BIGINT)"
+            ).alias(f"pacf{k}_e6")
+            for k in range(1, 6)
+        ],
+    ).orderBy("event_type")

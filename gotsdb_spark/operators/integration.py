@@ -949,3 +949,178 @@ def streaming_ab_conversion_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (n_a + n_b - conv_a - conv_b), 0) AS BIGINT)"
         ).alias("z2_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session state-eviction audit (append-mode watermark waves) — round 12.
+# ---------------------------------------------------------------------------
+
+EVICTION_AUDIT_ORACLE = """
+    WITH p AS (
+      SELECT user_id, ts, event_id
+      FROM events WHERE event_type = 'purchase'
+    ), flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM p
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, event_id,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flagged
+    ), sess AS (
+      SELECT user_id,
+             min(ts) AS s_start,
+             max(ts) + INTERVAL 30 MINUTE AS s_end,
+             CAST(count(*) AS BIGINT) AS n_ev
+      FROM numbered GROUP BY user_id, session_id
+    ), thresholds AS (
+      SELECT max(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN ts END)
+               - INTERVAL 2 HOUR AS t1,
+             max(ts) - INTERVAL 2 HOUR AS t2
+      FROM p
+    ), waved AS (
+      SELECT CASE WHEN s.s_end < t.t1 THEN 1
+                  WHEN s.s_end < t.t2 THEN 2
+                  ELSE 3 END AS eviction_wave,
+             s.user_id, s.n_ev,
+             epoch_us(s.s_end) - epoch_us(s.s_start) AS dur_us
+      FROM sess s CROSS JOIN thresholds t
+    )
+    SELECT eviction_wave,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(n_ev) AS BIGINT) AS total_events,
+           CAST(max(dur_us) AS BIGINT) AS max_duration_us
+    FROM waved
+    GROUP BY eviction_wave
+    ORDER BY eviction_wave
+"""
+
+
+@query("streaming_session_eviction_audit", oracle=EVICTION_AUDIT_ORACLE)
+def streaming_session_eviction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-EVICTION audit of append-mode session windows: purchases
+    replay in three deterministic waves (before Jan 15 / from Jan 15 /
+    a far-future sentinel), each fully processed before the next is
+    written, and the foreachBatch sink ledgers every emitted session
+    with the micro-batch that EVICTED it from the state store — the
+    observability piece streaming_session_windows doesn't give: not
+    just WHAT sessions exist, but WHEN the watermark advance released
+    each one (state-store residency is the #1 capacity question for a
+    production stateful pipeline).
+
+    Why this is oracle-expressible: each wave is one file and one
+    micro-batch, so the watermark sequence is exact — after wave k it
+    is max(event time through wave k) - 2h — and append-mode eviction
+    fires in the first batch whose watermark passes a session's end.
+    Wave boundaries therefore map to pure SQL thresholds: a session is
+    evicted in wave 1 iff session_end < max(ts < Jan 15) - 2h, in
+    wave 2 iff session_end < max(all ts) - 2h, else in the sentinel
+    wave 3. Cross-wave user sessions cannot be split-evicted (a
+    wave-1 partial session is evicted only if its end precedes
+    max(wave1 ts) - 2h, and any wave-2 event is >= Jan 15, more than
+    2h later — so no evicted session can gap-merge with later data),
+    and no wave-2 event is ever late vs the wave-1 watermark. The
+    emitted-session ledger under the SHUFFLED replay must then equal
+    DuckDB's batch sessionization bucketed by those thresholds — the
+    hash gate proves eviction released every session exactly once,
+    into exactly the predicted watermark wave.
+
+    Scale: the sink appends each micro-batch's emitted sessions to a
+    parquet ledger executor-side (no data-sized driver state — the
+    streaming_ab_conversion_live convention); the only driver-side
+    collect is the DISTINCT BATCH-ID list, bounded by the wave count.
+    Streaming state is user-session-bounded and the watermark evicts
+    it; the audit itself is one groupBy over the session-grain ledger.
+
+    Determinism: session bounds, event counts and microsecond
+    durations are exact integers off exact timestamps; wave ids come
+    from exact threshold comparisons (microsecond-granular fixture
+    timestamps make threshold collisions impossible).
+    """
+    replay = tempfile.mkdtemp(prefix="gotsdb_stream_evict_")
+    store = tempfile.mkdtemp(prefix="gotsdb_stream_evict_store_")
+    checkpoint = tempfile.mkdtemp(prefix="gotsdb_stream_evict_ckpt_")
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    cut = F.lit("2024-01-15").cast("timestamp")
+    wave1 = ev.where(F.col("ts") < cut)
+    wave2 = ev.where(F.col("ts") >= cut)
+    sentinel = spark.createDataFrame(
+        [(-1, "2025-01-01 00:00:00", -1, "purchase", 0.0, None)],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    stream = session_window_values(
+        read_events_stream(spark, replay, 64),
+        gap="30 minutes",
+        watermark="2 hours",
+    )
+
+    def ledger(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(store)
+
+    wave1.select(cols).repartition(1).write.mode("append").parquet(replay)
+    with _replay_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(ledger)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            wave2.select(cols).repartition(1).write.mode("append").parquet(
+                replay
+            )
+            q.processAllAvailable()
+            sentinel.select(cols).repartition(1).write.mode("append").parquet(
+                replay
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    evicted = spark.read.parquet(store)
+    # Wave-count-bounded (3), never data-sized: the distinct batch ids.
+    bids = sorted(
+        r["batch_id"]
+        for r in evicted.select("batch_id").distinct().collect()
+    )
+    if len(bids) != 3:
+        raise RuntimeError(
+            f"expected exactly 3 eviction waves, saw batch ids {bids}: "
+            "the watermark replay did not advance as designed"
+        )
+    wave = (
+        F.when(F.col("batch_id") == bids[0], 1)
+        .when(F.col("batch_id") == bids[1], 2)
+        .otherwise(3)
+    )
+    return (
+        evicted.groupBy(wave.cast("int").alias("eviction_wave"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("total_events"),
+            F.max(
+                F.unix_micros(F.col("session_end"))
+                - F.unix_micros(F.col("session_start"))
+            )
+            .cast("long")
+            .alias("max_duration_us"),
+        )
+        .orderBy("eviction_wave")
+    )

@@ -1598,3 +1598,117 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_vocab_coverage.__doc__ = text_vocab_coverage.__doc__.format(
     cuts=_VOCAB_CUTS
 )
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary-growth fit — round 12.
+# ---------------------------------------------------------------------------
+
+HEAPS_LAW_ORACLE = """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ), dict AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS f
+      FROM tok GROUP BY source, w
+    ), per_src AS (
+      SELECT source,
+             CAST(sum(f) AS BIGINT) AS toks,
+             CAST(count(*) AS BIGINT) AS types,
+             CAST(floor(ln(CAST(sum(f) AS DOUBLE)) * 1e9 + 0.5001)
+                  AS BIGINT) AS x_e9,
+             CAST(floor(ln(CAST(count(*) AS DOUBLE)) * 1e9 + 0.5001)
+                  AS BIGINT) AS y_e9
+      FROM dict GROUP BY source
+    ), suff AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(toks) AS BIGINT) AS sum_tokens,
+             CAST(sum(types) AS BIGINT) AS sum_types,
+             CAST(sum(x_e9) AS HUGEINT) AS sx,
+             CAST(sum(y_e9) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x_e9 AS HUGEINT) * y_e9) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x_e9 AS HUGEINT) * x_e9) AS HUGEINT) AS sxx
+      FROM per_src
+    )
+    SELECT n AS n_sources, sum_tokens, sum_types,
+           CAST((n * sxy - sx * sy) * 1000000
+                // NULLIF(n * sxx - sx * sx, 0) AS BIGINT) AS beta_e6,
+           CAST((sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx)
+                // NULLIF(n * (n * sxx - sx * sx) * 1000, 0) AS BIGINT)
+             AS lnk_e6
+    FROM suff
+"""
+
+
+@query("text_heaps_law_fit", oracle=HEAPS_LAW_ORACLE)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth fit: V = k * T^beta estimated by
+    integer OLS over the per-source (ln tokens, ln types) points —
+    the growth-exponent companion to text_vocab_coverage (which reads
+    the Zipf integral off one corpus; Heaps reads how fast the type
+    inventory GROWS as token count scales across the 20 sources).
+    beta ~ 0.5 means a tokenizer vocab sized for 10x the corpus needs
+    ~3.2x the types — THE vocabulary-budget forecast.
+
+    Determinism: per-source token and type counts are exact integers
+    off the (source, token) dictionary; each log coordinate is
+    e9-floored (with the ulp nudge) BEFORE any cross-row sum, and the
+    OLS slope/intercept are exact integer expressions over
+    DECIMAL(38,0)/HUGEINT sufficient sums — no order-sensitive float
+    arithmetic anywhere (the ts_hurst_exponent slope idiom). Both
+    engines truncate the final integer divisions toward zero.
+
+    Scale: one map-side-combinable shuffle to the (source, token)
+    dictionary (sublinear in corpus size), one map-side-combinable
+    rollup to the source grain (bounded by the source dictionary),
+    then a scalar aggregate — no window, no join, no pair blowup.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no text
+    surface (internal/storage/types.go:3); this is [TARGET] text
+    machinery.
+    """
+    dec = "decimal(38,0)"
+    docs = load_table(spark, "documents", sf_dir)
+    dic = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("w")
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    per_src = dic.groupBy("source").agg(
+        F.sum("f").cast("long").alias("toks"),
+        F.count(F.lit(1)).cast("long").alias("types"),
+    ).select(
+        "toks",
+        "types",
+        F.expr(
+            "CAST(floor(ln(CAST(toks AS DOUBLE)) * 1e9 + 0.5001)"
+            " AS BIGINT)"
+        ).alias("x_e9"),
+        F.expr(
+            "CAST(floor(ln(CAST(types AS DOUBLE)) * 1e9 + 0.5001)"
+            " AS BIGINT)"
+        ).alias("y_e9"),
+    )
+    suff = per_src.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("toks").cast("long").alias("sum_tokens"),
+        F.sum("types").cast("long").alias("sum_types"),
+        F.sum(F.col("x_e9").cast(dec)).alias("sx"),
+        F.sum(F.col("y_e9").cast(dec)).alias("sy"),
+        F.sum(F.col("x_e9").cast(dec) * F.col("y_e9")).alias("sxy"),
+        F.sum(F.col("x_e9").cast(dec) * F.col("x_e9")).alias("sxx"),
+    )
+    return suff.select(
+        F.col("n").alias("n_sources"),
+        "sum_tokens",
+        "sum_types",
+        F.expr(
+            "CAST((n * sxy - sx * sy) * 1000000"
+            " DIV NULLIF(n * sxx - sx * sx, 0) AS BIGINT)"
+        ).alias("beta_e6"),
+        F.expr(
+            "CAST((sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx)"
+            " DIV NULLIF(n * (n * sxx - sx * sx) * 1000, 0) AS BIGINT)"
+        ).alias("lnk_e6"),
+    )

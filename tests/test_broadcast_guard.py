@@ -77,6 +77,17 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/graph.py", "graph_hits_nations", "sh"): "scalar",
     ("operators/graph.py", "graph_link_prediction_jaccard", "ftot"): "scalar",
     ("operators/inference.py", "stats_friedman_ranks", "tot"): "scalar",
+    # round 12: articulation scenario spine / baseline scalar / nation dim
+    ("operators/graph.py", "graph_articulation_points", "excl"): "dim",
+    ("operators/graph.py", "graph_articulation_points", "base"): "scalar",
+    ("operators/graph.py", "graph_articulation_points", "nation.select"): "dim",
+    # round 12: HL shift — $100-grid dictionary (value-domain-bounded),
+    # 1-row totals and 1-row median
+    ("operators/inference.py", "stats_hodges_lehmann_shift", "dr"): "sketch",
+    ("operators/inference.py", "stats_hodges_lehmann_shift", "tot"): "scalar",
+    ("operators/inference.py", "stats_hodges_lehmann_shift", "med"): "scalar",
+    # round 12: PACF 5-row lag spine
+    ("operators/inference.py", "ts_pacf_daily", "lags"): "grid",
     ("operators/inference.py", "stats_friedman_ranks", "chi"): "scalar",
     ("operators/inference.py", "ts_ljung_box_whiteness", "lags"): "grid",
     ("operators/inference.py", "stats_durbin_watson", "fit"): "scalar",

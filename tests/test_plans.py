@@ -1607,3 +1607,49 @@ def test_round11f_ops_plan_shapes(spark):
     r = plan_report(QUERIES["graph_rich_club"](spark, SF))
     assert not r["cartesian"]
     assert r["global_windows"] == 0
+
+
+def test_round12_ops_plan_shapes(spark):
+    """Plan pins for the round-12 operators."""
+    from gotsdb_spark.plans import plan_report
+
+    # Heaps-law fit: token-dictionary shuffle, source rollup, scalar
+    # aggregate — one scan, no join, no window of any kind.
+    r = plan_report(QUERIES["text_heaps_law_fit"](spark, SF))
+    assert r["scans"] == 1
+    assert not r["cartesian"] and not r["nested_loop"]
+    assert r["broadcast_joins"] == 0 and r["sortmerge_joins"] == 0
+    assert r["global_windows"] == 0
+
+    # Hodges-Lehmann: the pair join is an intended broadcast nested
+    # loop over two value-domain-bounded ($100 grid) dictionaries —
+    # never a CartesianProduct, never a sort-merge join, and the
+    # weighted median runs through dist_rank, not a global window.
+    r = plan_report(QUERIES["stats_hodges_lehmann_shift"](spark, SF))
+    assert not r["cartesian"]
+    assert r["sortmerge_joins"] == 0
+    assert r["global_windows"] == 0
+
+    # PACF: one events scan into the checkpointed (type, day)
+    # dictionary; lag spine broadcast; the Durbin-Levinson recursion
+    # is per-row column arithmetic — no window, no extra scan.
+    r = plan_report(QUERIES["ts_pacf_daily"](spark, SF))
+    assert r["scans"] <= 1
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+
+    # Articulation points: all label-propagation rounds hide behind
+    # checkpoints; the visible plan is dictionary-sized aggregation
+    # plus the 1-row baseline / 25-row nation broadcasts (intended
+    # nested loop), never a CartesianProduct or a window.
+    r = plan_report(QUERIES["graph_articulation_points"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+
+    # Session eviction audit: the readout is one groupBy over the
+    # executor-side parquet ledger the foreachBatch sink wrote — no
+    # window, no join, no cartesian.
+    r = plan_report(QUERIES["streaming_session_eviction_audit"](spark, SF))
+    assert not r["cartesian"] and not r["nested_loop"]
+    assert r["global_windows"] == 0
+    assert r["sortmerge_joins"] == 0
