@@ -195,6 +195,12 @@ SECONDARY_REPLAYS = [
     "streaming_static_enrich",
     "streaming_topk_trending",
     "streaming_ab_conversion_live",
+    # round 12
+    "stats_hodges_lehmann_shift",
+    "ts_pacf_daily",
+    "graph_articulation_points",
+    "streaming_session_eviction_audit",
+    "text_heaps_law_fit",
 ]
 
 

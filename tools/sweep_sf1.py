@@ -237,6 +237,43 @@ ROUND11C_CLASS = [
     "graph_local_clustering",  # backbone shape at 10x weights
 ]
 
+# Round-12 additions (VERDICT r11 item 3): the two families the sf1
+# rehearsal had NEVER exercised. Streaming replays change shape with
+# volume in ways no batch sweep can see — per-batch state-store commit
+# counts, watermark progression over 10× the event stream, interval-
+# join state retention, the dedup state keyed by 10× distinct event
+# ids, and the foreachBatch sink stores (the AB store now MERGEs
+# executor-side; the eviction ledger appends per batch). Multimodal
+# decodes are row-local but their Arrow batches carry 10× the binary
+# payload count per task — the batch-memory shape the r11 verdict
+# called out. Plus the five round-12 registrations with their own
+# volume surfaces: HL's cumulative pair weights reach n_a·n_r ≈ 2.3e12
+# at sf1, PACF's daily sums scale 10×, the articulation fixpoint's
+# backbone feeds off 10× trade mass, and Heaps' per-source token
+# counts grow 10× through the ln grid.
+ROUND12_CLASS = [
+    "streaming_windowed_counts",
+    "streaming_session_windows",
+    "streaming_append_late_data",
+    "streaming_interval_join",
+    "streaming_interval_join_left_outer",
+    "streaming_stateful_totals",
+    "streaming_dedup_watermark",
+    "streaming_static_enrich",
+    "streaming_topk_trending",
+    "streaming_ab_conversion_live",
+    "streaming_session_eviction_audit",
+    "multimodal_ppm_decode",
+    "multimodal_wav_decode",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_audio_vad",
+    "stats_hodges_lehmann_shift",
+    "ts_pacf_daily",
+    "graph_articulation_points",
+    "text_heaps_law_fit",
+]
+
 SWEEP_CLASS = (
     OVERFLOW_CLASS
     + DICT_WINDOW_CLASS
@@ -246,6 +283,7 @@ SWEEP_CLASS = (
     + ROUND11_CLASS
     + ROUND11B_CLASS
     + ROUND11C_CLASS
+    + ROUND12_CLASS
 )
 
 
