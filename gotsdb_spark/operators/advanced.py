@@ -365,21 +365,23 @@ _IVF_ORACLE = """
     ), centroids AS (
       SELECT label AS c_label, d, avg(x) AS cx
       FROM comps GROUP BY label, d
-    ), dists AS (
+    ), dists AS MATERIALIZED (
       SELECT v.vec_id, v.label, c.c_label,
-             sum((v.x - c.cx) * (v.x - c.cx)) AS d2
+             CAST(floor(sum((v.x - c.cx) * (v.x - c.cx)) * 1e6 + 0.5)
+                  AS BIGINT) AS d2_e6
       FROM comps v JOIN centroids c USING (d)
       GROUP BY v.vec_id, v.label, c.c_label
-    ), best AS (
-      SELECT vec_id, label, min(d2) AS min_d2 FROM dists GROUP BY vec_id, label
     )
-    SELECT b.vec_id,
-           b.label AS true_label,
-           CAST(min(d.c_label) AS INT) AS assigned_label,
-           min(d.c_label) = b.label AS correct
-    FROM best b JOIN dists d
-      ON d.vec_id = b.vec_id AND d.d2 = b.min_d2
-    GROUP BY b.vec_id, b.label
+    SELECT vec_id, label AS true_label,
+           CAST(c_label AS INT) AS assigned_label,
+           c_label = label AS correct
+    FROM (
+      SELECT vec_id, label, c_label,
+             row_number() OVER (
+               PARTITION BY vec_id, label
+               ORDER BY d2_e6, c_label) AS rn
+      FROM dists) t
+    WHERE rn = 1
 """
 
 
@@ -405,15 +407,32 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = comps.groupBy(F.col("label").alias("c_label"), "d").agg(
         F.avg("x").alias("cx")
     )
+    # Distances are e6-floored to exact INTEGERS before the argmin
+    # (round-12 sf1 finding, same class as the PQ/ADC fix: raw-float
+    # argmin plus a float self-equality join in the oracle let each
+    # parallel re-evaluation of the unordered sum pick different
+    # association orders — at 10x volume DuckDB's double-inlined CTE
+    # dropped 729 vectors from its own min-join. Integer grid + one
+    # window pass is evaluation-order-proof in both engines.)
     dists = (
         comps.join(F.broadcast(centroids), "d")
         .groupBy("vec_id", "label", "c_label")
-        .agg(F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))).alias("d2"))
+        .agg(
+            F.floor(
+                F.sum(
+                    (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+                )
+                * 1e6
+                + 0.5
+            )
+            .cast("long")
+            .alias("d2_e6")
+        )
     )
     # Argmin via one window pass (tie-break: smallest label) — avoids the
     # groupBy-min + self-join shape, which costs two extra shuffles and a
     # re-scan of the distance table.
-    w = W.partitionBy("vec_id", "label").orderBy("d2", "c_label")
+    w = W.partitionBy("vec_id", "label").orderBy("d2_e6", "c_label")
     return (
         dists.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)

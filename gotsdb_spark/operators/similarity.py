@@ -692,18 +692,19 @@ _PQ_CTES = f"""
       WHERE rn = 1
     ), lut AS (
       SELECT vec_id AS q_id, m, g,
-             floor(d2 * 1e6 + 0.5) / 1e6 AS ld2
+             CAST(floor(d2 * 1e6 + 0.5) AS BIGINT) AS ld2_e6
       FROM enc_d2 WHERE vec_id < {_PQ_NQ}
     ), adc AS (
-      SELECT l.q_id, c.vec_id AS neighbor_id, sum(l.ld2) AS adc_d2
+      SELECT l.q_id, c.vec_id AS neighbor_id,
+             CAST(sum(l.ld2_e6) AS BIGINT) AS adc_e6
       FROM codes c JOIN lut l ON l.m = c.m AND l.g = c.code
       WHERE c.vec_id <> l.q_id
       GROUP BY l.q_id, c.vec_id
     ), adc_ranked AS (
       SELECT q_id, neighbor_id,
              CAST(row_number() OVER (
-               PARTITION BY q_id ORDER BY adc_d2, neighbor_id) AS INT) AS rank_adc,
-             floor(adc_d2 * 1e6 + 0.5) / 1e6 AS adc_d2_r
+               PARTITION BY q_id ORDER BY adc_e6, neighbor_id) AS INT) AS rank_adc,
+             CAST(adc_e6 AS DOUBLE) / 1e6 AS adc_d2_r
       FROM adc
     )
 """
@@ -759,11 +760,17 @@ def _pq_codes(spark: SparkSession, sf_dir: str):
         .where(F.col("rn") == 1)
         .select("vec_id", "m", F.col("g").alias("code"))
     )
+    # LUT entries are e6-floored to exact INTEGERS before the ADC sum
+    # (round-12 sf1 finding: the float-summed form ranked duplicate
+    # neighbors by 1e-16 association-order noise — the 10x key-shifted
+    # rehearsal copies are mathematically tied, and each engine broke
+    # the tie differently. Integer terms + integer sums make the rank
+    # a total order under ANY partitioning; ties fall to neighbor_id.)
     lut = enc.where(F.col("vec_id") < _PQ_NQ).select(
         F.col("vec_id").alias("q_id"),
         F.col("m").alias("qm"),
         F.col("g").alias("qg"),
-        (F.floor(F.col("d2") * 1e6 + 0.5) / 1e6).alias("ld2"),
+        F.floor(F.col("d2") * 1e6 + 0.5).cast("long").alias("ld2_e6"),
     )
     return codes, lut, vecs
 
@@ -787,7 +794,12 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan touches bytes, the LUT rides along broadcast, and only top-k
     rows survive. Codebook = one deterministic averaging step over
     vec_id%{k} seed groups (components rounded 1e-6), so both engines
-    derive identical codes and rankings.
+    derive identical codes and rankings. The ADC distance itself is an
+    exact INTEGER (e6-floored LUT terms, integer sum), so the ranking
+    is a total order under any partitioning — exact duplicate vectors
+    tie exactly and fall to the neighbor_id tie-break (the round-12
+    sf1 rehearsal caught the float-summed form ranking duplicates by
+    association-order noise).
     """
     codes, lut, _ = _pq_codes(spark, sf_dir)
     adc = (
@@ -797,9 +809,9 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("vec_id") != F.col("q_id"))
         .groupBy("q_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("ld2").alias("adc_d2_raw"))
+        .agg(F.sum("ld2_e6").cast("long").alias("adc_e6"))
     )
-    w = W.partitionBy("q_id").orderBy("adc_d2_raw", "neighbor_id")
+    w = W.partitionBy("q_id").orderBy("adc_e6", "neighbor_id")
     return (
         adc.withColumn("rank_adc", F.row_number().over(w).cast("int"))
         .where(F.col("rank_adc") <= _PQ_TOPK)
@@ -807,7 +819,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "neighbor_id",
             "rank_adc",
-            (F.floor(F.col("adc_d2_raw") * 1e6 + 0.5) / 1e6).alias("adc_d2"),
+            (F.col("adc_e6").cast("double") / 1e6).alias("adc_d2"),
         )
     )
 
@@ -824,7 +836,8 @@ ann_pq_adc_topk.__doc__ = ann_pq_adc_topk.__doc__.format(
       SELECT q.vec_id AS q_id, v.vec_id AS neighbor_id,
              row_number() OVER (
                PARTITION BY q.vec_id
-               ORDER BY sum((q.x - v.x) * (q.x - v.x)), v.vec_id) AS rn
+               ORDER BY CAST(floor(sum((q.x - v.x) * (q.x - v.x)) * 1e6
+                                   + 0.5) AS BIGINT), v.vec_id) AS rn
       FROM comps q JOIN comps v ON v.d = q.d AND v.vec_id <> q.vec_id
       WHERE q.vec_id < {_PQ_NQ}
       GROUP BY q.vec_id, v.vec_id
@@ -856,9 +869,9 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("vec_id") != F.col("q_id"))
         .groupBy("q_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("ld2").alias("adc_d2_raw"))
+        .agg(F.sum("ld2_e6").cast("long").alias("adc_e6"))
     )
-    w = W.partitionBy("q_id").orderBy("adc_d2_raw", "neighbor_id")
+    w = W.partitionBy("q_id").orderBy("adc_e6", "neighbor_id")
     adc_top = adc.withColumn("rank_adc", F.row_number().over(w)).where(
         F.col("rank_adc") <= _PQ_TOPK
     )
@@ -871,11 +884,18 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    we = W.partitionBy("q_id").orderBy("d2", "neighbor_id")
+    # Exact side ranks on the e6-floored INTEGER distance too — raw
+    # float ranking ties duplicate candidates on association-order
+    # noise (same round-12 sf1 finding as the ADC side).
+    we = W.partitionBy("q_id").orderBy("d2_e6", "neighbor_id")
     exact_top = (
         cand.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("q_id"))
-        .select("q_id", "neighbor_id", d2.alias("d2"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.floor(d2 * 1e6 + 0.5).cast("long").alias("d2_e6"),
+        )
         .withColumn("rn", F.row_number().over(we))
         .where(F.col("rn") <= _PQ_TOPK)
         .select("q_id", "neighbor_id")

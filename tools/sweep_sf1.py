@@ -272,6 +272,20 @@ ROUND12_CLASS = [
     "ts_pacf_daily",
     "graph_articulation_points",
     "text_heaps_law_fit",
+    # ANN/embedding family — added after the rehearsal's first pass
+    # FOUND TWO REAL DEFECTS here (the only sweep failures since r6):
+    # PQ/ADC ranked the 10x-duplicated (mathematically tied) neighbors
+    # by float association-order noise, and ann_ivf_assign's oracle
+    # dropped 729 vectors through a float self-equality join over a
+    # double-inlined CTE. Both now rank on e6-floored integers; the
+    # class keeps the whole family under 10x probe fan-out.
+    "ann_ivf_assign",
+    "ann_ivf_search",
+    "ann_ivf_recall",
+    "ann_pq_adc_topk",
+    "ann_pq_recall",
+    "embed_dimension_stats",
+    "embed_int8_quantize_audit",
 ]
 
 SWEEP_CLASS = (
