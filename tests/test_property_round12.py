@@ -1,0 +1,265 @@
+"""Property-based differential testing of the round-12 operators.
+
+The fixture-backed reference tests (test_round12_ops.py) pin one data
+shape; these fuzz the boundary algebra — tie-heavy price grids where
+the weighted-median crossing lands exactly on half the pair mass,
+degenerate single-source corpora where the Heaps OLS denominator
+vanishes to NULL, and random multigraphs whose top-decile backbone
+sparsification interacts with the articulation fixpoint. Operators are
+exercised through their registered query functions with `load_table`
+patched to serve synthetic frames (the test_property_round7.py
+convention)."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from contextlib import contextmanager
+
+from hypothesis import HealthCheck, assume, given, settings
+from hypothesis import strategies as st
+
+SF = "/root/testdata/sf0.001"  # ignored by the patched loader
+
+
+@contextmanager
+def _patched(module, frame_by_table):
+    orig = module.load_table
+
+    def fake(spark_, name, sf_dir):
+        return frame_by_table[name]
+
+    module.load_table = fake
+    try:
+        yield
+    finally:
+        module.load_table = orig
+
+
+def tdiv(a: int, b: int) -> int:
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+# ------------------------------------------------- Hodges-Lehmann shift
+
+hl_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "R", "N"]),  # N rows must be ignored
+        st.integers(min_value=0, max_value=40),  # $100-grid cell
+        st.integers(min_value=0, max_value=99),  # within-cell cents
+    ),
+    min_size=2,
+    max_size=80,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(hl_rows)
+def test_hodges_lehmann_fuzz(spark, rows):
+    from gotsdb_spark.operators import inference
+    from gotsdb_spark.operators.registry import QUERIES
+
+    assume(any(f == "A" for f, _, _ in rows))
+    assume(any(f == "R" for f, _, _ in rows))
+    li = spark.createDataFrame(
+        [(f, g * 100.0 + c / 100.0) for f, g, c in rows],
+        "l_returnflag STRING, l_extendedprice DOUBLE",
+    )
+    ga: dict[int, int] = defaultdict(int)
+    gr: dict[int, int] = defaultdict(int)
+    for f, g, c in rows:
+        cell = math.floor((g * 100.0 + c / 100.0) * 100) // 10000
+        if f == "A":
+            ga[cell] += 1
+        elif f == "R":
+            gr[cell] += 1
+    diffs: dict[int, int] = defaultdict(int)
+    for a, ca in ga.items():
+        for b, cb in gr.items():
+            diffs[a - b] += ca * cb
+    n_a, n_r = sum(ga.values()), sum(gr.values())
+    cum, hl = 0, None
+    for d in sorted(diffs):
+        cum += diffs[d]
+        if 2 * cum >= n_a * n_r:
+            hl = d
+            break
+    with _patched(inference, {"lineitem": li}):
+        out = QUERIES["stats_hodges_lehmann_shift"](spark, SF).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_a"], r["n_r"], r["n_pairs"]) == (n_a, n_r, n_a * n_r)
+    assert r["hl_shift_usd100"] == hl
+    assert r["hl_shift_cents"] == hl * 10000
+
+
+# ---------------------------------------------------- Heaps-law OLS
+
+heaps_corpus = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2", "s3", "s4"]),
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=1,
+            max_size=8,
+        ),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(heaps_corpus)
+def test_heaps_law_fuzz(spark, docs):
+    from gotsdb_spark.operators import text
+    from gotsdb_spark.operators.registry import QUERIES
+
+    frame = spark.createDataFrame(
+        [(s, " ".join(ws)) for s, ws in docs], "source STRING, text STRING"
+    )
+    toks: dict[str, int] = defaultdict(int)
+    types: dict[str, set] = defaultdict(set)
+    for s, ws in docs:
+        toks[s] += len(ws)
+        types[s].update(ws)
+    pts = [
+        (
+            math.floor(math.log(toks[s]) * 1e9 + 0.5001),
+            math.floor(math.log(len(types[s])) * 1e9 + 0.5001),
+        )
+        for s in toks
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    den = n * sxx - sx * sx
+    num = n * sxy - sx * sy
+    with _patched(text, {"documents": frame}):
+        out = QUERIES["text_heaps_law_fit"](spark, SF).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_sources"] == n
+    assert r["sum_tokens"] == sum(toks.values())
+    assert r["sum_types"] == sum(len(v) for v in types.values())
+    if den == 0:
+        # single source, or all sources the same token count on the e9
+        # ln grid: the NULLIF guard must surface NULL, not divide
+        assert r["beta_e6"] is None and r["lnk_e6"] is None
+    else:
+        assert r["beta_e6"] == tdiv(num * 10**6, den)
+        assert r["lnk_e6"] == tdiv(sy * den - num * sx, n * den * 1000)
+
+
+# ------------------------------------------------ articulation points
+
+art_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=1, max_value=3),  # multiplicity (weight)
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(art_edges)
+def test_articulation_fuzz(spark, edges):
+    from gotsdb_spark.operators import graph
+    from gotsdb_spark.operators.registry import QUERIES
+
+    assume(any(a != b for a, b, _ in edges))
+    # Synthesize the 4-table star so _backbone_edges sees exactly this
+    # weighted nation multigraph: one customer and one supplier per
+    # nation, one (order, lineitem) pair per unit of edge weight.
+    cust = [(n, n) for n in range(6)]
+    supp = [(n, n) for n in range(6)]
+    orders, lineitem = [], []
+    oid = 0
+    for a, b, w in edges:
+        for _ in range(w):
+            orders.append((oid, a))
+            lineitem.append((oid, b))
+            oid += 1
+    nation = [(n, f"N{n}") for n in range(6)]
+    frames = {
+        "customer": spark.createDataFrame(
+            cust, "c_custkey LONG, c_nationkey LONG"
+        ),
+        "supplier": spark.createDataFrame(
+            supp, "s_suppkey LONG, s_nationkey LONG"
+        ),
+        "orders": spark.createDataFrame(
+            orders, "o_orderkey LONG, o_custkey LONG"
+        ),
+        "lineitem": spark.createDataFrame(
+            lineitem, "l_orderkey LONG, l_suppkey LONG"
+        ),
+        "nation": spark.createDataFrame(
+            nation, "n_nationkey LONG, n_name STRING"
+        ),
+    }
+    # Python replica of the backbone: flows -> undirected weights ->
+    # top-decile by (w DESC, a, b)
+    flows: dict[tuple, int] = defaultdict(int)
+    for a, b, w in edges:
+        if a != b:
+            flows[(min(a, b), max(a, b))] += w
+    ranked = sorted(flows.items(), key=lambda kv: (-kv[1], kv[0]))
+    keep = ranked[: math.ceil(len(ranked) / 10.0)]
+    bb = [e for e, _ in keep]
+    nodes = sorted({v for e in bb for v in e})
+    adj = defaultdict(set)
+    for a, b in bb:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def n_comp(excluded):
+        seen, comps = set(), 0
+        for s in nodes:
+            if s == excluded or s in seen:
+                continue
+            comps += 1
+            stack = [s]
+            seen.add(s)
+            while stack:
+                u = stack.pop()
+                for v in adj[u]:
+                    if v != excluded and v not in seen:
+                        seen.add(v)
+                        stack.append(v)
+        return comps
+
+    base = n_comp(None)
+    want = {
+        f"N{v}": (n_comp(v), base, n_comp(v) > base) for v in nodes
+    }
+    with _patched(graph, frames):
+        got = {
+            r["n_name"]: (
+                r["components_without"],
+                r["components_base"],
+                r["is_articulation"],
+            )
+            for r in QUERIES["graph_articulation_points"](
+                spark, SF
+            ).collect()
+        }
+    assert got == want and want
