@@ -180,6 +180,12 @@ HEADLINE = [
     "stats_mann_kendall_trend",
     "ts_page_hinkley_drift",
     "quality_join_fanout_audit",
+    # round 12 (batch ops; the eviction-audit replay stays in
+    # SECONDARY_REPLAYS with the other multi-wave streams)
+    "stats_hodges_lehmann_shift",
+    "ts_pacf_daily",
+    "graph_articulation_points",
+    "text_heaps_law_fit",
 ]
 
 # Streaming replays + the KV engine roundtrip execute real multi-wave
@@ -195,12 +201,7 @@ SECONDARY_REPLAYS = [
     "streaming_static_enrich",
     "streaming_topk_trending",
     "streaming_ab_conversion_live",
-    # round 12
-    "stats_hodges_lehmann_shift",
-    "ts_pacf_daily",
-    "graph_articulation_points",
     "streaming_session_eviction_audit",
-    "text_heaps_law_fit",
 ]
 
 
