@@ -263,3 +263,107 @@ def test_articulation_fuzz(spark, edges):
             ).collect()
         }
     assert got == want and want
+
+
+# --------------------------------------------------------------- PACF
+
+pacf_series = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),  # day
+        st.integers(min_value=0, max_value=9),  # value grid
+    ),
+    min_size=10,
+    max_size=50,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(pacf_series)
+def test_pacf_fuzz(spark, rows):
+    """Durbin-Levinson recursion vs a bit-for-bit Python replica of
+    the identical expression trees, over fuzzed daily series; assumes
+    away the degenerate inputs (missing lags, zero variances, vanishing
+    recursion denominators) whose NULL/NaN surface is not the contract
+    under test."""
+    import datetime
+
+    from gotsdb_spark.operators import inference
+    from gotsdb_spark.operators.registry import QUERIES
+
+    base = datetime.datetime(2025, 1, 1, 12, 0, 0)
+    daily_sum: dict[int, list] = defaultdict(lambda: [0, 0])
+    for d, v in rows:
+        daily_sum[d][0] += math.floor(float(v) * 1000)
+        daily_sum[d][1] += 1
+    ys = {d: tdiv(s, c) for d, (s, c) in daily_sum.items()}
+
+    rho = {}
+    ok = True
+    for lag in range(1, 6):
+        pairs = [(ys[x], ys[x + lag]) for x in ys if (x + lag) in ys]
+        n = len(pairs)
+        if n < 3:
+            ok = False
+            break
+        sa = sum(a for a, _ in pairs)
+        sb = sum(b for _, b in pairs)
+        sab = sum(a * b for a, b in pairs)
+        saa = sum(a * a for a, _ in pairs)
+        sbb = sum(b * b for _, b in pairs)
+        var = (n * 1.0 * saa - sa * 1.0 * sa) * (
+            n * 1.0 * sbb - sb * 1.0 * sb
+        )
+        if var <= 0:
+            ok = False
+            break
+        rho[lag] = (
+            math.floor(
+                (n * 1.0 * sab - sa * 1.0 * sb) / math.sqrt(var) * 1e6
+                + 0.5001
+            )
+            / 1e6
+        )
+    assume(ok)
+    r1, r2, r3, r4, r5 = (rho[k] for k in range(1, 6))
+    phi11 = r1
+    den2 = 1.0 - phi11 * r1
+    assume(abs(den2) > 1e-6)
+    phi22 = (r2 - phi11 * r1) / den2
+    phi21 = phi11 - phi22 * phi11
+    den3 = 1.0 - (phi21 * r1 + phi22 * r2)
+    assume(abs(den3) > 1e-6)
+    phi33 = (r3 - (phi21 * r2 + phi22 * r1)) / den3
+    phi31 = phi21 - phi33 * phi22
+    phi32 = phi22 - phi33 * phi21
+    den4 = 1.0 - (phi31 * r1 + phi32 * r2 + phi33 * r3)
+    assume(abs(den4) > 1e-6)
+    phi44 = (r4 - (phi31 * r3 + phi32 * r2 + phi33 * r1)) / den4
+    phi41 = phi31 - phi44 * phi33
+    phi42 = phi32 - phi44 * phi32
+    phi43 = phi33 - phi44 * phi31
+    den5 = 1.0 - (phi41 * r1 + phi42 * r2 + phi43 * r3 + phi44 * r4)
+    assume(abs(den5) > 1e-6)
+    phi55 = (
+        r5 - (phi41 * r4 + phi42 * r3 + phi43 * r2 + phi44 * r1)
+    ) / den5
+    want = tuple(
+        math.floor(p * 1e6 + 0.5001)
+        for p in (phi11, phi22, phi33, phi44, phi55)
+    )
+
+    ev = spark.createDataFrame(
+        [
+            ("a", base + datetime.timedelta(days=d), float(v))
+            for d, v in rows
+        ],
+        "event_type STRING, ts TIMESTAMP, value DOUBLE",
+    )
+    with _patched(inference, {"events": ev}):
+        out = QUERIES["ts_pacf_daily"](spark, SF).collect()
+    assert len(out) == 1
+    got = tuple(out[0][f"pacf{k}_e6"] for k in range(1, 6))
+    assert got == want
