@@ -186,6 +186,9 @@ HEADLINE = [
     "ts_pacf_daily",
     "graph_articulation_points",
     "text_heaps_law_fit",
+    "stats_levene_mean_center",
+    "text_good_turing_unseen",
+    "graph_bridges",
 ]
 
 # Streaming replays + the KV engine roundtrip execute real multi-wave

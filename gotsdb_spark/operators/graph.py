@@ -2567,3 +2567,205 @@ def graph_articulation_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bridges (cut edges) — round 12.
+# ---------------------------------------------------------------------------
+
+BRIDGES_ORACLE = f"""
+    WITH RECURSIVE {_BACKBONE_SQL},
+    edb AS MATERIALIZED (
+      SELECT a, b FROM ue UNION ALL SELECT b, a FROM ue
+    ),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT a AS v FROM edb
+    ),
+    excl AS (
+      SELECT a AS xa, b AS xb FROM ue UNION ALL SELECT -1, -1
+    ),
+    reach(xa, xb, s, v) AS (
+      SELECT e.xa, e.xb, n.v, n.v FROM excl e CROSS JOIN nodes n
+      UNION
+      SELECT r.xa, r.xb, r.s, d.b
+      FROM reach r JOIN edb d ON d.a = r.v
+      WHERE NOT (least(d.a, d.b) = r.xa AND greatest(d.a, d.b) = r.xb)
+    ),
+    comp AS (
+      SELECT xa, xb, s, min(v) AS lbl FROM reach GROUP BY xa, xb, s
+    ),
+    cnt AS (
+      SELECT xa, xb, CAST(count(DISTINCT lbl) AS BIGINT) AS n_comp
+      FROM comp GROUP BY xa, xb
+    ),
+    base AS (
+      SELECT n_comp AS base_comp FROM cnt WHERE xa = -1
+    )
+    SELECT na.n_name AS a_name, nb.n_name AS b_name, u.w,
+           c.n_comp AS components_without,
+           bb.base_comp AS components_base,
+           c.n_comp > bb.base_comp AS is_bridge
+    FROM cnt c
+    JOIN ue u ON u.a = c.xa AND u.b = c.xb
+    CROSS JOIN base bb
+    JOIN nation na ON na.n_nationkey = c.xa
+    JOIN nation nb ON nb.n_nationkey = c.xb
+    WHERE c.xa >= 0
+    ORDER BY a_name, b_name
+"""
+
+
+@query("graph_bridges", oracle=BRIDGES_ORACLE)
+def graph_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bridges (cut edges) of the sparsified trade backbone: for every
+    backbone edge (a, b), the number of connected components of
+    G - {{(a,b)}}, and whether deleting that single trade corridor
+    DISCONNECTS part of the network — the edge-level
+    single-point-of-failure audit that completes the cut family
+    (graph_articulation_points removes NODES; Girvan-Newman ranks
+    edges by betweenness, which flags bottlenecks but not whether the
+    graph actually splits).
+
+    Exact by definition, not Tarjan low-link: the edge domain is the
+    sparsified nation-pair backbone (<= 30 edges forever, bounded by
+    the 300-pair dictionary), so all |E|+1 edge-deletion scenarios —
+    each backbone edge, plus the sentinel (xa, xb) = (-1, -1) for the
+    unmodified baseline — run as ONE data-parallel
+    min-label-propagation fixpoint over a (xa, xb, node, label) frame
+    of <= 31 x 25 rows, directed edges replicated per scenario with
+    the excluded undirected pair dropped in both directions.
+    Convergence is signature-checked per round (count + label-hash
+    sum, the star-contraction convention) with a loud failure if the
+    |V|-round bound is exhausted — never a silently-unconverged
+    component count.
+
+    Determinism: labels are integer minima over integer node ids;
+    component counts are exact; the boolean compares two exact
+    integers; edge weights are exact lineitem counts. No floats.
+
+    Scale: ONE fact-table collapse builds the backbone (checkpointed,
+    shared shape with the articulation/modularity family); everything
+    after is dictionary-sized (<= 31 x 600-row joins per round,
+    rounds bounded by graph diameter <= |V|). For billion-edge graphs
+    the same scenario-replicated propagation applies to a CANDIDATE
+    edge set (e.g. Girvan-Newman's top-k betweenness edges) rather
+    than every edge; the exhaustive per-edge sweep is the
+    dimension-bounded-domain variant.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no graph
+    surface (internal/storage/types.go:3); this is [TARGET] graph
+    machinery.
+    """
+    ue = _backbone_edges(spark, sf_dir)
+    edb = ue.select("a", "b").unionByName(
+        ue.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    nodes = edb.select(F.col("a").alias("v")).distinct().localCheckpoint(
+        eager=False
+    )
+    excl = ue.select(
+        F.col("a").alias("xa"), F.col("b").alias("xb")
+    ).unionByName(
+        ue.sparkSession.range(1).select(
+            F.lit(-1).alias("xa"), F.lit(-1).alias("xb")
+        )
+    )
+    edx = (
+        edb.crossJoin(F.broadcast(excl))
+        .where(
+            ~(
+                (F.least("a", "b") == F.col("xa"))
+                & (F.greatest("a", "b") == F.col("xb"))
+            )
+        )
+        .select("xa", "xb", "a", "b")
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        nodes.crossJoin(F.broadcast(excl))
+        .select("xa", "xb", "v", F.col("v").alias("lbl"))
+        .localCheckpoint(eager=False)
+    )
+    prev_sig = None
+    for _ in range(26):  # diameter bound: <= |V| rounds for 25 nations
+        cand = (
+            labels.join(
+                edx,
+                (labels.xa == edx.xa)
+                & (labels.xb == edx.xb)
+                & (labels.v == edx.a),
+            )
+            .groupBy(labels.xa, labels.xb, F.col("b").alias("v"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = (
+            labels.join(cand, ["xa", "xb", "v"], "left")
+            .select(
+                "xa",
+                "xb",
+                "v",
+                F.least(
+                    F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        sig = tuple(
+            labels.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.xxhash64("xa", "xb", "v", "lbl").cast("decimal(38,0)")
+                ).alias("h"),
+            ).collect()[0]
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            "bridge label propagation did not reach a fixpoint within "
+            "26 rounds — the label frame is still changing, so "
+            "component counts would be wrong; raise the round bound"
+        )
+    cnt = labels.groupBy("xa", "xb").agg(
+        F.countDistinct("lbl").cast("long").alias("n_comp")
+    ).localCheckpoint(eager=False)
+    base = cnt.where(F.col("xa") == -1).select(
+        F.col("n_comp").alias("base_comp")
+    )
+    nation = load_table(spark, "nation", sf_dir)
+    return (
+        cnt.where(F.col("xa") >= 0)
+        .join(
+            ue.select("a", "b", "w"),
+            (F.col("xa") == F.col("a")) & (F.col("xb") == F.col("b")),
+        )
+        .crossJoin(F.broadcast(base))
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("xa"),
+                    F.col("n_name").alias("a_name"),
+                )
+            ),
+            "xa",
+        )
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("xb"),
+                    F.col("n_name").alias("b_name"),
+                )
+            ),
+            "xb",
+        )
+        .select(
+            "a_name",
+            "b_name",
+            "w",
+            F.col("n_comp").alias("components_without"),
+            F.col("base_comp").alias("components_base"),
+            (F.col("n_comp") > F.col("base_comp")).alias("is_bridge"),
+        )
+        .orderBy("a_name", "b_name")
+    )

@@ -3279,3 +3279,174 @@ def stats_bowley_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV NULLIF(q3 - q1, 0) AS BIGINT)"
         ).alias("bowley_e6"),
     ).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# Levene variance-homogeneity test (mean-centered) — round 12.
+# ---------------------------------------------------------------------------
+
+# Exact-integer trick for the mean-centered deviations: the group mean
+# S_j / n_j is rational, so |x - S_j/n_j| = |n_j*x - S_j| / n_j. The
+# dictionary carries u = |n_j*cents - S_j| (exact integer); the W
+# statistic divides the n_j factors back out inside ONE double
+# expression shared VERBATIM by the Spark query and the DuckDB oracle
+# (the stats_brown_forsythe convention). Per-group suffstats:
+# n_g (count), t_g = Σ c*u, q_g = Σ c*u² — t ~ 1.2e19 and q ~ 6e31 at
+# sf1, so both accumulate in DECIMAL(38,0)/HUGEINT.
+_LV_SZ = {
+    g: f"(CAST(t_{g} AS DOUBLE) / CAST(n_{g} AS DOUBLE))" for g in "anr"
+}
+_LV_A = "(" + " + ".join(
+    f"({_LV_SZ[g]} * {_LV_SZ[g]} / CAST(n_{g} AS DOUBLE))" for g in "anr"
+) + ")"
+_LV_T = "(" + " + ".join(_LV_SZ[g] for g in "anr") + ")"
+_LV_Q = "(" + " + ".join(
+    f"(CAST(q_{g} AS DOUBLE)"
+    f" / (CAST(n_{g} AS DOUBLE) * CAST(n_{g} AS DOUBLE)))"
+    for g in "anr"
+) + ")"
+_LV_W_E6 = (
+    f"CAST(floor((({_LV_A} - {_LV_T} * {_LV_T} / CAST(nn AS DOUBLE)) / 2.0)"
+    f" / (({_LV_Q} - {_LV_A}) / (CAST(nn AS DOUBLE) - 3.0))"
+    f" * 1e6 + 0.5001) AS BIGINT)"
+)
+
+LEVENE_MEAN_ORACLE = f"""
+    WITH base AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ), dic AS MATERIALIZED (
+      SELECT flag, cents, CAST(count(*) AS BIGINT) AS c
+      FROM base GROUP BY flag, cents
+    ), grp AS (
+      SELECT flag, CAST(sum(c) AS BIGINT) AS nj,
+             sum(CAST(c AS HUGEINT) * cents) AS sj
+      FROM dic GROUP BY flag
+    ), dev AS (
+      SELECT d.flag,
+             abs(CAST(d.cents AS HUGEINT) * g.nj - g.sj) AS u,
+             d.c
+      FROM dic d JOIN grp g USING (flag)
+    ), agg AS (
+      SELECT
+        CAST(sum(CASE WHEN flag = 'A' THEN c ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN flag = 'N' THEN c ELSE 0 END) AS BIGINT) AS n_n,
+        CAST(sum(CASE WHEN flag = 'R' THEN c ELSE 0 END) AS BIGINT) AS n_r,
+        sum(CASE WHEN flag = 'A' THEN CAST(c AS HUGEINT) * u END) AS t_a,
+        sum(CASE WHEN flag = 'N' THEN CAST(c AS HUGEINT) * u END) AS t_n,
+        sum(CASE WHEN flag = 'R' THEN CAST(c AS HUGEINT) * u END) AS t_r,
+        sum(CASE WHEN flag = 'A' THEN CAST(c AS HUGEINT) * u * u END) AS q_a,
+        sum(CASE WHEN flag = 'N' THEN CAST(c AS HUGEINT) * u * u END) AS q_n,
+        sum(CASE WHEN flag = 'R' THEN CAST(c AS HUGEINT) * u * u END) AS q_r,
+        CAST(sum(c) AS BIGINT) AS nn
+      FROM dev
+    ), sums AS (
+      SELECT flag, CAST(sj AS BIGINT) AS sj FROM grp
+    )
+    SELECT nn AS n, n_a, n_n, n_r,
+           (SELECT sj FROM sums WHERE flag = 'A') AS sum_a_cents,
+           (SELECT sj FROM sums WHERE flag = 'N') AS sum_n_cents,
+           (SELECT sj FROM sums WHERE flag = 'R') AS sum_r_cents,
+           {_LV_W_E6} AS w_e6
+    FROM agg
+"""
+
+
+@query("stats_levene_mean_center", oracle=LEVENE_MEAN_ORACLE)
+def stats_levene_mean_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene variance-homogeneity test (original MEAN-centered form)
+    of l_extendedprice across the three returnflag groups — the
+    companion to stats_brown_forsythe (median-centered): Levene's W on
+    z_ij = |x_ij - mean_j| is the more powerful test under
+    near-normality, Brown-Forsythe the more robust under heavy tails;
+    reading both says whether a variance verdict is distribution-
+    fragile.
+
+    Exactness: the group mean S_j/n_j is rational, never materialized
+    as a float — deviations enter the suffstats as the exact integer
+    u_ij = |n_j*cents_ij - S_j| (= n_j * z_ij), computed on the
+    (flag, cents) dictionary, and the W statistic divides the n_j
+    factors back out inside ONE double expression whose text is shared
+    VERBATIM between the Spark query and the DuckDB oracle (_LV_*
+    fragments above), floored to the e6 grid. t_g ~ 1.2e19 and
+    q_g ~ 6e31 at sf1 exceed int64, so both engines accumulate in
+    DECIMAL(38,0)/HUGEINT (the stats_brown_forsythe overflow
+    convention).
+
+    Scale: one groupBy to the price dictionary (bounded by the
+    quantity x retail-price grid, which saturates — rows don't), a
+    3-row group-moments broadcast back onto the dictionary, one scalar
+    aggregate. Nothing downstream of the first groupBy is
+    row-count-sized.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    statistical surface (internal/storage/types.go:3); this is
+    [TARGET] inference machinery.
+    """
+    pts = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    dec = "decimal(38,0)"
+    # Checkpointed: the group-moment pass and the deviation pass both
+    # consume the dictionary (the stats_brown_forsythe scan-audit fix).
+    dic = (
+        pts.groupBy("flag", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    grp = dic.groupBy("flag").agg(
+        F.sum("c").cast("long").alias("nj"),
+        F.sum(F.col("c").cast(dec) * F.col("cents")).alias("sj"),
+    )
+    dev = dic.join(F.broadcast(grp), "flag").select(
+        "flag",
+        F.abs(
+            F.col("cents").cast(dec) * F.col("nj") - F.col("sj")
+        ).alias("u"),
+        "c",
+    )
+    agg = dev.agg(
+        *(
+            [
+                F.sum(F.when(F.col("flag") == fl, F.col("c")).otherwise(0))
+                .cast("long")
+                .alias(f"n_{fl.lower()}")
+                for fl in ("A", "N", "R")
+            ]
+            + [
+                F.sum(
+                    F.when(
+                        F.col("flag") == fl,
+                        F.col("c").cast(dec) * F.col("u"),
+                    )
+                ).alias(f"t_{fl.lower()}")
+                for fl in ("A", "N", "R")
+            ]
+            + [
+                F.sum(
+                    F.when(
+                        F.col("flag") == fl,
+                        F.col("c").cast(dec) * F.col("u") * F.col("u"),
+                    )
+                ).alias(f"q_{fl.lower()}")
+                for fl in ("A", "N", "R")
+            ]
+            + [F.sum("c").cast("long").alias("nn")]
+        )
+    )
+    sums = grp.groupBy().pivot("flag", ["A", "N", "R"]).max("sj")
+    return (
+        agg.crossJoin(F.broadcast(sums))
+        .select(
+            F.col("nn").alias("n"),
+            "n_a",
+            "n_n",
+            "n_r",
+            F.col("A").cast("bigint").alias("sum_a_cents"),
+            F.col("N").cast("bigint").alias("sum_n_cents"),
+            F.col("R").cast("bigint").alias("sum_r_cents"),
+            F.expr(_LV_W_E6).alias("w_e6"),
+        )
+    )

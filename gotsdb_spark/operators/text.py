@@ -1712,3 +1712,130 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV NULLIF(n * (n * sxx - sx * sx) * 1000, 0) AS BIGINT)"
         ).alias("lnk_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing unseen-mass estimate — round 12.
+# ---------------------------------------------------------------------------
+
+_GT_MAX_R = 5
+
+GOOD_TURING_ORACLE = f"""
+    WITH words AS (
+      SELECT string_split(text, ' ') AS ws FROM documents
+    ), tok AS (
+      SELECT unnest(list_transform(
+               generate_series(1, greatest(len(ws) - 2, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+      FROM words
+    ), freq AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY g
+    ), fof AS MATERIALIZED (
+      SELECT f, CAST(count(*) AS BIGINT) AS nf FROM freq GROUP BY f
+    ), tot AS (
+      SELECT CAST(sum(f * nf) AS BIGINT) AS total_tokens,
+             CAST(sum(nf) AS BIGINT) AS n_types,
+             CAST(max(CASE WHEN f = 1 THEN nf ELSE 0 END) AS BIGINT) AS n1
+      FROM fof
+    )
+    SELECT a.f AS r,
+           a.nf AS n_types_r,
+           CAST(coalesce(b.nf, 0) AS BIGINT) AS n_types_r1,
+           CAST((a.f + 1) * coalesce(b.nf, 0) * 1000000
+                // a.nf AS BIGINT) AS r_star_e6,
+           t.total_tokens,
+           t.n_types,
+           CAST(t.n1 * 1000000 // t.total_tokens AS BIGINT)
+             AS p_unseen_e6
+    FROM fof a LEFT JOIN fof b ON b.f = a.f + 1
+    CROSS JOIN tot t
+    WHERE a.f <= {_GT_MAX_R}
+    ORDER BY r
+"""
+
+
+@query("text_good_turing_unseen", oracle=GOOD_TURING_ORACLE)
+def text_good_turing_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-mass estimate from the word-TRIGRAM
+    frequency-of-frequencies dictionary: P(next trigram is a
+    NEVER-seen type) = N1/N, plus the smoothed count
+    r* = (r+1)*N_{{r+1}}/N_r for the rare-count rows r = 1..{r} — the
+    discovery-rate reading that completes the vocabulary triptych
+    (text_heaps_law_fit fits growth, text_vocab_coverage reads the
+    integral; Good-Turing prices what is still MISSING). The type
+    unit is the 3-word shingle (the dedup/novelty family's unit, same
+    construction as text_ngram_novelty but WITHOUT per-doc distinct —
+    Good-Turing needs occurrence counts): the synthetic corpus has a
+    closed unigram vocabulary (every word repeats hundreds of times,
+    N1 = 0 — degenerate), while its trigram tail is live at every sf.
+
+    Determinism: frequencies, frequency-of-frequencies, totals, and
+    both e6 ratios are exact integers end to end (DIV on BIGINTs);
+    the r spine is the fixed 1..{r} prefix of the fof dictionary.
+
+    Scale: one map-side-combinable shuffle to the trigram dictionary
+    (the same postings-shuffle class as TF-IDF/novelty), then one
+    shuffle to the frequency-of-frequencies dictionary, which is TINY
+    (thousands of distinct frequencies even at web scale — bounded by
+    the number of distinct type counts, which grows ~sqrt of the max
+    frequency). The r+1 lookup is a self-join on that tiny
+    dictionary; totals are one scalar aggregate. Nothing downstream
+    of the first groupBy is corpus-sized.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no text
+    surface (internal/storage/types.go:3); this is [TARGET] text
+    machinery.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    words = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+    )
+    freq = (
+        docs.select(F.explode(grams).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    # Two consumers (the totals and the r-spine self-join): freeze the
+    # frequency-of-frequencies dictionary once.
+    fof = (
+        freq.groupBy("f")
+        .agg(F.count(F.lit(1)).cast("long").alias("nf"))
+        .localCheckpoint(eager=False)
+    )
+    tot = fof.agg(
+        F.sum(F.col("f") * F.col("nf")).cast("long").alias("total_tokens"),
+        F.sum("nf").cast("long").alias("n_types"),
+        F.max(F.when(F.col("f") == 1, F.col("nf")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    nxt = fof.select(
+        (F.col("f") - 1).alias("f"), F.col("nf").alias("nf1")
+    )
+    return (
+        fof.where(F.col("f") <= _GT_MAX_R)
+        .join(nxt, "f", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("f").alias("r"),
+            F.col("nf").alias("n_types_r"),
+            F.coalesce("nf1", F.lit(0)).cast("bigint").alias("n_types_r1"),
+            F.expr(
+                "CAST((f + 1) * coalesce(nf1, 0) * 1000000"
+                " DIV nf AS BIGINT)"
+            ).alias("r_star_e6"),
+            "total_tokens",
+            "n_types",
+            F.expr(
+                "CAST(n1 * 1000000 DIV total_tokens AS BIGINT)"
+            ).alias("p_unseen_e6"),
+        )
+        .orderBy("r")
+    )
+
+
+text_good_turing_unseen.__doc__ = text_good_turing_unseen.__doc__.format(
+    r=_GT_MAX_R
+)

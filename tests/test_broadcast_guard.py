@@ -88,6 +88,16 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/inference.py", "stats_hodges_lehmann_shift", "med"): "scalar",
     # round 12: PACF 5-row lag spine
     ("operators/inference.py", "ts_pacf_daily", "lags"): "grid",
+    # round 12b: bridges — backbone-edge scenario spine (<= 30 pairs of
+    # the 300-pair nation dictionary), 1-row baseline, nation dim
+    ("operators/graph.py", "graph_bridges", "excl"): "grid",
+    ("operators/graph.py", "graph_bridges", "base"): "scalar",
+    ("operators/graph.py", "graph_bridges", "nation.select"): "dim",
+    # round 12b: Levene — 3-row flag group moments, 1-row sum pivot
+    ("operators/statistics.py", "stats_levene_mean_center", "grp"): "grid",
+    ("operators/statistics.py", "stats_levene_mean_center", "sums"): "scalar",
+    # round 12b: Good-Turing — 1-row totals
+    ("operators/text.py", "text_good_turing_unseen", "tot"): "scalar",
     ("operators/inference.py", "stats_friedman_ranks", "chi"): "scalar",
     ("operators/inference.py", "ts_ljung_box_whiteness", "lags"): "grid",
     ("operators/inference.py", "stats_durbin_watson", "fit"): "scalar",

@@ -1653,3 +1653,36 @@ def test_round12_ops_plan_shapes(spark):
     assert not r["cartesian"] and not r["nested_loop"]
     assert r["global_windows"] == 0
     assert r["sortmerge_joins"] == 0
+
+
+def test_round12b_ops_plan_shapes(spark):
+    """Plan pins for the late-round-12 operators."""
+    from gotsdb_spark.plans import plan_report
+
+    # Levene (mean-centered): one lineitem scan into the checkpointed
+    # price dictionary; the 3-row group-moments and 1-row sum-pivot
+    # broadcasts are intended nested loops — never a CartesianProduct,
+    # never a sort-merge join, no window at all.
+    r = plan_report(QUERIES["stats_levene_mean_center"](spark, SF))
+    assert r["scans"] <= 1  # the scan hides behind the dict checkpoint
+    assert not r["cartesian"]
+    assert r["sortmerge_joins"] == 0
+    assert r["global_windows"] == 0
+
+    # Good-Turing: trigram-dictionary shuffle, then everything runs on
+    # the tiny frequency-of-frequencies dictionary (checkpointed, one
+    # equi-join + a 1-row totals broadcast) — one scan, no cartesian,
+    # no sort-merge, no window.
+    r = plan_report(QUERIES["text_good_turing_unseen"](spark, SF))
+    assert r["scans"] <= 1  # the scan hides behind the fof checkpoint
+    assert not r["cartesian"]
+    assert r["sortmerge_joins"] == 0
+    assert r["global_windows"] == 0
+
+    # Bridges: all label-propagation rounds hide behind checkpoints;
+    # the visible plan is dictionary-sized aggregation plus the 1-row
+    # baseline / 25-row nation broadcasts (intended nested loop),
+    # never a CartesianProduct or a window.
+    r = plan_report(QUERIES["graph_bridges"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0

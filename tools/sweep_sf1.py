@@ -288,6 +288,21 @@ ROUND12_CLASS = [
     "embed_int8_quantize_audit",
 ]
 
+# Late-round-12 registrations. Levene is the volume case: q_g =
+# Σ c·u² with u = |n_j·cents − S_j| reaches ~6e31 at sf1 — int64 is
+# long gone, both engines must stay in DECIMAL(38,0)/HUGEINT.
+# Bridges re-runs the scenario fixpoint off 10× trade mass (same
+# backbone shape, weights ×10). Good-Turing pins the DEGENERATE arm:
+# the sf1 fixture is 10 exact copies of every document, so every
+# trigram count is exactly 10×f and the r ≤ 5 spine is EMPTY — both
+# engines must agree on the empty result, the closed-vocabulary shape
+# that motivated the trigram basis in the first place.
+ROUND12B_CLASS = [
+    "stats_levene_mean_center",
+    "graph_bridges",
+    "text_good_turing_unseen",
+]
+
 SWEEP_CLASS = (
     OVERFLOW_CLASS
     + DICT_WINDOW_CLASS
@@ -298,6 +313,7 @@ SWEEP_CLASS = (
     + ROUND11B_CLASS
     + ROUND11C_CLASS
     + ROUND12_CLASS
+    + ROUND12B_CLASS
 )
 
 
