@@ -367,3 +367,174 @@ def test_pacf_fuzz(spark, rows):
     assert len(out) == 1
     got = tuple(out[0][f"pacf{k}_e6"] for k in range(1, 6))
     assert got == want
+
+
+# -------------------------------------------------------------- bridges
+
+br_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=1, max_value=3),  # multiplicity (weight)
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(br_edges)
+def test_bridges_fuzz(spark, edges):
+    from gotsdb_spark.operators import graph
+    from gotsdb_spark.operators.registry import QUERIES
+
+    assume(any(a != b for a, b, _ in edges))
+    cust = [(n, n) for n in range(6)]
+    supp = [(n, n) for n in range(6)]
+    orders, lineitem = [], []
+    oid = 0
+    for a, b, w in edges:
+        for _ in range(w):
+            orders.append((oid, a))
+            lineitem.append((oid, b))
+            oid += 1
+    nation = [(n, f"N{n}") for n in range(6)]
+    frames = {
+        "customer": spark.createDataFrame(
+            cust, "c_custkey LONG, c_nationkey LONG"
+        ),
+        "supplier": spark.createDataFrame(
+            supp, "s_suppkey LONG, s_nationkey LONG"
+        ),
+        "orders": spark.createDataFrame(
+            orders, "o_orderkey LONG, o_custkey LONG"
+        ),
+        "lineitem": spark.createDataFrame(
+            lineitem, "l_orderkey LONG, l_suppkey LONG"
+        ),
+        "nation": spark.createDataFrame(
+            nation, "n_nationkey LONG, n_name STRING"
+        ),
+    }
+    flows: dict[tuple, int] = defaultdict(int)
+    for a, b, w in edges:
+        if a != b:
+            flows[(min(a, b), max(a, b))] += w
+    ranked = sorted(flows.items(), key=lambda kv: (-kv[1], kv[0]))
+    keep = ranked[: math.ceil(len(ranked) / 10.0)]
+    bb = [e for e, _ in keep]
+    bbw = dict(keep)
+    nodes = sorted({v for e in bb for v in e})
+
+    def n_comp(excluded_edge):
+        adj = defaultdict(set)
+        for a, b in bb:
+            if (a, b) != excluded_edge:
+                adj[a].add(b)
+                adj[b].add(a)
+        seen, comps = set(), 0
+        for s in nodes:
+            if s in seen:
+                continue
+            comps += 1
+            stack = [s]
+            seen.add(s)
+            while stack:
+                u = stack.pop()
+                for v in adj[u]:
+                    if v not in seen:
+                        seen.add(v)
+                        stack.append(v)
+        return comps
+
+    base = n_comp(None)
+    want = {
+        (f"N{a}", f"N{b}"): (bbw[(a, b)], n_comp((a, b)), base,
+                             n_comp((a, b)) > base)
+        for a, b in bb
+    }
+    with _patched(graph, frames):
+        got = {
+            (r["a_name"], r["b_name"]): (
+                r["w"],
+                r["components_without"],
+                r["components_base"],
+                r["is_bridge"],
+            )
+            for r in QUERIES["graph_bridges"](spark, SF).collect()
+        }
+    assert got == want and want
+
+
+# ---------------------------------------------------------- Good-Turing
+
+gt_docs = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]),
+        min_size=1,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(gt_docs)
+def test_good_turing_fuzz(spark, docs):
+    """Random tiny corpora over a 4-letter alphabet: repeated docs
+    drive trigram counts past the r <= 5 spine (the empty-result arm
+    the sf1 fixture pins), single docs keep everything at f = 1; the
+    short-doc arm (< 3 words) exercises the greatest(n-2, 1) partial
+    shingle exactly as both engines build it."""
+    from gotsdb_spark.operators import text
+    from gotsdb_spark.operators.registry import QUERIES
+
+    texts = [" ".join(ws) for ws in docs]
+    frame = spark.createDataFrame([(t,) for t in texts], "text STRING")
+
+    freq: dict[str, int] = defaultdict(int)
+    for t in texts:
+        ws = t.split(" ")
+        for i in range(max(len(ws) - 2, 1)):
+            freq[" ".join(ws[i : i + 3])] += 1
+    fof: dict[int, int] = defaultdict(int)
+    for f in freq.values():
+        fof[f] += 1
+    total = sum(freq.values())
+    n_types = len(freq)
+    n1 = fof.get(1, 0)
+    want = {
+        f: (
+            fof[f],
+            fof.get(f + 1, 0),
+            tdiv((f + 1) * fof.get(f + 1, 0) * 10**6, fof[f]),
+            total,
+            n_types,
+            tdiv(n1 * 10**6, total),
+        )
+        for f in fof
+        if f <= 5
+    }
+    with _patched(text, {"documents": frame}):
+        rows = QUERIES["text_good_turing_unseen"](spark, SF).collect()
+    got = {
+        r["r"]: (
+            r["n_types_r"],
+            r["n_types_r1"],
+            r["r_star_e6"],
+            r["total_tokens"],
+            r["n_types"],
+            r["p_unseen_e6"],
+        )
+        for r in rows
+    }
+    assert got == want

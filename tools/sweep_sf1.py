@@ -301,6 +301,14 @@ ROUND12B_CLASS = [
     "stats_levene_mean_center",
     "graph_bridges",
     "text_good_turing_unseen",
+    # Multimodal family closed 5/9 -> 9/9: the remaining decoders/
+    # feature extractors are the same Arrow-batch shape as the swept
+    # five but carry their own 10x surfaces (autocorr's per-frame
+    # integer products, aHash's 64-bit bucket keys over 10x images).
+    "multimodal_features",
+    "multimodal_audio_framing",
+    "multimodal_audio_autocorr",
+    "image_ahash_buckets",
 ]
 
 SWEEP_CLASS = (
