@@ -518,7 +518,7 @@ def star_contraction_edges(pairs: DataFrame) -> DataFrame:
 DEGREE_DIST_ORACLE = """
     WITH words AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-    ), shingles AS (
+    ), shingles AS MATERIALIZED (
       SELECT DISTINCT doc_id, sh FROM (
         SELECT doc_id,
                unnest(list_transform(
@@ -531,7 +531,7 @@ DEGREE_DIST_ORACLE = """
              min(md5(CAST(s.seed AS VARCHAR) || ':' || sh)) AS mh
       FROM shingles, (SELECT unnest(generate_series(0, 7)) AS seed) s
       GROUP BY doc_id, s.seed
-    ), bands AS (
+    ), bands AS MATERIALIZED (
       SELECT doc_id, seed // 2 AS band_id,
              string_agg(mh, '|' ORDER BY seed) AS sig
       FROM sigs GROUP BY doc_id, seed // 2
@@ -545,9 +545,9 @@ DEGREE_DIST_ORACLE = """
       JOIN shingles sa ON sa.doc_id = doc_a
       JOIN shingles sb ON sb.doc_id = doc_b AND sa.sh = sb.sh
       GROUP BY doc_a, doc_b
-    ), sizes AS (
+    ), sizes AS MATERIALIZED (
       SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
       SELECT doc_a, doc_b FROM inter
       JOIN sizes za ON za.doc_id = doc_a
       JOIN sizes zb ON zb.doc_id = doc_b
@@ -704,18 +704,18 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 LINK_PREDICTION_ORACLE = f"""
-    WITH flows AS ({_EDGES_SQL}),
+    WITH flows AS MATERIALIZED ({_EDGES_SQL}),
     ftot AS (
       SELECT sum(w) AS t, count(*) AS n FROM flows
     ), strong AS (
       SELECT src, dst FROM flows CROSS JOIN ftot WHERE w * n > t
-    ), ue AS (
+    ), ue AS MATERIALIZED (
       SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
       FROM strong WHERE src <> dst
-    ), adj AS (
+    ), adj AS MATERIALIZED (
       SELECT a AS x, b AS y FROM ue
       UNION ALL SELECT b, a FROM ue
-    ), deg AS (
+    ), deg AS MATERIALIZED (
       SELECT x, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY x
     ), wedge AS (
       SELECT t1.x AS node_a, t2.x AS node_b,

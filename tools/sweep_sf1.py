@@ -309,6 +309,19 @@ ROUND12B_CLASS = [
     "multimodal_audio_framing",
     "multimodal_audio_autocorr",
     "image_ahash_buckets",
+    # Graph family closed 15/19 -> 19/19. Adding these FOUND A REAL
+    # ORACLE-SCALE DEFECT: link-prediction's DuckDB oracle chained
+    # non-materialized CTEs off the 4-table flows join (each reference
+    # re-inlines the whole chain — >25 min at sf1, killed); the
+    # degree-distribution oracle re-ran the full MinHash pipeline per
+    # shingles/bands/sizes/pairs reference (390 s). Both now mark
+    # multi-referenced CTEs MATERIALIZED (the round-11 1e3188e rule,
+    # applied to the two graph oracles that had never run at 10x):
+    # link-pred oracle 0.9 s, degree-dist oracle 16.5 s at sf1.
+    "graph_pagerank_nations",
+    "graph_triangle_stats",
+    "graph_degree_distribution",
+    "graph_link_prediction_jaccard",
 ]
 
 SWEEP_CLASS = (
