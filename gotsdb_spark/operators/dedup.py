@@ -66,7 +66,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidate generation between delta and corpus partitions).
 _MINHASH_BANDS_CTES = f"""words AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-    ), shingles AS (
+    ), shingles AS MATERIALIZED (
       SELECT DISTINCT doc_id, sh FROM (
         SELECT doc_id,
                unnest(list_transform(
@@ -79,7 +79,7 @@ _MINHASH_BANDS_CTES = f"""words AS (
              min(md5(CAST(s.seed AS VARCHAR) || ':' || sh)) AS mh
       FROM shingles, (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS seed) s
       GROUP BY doc_id, s.seed
-    ), bands AS (
+    ), bands AS MATERIALIZED (
       SELECT doc_id, seed // {BAND_SIZE} AS band_id,
              string_agg(mh, '|' ORDER BY seed) AS sig
       FROM sigs GROUP BY doc_id, seed // {BAND_SIZE}
@@ -97,9 +97,9 @@ _MINHASH_CTES = _MINHASH_BANDS_CTES + f""", cand AS (
       JOIN shingles sa ON sa.doc_id = doc_a
       JOIN shingles sb ON sb.doc_id = doc_b AND sa.sh = sb.sh
       GROUP BY doc_a, doc_b
-    ), sizes AS (
+    ), sizes AS MATERIALIZED (
       SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
       SELECT doc_a, doc_b,
              n_common * 1.0 / (za.n_sh + zb.n_sh - n_common) AS jaccard
       FROM inter

@@ -921,7 +921,7 @@ ann_pq_recall.__doc__ = ann_pq_recall.__doc__.format(k=_PQ_TOPK, nq=_PQ_NQ)
 _SEMANTIC_DEDUP_T = 0.30
 
 _SEMANTIC_DEDUP_ORACLE = f"""
-    WITH comps AS (
+    WITH comps AS MATERIALIZED (
       SELECT vec_id, label, d.d, CAST(embedding[d.d] AS DOUBLE) AS x
       FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS d) d
     ), centroids AS (
@@ -930,7 +930,7 @@ _SEMANTIC_DEDUP_ORACLE = f"""
       SELECT v.vec_id, c.c_label, sum((v.x - c.cx) * (v.x - c.cx)) AS d2
       FROM comps v JOIN centroids c USING (d)
       GROUP BY v.vec_id, c.c_label
-    ), assigned AS (
+    ), assigned AS MATERIALIZED (
       SELECT vec_id, c_label AS list_id FROM (
         SELECT vec_id, c_label,
                row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
@@ -938,7 +938,7 @@ _SEMANTIC_DEDUP_ORACLE = f"""
     ), emb AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings
-    ), nemb AS (
+    ), nemb AS MATERIALIZED (
       SELECT vec_id,
              list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS en
       FROM emb
