@@ -608,7 +608,7 @@ _PF_T = 0.6  # Jaccard threshold shared with dedup_ngram_jaccard
 _PREFIX_FILTER_ORACLE = f"""
     WITH words AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-    ), shingles AS (
+    ), shingles AS MATERIALIZED (
       SELECT DISTINCT doc_id, sh FROM (
         SELECT doc_id,
                unnest(list_transform(
@@ -623,13 +623,13 @@ _PREFIX_FILTER_ORACLE = f"""
              row_number() OVER (PARTITION BY s.doc_id ORDER BY f.f, s.sh) AS rn,
              count(*)    OVER (PARTITION BY s.doc_id) AS n_sh
       FROM shingles s JOIN freq f USING (sh)
-    ), prefix AS (
+    ), prefix AS MATERIALIZED (
       SELECT doc_id, sh FROM ranked
       WHERE rn <= n_sh - ceil({_PF_T} * n_sh) + 1
-    ), cand AS (
+    ), cand AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id
-    ), packs AS (
+    ), packs AS MATERIALIZED (
       SELECT doc_id, list(sh ORDER BY sh) AS ss, count(*) AS n_sh
       FROM shingles GROUP BY doc_id
     )
