@@ -1724,9 +1724,13 @@ GOOD_TURING_ORACLE = f"""
     WITH words AS (
       SELECT string_split(text, ' ') AS ws FROM documents
     ), tok AS (
+      -- ws[i:i+2] is DuckDB's INCLUSIVE 3-element slice; array_to_string
+      -- over it emits partial shingles for < 3-word docs exactly like
+      -- Spark's concat_ws(' ', slice(ws, i, 3)) — a || chain would
+      -- collapse every short doc into one NULL type instead.
       SELECT unnest(list_transform(
                generate_series(1, greatest(len(ws) - 2, 1)),
-               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+               i -> array_to_string(ws[i:i+2], ' '))) AS g
       FROM words
     ), freq AS (
       SELECT g, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY g

@@ -494,7 +494,13 @@ def test_good_turing_fuzz(spark, docs):
     drive trigram counts past the r <= 5 spine (the empty-result arm
     the sf1 fixture pins), single docs keep everything at f = 1; the
     short-doc arm (< 3 words) exercises the greatest(n-2, 1) partial
-    shingle exactly as both engines build it."""
+    shingle in BOTH engines — Spark is compared against the Python
+    reference AND the DuckDB oracle is run on the same corpus, so the
+    oracle's array_to_string partial-shingle arm (not just the
+    fixture's all-long-docs path) is pinned here."""
+    import duckdb
+    import pandas as pd
+
     from gotsdb_spark.operators import text
     from gotsdb_spark.operators.registry import QUERIES
 
@@ -538,3 +544,14 @@ def test_good_turing_fuzz(spark, docs):
         for r in rows
     }
     assert got == want
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"text": texts}))
+    oracle = {
+        r: (ntr, ntr1, rstar, tot_, ntyp, pun)
+        for r, ntr, ntr1, rstar, tot_, ntyp, pun in con.execute(
+            text.GOOD_TURING_ORACLE
+        ).fetchall()
+    }
+    con.close()
+    assert oracle == want

@@ -92,9 +92,25 @@ def main() -> None:
         if s1 is None or (ratio is not None and ratio > 30):
             flag = "  <-- BLOWUP?"
             worst.append((float("inf") if s1 is None else ratio, name))
-        print(f"{name}: sf0.1 {s01 or n01}s  sf1 {s1 or n1}s  x{ratio}{flag}",
-              flush=True)
+        def _fmt(s, n):
+            return "TIMEOUT" if s is None else f"{s}s ({n} rows)"
+
+        print(
+            f"{name}: sf0.1 {_fmt(s01, n01)}  sf1 {_fmt(s1, n1)}"
+            f"  x{ratio}{flag}",
+            flush=True,
+        )
     path = os.path.join(REPO, "tools", "oracle_cost_audit.json")
+    if sys.argv[2:]:
+        # Subset run: merge into the existing artifact instead of
+        # clobbering the committed full-registry audit.
+        try:
+            with open(path) as fh:
+                merged = json.load(fh)
+        except (OSError, ValueError):
+            merged = {}
+        merged.update(out)
+        out = merged
     with open(path, "w") as fh:
         json.dump(out, fh, indent=0, sort_keys=True)
     print(f"\nwrote {path}; {len(worst)} flagged: {sorted(worst, reverse=True)[:10]}")
