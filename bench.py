@@ -189,6 +189,10 @@ HEADLINE = [
     "stats_levene_mean_center",
     "text_good_turing_unseen",
     "graph_bridges",
+    # round 13 (batch ops; the checkpoint-restart replay runs a real
+    # two-instance stream and stays in SECONDARY_REPLAYS)
+    "stats_seasonal_mann_kendall",
+    "ts_periodogram_weekly",
 ]
 
 # Streaming replays + the KV engine roundtrip execute real multi-wave
@@ -205,6 +209,7 @@ SECONDARY_REPLAYS = [
     "streaming_topk_trending",
     "streaming_ab_conversion_live",
     "streaming_session_eviction_audit",
+    "streaming_checkpoint_restart_replay",
 ]
 
 

@@ -3908,3 +3908,180 @@ def ts_pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(1, 6)
         ],
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Seasonal Mann-Kendall trend test — round 13.
+# ---------------------------------------------------------------------------
+
+SEASONAL_MANN_KENDALL_ORACLE = """
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2025-01-01', CAST(ts AS DATE)) AS day,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) // count(*)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), seasoned AS MATERIALIZED (
+      SELECT event_type, ((day % 7) + 7) % 7 AS season, day, y FROM daily
+    ), s AS (
+      SELECT a.event_type,
+             CAST(sum(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s
+      FROM seasoned a JOIN seasoned b
+        ON b.event_type = a.event_type AND b.season = a.season
+       AND b.day > a.day
+      GROUP BY a.event_type
+    ), per_season AS (
+      SELECT event_type, season, CAST(count(*) AS BIGINT) AS m
+      FROM seasoned GROUP BY 1, 2
+    ), ties AS (
+      SELECT event_type, season,
+             CAST(coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)),
+                           0) AS HUGEINT) AS tie_term
+      FROM (
+        SELECT event_type, season, y, count(*) AS t
+        FROM seasoned GROUP BY event_type, season, y
+      ) g WHERE t > 1
+      GROUP BY event_type, season
+    ), var_num AS (
+      SELECT p.event_type,
+             CAST(sum(p.m) AS BIGINT) AS n_days,
+             CAST(count(*) AS BIGINT) AS n_seasons,
+             CAST(sum(CAST(p.m AS HUGEINT) * (p.m - 1) * (2 * p.m + 5)
+                      - coalesce(t.tie_term, 0)) AS HUGEINT) AS vnum
+      FROM per_season p
+      LEFT JOIN ties t
+        ON t.event_type = p.event_type AND t.season = p.season
+      GROUP BY p.event_type
+    )
+    SELECT v.event_type, v.n_days, v.n_seasons, s.s AS kendall_s_seasonal,
+           CAST(v.vnum // 18 AS BIGINT) AS var_s,
+           CAST(CASE WHEN s.s >= 0 THEN 1 ELSE -1 END
+                * CAST(s.s AS HUGEINT) * s.s * 18 * 1000000
+                // NULLIF(v.vnum, 0) AS BIGINT) AS z2_signed_e6
+    FROM var_num v JOIN s USING (event_type)
+    ORDER BY event_type
+"""
+
+
+@query("stats_seasonal_mann_kendall", oracle=SEASONAL_MANN_KENDALL_ORACLE)
+def stats_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test per event type (Hirsch-Slack):
+    the monotonic-trend statistic computed WITHIN each weekday season
+    and summed, S = sum_k S_k with Var(S) = sum_k [m_k(m_k-1)(2m_k+5)
+    - sum_t t(t-1)(2t+5)]/18 — the trend reading that is immune to the
+    weekly cycle ts_seasonal_strength quantifies (a pure day-of-week
+    pattern contributes zero to every within-season pair, so a
+    significant S here is real drift, not seasonality leaking into the
+    plain stats_mann_kendall_trend pair sums).
+
+    Composition: the same (type, day) dictionary and exact-integer
+    pair algebra as stats_mann_kendall_trend, restricted to pairs
+    sharing day % 7, with the tie correction applied per season and
+    the per-season variance NUMERATORS summed before the single /18 —
+    exact HUGEINT/DECIMAL(38,0) integers end to end, z^2 as a signed
+    e6 rational, NULL on all-constant seasons in both engines.
+
+    Scale: one map-side-combinable fact shuffle to the (type, day)
+    dictionary (checkpointed — pair join, season sizes, and ties all
+    consume it); the pair join is calendar-bounded PER SEASON
+    (~104^2/2 pairs per weekday for 2 years at ANY data volume, 7x
+    fewer pairs than the unrestricted test), never row-count-bounded.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    statistical surface (internal/storage/types.go:3); this is
+    [TARGET] inference machinery.
+    """
+    dec = "decimal(38,0)"
+    seasoned = (
+        load_table(spark, "events", sf_dir)
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2025-01-01").cast("date")
+            ).alias("day"),
+        )
+        .agg(F.expr(
+            "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) DIV count(*)"
+            " AS BIGINT)"
+        ).alias("y"))
+        .withColumn("season", ((F.col("day") % 7) + 7) % 7)
+        # consumed by both pair-join sides, the season sizes and the ties
+        .localCheckpoint(eager=False)
+    )
+    a = seasoned.select(
+        "event_type",
+        "season",
+        F.col("day").alias("da"),
+        F.col("y").alias("ya"),
+    )
+    b = seasoned.select(
+        F.col("event_type").alias("et_b"),
+        F.col("season").alias("season_b"),
+        F.col("day").alias("db"),
+        F.col("y").alias("yb"),
+    )
+    s = (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("et_b"))
+            & (F.col("season") == F.col("season_b"))
+            & (F.col("db") > F.col("da")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    per_season = seasoned.groupBy("event_type", "season").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    ties = (
+        seasoned.groupBy("event_type", "season", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .where(F.col("t") > 1)
+        .groupBy("event_type", "season")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t").cast(dec) * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0).cast(dec),
+            ).alias("tie_term")
+        )
+    )
+    var_num = (
+        per_season.join(ties, ["event_type", "season"], "left")
+        .groupBy("event_type")
+        .agg(
+            F.sum("m").cast("long").alias("n_days"),
+            F.count(F.lit(1)).cast("long").alias("n_seasons"),
+            F.sum(
+                F.col("m").cast(dec) * (F.col("m") - 1) * (2 * F.col("m") + 5)
+                - F.coalesce("tie_term", F.lit(0).cast(dec))
+            ).alias("vnum"),
+        )
+    )
+    return (
+        var_num.join(s, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_seasons",
+            F.col("s").alias("kendall_s_seasonal"),
+            F.expr("CAST(vnum DIV 18 AS BIGINT)").alias("var_s"),
+            F.expr(
+                "CAST(CASE WHEN s >= 0 THEN 1 ELSE -1 END"
+                f" * CAST(s AS {dec}) * s * 18 * 1000000"
+                " DIV NULLIF(vnum, 0) AS BIGINT)"
+            ).alias("z2_signed_e6"),
+        )
+        .orderBy("event_type")
+    )

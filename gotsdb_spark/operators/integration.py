@@ -1124,3 +1124,123 @@ def streaming_session_eviction_audit(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("eviction_wave")
     )
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-restart exactly-once replay — round 13.
+# ---------------------------------------------------------------------------
+
+CHECKPOINT_RESTART_ORACLE = """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+             AS sum_v_milli
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    GROUP BY 1, 2
+"""
+
+
+@query("streaming_checkpoint_restart_replay", oracle=CHECKPOINT_RESTART_ORACLE)
+def streaming_checkpoint_restart_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly-once recovery across a query RESTART, under the hash
+    gate: a watermarked tumbling-window aggregation writes to a parquet
+    sink with a checkpoint, is STOPPED mid-timeline, and a brand-new
+    query instance resumes from the same checkpoint — the final sink
+    must equal DuckDB aggregating the full event set in batch. This
+    promotes tests/test_streaming_recovery.py's state-store recovery
+    contract into the driver's oracle gate: the restarted query must
+    (a) skip every already-committed source file via the offset log,
+    (b) restore the straddling windows' partial counts from the
+    HDFS-backed state store (the epoch-1 watermark parks just behind
+    the cutoff, so the cutoff hour's state is durable ONLY in the
+    checkpoint), and (c) never re-expose epoch-1 output rows through
+    the sink's transaction log.
+
+    Replay layout: epoch 1 = purchases/signups before Jan 15 11:30
+    (a cut that splits a live hour at EVERY fixture scale, pinned by
+    tests/test_round13_ops.py), processed to quiescence, query
+    stopped; epoch
+    2 = a NEW query instance on the remaining timeline plus one
+    far-future sentinel (3 days past max ts) whose watermark push
+    closes and emits every real window while its own window never
+    emits. Sums use exact e3 integers so the cross-epoch merge is
+    hash-exact, not tolerance-compared.
+
+    Scale: watermark bounds state at O(open windows x types) at any
+    volume; the parquet sink + checkpoint pair is exactly the
+    production deployment shape (a 1000-executor job restarts DAILY;
+    this is the contract that makes that safe).
+
+    Reference parity: the reference's recovery story is re-reading the
+    cold dir on boot (cold.go:72); this is the streaming analog under
+    [TARGET] semantics.
+    """
+    replay = tempfile.mkdtemp(prefix="gotsdb_ckpt_replay_")
+    out = tempfile.mkdtemp(prefix="gotsdb_ckpt_out_")
+    ckpt = tempfile.mkdtemp(prefix="gotsdb_ckpt_log_")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    cutoff = F.lit("2024-01-15 11:30:00").cast("timestamp")
+    wave1 = ev.where(F.col("ts") < cutoff)
+    wave2 = ev.where(F.col("ts") >= cutoff)
+    mx = ev.agg(F.max("ts").alias("mx")).collect()[0]["mx"]  # 1-row bound
+    sentinel = (
+        spark.createDataFrame(
+            [(10**9, None, 0, "purchase", 0.0, "{}")],
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        )
+        .withColumn("ts", F.lit(mx) + F.expr("INTERVAL 3 DAYS"))
+    )
+
+    def start():
+        agg = (
+            read_events_stream(spark, replay, 2)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(F.floor(F.col("value") * 1000).cast("long"))
+                .cast("long")
+                .alias("sum_v_milli"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n",
+                "sum_v_milli",
+            )
+        )
+        return (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    with _replay_partitions(spark):
+        # Epoch 1: first half of the timeline, then a planned stop.
+        wave1.select(cols).repartition(2).write.mode("append").parquet(replay)
+        q1 = start()
+        q1.processAllAvailable()
+        q1.stop()
+        # Epoch 2: rest of the timeline + flush sentinel land while the
+        # job is down; a NEW instance resumes from the same checkpoint
+        # (epoch-1 files still in the source dir — offset log skips them).
+        wave2.select(cols).repartition(2).write.mode("append").parquet(replay)
+        sentinel.select(cols).repartition(1).write.mode("append").parquet(replay)
+        q2 = start()
+        q2.processAllAvailable()
+        q2.stop()
+
+    return spark.read.schema(
+        "window_start timestamp, event_type string,"
+        " n bigint, sum_v_milli bigint"
+    ).parquet(out)

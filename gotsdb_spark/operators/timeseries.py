@@ -4131,3 +4131,148 @@ def ts_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1e9 + 0.5001) AS BIGINT) AS BIGINT)"
         ).alias("efficiency_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-frequency periodogram (weekly harmonics) — round 13.
+# ---------------------------------------------------------------------------
+
+_PERIODOGRAM_HARMONICS = (1, 2, 3)
+
+# cos/sin of 2*pi*m/7 enter both engines as e9-floored integers built
+# from the SAME verbatim double expression (m in 0..6, so each engine
+# evaluates libm trig on just 7 distinct arguments; the +0.5001 nudge
+# absorbs sub-ulp disagreement). Every multiplication downstream of the
+# floor is exact integer arithmetic.
+_TRIG_E9 = "CAST(floor({fn}(2 * pi() * m / 7) * 1e9 + 0.5001) AS BIGINT)"
+
+PERIODOGRAM_ORACLE = f"""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2025-01-01', CAST(ts AS DATE)) AS x,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) // count(*)
+                  AS BIGINT) AS y_e3
+      FROM events GROUP BY 1, 2
+    ), st AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y_e3) AS BIGINT) AS s
+      FROM daily GROUP BY 1
+    ), cen AS MATERIALIZED (
+      SELECT d.event_type, d.x, d.y_e3 - st.s // st.n AS yc, st.n
+      FROM daily d JOIN st USING (event_type)
+    ), terms AS (
+      SELECT event_type, n, k, yc,
+             (((k * x) % 7) + 7) % 7 AS m
+      FROM cen
+      CROSS JOIN (SELECT unnest([{", ".join(map(str, _PERIODOGRAM_HARMONICS))}]) AS k) h
+    ), proj AS (
+      SELECT event_type, k, max(n) AS n_days,
+             CAST(sum(CAST(yc AS HUGEINT)
+                      * {_TRIG_E9.format(fn="cos")}) AS HUGEINT) AS c_e9s,
+             CAST(sum(CAST(yc AS HUGEINT)
+                      * {_TRIG_E9.format(fn="sin")}) AS HUGEINT) AS s_e9s,
+             CAST(sum(CAST(yc AS HUGEINT) * yc) AS HUGEINT) AS syy
+      FROM terms GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(k AS BIGINT) AS harmonic,
+           CAST(70 // k AS BIGINT) AS period_days_x10,
+           n_days,
+           CAST(2 * ((c_e9s // 1000) * (c_e9s // 1000)
+                     + (s_e9s // 1000) * (s_e9s // 1000)) * 1000000
+                // NULLIF(CAST(n_days AS HUGEINT) * syy
+                          * 1000000000000, 0) AS BIGINT) AS power_share_e6
+    FROM proj
+    ORDER BY event_type, harmonic
+"""
+
+
+@query("ts_periodogram_weekly", oracle=PERIODOGRAM_ORACLE)
+def ts_periodogram_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-frequency periodogram per event type: the share of
+    detrended daily variance carried by each weekly harmonic
+    (periods 7, 3.5 and 7/3 days), p_k = 2*(C_k^2 + S_k^2) /
+    (n * Syy) with C_k = sum yc*cos(2 pi k x / 7) and S_k the sine
+    projection — ts_seasonal_strength says HOW seasonal the series
+    is; this names WHICH cycle carries the power (a pure weekday
+    pattern loads harmonic 1; an AM/PM-alternating one loads 2).
+
+    Determinism: daily means are exact e3 integers; centering
+    subtracts the floor-div mean (identical remainder in both
+    engines); cos/sin enter as e9-floored integers over the 7-point
+    angle dictionary (k*x mod 7 — the ONLY trig evaluation, shared
+    verbatim), so projections, their /1000 reductions, squares, and
+    the final e6 share are exact HUGEINT/DECIMAL(38,0) arithmetic;
+    NULL on a constant series via NULLIF in both engines.
+
+    Scale: one map-side-combinable fact shuffle to the (type, day)
+    dictionary (checkpointed — the per-type stats join and the
+    harmonic explode both consume it); the explode is x3 on the
+    dictionary, the projection aggregate is map-side combinable, and
+    nothing downstream of the first groupBy is row-count-sized. No
+    window, no pair join.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no series
+    surface (internal/storage/types.go:3); this is [TARGET]
+    time-series machinery.
+    """
+    dec = "decimal(38,0)"
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2025-01-01").cast("date")
+            ).alias("x"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("v_e3"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.expr("CAST(sum(v_e3) DIV count(*) AS BIGINT)").alias("y_e3"))
+        # consumed by the per-type stats aggregate AND the projection
+        .localCheckpoint(eager=False)
+    )
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y_e3").cast("long").alias("s"),
+    )
+    cen = daily.join(st, "event_type").select(
+        "event_type",
+        "x",
+        F.expr("y_e3 - s DIV n").alias("yc"),
+        "n",
+    )
+    terms = cen.select(
+        "event_type",
+        "n",
+        "x",
+        "yc",
+        F.explode(
+            F.array(*[F.lit(k) for k in _PERIODOGRAM_HARMONICS])
+        ).alias("k"),
+    ).withColumn("m", F.expr("(((k * x) % 7) + 7) % 7"))
+    proj = terms.groupBy("event_type", "k").agg(
+        F.max("n").alias("n_days"),
+        F.sum(
+            F.col("yc").cast(dec)
+            * F.expr(_TRIG_E9.format(fn="cos"))
+        ).alias("c_e9s"),
+        F.sum(
+            F.col("yc").cast(dec)
+            * F.expr(_TRIG_E9.format(fn="sin"))
+        ).alias("s_e9s"),
+        F.sum(F.col("yc").cast(dec) * F.col("yc")).alias("syy"),
+    )
+    return proj.select(
+        "event_type",
+        F.col("k").cast("bigint").alias("harmonic"),
+        F.expr("CAST(70 DIV k AS BIGINT)").alias("period_days_x10"),
+        "n_days",
+        # Spark's DIV yields LONG even on DECIMAL operands, so each
+        # /1000 reduction is re-widened before squaring (~5e29).
+        F.expr(
+            f"CAST(2 * (CAST(c_e9s DIV 1000 AS {dec}) * (c_e9s DIV 1000)"
+            f" + CAST(s_e9s DIV 1000 AS {dec}) * (s_e9s DIV 1000)) * 1000000"
+            f" DIV NULLIF(CAST(n_days AS {dec}) * syy"
+            " * 1000000000000, 0) AS BIGINT)"
+        ).alias("power_share_e6"),
+    ).orderBy("event_type", "harmonic")

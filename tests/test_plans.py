@@ -1686,3 +1686,35 @@ def test_round12b_ops_plan_shapes(spark):
     r = plan_report(QUERIES["graph_bridges"](spark, SF))
     assert not r["cartesian"]
     assert r["global_windows"] == 0
+
+
+def test_round13_ops_plan_shapes(spark):
+    """Plan pins for the round-13 operators."""
+    from gotsdb_spark.plans import plan_report
+
+    # Seasonal Mann-Kendall: the pair self-join runs on the
+    # CHECKPOINTED (type, day, season) dictionary — calendar-bounded
+    # per weekday, never fact-sized; it must plan as an equi-join on
+    # (event_type, season), not a cartesian, with no window anywhere.
+    r = plan_report(QUERIES["stats_seasonal_mann_kendall"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+
+    # Periodogram: one fact shuffle hides behind the checkpointed
+    # (type, day) dictionary; the stats join and the x3 harmonic
+    # explode are dictionary-sized, everything stays JVM-side integer
+    # arithmetic — no cartesian, no window, no Python stage.
+    r = plan_report(QUERIES["ts_periodogram_weekly"](spark, SF))
+    assert not r["cartesian"] and not r["nested_loop"]
+    assert r["global_windows"] == 0
+    assert r["python_stages"] == 0
+
+    # Checkpoint-restart replay: the returned frame is a plain read of
+    # the sink the two query instances committed — scan only, no joins,
+    # no windows (the streaming work happened inside the replay).
+    r = plan_report(
+        QUERIES["streaming_checkpoint_restart_replay"](spark, SF)
+    )
+    assert not r["cartesian"] and not r["nested_loop"]
+    assert r["global_windows"] == 0
+    assert r["broadcast_joins"] == 0 and r["sortmerge_joins"] == 0

@@ -1,0 +1,181 @@
+"""Round-13 operator tests: independent Python reference
+implementations for the new registered queries (the DuckDB hash gate
+is the primary check; these pin semantics against a second, non-SQL
+implementation — the round-7 convention)."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from gotsdb_spark.operators.registry import QUERIES
+from gotsdb_spark.sources.registry import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero (Spark DIV, DuckDB //)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _daily_means(spark):
+    agg = defaultdict(lambda: [0, 0])
+    for r in (
+        load_table(spark, "events", SF)
+        .select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"),
+                       F.lit("2025-01-01").cast("date")).alias("day"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+        )
+        .collect()
+    ):
+        a = agg[(r["event_type"], r["day"])]
+        a[0] += r["v"]
+        a[1] += 1
+    series = defaultdict(dict)
+    for (et, d), (s, c) in agg.items():
+        series[et][d] = tdiv(s, c)
+    return series
+
+
+# ------------------------------------------- seasonal Mann-Kendall
+
+
+def test_seasonal_mann_kendall_matches_python_reference(spark):
+    series = _daily_means(spark)
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["stats_seasonal_mann_kendall"](spark, SF).collect()
+    }
+    for et, days in series.items():
+        by_season = defaultdict(list)
+        for d in sorted(days):
+            by_season[d % 7].append(days[d])
+        s = 0
+        vnum = 0
+        n_days = 0
+        for ys in by_season.values():
+            m = len(ys)
+            n_days += m
+            for i in range(m):
+                for j in range(i + 1, m):
+                    s += (ys[j] > ys[i]) - (ys[j] < ys[i])
+            tie_counts = defaultdict(int)
+            for y in ys:
+                tie_counts[y] += 1
+            tie_term = sum(
+                t * (t - 1) * (2 * t + 5)
+                for t in tie_counts.values()
+                if t > 1
+            )
+            vnum += m * (m - 1) * (2 * m + 5) - tie_term
+        r = got[et]
+        assert r["n_days"] == n_days
+        assert r["n_seasons"] == len(by_season)
+        assert r["kendall_s_seasonal"] == s
+        assert r["var_s"] == tdiv(vnum, 18)
+        if vnum == 0:
+            assert r["z2_signed_e6"] is None
+        else:
+            sign = 1 if s >= 0 else -1
+            assert r["z2_signed_e6"] == tdiv(
+                sign * s * s * 18 * 10**6, vnum
+            )
+        # a pure weekday cycle contributes nothing within-season, so
+        # the seasonal S never exceeds the unrestricted pair count
+        assert abs(s) <= sum(
+            len(ys) * (len(ys) - 1) // 2 for ys in by_season.values()
+        )
+
+
+# ------------------------------------------------ weekly periodogram
+
+
+def test_periodogram_matches_python_reference(spark):
+    series = _daily_means(spark)
+    trig_c = {
+        m: math.floor(math.cos(2 * math.pi * m / 7) * 1e9 + 0.5001)
+        for m in range(7)
+    }
+    trig_s = {
+        m: math.floor(math.sin(2 * math.pi * m / 7) * 1e9 + 0.5001)
+        for m in range(7)
+    }
+    got = {
+        (r["event_type"], r["harmonic"]): r
+        for r in QUERIES["ts_periodogram_weekly"](spark, SF).collect()
+    }
+    for et, days in series.items():
+        n = len(days)
+        s_tot = sum(days.values())
+        ybar = tdiv(s_tot, n)
+        yc = {x: y - ybar for x, y in days.items()}
+        syy = sum(v * v for v in yc.values())
+        for k in (1, 2, 3):
+            c = sum(v * trig_c[(k * x) % 7] for x, v in yc.items())
+            s = sum(v * trig_s[(k * x) % 7] for x, v in yc.items())
+            cr, sr = tdiv(c, 1000), tdiv(s, 1000)
+            r = got[(et, k)]
+            assert r["period_days_x10"] == 70 // k
+            assert r["n_days"] == n
+            if syy == 0:
+                assert r["power_share_e6"] is None
+            else:
+                assert r["power_share_e6"] == tdiv(
+                    2 * (cr * cr + sr * sr) * 10**6, n * syy * 10**12
+                )
+    # Parseval sanity: no harmonic can carry more than the whole
+    # detrended variance (a loose bound that catches scale mistakes).
+    assert all(
+        r["power_share_e6"] is None or 0 <= r["power_share_e6"] <= 10**6
+        for r in got.values()
+    )
+
+
+# ------------------------------------- checkpoint-restart exactly-once
+
+
+def test_checkpoint_restart_replay_matches_batch(spark):
+    """The registered query performs a REAL stop + restart from the
+    checkpoint (two query instances, one sink transaction log); its
+    output must equal the batch hourly aggregation — nothing lost from
+    the state store across the restart, nothing re-exposed by the sink,
+    and the cutoff hour (straddling the stop point at every sf) merges
+    contributions from both epochs."""
+    import datetime
+
+    agg = defaultdict(lambda: [0, 0])
+    straddle = [0, 0]
+    cutoff = datetime.datetime(2024, 1, 15, 11, 30)
+    for r in (
+        load_table(spark, "events", SF)
+        .where(F.col("event_type").isin("purchase", "signup"))
+        .select("ts", "event_type", F.floor(F.col("value") * 1000)
+                .cast("long").alias("v_milli"))
+        .collect()
+    ):
+        key = (r["ts"].replace(minute=0, second=0, microsecond=0),
+               r["event_type"])
+        a = agg[key]
+        a[0] += 1
+        a[1] += r["v_milli"]
+        if key[0] == cutoff.replace(minute=0):
+            straddle[0 if r["ts"] < cutoff else 1] += 1
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_v_milli"])
+        for r in QUERIES["streaming_checkpoint_restart_replay"](
+            spark, SF
+        ).collect()
+    }
+    want = {k: (a[0], a[1]) for k, a in agg.items()}
+    assert got == want and want
+    # the restart was non-vacuous: the stop point cut a live hour
+    assert straddle[0] > 0 and straddle[1] > 0, (
+        "fixture no longer straddles the 11:00 cutoff hour — move the "
+        "cutoff so the state-store restore path is actually exercised"
+    )

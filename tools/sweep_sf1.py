@@ -324,6 +324,20 @@ ROUND12B_CLASS = [
     "graph_link_prediction_jaccard",
 ]
 
+# Round-13 registrations. Seasonal MK re-runs the per-weekday pair
+# algebra on 10x trade mass (same calendar, so same pair count — the
+# point: dictionary-bounded work is volume-invariant). The periodogram
+# pins the e9-floored trig dictionary and the DECIMAL(38,0) projection
+# squares at 10x magnitudes. The checkpoint-restart replay proves the
+# stop/restore/resume contract holds when each epoch carries 10x rows
+# (state-store restore under real volume, and the 11:30 cutoff still
+# splits a live hour in the sf1 fixture — verified).
+ROUND13_CLASS = [
+    "stats_seasonal_mann_kendall",
+    "ts_periodogram_weekly",
+    "streaming_checkpoint_restart_replay",
+]
+
 SWEEP_CLASS = (
     OVERFLOW_CLASS
     + DICT_WINDOW_CLASS
@@ -335,6 +349,7 @@ SWEEP_CLASS = (
     + ROUND11C_CLASS
     + ROUND12_CLASS
     + ROUND12B_CLASS
+    + ROUND13_CLASS
 )
 
 
