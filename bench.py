@@ -193,6 +193,8 @@ HEADLINE = [
     # two-instance stream and stays in SECONDARY_REPLAYS)
     "stats_seasonal_mann_kendall",
     "ts_periodogram_weekly",
+    "q9_profit_cents_by_nation_year",
+    "q18_large_volume_cents",
 ]
 
 # Streaming replays + the KV engine roundtrip execute real multi-wave

@@ -507,3 +507,126 @@ def q20_bulk_small_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.col("l_suppkey").alias("s_suppkey"))
     )
     return supp.join(bulk, "s_suppkey", "left_semi").select("s_suppkey", "s_name")
+
+
+# ---------------------------------------------------------------------------
+# Integer-cents variants of the heavy star-join shapes — round 13.
+#
+# The sf1 (10x) rehearsal's hash contract requires association-order-
+# invariant aggregates, which the canonical q9/q18 double sums are not
+# (repartitioning re-associates float addition). These variants follow
+# layout_range_scan_q1_cents (scale_ops.py): quantize every money
+# measure to integer cents BEFORE the sum — floor(x*100+0.5) is
+# bit-deterministic in both engines — so the heaviest multi-join
+# shapes in the registry can finally rehearse at 10x volume under the
+# exact-hash gate. Join topology is IDENTICAL to the canonical shapes;
+# only the measure arithmetic changes.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q9_profit_cents_by_nation_year",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(date_part('year', o_orderdate) AS INT) AS o_year,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT)
+             AS profit_cents,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_profit_cents_by_nation_year(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q9 shape in integer cents: the 4-way star join (fact x
+    part x supplier x orders x nation) whose profit rollup is exact
+    BIGINT arithmetic, so the result hashes identically under ANY
+    partitioning — the q9 that can rehearse at sf1. Same plan as
+    q9_profit_by_nation_year: LIKE-filtered part dim prunes the fact
+    early, nation broadcast, one shuffle per equi-join key."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    profit_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.sum(profit_cents).alias("profit_cents"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "q18_large_volume_cents",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             AS totalprice_cents,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS BIGINT)) > 150
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, totalprice_cents
+    """,
+)
+def q18_large_volume_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape in exact integers: the HAVING-filtered
+    IN-subquery over the fact table with quantities summed as BIGINT
+    (the fixture's l_quantity is integral-valued) and the price key
+    quantized to cents — hash-exact under any partitioning, so the
+    double-fact-scan semi-join shape rehearses at sf1. Same plan as
+    q18_large_volume_customers: one map-side-combinable subquery
+    aggregate, qualifying keys join back, no correlated re-execution."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("q"))
+        .where(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(
+            big.withColumnRenamed("l_orderkey", "bk"),
+            F.col("l_orderkey") == F.col("bk"),
+            "inner",
+        )
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("totalprice_cents"),
+        )
+        .agg(F.sum(qty).alias("total_qty"))
+    )

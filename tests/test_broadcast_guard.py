@@ -202,6 +202,8 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/timeseries.py", "winsorized_value_stats", "q"): "grid",
     ("operators/timeseries.py", "events_markov_transitions", "marg"): "grid",
     ("operators/tpch_extra.py", "q9_profit_by_nation_year", "nation"): "dim",
+    # round 13: cents variant shares the canonical q9 topology
+    ("operators/tpch_extra.py", "q9_profit_cents_by_nation_year", "nation"): "dim",
     ("operators/tpch_extra.py", "q15_top_supplier_quarter", "max_rev"): "scalar",
     ("operators/tpch_extra.py", "q22_idle_wealthy_customers", "avg_bal"): "scalar",
     ("operators/tpch_extra.py", "q11_important_nation_volume", "threshold"): "scalar",

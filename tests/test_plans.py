@@ -1718,3 +1718,22 @@ def test_round13_ops_plan_shapes(spark):
     assert not r["cartesian"] and not r["nested_loop"]
     assert r["global_windows"] == 0
     assert r["broadcast_joins"] == 0 and r["sortmerge_joins"] == 0
+
+
+def test_round13_cents_tpch_plan_shapes(spark):
+    """The integer-cents q9/q18 variants must keep the canonical join
+    topology — cents quantization changes measure arithmetic only."""
+    from gotsdb_spark.plans import plan_report
+
+    r = plan_report(QUERIES["q9_profit_cents_by_nation_year"](spark, SF))
+    base = plan_report(QUERIES["q9_profit_by_nation_year"](spark, SF))
+    assert not r["cartesian"] and not r["nested_loop"]
+    assert r["global_windows"] == 0
+    assert r["scans"] == base["scans"]
+    assert r["broadcast_joins"] >= 1  # nation stays broadcast
+
+    r = plan_report(QUERIES["q18_large_volume_cents"](spark, SF))
+    base = plan_report(QUERIES["q18_large_volume_customers"](spark, SF))
+    assert not r["cartesian"] and not r["nested_loop"]
+    assert r["global_windows"] == 0
+    assert r["scans"] == base["scans"]

@@ -336,6 +336,14 @@ ROUND13_CLASS = [
     "stats_seasonal_mann_kendall",
     "ts_periodogram_weekly",
     "streaming_checkpoint_restart_replay",
+    # The TPC-H star-join family had ZERO committed 10x evidence (its
+    # canonical double sums violate the exact-hash contract). These
+    # integer-cents variants keep the q9/q18 join topology bit-exact
+    # under any partitioning; q21's output was integer-exact all along
+    # (counts only), so the canonical shape joins the class directly.
+    "q9_profit_cents_by_nation_year",
+    "q18_large_volume_cents",
+    "q21_waiting_suppliers",
 ]
 
 SWEEP_CLASS = (
