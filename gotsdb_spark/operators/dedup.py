@@ -605,6 +605,15 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PF_T = 0.6  # Jaccard threshold shared with dedup_ngram_jaccard
 
+# Candidate-pair budget for the exact similarity join, per document.
+# Measured rates: sf0.01 0.3/doc, sf0.1 59.9/doc, sf1 603.5/doc (the
+# sf1 fixture is 10 exact copies of every doc, so its matching pairs
+# grow x100 vs a real 10x corpus — this is the worst case we accept).
+# A genuinely quadratic input (every doc sharing one hot prefix
+# shingle) lands at n_docs/2 pairs per doc — tens of thousands — and
+# must fail loudly, not run O(n^2).
+_PF_PAIR_BUDGET_PER_DOC = 2048
+
 _PREFIX_FILTER_ORACLE = f"""
     WITH words AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -664,6 +673,20 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate equi-join shuffles only prefix rows — the frequency
     ordering is exactly what keeps hot shingles out of the join.
     Same threshold as dedup_ngram_jaccard so results are comparable.
+
+    Pair-budget guard (round 13): prefix filtering is sub-quadratic on
+    REAL corpora, but a pathological input (one hot shingle in every
+    prefix) degrades to all-pairs silently — at sf1 the
+    duplicate-saturated fixture already grows candidates x100 vs a
+    real 10x corpus (measured: 0.3/doc at sf0.01, 59.9/doc at sf0.1,
+    603.5/doc at sf1, ~30.2M pairs = the documented 910 s). The
+    candidate count is therefore checked against
+    _PF_PAIR_BUDGET_PER_DOC = 2048 pairs/doc (~3.4x the saturated
+    fixture's rate) BEFORE the verify join, and over-budget inputs
+    fail LOUDLY with the measured rate instead of running quadratic —
+    the same honesty convention as the graph fixpoint convergence
+    checks. The count itself is a 1-row aggregate over the
+    checkpointed candidate frame the verify join reuses.
     """
     sh = shared_cache(
         spark, sf_dir, "shingle_table", lambda: shingle_table(spark, sf_dir)
@@ -694,7 +717,23 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix.join(pb, (F.col("sh") == F.col("sh_b")) & (F.col("doc_id") < F.col("doc_b")))
         .select(F.col("doc_id").alias("doc_a"), "doc_b")
         .distinct()
+        # the budget count and the verify join share one materialization
+        .localCheckpoint(eager=False)
     )
+    n_docs = load_table(spark, "documents", sf_dir).count()  # metadata-cheap
+    n_cand = cand.count()  # 1-row bound off the checkpointed frame
+    budget = _PF_PAIR_BUDGET_PER_DOC * max(n_docs, 1)
+    if n_cand > budget:
+        raise RuntimeError(
+            f"dedup_prefix_filter_jaccard: candidate-pair budget exceeded — "
+            f"{n_cand} candidates for {n_docs} docs "
+            f"({n_cand / max(n_docs, 1):.1f}/doc; budget "
+            f"{_PF_PAIR_BUDGET_PER_DOC}/doc). The input is degenerate for "
+            f"prefix filtering (a near-universal shingle survived into the "
+            f"prefixes); verify would run quadratic. Dedupe exact copies "
+            f"first (dedup_exact) or raise _PF_PAIR_BUDGET_PER_DOC "
+            f"deliberately."
+        )
     packs = sh.groupBy("doc_id").agg(
         F.sort_array(F.collect_set("sh")).alias("ss"), F.count("*").alias("n_sh")
     )

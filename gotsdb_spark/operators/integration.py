@@ -740,21 +740,20 @@ def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each micro-batch emits only the windows it touched, with their
     new cumulative totals — no watermark, so totals are exact under
     the shuffled replay no matter how events split across batches);
-    foreachBatch upserts those delta rows into a keyed store, exactly
-    the MERGE INTO a Delta/Iceberg leaderboard table a production
-    deployment runs per trigger — the store here is an in-memory dict
-    (the repo's streaming-replay memory-sink convention).
+    foreachBatch MERGEs those delta rows into a (window, type)-keyed
+    parquet state table EXECUTOR-SIDE — delta-wins-else-base
+    full-outer coalesce written to a versioned store path per batch
+    (the warehouse_merge_upsert shape, and the same sink the AB
+    dashboard uses) — exactly the MERGE INTO a Delta/Iceberg
+    leaderboard table a production deployment runs per trigger. The
+    only driver-held state is the current store PATH string, O(1):
+    the (window x type) grain is calendar-bounded, but no grain
+    justifies pulling batch rows onto the driver in a sink — this
+    retires the repo's last driver-held foreachBatch store.
 
-    Store bound, stated exactly: |windows touched by the replayed
-    slice| x |event types| — calendar-grain x category-grain, so the
-    driver-side dict is bounded at ANY data scale (a year of hourly
-    hops x a handful of types is ~10^4 rows; more events only bump
-    counters in existing keys). That bound is what licenses a
-    driver-side dict here; in production the same delta rows MERGE
-    INTO a Delta/Iceberg leaderboard table keyed (window, type), and
-    nothing else changes. Top-3 ranking happens at read time over the
-    store, partitioned by window — the leaderboard query, not the
-    stream, pays the sort, and each partition is ≤ |event types| rows.
+    Top-3 ranking happens at read time over the final store snapshot,
+    partitioned by window — the leaderboard query, not the stream,
+    pays the sort, and each partition is ≤ |event types| rows.
 
     The final leaderboard must hash-match DuckDB computing the same
     hop-exploded batch aggregation — cross-batch incremental
@@ -778,11 +777,29 @@ def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("ws"), "event_type", "n")
     )
-    store: dict[tuple, int] = {}
+    store_root = tempfile.mkdtemp(prefix="gotsdb_stream_topk_store_")
+    state_path: list = [None]
 
-    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
-        for row in batch_df.collect():
-            store[(row["ws"], row["event_type"])] = row["n"]
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        target = os.path.join(store_root, f"v{batch_id}")
+        delta = batch_df.select("ws", "event_type", "n")
+        if state_path[0] is None:
+            delta.write.mode("overwrite").parquet(target)
+        else:
+            cur = spark.read.parquet(state_path[0]).withColumnRenamed(
+                "n", "cur_n"
+            )
+            merged = cur.join(
+                delta.withColumnRenamed("n", "delta_n"),
+                ["ws", "event_type"],
+                "full_outer",
+            ).select(
+                "ws",
+                "event_type",
+                F.coalesce("delta_n", "cur_n").alias("n"),
+            )
+            merged.write.mode("overwrite").parquet(target)
+        state_path[0] = target
 
     with _replay_partitions(spark):
         q = (
@@ -795,9 +812,10 @@ def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-    board = spark.createDataFrame(
-        [(w, t, n) for (w, t), n in store.items()],
-        "window_start timestamp, event_type string, n bigint",
+    board = spark.read.parquet(state_path[0]).select(
+        F.col("ws").alias("window_start"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
     )
     w_rank = W.partitionBy("window_start").orderBy(
         F.col("n").desc(), "event_type"

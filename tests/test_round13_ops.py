@@ -179,3 +179,61 @@ def test_checkpoint_restart_replay_matches_batch(spark):
         "fixture no longer straddles the 11:00 cutoff hour — move the "
         "cutoff so the state-store restore path is actually exercised"
     )
+
+
+# ---------------------------------- topk sink is executor-side (r13)
+
+
+def test_streaming_topk_sink_is_executor_side():
+    """Scale-design structure pin (round-13, VERDICT r12 #5): the
+    leaderboard foreachBatch sink must MERGE each micro-batch into a
+    keyed parquet state table executor-side — the last driver-held
+    dict store is retired; the only driver state is the path string."""
+    import inspect
+
+    from gotsdb_spark.operators import integration
+
+    src = inspect.getsource(integration.streaming_topk_trending)
+    assert ".collect()" not in src, (
+        "streaming_topk_trending must not collect batch rows to the "
+        "driver"
+    )
+    assert "full_outer" in src and ".parquet(" in src
+    assert "spark.read.parquet(state_path[0])" in src
+
+
+# --------------------------------- prefix-filter pair-budget guard
+
+
+def test_prefix_filter_pair_budget_guard(spark, monkeypatch):
+    """The exact similarity join must fail LOUDLY when the candidate
+    set degenerates toward all-pairs (VERDICT r12 #6), instead of
+    silently running the quadratic verify. A corpus of identical docs
+    makes every doc pair a candidate; with the budget forced to 1/doc
+    the guard must trip with the measured rate in the message."""
+    import pytest
+
+    from gotsdb_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta", "src")
+         for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    orig = dedup.load_table
+    monkeypatch.setattr(
+        dedup, "load_table", lambda s, name, d: docs if name == "documents"
+        else orig(s, name, d),
+    )
+    monkeypatch.setattr(dedup, "_PF_PAIR_BUDGET_PER_DOC", 1)
+    with pytest.raises(RuntimeError, match="candidate-pair budget exceeded"):
+        # unique sf_dir so shared_cache cannot serve a real fixture frame
+        dedup.dedup_prefix_filter_jaccard(spark, "/gotsdb-test/pf-guard")
+    # and under the real budget the same degenerate corpus is ACCEPTED
+    # at this size (20 docs, 190 pairs = 9.5/doc < 2048/doc): the guard
+    # bounds the rate, it does not reject duplicates per se
+    monkeypatch.setattr(dedup, "_PF_PAIR_BUDGET_PER_DOC", 2048)
+    out = dedup.dedup_prefix_filter_jaccard(
+        spark, "/gotsdb-test/pf-guard-ok"
+    ).collect()
+    assert len(out) == 190  # all pairs of identical docs at jaccard 1.0
