@@ -195,6 +195,8 @@ HEADLINE = [
     "ts_periodogram_weekly",
     "q9_profit_cents_by_nation_year",
     "q18_large_volume_cents",
+    "stats_grubbs_max_outlier",
+    "audit_late_arriving_facts",
 ]
 
 # Streaming replays + the KV engine roundtrip execute real multi-wave
@@ -212,6 +214,7 @@ SECONDARY_REPLAYS = [
     "streaming_ab_conversion_live",
     "streaming_session_eviction_audit",
     "streaming_checkpoint_restart_replay",
+    "streaming_rate_limit_audit",
 ]
 
 

@@ -1262,3 +1262,131 @@ def streaming_checkpoint_restart_replay(
         "window_start timestamp, event_type string,"
         " n bigint, sum_v_milli bigint"
     ).parquet(out)
+
+
+# ---------------------------------------------------------------------------
+# Streaming rate-limit audit — round 13.
+# ---------------------------------------------------------------------------
+
+_RATE_BUDGET_PER_MIN = 50
+
+RATE_LIMIT_ORACLE = f"""
+    WITH per_min AS (
+      SELECT date_trunc('minute', ts) AS m, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), mx AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_minutes,
+             CAST(max(n) AS BIGINT) AS max_per_min,
+             CAST(sum(CASE WHEN n > {_RATE_BUDGET_PER_MIN}
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS minutes_over_budget
+      FROM per_min GROUP BY event_type
+    )
+    SELECT mx.event_type, mx.n_minutes, mx.max_per_min,
+           mx.minutes_over_budget,
+           min(p.m) AS peak_minute
+    FROM mx JOIN per_min p
+      ON p.event_type = mx.event_type AND p.n = mx.max_per_min
+    GROUP BY 1, 2, 3, 4
+    ORDER BY mx.event_type
+"""
+
+
+@query("streaming_rate_limit_audit", oracle=RATE_LIMIT_ORACLE)
+def streaming_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest backpressure audit off a REAL streaming replay: per-type
+    per-minute arrival counts maintained by a watermarked 1-minute
+    tumbling aggregation in append mode, then reduced at read time to
+    the rate-limiter readout — observed peak events/minute, WHEN the
+    peak happened, and how many minutes exceeded the
+    {budget}/min budget. This is the measurement that sizes a
+    production rate limiter / trigger interval (the backpressure twin
+    of streaming_session_eviction_audit's state ledger), and the hash
+    gate proves the streamed per-minute counters equal DuckDB's batch
+    per-minute aggregation exactly.
+
+    Replay layout: all events land first (shuffled files, 2 per
+    trigger); a far-future sentinel (3 days past max ts) then pushes
+    the 10-minute watermark beyond every real minute so append mode
+    emits them all; the sentinel's own window never closes and never
+    appears. Peak-minute ties resolve to the EARLIEST minute in both
+    engines (min over the max-count minutes).
+
+    Scale: streaming state and the emitted frame are bounded by
+    calendar-minutes x types (43.2k minutes/month x handful of types)
+    at ANY event volume — more events only bump counters; the
+    read-time reduction is two dictionary-sized aggregates.
+
+    Reference parity: the reference ingests via synchronous HTTP
+    point-writes with no flow control (main.go:79); this is [TARGET]
+    streaming machinery.
+    """
+    replay = tempfile.mkdtemp(prefix="gotsdb_stream_rate_")
+    ev = load_table(spark, "events", sf_dir)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    mx_ts = ev.agg(F.max("ts").alias("mx")).collect()[0]["mx"]  # 1-row bound
+    sentinel = (
+        spark.createDataFrame(
+            [(10**9, None, 0, "sentinel", 0.0, "{}")],
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        )
+        .withColumn("ts", F.lit(mx_ts) + F.expr("INTERVAL 3 DAYS"))
+    )
+    per_min = (
+        read_events_stream(spark, replay, 2)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.col("w.start").alias("m"), "event_type", "n")
+    )
+    name = f"itg_rate_{os.getpid()}_{next(_counter)}"
+    ev.orderBy(F.hash("event_id")).select(cols).repartition(4).write.mode(
+        "append"
+    ).parquet(replay)
+    with _replay_partitions(spark):
+        q = run_stream_to_memory(per_min, name, output_mode="append")
+        try:
+            q.processAllAvailable()
+            sentinel.select(cols).repartition(1).write.mode("append").parquet(
+                replay
+            )
+            q.processAllAvailable()
+            out = spark.table(name).collect()
+        finally:
+            q.stop()
+    emitted = spark.createDataFrame(
+        out, "m timestamp, event_type string, n bigint"
+    ).localCheckpoint(eager=False)
+    mx = emitted.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_minutes"),
+        F.max("n").cast("long").alias("max_per_min"),
+        F.sum(
+            F.when(F.col("n") > _RATE_BUDGET_PER_MIN, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("minutes_over_budget"),
+    )
+    return (
+        mx.join(
+            emitted.withColumnRenamed("n", "max_per_min"),
+            ["event_type", "max_per_min"],
+        )
+        .groupBy("event_type", "n_minutes", "max_per_min", "minutes_over_budget")
+        .agg(F.min("m").alias("peak_minute"))
+        .select(
+            "event_type",
+            "n_minutes",
+            "max_per_min",
+            "minutes_over_budget",
+            "peak_minute",
+        )
+        .orderBy("event_type")
+    )
+
+
+streaming_rate_limit_audit.__doc__ = streaming_rate_limit_audit.__doc__.format(
+    budget=_RATE_BUDGET_PER_MIN
+)

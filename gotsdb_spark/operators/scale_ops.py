@@ -780,3 +780,87 @@ def scale_layout_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
 scale_layout_planner.__doc__ = scale_layout_planner.__doc__.format(
     target=_PLAN_TARGET_ROWS
 )
+
+
+# ---------------------------------------------------------------------------
+# Late-arriving-fact audit for dt-partitioned layouts — round 13.
+# ---------------------------------------------------------------------------
+
+_LATE_HORIZON_DAYS = 30
+
+LATE_FACTS_ORACLE = f"""
+    WITH lagged AS (
+      SELECT CAST(l_shipdate AS DATE) AS ship_day,
+             datediff('day', CAST(o_orderdate AS DATE),
+                      CAST(l_shipdate AS DATE)) AS lag_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT ship_day,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(sum(CASE WHEN lag_days > {_LATE_HORIZON_DAYS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_beyond_horizon,
+           CAST(sum(CASE WHEN lag_days > {_LATE_HORIZON_DAYS}
+                         THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS beyond_share_e6,
+           CAST(max(lag_days) AS BIGINT) AS max_lag_days
+    FROM lagged
+    GROUP BY ship_day
+    ORDER BY ship_day
+"""
+
+
+@query("audit_late_arriving_facts", oracle=LATE_FACTS_ORACLE)
+def audit_late_arriving_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential drift audit for a dt-partitioned
+    warehouse: per lineitem ship day, the share of rows whose ORDER
+    row lives more than {h} days back in the orders table's dt
+    partitions — the measurement an incremental MERGE pipeline needs
+    BEFORE choosing its reprocessing horizon (a MERGE that rebuilds
+    only the last {h} order partitions silently mis-joins exactly the
+    n_beyond_horizon rows this query counts; max_lag_days names the
+    horizon that would have sufficed).
+
+    Exactness: the lag is a DATE datediff (exact integers), counts and
+    the e6 share are exact integer arithmetic in both engines.
+
+    Scale: one fact equi-join on the order key (both sides shuffle
+    once; at 100 TB this is the join the dt-partition co-location
+    would elide) and one map-side-combinable groupBy to the calendar
+    grain. Output is calendar-bounded (~2.5k rows for 7 years),
+    never row-count-sized.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    relational surface (internal/storage/types.go:3); this is
+    [TARGET] warehouse machinery.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship_day")
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("order_day")
+    )
+    lagged = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "ship_day",
+        F.datediff("ship_day", "order_day").alias("lag_days"),
+    )
+    beyond = F.sum(
+        F.when(F.col("lag_days") > _LATE_HORIZON_DAYS, 1).otherwise(0)
+    )
+    return (
+        lagged.groupBy("ship_day")
+        .agg(
+            F.count("*").cast("long").alias("n_lineitems"),
+            beyond.cast("long").alias("n_beyond_horizon"),
+            F.expr(
+                f"CAST(sum(CASE WHEN lag_days > {_LATE_HORIZON_DAYS}"
+                " THEN 1 ELSE 0 END) * 1000000 DIV count(*) AS BIGINT)"
+            ).alias("beyond_share_e6"),
+            F.max("lag_days").cast("long").alias("max_lag_days"),
+        )
+        .orderBy("ship_day")
+    )
+
+
+audit_late_arriving_facts.__doc__ = audit_late_arriving_facts.__doc__.format(
+    h=_LATE_HORIZON_DAYS
+)

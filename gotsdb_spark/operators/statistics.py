@@ -3450,3 +3450,168 @@ def stats_levene_mean_center(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_LV_W_E6).alias("w_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Grubbs-style max-studentized outlier score — round 13.
+# ---------------------------------------------------------------------------
+
+# Exact-integer form: with u = |n*x - S| (the Levene deviation trick,
+# u = n*|x - mean|), G^2 = max(x-mean)^2 / s^2 = u^2 * (n-1) / D with
+# D = n*(n*SS - S^2) — and D = sum_i u_i^2 exactly (expand the
+# square), so BOTH numerator and denominator reduce on the SAME u
+# scale: u_red = u // 1e3 per dictionary row, q_red = sum c*u_red^2,
+# G2_e6 = u_red_max^2 * (n-1) * 1e6 // q_red. Every term stays under
+# DECIMAL(38,0)/HUGEINT at sf1 magnitudes (u ~ 1.5e13 ->
+# u_red^2*(n-1)*1e6 ~ 6.8e31; q_red ~ D/1e6 ~ 2.7e24) and every DIV's
+# quotient fits BIGINT (Spark's DIV extracts to long).
+# {d} is the truncating integer-division operator — DIV in Spark,
+# // in DuckDB (same toward-zero semantics); DuckDB uses HUGEINT where
+# Spark uses decimal(38,0).
+_GRUBBS_G2_E6 = (
+    "CAST(CAST(u_max {d} 1000 AS {w}) * (u_max {d} 1000)"
+    " * (n - 1) * 1000000 {d} NULLIF(q_red, 0) AS BIGINT)"
+)
+_GRUBBS_G2_SPARK = _GRUBBS_G2_E6.format(d="DIV", w="decimal(38,0)")
+_GRUBBS_G2_DUCK = _GRUBBS_G2_E6.format(d="//", w="HUGEINT")
+
+GRUBBS_ORACLE = f"""
+    WITH dic AS MATERIALIZED (
+      SELECT o_orderpriority AS grp,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS c,
+             CAST(min(o_orderkey) AS BIGINT) AS min_okey
+      FROM orders GROUP BY 1, 2
+    ), g AS (
+      SELECT grp, CAST(sum(c) AS BIGINT) AS n,
+             sum(CAST(c AS HUGEINT) * cents) AS s,
+             sum(CAST(c AS HUGEINT) * cents * cents) AS ss
+      FROM dic GROUP BY grp
+    ), dev AS MATERIALIZED (
+      SELECT d.grp, d.cents, d.min_okey, d.c,
+             abs(CAST(d.cents AS HUGEINT) * g.n - g.s) AS u,
+             abs(CAST(d.cents AS HUGEINT) * g.n - g.s) // 1000 AS u_red
+      FROM dic d JOIN g USING (grp)
+    ), mx AS (
+      SELECT grp, max(u) AS u_max,
+             sum(CAST(c AS HUGEINT) * u_red * u_red) AS q_red
+      FROM dev GROUP BY grp
+    ), hit AS (
+      SELECT d.grp,
+             CAST(min(d.min_okey) AS BIGINT) AS outlier_orderkey,
+             CAST(arg_min(d.cents, d.min_okey) AS BIGINT) AS outlier_cents
+      FROM dev d JOIN mx ON mx.grp = d.grp AND d.u = mx.u_max
+      GROUP BY d.grp
+    )
+    SELECT g.grp, g.n, CAST(g.s AS BIGINT) AS sum_cents,
+           CAST(mx.u_max AS BIGINT) AS u_max,
+           h.outlier_orderkey, h.outlier_cents,
+           {_GRUBBS_G2_DUCK} AS grubbs_g2_e6
+    FROM g
+    JOIN mx USING (grp)
+    JOIN hit h ON h.grp = g.grp
+    ORDER BY grp
+"""
+
+
+@query("stats_grubbs_max_outlier", oracle=GRUBBS_ORACLE)
+def stats_grubbs_max_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs-style max-studentized outlier score per order priority:
+    G^2 = max_i (x_i - mean)^2 / s^2, plus WHICH order achieves it —
+    the single-point attribution stats_mad_robust_outliers' robust
+    flags don't give (MAD says how many points are extreme; Grubbs
+    names the most extreme one and how far out it sits in sd units).
+
+    Exactness: deviations enter as the exact integer u = |n*cents - S|
+    (the stats_levene_mean_center trick — the group mean is rational,
+    never a float), the winning order resolves ties deterministically
+    (min orderkey among max-u dictionary rows, arg_min/min_by on the
+    unique per-row key), and G^2 is a nested truncating-division
+    integer expression shared VERBATIM by both engines, with /1e3 and
+    /1e6 reductions keeping every term inside DECIMAL(38,0)/HUGEINT at
+    sf1 magnitudes (documented above _GRUBBS_G2_E6).
+
+    Scale: one groupBy to the (priority, cents) dictionary, a 5-row
+    group-moments broadcast back onto it, a 5-row max join — nothing
+    downstream of the first shuffle is row-count-sized, and the
+    dictionary itself is bounded by the price grid.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    statistical surface (internal/storage/types.go:3); this is
+    [TARGET] inference machinery.
+    """
+    dec = "decimal(38,0)"
+    dic = (
+        load_table(spark, "orders", sf_dir)
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            "o_orderkey",
+        )
+        .groupBy("grp", "cents")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.min("o_orderkey").cast("long").alias("min_okey"),
+        )
+        # consumed by the group-moment pass and the deviation pass
+        .localCheckpoint(eager=False)
+    )
+    g = dic.groupBy("grp").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c").cast(dec) * F.col("cents")).alias("s"),
+        F.sum(F.col("c").cast(dec) * F.col("cents") * F.col("cents")).alias(
+            "ss"
+        ),
+    )
+    dev = (
+        dic.join(F.broadcast(g.select("grp", "n", "s")), "grp")
+        .select(
+            "grp",
+            "cents",
+            "min_okey",
+            "c",
+            F.abs(F.col("cents").cast(dec) * F.col("n") - F.col("s")).alias(
+                "u"
+            ),
+            F.expr(
+                "abs(CAST(cents AS decimal(38,0)) * n - s) DIV 1000"
+            ).alias("u_red"),
+        )
+        # consumed by the per-group max and the argmax join
+        .localCheckpoint(eager=False)
+    )
+    mx = dev.groupBy("grp").agg(
+        F.max("u").alias("u_max"),
+        F.sum(
+            F.col("c").cast(dec) * F.col("u_red") * F.col("u_red")
+        ).alias("q_red"),
+    )
+    hit = (
+        dev.join(
+            F.broadcast(
+                mx.select("grp", F.col("u_max").alias("u"))
+            ),
+            ["grp", "u"],
+        )
+        .groupBy("grp")
+        .agg(
+            F.min("min_okey").cast("long").alias("outlier_orderkey"),
+            F.min_by("cents", "min_okey")
+            .cast("long")
+            .alias("outlier_cents"),
+        )
+    )
+    return (
+        g.join(mx, "grp")
+        .join(hit, "grp")
+        .select(
+            "grp",
+            "n",
+            F.col("s").cast("bigint").alias("sum_cents"),
+            F.col("u_max").cast("bigint").alias("u_max"),
+            "outlier_orderkey",
+            "outlier_cents",
+            F.expr(_GRUBBS_G2_SPARK).alias("grubbs_g2_e6"),
+        )
+        .orderBy("grp")
+    )

@@ -98,6 +98,9 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/statistics.py", "stats_levene_mean_center", "sums"): "scalar",
     # round 12b: Good-Turing — 1-row totals
     ("operators/text.py", "text_good_turing_unseen", "tot"): "scalar",
+    # round 13: Grubbs — 5-row priority group moments / per-group max
+    ("operators/statistics.py", "stats_grubbs_max_outlier", "g.select"): "grid",
+    ("operators/statistics.py", "stats_grubbs_max_outlier", "mx.select"): "grid",
     ("operators/inference.py", "stats_friedman_ranks", "chi"): "scalar",
     ("operators/inference.py", "ts_ljung_box_whiteness", "lags"): "grid",
     ("operators/inference.py", "stats_durbin_watson", "fit"): "scalar",

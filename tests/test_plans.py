@@ -1737,3 +1737,30 @@ def test_round13_cents_tpch_plan_shapes(spark):
     assert not r["cartesian"] and not r["nested_loop"]
     assert r["global_windows"] == 0
     assert r["scans"] == base["scans"]
+
+
+def test_round13b_ops_plan_shapes(spark):
+    """Plan pins for the pulled-forward round-14 operators."""
+    from gotsdb_spark.plans import plan_report
+
+    # Grubbs: one orders scan into the checkpointed (priority, cents)
+    # dictionary; the 5-row group-moments and per-group-max broadcasts
+    # are intended nested loops — never cartesian, no window.
+    r = plan_report(QUERIES["stats_grubbs_max_outlier"](spark, SF))
+    assert r["scans"] <= 1  # the scan hides behind the dict checkpoint
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+
+    # Late-facts audit: one fact equi-join + calendar groupBy — no
+    # cartesian, no window, no Python stage.
+    r = plan_report(QUERIES["audit_late_arriving_facts"](spark, SF))
+    assert not r["cartesian"] and not r["nested_loop"]
+    assert r["global_windows"] == 0
+    assert r["python_stages"] == 0
+
+    # Rate-limit audit: read-time reduction over the checkpointed
+    # emitted frame (the streaming work happened in the replay) —
+    # dictionary-sized equi-join, no cartesian, no window.
+    r = plan_report(QUERIES["streaming_rate_limit_audit"](spark, SF))
+    assert not r["cartesian"] and not r["nested_loop"]
+    assert r["global_windows"] == 0

@@ -237,3 +237,124 @@ def test_prefix_filter_pair_budget_guard(spark, monkeypatch):
         spark, "/gotsdb-test/pf-guard-ok"
     ).collect()
     assert len(out) == 190  # all pairs of identical docs at jaccard 1.0
+
+
+# ----------------------------------------- Grubbs max-studentized
+
+
+def test_grubbs_matches_python_reference(spark):
+    rows = (
+        load_table(spark, "orders", SF)
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            "o_orderkey",
+        )
+        .collect()
+    )
+    by_grp = defaultdict(list)
+    for r in rows:
+        by_grp[r["grp"]].append((r["cents"], r["o_orderkey"]))
+    got = {
+        r["grp"]: r
+        for r in QUERIES["stats_grubbs_max_outlier"](spark, SF).collect()
+    }
+    for grp, pts in by_grp.items():
+        n = len(pts)
+        s = sum(c for c, _ in pts)
+        u_of = {}
+        q_red = 0
+        for c, okey in pts:
+            u = abs(c * n - s)
+            u_of.setdefault((u, c), okey)
+            u_of[(u, c)] = min(u_of[(u, c)], okey)
+            q_red += tdiv(u, 1000) ** 2
+        u_max = max(u for u, _ in u_of)
+        # min orderkey among max-u rows; its cents rides along
+        okey, cents = min(
+            (ok, c) for (u, c), ok in u_of.items() if u == u_max
+        )
+        # (min okey is unique, so cents is determined by it)
+        cents = next(
+            c for (u, c), ok in u_of.items() if u == u_max and ok == okey
+        )
+        r = got[grp]
+        assert r["n"] == n and r["sum_cents"] == s
+        assert r["u_max"] == u_max
+        assert r["outlier_orderkey"] == okey
+        assert r["outlier_cents"] == cents
+        assert r["grubbs_g2_e6"] == tdiv(
+            tdiv(u_max, 1000) ** 2 * (n - 1) * 10**6, q_red
+        )
+
+
+# ----------------------------------------- late-arriving facts
+
+
+def test_late_facts_matches_python_reference(spark):
+    odate = {
+        r["o_orderkey"]: r["o_orderdate"]
+        for r in load_table(spark, "orders", SF)
+        .select("o_orderkey", "o_orderdate")
+        .collect()
+    }
+    # the synthetic fixture's ship dates routinely precede the order
+    # date, so the max lag can be NEGATIVE — start from -inf, not 0
+    per_day = defaultdict(lambda: [0, 0, -(10**9)])
+    for r in (
+        load_table(spark, "lineitem", SF)
+        .select("l_orderkey", "l_shipdate")
+        .collect()
+    ):
+        ship = r["l_shipdate"].date()
+        lag = (ship - odate[r["l_orderkey"]].date()).days
+        a = per_day[ship]
+        a[0] += 1
+        a[1] += 1 if lag > 30 else 0
+        a[2] = max(a[2], lag)
+    got = {
+        r["ship_day"]: (
+            r["n_lineitems"],
+            r["n_beyond_horizon"],
+            r["beyond_share_e6"],
+            r["max_lag_days"],
+        )
+        for r in QUERIES["audit_late_arriving_facts"](spark, SF).collect()
+    }
+    want = {
+        d: (a[0], a[1], a[1] * 10**6 // a[0], a[2])
+        for d, a in per_day.items()
+    }
+    assert got == want and want
+
+
+# ----------------------------------------- streaming rate limit
+
+
+def test_rate_limit_audit_matches_python_reference(spark):
+    per_min = defaultdict(int)
+    for r in load_table(spark, "events", SF).select("ts", "event_type").collect():
+        per_min[(r["ts"].replace(second=0, microsecond=0),
+                 r["event_type"])] += 1
+    by_type = defaultdict(dict)
+    for (m, et), n in per_min.items():
+        by_type[et][m] = n
+    got = {
+        r["event_type"]: (
+            r["n_minutes"],
+            r["max_per_min"],
+            r["minutes_over_budget"],
+            r["peak_minute"],
+        )
+        for r in QUERIES["streaming_rate_limit_audit"](spark, SF).collect()
+    }
+    want = {}
+    for et, mins in by_type.items():
+        mx = max(mins.values())
+        want[et] = (
+            len(mins),
+            mx,
+            sum(1 for n in mins.values() if n > 50),
+            min(m for m, n in mins.items() if n == mx),
+        )
+    assert got == want and want

@@ -344,6 +344,15 @@ ROUND13_CLASS = [
     "q9_profit_cents_by_nation_year",
     "q18_large_volume_cents",
     "q21_waiting_suppliers",
+    # Pulled-forward round-14 trio: Grubbs is the overflow case (u and
+    # q_red reductions sized for sf1 in statistics.py); the late-facts
+    # audit re-runs the fact join at 10x; the rate-limit audit's
+    # per-minute counters grow exactly 10x on the copy-stacked fixture
+    # (same minute grid, same peak minute) — the volume-invariance the
+    # docstring claims, proven.
+    "stats_grubbs_max_outlier",
+    "audit_late_arriving_facts",
+    "streaming_rate_limit_audit",
 ]
 
 SWEEP_CLASS = (
