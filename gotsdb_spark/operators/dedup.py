@@ -653,6 +653,44 @@ _PREFIX_FILTER_ORACLE = f"""
 """
 
 
+def _prefix_filter_candidates(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from the rarest-first prefix
+    join — the pre-verify stage of dedup_prefix_filter_jaccard, kept
+    separate so plan tests can pin its shape before the operator's
+    budget checkpoint hides it.
+
+    Global shingle frequency is a map-side-combinable groupBy joined
+    back on sh — NOT a window over PARTITION BY sh: shingle frequency
+    is Zipfian, and a window shuffle puts every row of a hot shingle
+    into one task with no remedy (AQE can split skewed joins but not
+    skewed windows). The groupBy's partial aggregation absorbs hot
+    keys map-side, the freq table is one tiny row per key, and the
+    join back is an equi-join where AQE skew handling applies. (Not
+    broadcast either: the frequency table grows with the corpus.)
+    """
+    freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
+    with_f = sh.join(freq, "sh").select("doc_id", "sh", "f")
+    ranked = with_f.select(
+        "doc_id",
+        "sh",
+        F.row_number()
+        .over(W.partitionBy("doc_id").orderBy("f", "sh"))
+        .alias("rn"),
+        F.count("*").over(W.partitionBy("doc_id")).alias("n_sh"),
+    )
+    prefix = ranked.where(
+        F.col("rn") <= F.col("n_sh") - F.ceil(_PF_T * F.col("n_sh")) + 1
+    ).select("doc_id", "sh")
+    pb = prefix.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        prefix.join(
+            pb, (F.col("sh") == F.col("sh_b")) & (F.col("doc_id") < F.col("doc_b"))
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+
+
 @query("dedup_prefix_filter_jaccard", oracle=_PREFIX_FILTER_ORACLE)
 def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-threshold Jaccard join via prefix filtering (PPJoin-style).
@@ -691,35 +729,10 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shared_cache(
         spark, sf_dir, "shingle_table", lambda: shingle_table(spark, sf_dir)
     )
-    # Global shingle frequency as a map-side-combinable groupBy joined
-    # back on sh — NOT a window over PARTITION BY sh: shingle frequency
-    # is Zipfian, and a window shuffle puts every row of a hot shingle
-    # into one task with no remedy (AQE can split skewed joins but not
-    # skewed windows). The groupBy's partial aggregation absorbs hot
-    # keys map-side, the freq table is one tiny row per key, and the
-    # join back is an equi-join where AQE skew handling applies. (Not
-    # broadcast either: the frequency table grows with the corpus.)
-    freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
-    with_f = sh.join(freq, "sh").select("doc_id", "sh", "f")
-    ranked = with_f.select(
-        "doc_id",
-        "sh",
-        F.row_number()
-        .over(W.partitionBy("doc_id").orderBy("f", "sh"))
-        .alias("rn"),
-        F.count("*").over(W.partitionBy("doc_id")).alias("n_sh"),
-    )
-    prefix = ranked.where(
-        F.col("rn") <= F.col("n_sh") - F.ceil(_PF_T * F.col("n_sh")) + 1
-    ).select("doc_id", "sh")
-    pb = prefix.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    cand = (
-        prefix.join(pb, (F.col("sh") == F.col("sh_b")) & (F.col("doc_id") < F.col("doc_b")))
-        .select(F.col("doc_id").alias("doc_a"), "doc_b")
-        .distinct()
-        # the budget count and the verify join share one materialization
-        .localCheckpoint(eager=False)
-    )
+    cand = _prefix_filter_candidates(sh).localCheckpoint(eager=False)
+    # ^ the budget count and the verify join share one materialization;
+    # the candidate pipeline lives in _prefix_filter_candidates so the
+    # plan tests can pin its shape pre-checkpoint.
     n_docs = load_table(spark, "documents", sf_dir).count()  # metadata-cheap
     n_cand = cand.count()  # 1-row bound off the checkpointed frame
     budget = _PF_PAIR_BUDGET_PER_DOC * max(n_docs, 1)

@@ -301,10 +301,20 @@ def test_prefix_filter_shingle_freq_not_windowed(spark):
     """Shingle frequency must come from a map-side-combinable groupBy
     joined back on sh, not `count(*) OVER (PARTITION BY sh)`: shingle
     frequency is Zipfian and AQE can split skewed joins but not skewed
-    windows. No Window node in the plan may partition on sh."""
+    windows. No Window node in the plan may partition on sh.
+
+    Pinned on the candidate stage (_prefix_filter_candidates) directly:
+    the round-13 pair-budget guard checkpoints the candidate frame, so
+    the registered query's final plan no longer shows the upstream
+    shingle-frequency aggregate."""
     import re
 
-    df = QUERIES["dedup_prefix_filter_jaccard"](spark, SF)
+    from gotsdb_spark.operators.dedup import (
+        _prefix_filter_candidates,
+        shingle_table,
+    )
+
+    df = _prefix_filter_candidates(shingle_table(spark, SF))
     plan = df._jdf.queryExecution().executedPlan().toString()
     for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         cols = [c.strip().split("#")[0] for c in spec.split(",")]
