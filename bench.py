@@ -197,6 +197,13 @@ HEADLINE = [
     "q18_large_volume_cents",
     "stats_grubbs_max_outlier",
     "audit_late_arriving_facts",
+    # round 13, second batch (round-14 backlog pulled forward)
+    "stats_qq_drift_value",
+    "ts_cohort_repeat_purchase",
+    "curate_token_budget_planner",
+    "stats_leadtime_control_chart",
+    "stats_segmented_regression",
+    "stats_hhi_concentration_drift",
 ]
 
 # Streaming replays + the KV engine roundtrip execute real multi-wave

@@ -1217,3 +1217,175 @@ def sample_alias_table_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mass_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source token-budget planner (waterfilling) — round 13.
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET_ORACLE = """
+    WITH src AS MATERIALIZED (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS s,
+             CAST(sum(t) AS BIGINT) AS total_tokens,
+             CAST(sum(t) // 2 AS BIGINT) AS budget
+      FROM src
+    ), ranked AS MATERIALIZED (
+      SELECT a.source, a.t, a.n_docs,
+             CAST(count(*) AS BIGINT) AS rk,
+             CAST(sum(b.t) AS BIGINT) AS cum_t
+      FROM src a JOIN src b
+        ON b.t < a.t OR (b.t = a.t AND b.source <= a.source)
+      GROUP BY a.source, a.t, a.n_docs
+    ), cand AS (
+      SELECT r.rk, r.cum_t
+      FROM ranked r, tot
+      WHERE r.t * (tot.s - r.rk) <= tot.budget - r.cum_t
+    ), level AS (
+      SELECT tot.s, tot.total_tokens, tot.budget,
+             COALESCE(max(cand.rk), 0) AS jstar,
+             COALESCE(max(cand.cum_t), 0) AS cum_tj
+      FROM tot LEFT JOIN cand ON TRUE
+      GROUP BY 1, 2, 3
+    ), params AS (
+      SELECT s, total_tokens, budget, jstar, cum_tj,
+             (budget - cum_tj) // (s - jstar) AS lvl,
+             (budget - cum_tj) % (s - jstar) AS extra
+      FROM level
+    )
+    SELECT r.source,
+           r.t AS tokens_total,
+           r.n_docs,
+           CAST(r.rk AS INT) AS size_rank,
+           CAST(CASE WHEN r.rk <= p.jstar THEN r.t
+                     WHEN r.rk > p.s - p.extra THEN p.lvl + 1
+                     ELSE p.lvl END AS BIGINT) AS tokens_alloc,
+           r.rk > p.jstar AS capped,
+           CAST(CASE WHEN r.rk <= p.jstar THEN r.t
+                     WHEN r.rk > p.s - p.extra THEN p.lvl + 1
+                     ELSE p.lvl END * 1000000 // r.t AS BIGINT)
+             AS keep_rate_e6,
+           p.budget AS budget_tokens
+    FROM ranked r, params p
+    ORDER BY r.source
+"""
+
+
+@query("curate_token_budget_planner", oracle=TOKEN_BUDGET_ORACLE)
+def curate_token_budget_planner(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source token-budget planner — the mixture planner's dual.
+    Given a target token budget (half the corpus, deterministic), pick
+    per-source keep allocations by exact integer WATERFILLING: small
+    sources are kept whole; every larger source is clipped to a common
+    level L chosen so allocations sum to the budget EXACTLY (the
+    remainder after integer division hands one extra token to each of
+    the `extra` largest capped sources — largest-(tokens, name) order,
+    deterministic). This equalizes surviving tokens across dominant
+    sources, which is precisely the dual of curate_mixture_sample's
+    fixed per-source rates: there the rates are the input, here the
+    budget is and the rates fall out (keep_rate_e6 per source).
+
+    Waterfilling correctness (pinned by the Python-reference test):
+    jstar = the largest count j of smallest sources that can be kept
+    whole while splitting the remaining budget equally among the
+    S - j larger ones (feasible iff t_j * (S-j) <= B - cumT_j;
+    feasibility is monotone in j, so max() selects the unique
+    boundary); for capped sources t > L holds by the maximality of
+    jstar, so alloc <= t everywhere and sum(alloc) == budget exactly.
+
+    Determinism: token counts are the repo-wide whitespace convention
+    (size(split(text,' ')) == len(string_split(...))); ranks break
+    ties on (tokens, source); every column is integer/boolean.
+
+    Scale: ONE documents pass (text + source columns) builds the
+    per-source totals; everything after is source-dictionary-sized
+    (S x S rank join, 1-row params) — at 100 TB the plan is one
+    map-side-combinable groupBy plus grid joins. The rank self-join is
+    an intended nested loop over the broadcast S-row dictionary, never
+    data x data.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no corpus
+    tooling (SURVEY.md §2.2); this is [TARGET] training-data curation
+    machinery alongside curate_mixture_sample / curate_pack_token_bins.
+    """
+    docs = load_table(spark, "documents", sf_dir).select(
+        "source", F.size(F.split("text", " ")).cast("long").alias("ntok")
+    )
+    src = (
+        docs.groupBy("source")
+        .agg(
+            F.sum("ntok").cast("long").alias("t"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = src.agg(
+        F.count(F.lit(1)).cast("long").alias("s"),
+        F.sum("t").cast("long").alias("total_tokens"),
+        F.expr("CAST(sum(t) DIV 2 AS BIGINT)").alias("budget"),
+    )
+    a, b = src.alias("a"), src.alias("b")
+    ranked = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.t") < F.col("a.t"))
+            | (
+                (F.col("b.t") == F.col("a.t"))
+                & (F.col("b.source") <= F.col("a.source"))
+            ),
+        )
+        .groupBy("a.source", "a.t", "a.n_docs")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rk"),
+            F.sum("b.t").cast("long").alias("cum_t"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cand = ranked.crossJoin(F.broadcast(tot)).where(
+        F.col("t") * (F.col("s") - F.col("rk"))
+        <= F.col("budget") - F.col("cum_t")
+    )
+    level = tot.crossJoin(
+        F.broadcast(
+            cand.agg(
+                F.coalesce(F.max("rk"), F.lit(0)).alias("jstar"),
+                F.coalesce(F.max("cum_t"), F.lit(0)).alias("cum_tj"),
+            )
+        )
+    )
+    params = level.select(
+        "s",
+        "total_tokens",
+        "budget",
+        "jstar",
+        "cum_tj",
+        F.expr("(budget - cum_tj) DIV (s - jstar)").alias("lvl"),
+        F.expr("(budget - cum_tj) % (s - jstar)").alias("extra"),
+    )
+    alloc = (
+        "CASE WHEN rk <= jstar THEN t"
+        " WHEN rk > s - extra THEN lvl + 1"
+        " ELSE lvl END"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(params))
+        .select(
+            "source",
+            F.col("t").alias("tokens_total"),
+            "n_docs",
+            F.col("rk").cast("int").alias("size_rank"),
+            F.expr(f"CAST({alloc} AS BIGINT)").alias("tokens_alloc"),
+            (F.col("rk") > F.col("jstar")).alias("capped"),
+            F.expr(f"CAST({alloc} * 1000000 DIV t AS BIGINT)").alias(
+                "keep_rate_e6"
+            ),
+            F.col("budget").alias("budget_tokens"),
+        )
+        .orderBy("source")
+    )

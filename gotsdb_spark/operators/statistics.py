@@ -3615,3 +3615,686 @@ def stats_grubbs_max_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q-Q drift score between timeline halves — round 13.
+# ---------------------------------------------------------------------------
+
+# Exact lower-decile convention (the stats_trimmed_mean / KM family
+# rule): the k-th decile of a half is the SMALLEST dictionary value v
+# whose cumulative count satisfies 10*cc >= k*n — pure integer
+# cross-multiplication, no engine quantile function, no interpolation,
+# so both engines select the identical grid point.
+_QQ_DECILES = tuple(range(1, 10))
+
+_QQ_DEV_COLS = ", ".join(
+    f"abs(max(CASE WHEN half = 0 THEN q{k} END)"
+    f" - max(CASE WHEN half = 1 THEN q{k} END)) AS d{k}"
+    for k in _QQ_DECILES
+)
+_QQ_Q_COLS = ", ".join(
+    f"min(CASE WHEN 10 * cc >= {k} * n THEN v END) AS q{k}"
+    for k in _QQ_DECILES
+)
+_QQ_SUM = " + ".join(f"d{k}" for k in _QQ_DECILES)
+_QQ_GREATEST = "greatest(" + ", ".join(f"d{k}" for k in _QQ_DECILES) + ")"
+_QQ_ARGMAX = (
+    "CASE "
+    + " ".join(f"WHEN d{k} = mx THEN {k}" for k in _QQ_DECILES)
+    + " END"
+)
+
+QQ_DRIFT_ORACLE = f"""
+    WITH dic0 AS MATERIALIZED (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             CAST(floor(value * 1000) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2, 3
+    ), mm AS (
+      SELECT min(day) AS dmin, max(day) AS dmax FROM dic0
+    ), dic AS MATERIALIZED (
+      SELECT event_type,
+             CASE WHEN 2 * day <= dmin + dmax THEN 0 ELSE 1 END AS half,
+             v, CAST(sum(c) AS BIGINT) AS c
+      FROM dic0, mm GROUP BY 1, 2, 3
+    ), cum AS (
+      SELECT event_type, half, v, c,
+             sum(c) OVER (PARTITION BY event_type, half ORDER BY v) AS cc
+      FROM dic
+    ), tot AS (
+      SELECT event_type, half, CAST(sum(c) AS BIGINT) AS n
+      FROM dic GROUP BY 1, 2
+    ), q AS (
+      SELECT cum.event_type, cum.half, max(tot.n) AS n, {_QQ_Q_COLS}
+      FROM cum JOIN tot
+        ON tot.event_type = cum.event_type AND tot.half = cum.half
+      GROUP BY 1, 2
+    ), piv AS (
+      SELECT event_type,
+             max(CASE WHEN half = 0 THEN n END) AS n_first,
+             max(CASE WHEN half = 1 THEN n END) AS n_second,
+             {_QQ_DEV_COLS}
+      FROM q GROUP BY 1
+    ), dev AS (
+      SELECT event_type, n_first, n_second,
+             {_QQ_SUM} AS qq_sum_abs_dev_e3,
+             {_QQ_GREATEST} AS mx,
+             {', '.join(f'd{k}' for k in _QQ_DECILES)}
+      FROM piv
+    )
+    SELECT event_type, n_first, n_second,
+           qq_sum_abs_dev_e3,
+           mx AS qq_max_dev_e3,
+           CAST({_QQ_ARGMAX} AS INT) AS max_dev_decile
+    FROM dev ORDER BY event_type
+"""
+
+
+@query("stats_qq_drift_value", oracle=QQ_DRIFT_ORACLE)
+def stats_qq_drift_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-Q drift score per event type between the first and second half
+    of the event timeline: the nine exact lower deciles of the
+    e3-quantized `value` distribution are computed for each half, and
+    drift is read off the Q-Q comparison — sum of absolute decile
+    deviations, the max deviation, and WHICH decile attains it (lowest
+    decile on ties, matching the CASE chain's first match). This is the
+    distribution-shift reading that PSI's fixed bins coarsen
+    (quality_psi_value_drift bins before comparing; Q-Q compares the
+    quantile functions themselves on the value grid).
+
+    Determinism: deciles are exact LOWER order statistics selected by
+    integer cross-multiplication (10*cc >= k*n) over the quantized
+    value dictionary — no engine quantile function, no interpolation,
+    and every output column is BIGINT/INT, so the cross-engine hash is
+    exact at any scale.
+
+    Scale: one events pass builds the (type, day, value) dictionary
+    (map-side combinable; bounded by types x days x value grid).
+    The timeline midpoint comes from a 1-row broadcast aggregate of
+    that dictionary (no second fact scan — dic0 is checkpointed for
+    its two consumers), halves re-aggregate dictionary rows, and the
+    cumulative count runs partitioned by (type, half) with
+    dictionary-bounded input. Nothing downstream of the first groupBy
+    is row-count-sized.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    statistical surface (internal/storage/types.go:3); this is
+    [TARGET] drift-audit machinery.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("day"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+    )
+    dic0 = (
+        ev.groupBy("event_type", "day", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    mm = dic0.agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax")
+    )
+    dic = (
+        dic0.crossJoin(F.broadcast(mm))
+        .select(
+            "event_type",
+            F.when(
+                2 * F.col("day") <= F.col("dmin") + F.col("dmax"), 0
+            )
+            .otherwise(1)
+            .alias("half"),
+            "v",
+            "c",
+        )
+        .groupBy("event_type", "half", "v")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    cum = dic.withColumn(
+        "cc",
+        F.sum("c").over(W.partitionBy("event_type", "half").orderBy("v")),
+    )
+    tot = dic.groupBy("event_type", "half").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    q = (
+        cum.join(F.broadcast(tot), ["event_type", "half"])
+        .groupBy("event_type", "half")
+        .agg(
+            F.max("n").alias("n"),
+            *(
+                F.min(
+                    F.when(
+                        10 * F.col("cc") >= k * F.col("n"), F.col("v")
+                    )
+                ).alias(f"q{k}")
+                for k in _QQ_DECILES
+            ),
+        )
+    )
+    piv = q.groupBy("event_type").agg(
+        F.max(F.when(F.col("half") == 0, F.col("n"))).alias("n_first"),
+        F.max(F.when(F.col("half") == 1, F.col("n"))).alias("n_second"),
+        *(
+            F.abs(
+                F.max(F.when(F.col("half") == 0, F.col(f"q{k}")))
+                - F.max(F.when(F.col("half") == 1, F.col(f"q{k}")))
+            ).alias(f"d{k}")
+            for k in _QQ_DECILES
+        ),
+    )
+    dev = piv.withColumn(
+        "mx", F.greatest(*(F.col(f"d{k}") for k in _QQ_DECILES))
+    )
+    return dev.select(
+        "event_type",
+        "n_first",
+        "n_second",
+        F.expr(_QQ_SUM).alias("qq_sum_abs_dev_e3"),
+        F.col("mx").alias("qq_max_dev_e3"),
+        F.expr(_QQ_ARGMAX).cast("int").alias("max_dev_decile"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Order-to-ship lead-time control chart (Shewhart X-bar) — round 13.
+# ---------------------------------------------------------------------------
+
+# Exact-integer control test: week w is out of control iff
+# |mean_w - mu| > 3*sigma/sqrt(n_w). With S_w = sum(lag), N/S/SS the
+# grand moments, cross-multiplying removes every division:
+#   (S_w*N - S*n_w)^2 > 9 * n_w * (N*SS - S^2)
+# (both sides exact integers; sigma^2 is the POPULATION variance
+# (N*SS - S^2)/N^2 and the n_w^2*N^2 denominators cancel). The
+# reported z^2 is the same ratio in e6 — every intermediate fits
+# DECIMAL(38,0)/HUGEINT at sf1 (diff^2*1e6 ~ 1e32) and the quotient
+# fits BIGINT. {d} is the truncating integer division (Spark DIV,
+# DuckDB //); {w} the wide integer type.
+_CTRL_Z2_E6 = (
+    "CAST(CAST(s_w * big_n - big_s * n_w AS {w})"
+    " * (s_w * big_n - big_s * n_w) * 1000000"
+    " {d} NULLIF(n_w * (CAST(big_n AS {w}) * big_ss - CAST(big_s AS {w}) * big_s), 0)"
+    " AS BIGINT)"
+)
+_CTRL_Z2_SPARK = _CTRL_Z2_E6.format(d="DIV", w="decimal(38,0)")
+_CTRL_Z2_DUCK = _CTRL_Z2_E6.format(d="//", w="HUGEINT")
+
+LEADTIME_CTRL_ORACLE = f"""
+    WITH lagged AS (
+      SELECT CAST(datediff('day', DATE '1995-01-01',
+                           CAST(l_shipdate AS DATE)) AS BIGINT) // 7
+               AS week_idx,
+             CAST(datediff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) AS BIGINT) AS lag
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ), wk AS MATERIALIZED (
+      SELECT week_idx,
+             CAST(count(*) AS BIGINT) AS n_w,
+             CAST(sum(lag) AS BIGINT) AS s_w,
+             CAST(sum(lag * lag) AS BIGINT) AS ss_w
+      FROM lagged GROUP BY week_idx
+    ), grand AS (
+      SELECT CAST(sum(n_w) AS BIGINT) AS big_n,
+             CAST(sum(s_w) AS BIGINT) AS big_s,
+             CAST(sum(ss_w) AS BIGINT) AS big_ss
+      FROM wk
+    )
+    SELECT CAST(week_idx AS INT) AS week_idx,
+           n_w AS n_shipments,
+           CAST(s_w * 1000 // n_w AS BIGINT) AS mean_lag_e3,
+           {_CTRL_Z2_DUCK} AS z2_e6,
+           COALESCE({_CTRL_Z2_DUCK} > 9000000, FALSE) AS out_of_control
+    FROM wk, grand
+    ORDER BY week_idx
+"""
+
+
+@query("stats_leadtime_control_chart", oracle=LEADTIME_CTRL_ORACLE)
+def stats_leadtime_control_chart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shewhart X-bar control chart over order-to-ship lead time: per
+    ship week, the mean lag in days against 3-sigma control limits
+    derived from the grand moments — the PROCESS-STABILITY reading
+    that ts_cusum_changepoint's single cumulative drift statistic
+    doesn't give (a control chart flags every excursion week
+    independently; CUSUM localizes one sustained shift).
+
+    Determinism: the control test is a cross-multiplied exact integer
+    inequality (see _CTRL_Z2_E6 — population variance, denominators
+    cancelled), the reported z^2 an e6 integer quotient; no float
+    enters either engine.
+
+    Scale: one lineitem-orders equi-join on the order key (both sides
+    shuffle once), then a map-side-combinable groupBy to the week
+    grain carrying three integer moments. The grand moments reduce the
+    ~350-row week dictionary (checkpointed: per-week rows and the
+    grand reduction share it) and broadcast back as one row. Nothing
+    after the first groupBy is row-count-sized.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    statistical surface (internal/storage/types.go:3); this is
+    [TARGET] process-quality machinery.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship_day")
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("order_day")
+    )
+    lagged = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.expr(
+            "CAST(datediff(ship_day, DATE '1995-01-01') AS BIGINT) DIV 7"
+        ).alias("week_idx"),
+        F.datediff("ship_day", "order_day").cast("bigint").alias("lag"),
+    )
+    wk = (
+        lagged.groupBy("week_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_w"),
+            F.sum("lag").cast("long").alias("s_w"),
+            F.sum(F.col("lag") * F.col("lag")).cast("long").alias("ss_w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    grand = wk.agg(
+        F.sum("n_w").cast("long").alias("big_n"),
+        F.sum("s_w").cast("long").alias("big_s"),
+        F.sum("ss_w").cast("long").alias("big_ss"),
+    )
+    return (
+        wk.crossJoin(F.broadcast(grand))
+        .select(
+            F.col("week_idx").cast("int").alias("week_idx"),
+            F.col("n_w").alias("n_shipments"),
+            F.expr("CAST(s_w * 1000 DIV n_w AS BIGINT)").alias(
+                "mean_lag_e3"
+            ),
+            F.expr(_CTRL_Z2_SPARK).alias("z2_e6"),
+            F.coalesce(
+                F.expr(_CTRL_Z2_SPARK) > 9000000, F.lit(False)
+            ).alias("out_of_control"),
+        )
+        .orderBy("week_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Segmented regression (one-breakpoint broken stick) — round 13.
+# ---------------------------------------------------------------------------
+
+
+def _seg_sse(p: str, d: str, w: str) -> str:
+    """Reduced exact-integer SSE of an OLS segment from its sufficient
+    statistics n{p}, sx{p}, sy{p}, sxy{p}, sxx{p}, syy{p}: with the
+    centered forms SxxC = n*Sxx - Sx^2 (>0 whenever the segment holds
+    >= 2 distinct days), SyyC, SxyC, the residual sum of squares is
+    (SxxC*SyyC - SxyC^2) / (n*SxxC) — non-negative by Cauchy-Schwarz,
+    so the truncating division is a floor in both engines. The /1000
+    reduction keeps the quotient in BIGINT at sf1 (SSE ~ 1e17
+    dollars^2); every product stays under DECIMAL(38,0)/HUGEINT
+    (SxxC*SyyC ~ 1.6e33 with daily revenue in whole DOLLARS — cents
+    would overflow 38 digits, which is why y is dollar-reduced)."""
+    sxxc = f"(CAST(n{p} AS {w}) * sxx{p} - CAST(sx{p} AS {w}) * sx{p})"
+    syyc = f"(CAST(n{p} AS {w}) * syy{p} - CAST(sy{p} AS {w}) * sy{p})"
+    sxyc = f"(CAST(n{p} AS {w}) * sxy{p} - CAST(sx{p} AS {w}) * sy{p})"
+    return (
+        f"(({sxxc} * {syyc} - {sxyc} * {sxyc})"
+        f" {d} ({sxxc} * CAST(n{p} AS {w}) * 1000))"
+    )
+
+
+def _seg_slope(p: str, d: str, w: str) -> str:
+    sxxc = f"(CAST(n{p} AS {w}) * sxx{p} - CAST(sx{p} AS {w}) * sx{p})"
+    sxyc = f"(CAST(n{p} AS {w}) * sxy{p} - CAST(sx{p} AS {w}) * sy{p})"
+    return f"CAST({sxyc} * 1000000 {d} {sxxc} AS BIGINT)"
+
+
+_SEG_PRE_COLS = """
+             CAST(count(*) OVER win AS BIGINT) AS rn,
+             CAST(sum(x) OVER win AS BIGINT) AS cx,
+             CAST(sum(y) OVER win AS BIGINT) AS cy,
+             CAST(sum(x * y) OVER win AS BIGINT) AS cxy,
+             CAST(sum(x * x) OVER win AS BIGINT) AS cxx,
+             CAST(sum(y * y) OVER win AS BIGINT) AS cyy
+"""
+
+SEGMENTED_OLS_ORACLE = f"""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(datediff('day', DATE '1995-01-01',
+                           CAST(l_shipdate AS DATE)) AS BIGINT) AS x,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                  // 100 AS BIGINT) AS y
+      FROM lineitem GROUP BY 1
+    ), pre AS (
+      SELECT x, {_SEG_PRE_COLS}
+      FROM daily WINDOW win AS (ORDER BY x)
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS nt,
+             CAST(sum(x) AS BIGINT) AS sxt,
+             CAST(sum(y) AS BIGINT) AS syt,
+             CAST(sum(x * y) AS BIGINT) AS sxyt,
+             CAST(sum(x * x) AS BIGINT) AS sxxt,
+             CAST(sum(y * y) AS BIGINT) AS syyt
+      FROM daily
+    ), cand AS MATERIALIZED (
+      SELECT pre.x AS b,
+             rn AS nl, cx AS sxl, cy AS syl,
+             cxy AS sxyl, cxx AS sxxl, cyy AS syyl,
+             nt - rn AS nr, sxt - cx AS sxr, syt - cy AS syr,
+             sxyt - cxy AS sxyr, sxxt - cxx AS sxxr, syyt - cyy AS syyr
+      FROM pre, tot
+      WHERE rn >= 2 AND nt - rn >= 2
+    ), scored AS MATERIALIZED (
+      SELECT b,
+             CAST({_seg_sse('l', '//', 'HUGEINT')}
+                  + {_seg_sse('r', '//', 'HUGEINT')} AS BIGINT)
+               AS sse_break_red,
+             {_seg_slope('l', '//', 'HUGEINT')} AS slope_left_e6,
+             {_seg_slope('r', '//', 'HUGEINT')} AS slope_right_e6
+      FROM cand
+    ), best AS (
+      SELECT min(sse_break_red) AS sse_break_red FROM scored
+    ), hit AS (
+      SELECT s.sse_break_red, min(s.b) AS break_day
+      FROM scored s JOIN best USING (sse_break_red)
+      GROUP BY 1
+    )
+    SELECT CAST(tot.nt AS BIGINT) AS n_days,
+           CAST(hit.break_day AS INT) AS break_day,
+           hit.sse_break_red,
+           CAST({_seg_sse('t', '//', 'HUGEINT')} AS BIGINT)
+             AS sse_single_red,
+           s.slope_left_e6, s.slope_right_e6
+    FROM hit
+    JOIN scored s ON s.sse_break_red = hit.sse_break_red
+                 AND s.b = hit.break_day
+    CROSS JOIN tot
+"""
+
+
+@query("stats_segmented_regression", oracle=SEGMENTED_OLS_ORACLE)
+def stats_segmented_regression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-breakpoint segmented (broken-stick) OLS of daily revenue on
+    time: the breakpoint over the calendar-day grid that minimizes the
+    summed exact-integer-reduced SSE of the two segments, with the
+    single-segment SSE alongside (their gap is the evidence a regime
+    change beats one straight line) and both segment slopes — this
+    composes stats_ols_trend_by_type's sufficient-statistic OLS with
+    ts_binseg_changepoint's argmin-over-candidates shape, but fits
+    LINES per side rather than constant means.
+
+    Determinism: daily revenue is dollar-reduced exact integers; every
+    candidate's score is a truncating integer division of exact
+    products (see _seg_sse), the argmin tie-breaks on the earliest
+    day, and slopes are e6 integer quotients — both engines floor the
+    same integers, so the hash gate is exact.
+
+    Scale: one lineitem pass -> calendar-day dictionary (map-side
+    combinable). The prefix-moment window is ordered over the ~2.5k-row
+    day grid — calendar-bounded, never row-count-sized (allowlisted
+    like stats_durbin_watson's single-series grid); candidates derive
+    from prefix vs broadcast totals in one projection, and the argmin
+    is a 1-row reduction joined back for attribution (the Grubbs hit
+    pattern). At 100 TB only the first groupBy touches fact rows.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    statistical surface (internal/storage/types.go:3); this is
+    [TARGET] trend-analysis machinery.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    daily = (
+        li.groupBy("x")
+        .agg(F.expr("CAST(sum(cents) DIV 100 AS BIGINT)").alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    win = W.orderBy("x")
+    pre = daily.select(
+        "x",
+        F.count(F.lit(1)).over(win).cast("long").alias("rn"),
+        F.sum("x").over(win).cast("long").alias("cx"),
+        F.sum("y").over(win).cast("long").alias("cy"),
+        F.sum(F.col("x") * F.col("y")).over(win).cast("long").alias("cxy"),
+        F.sum(F.col("x") * F.col("x")).over(win).cast("long").alias("cxx"),
+        F.sum(F.col("y") * F.col("y")).over(win).cast("long").alias("cyy"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("nt"),
+        F.sum("x").cast("long").alias("sxt"),
+        F.sum("y").cast("long").alias("syt"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxyt"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxxt"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syyt"),
+    ).localCheckpoint(eager=False)
+    cand = (
+        pre.crossJoin(F.broadcast(tot))
+        .where((F.col("rn") >= 2) & (F.col("nt") - F.col("rn") >= 2))
+        .select(
+            F.col("x").alias("b"),
+            F.col("rn").alias("nl"),
+            F.col("cx").alias("sxl"),
+            F.col("cy").alias("syl"),
+            F.col("cxy").alias("sxyl"),
+            F.col("cxx").alias("sxxl"),
+            F.col("cyy").alias("syyl"),
+            (F.col("nt") - F.col("rn")).alias("nr"),
+            (F.col("sxt") - F.col("cx")).alias("sxr"),
+            (F.col("syt") - F.col("cy")).alias("syr"),
+            (F.col("sxyt") - F.col("cxy")).alias("sxyr"),
+            (F.col("sxxt") - F.col("cxx")).alias("sxxr"),
+            (F.col("syyt") - F.col("cyy")).alias("syyr"),
+        )
+    )
+    dec = "decimal(38,0)"
+    scored = cand.select(
+        "b",
+        F.expr(
+            f"CAST({_seg_sse('l', 'DIV', dec)}"
+            f" + {_seg_sse('r', 'DIV', dec)} AS BIGINT)"
+        ).alias("sse_break_red"),
+        F.expr(_seg_slope("l", "DIV", dec)).alias("slope_left_e6"),
+        F.expr(_seg_slope("r", "DIV", dec)).alias("slope_right_e6"),
+    ).localCheckpoint(eager=False)
+    best = scored.agg(F.min("sse_break_red").alias("sse_break_red"))
+    hit = (
+        scored.join(F.broadcast(best), "sse_break_red")
+        .groupBy("sse_break_red")
+        .agg(F.min("b").alias("break_day"))
+    )
+    single = tot.select(
+        F.expr(f"CAST({_seg_sse('t', 'DIV', dec)} AS BIGINT)").alias(
+            "sse_single_red"
+        ),
+        F.col("nt").alias("n_days"),
+    )
+    return (
+        scored.join(F.broadcast(hit), "sse_break_red")
+        .where(F.col("b") == F.col("break_day"))
+        .crossJoin(F.broadcast(single))
+        .select(
+            "n_days",
+            F.col("break_day").cast("int").alias("break_day"),
+            "sse_break_red",
+            "sse_single_red",
+            "slope_left_e6",
+            "slope_right_e6",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Category-share concentration (HHI) drift — round 13.
+# ---------------------------------------------------------------------------
+
+HHI_DRIFT_ORACLE = """
+    WITH cnt AS (
+      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), hhi AS MATERIALIZED (
+      SELECT day,
+             CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(sum(CAST(c AS HUGEINT) * c) * 1000000
+                  // (CAST(sum(c) AS HUGEINT) * sum(c)) AS BIGINT)
+               AS hhi_e6
+      FROM cnt GROUP BY day
+    ), pairs AS (
+      SELECT CAST(sum(CASE WHEN b.hhi_e6 > a.hhi_e6 THEN 1
+                           WHEN b.hhi_e6 < a.hhi_e6 THEN -1
+                           ELSE 0 END) AS BIGINT) AS s
+      FROM hhi a JOIN hhi b ON b.day > a.day
+    ), ties AS (
+      SELECT CAST(COALESCE(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)), 0)
+                  AS BIGINT) AS tie_term
+      FROM (SELECT count(*) AS t FROM hhi GROUP BY hhi_e6) g
+      WHERE t > 1
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(arg_min(hhi_e6, day) AS BIGINT) AS hhi_first_e6,
+             CAST(arg_max(hhi_e6, day) AS BIGINT) AS hhi_last_e6,
+             CAST(sum(hhi_e6) // count(*) AS BIGINT) AS hhi_mean_e6
+      FROM hhi
+    )
+    SELECT agg.n_days, agg.hhi_first_e6, agg.hhi_last_e6,
+           agg.hhi_mean_e6, pairs.s AS s_trend,
+           CAST((agg.n_days * (agg.n_days - 1) * (2 * agg.n_days + 5)
+                 - ties.tie_term) // 18 AS BIGINT) AS var_s,
+           CAST(CASE WHEN agg.n_days * (agg.n_days - 1)
+                          * (2 * agg.n_days + 5) - ties.tie_term = 0
+                     THEN NULL
+                     ELSE (CASE WHEN pairs.s >= 0 THEN 1 ELSE -1 END)
+                          * CAST(pairs.s AS HUGEINT) * pairs.s * 18
+                          * 1000000
+                          // (agg.n_days * (agg.n_days - 1)
+                              * (2 * agg.n_days + 5) - ties.tie_term)
+                END AS BIGINT) AS z2_signed_e6
+    FROM agg, pairs, ties
+"""
+
+
+@query("stats_hhi_concentration_drift", oracle=HHI_DRIFT_ORACLE)
+def stats_hhi_concentration_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Category-concentration drift: the per-day Herfindahl-Hirschman
+    index of event-type shares (HHI_e6 = 1e6 * sum_t n_td^2 / N_d^2 —
+    1e6 means one type owns the day, 1e6/k means k equal types),
+    reduced to a Mann-Kendall trend test over the daily HHI series —
+    is traffic CONCENTRATING into fewer categories over time? This
+    composes the concentration reading of stats_gini_revenue with the
+    trend machinery of stats_mann_kendall_trend: Gini profiles one
+    static distribution; this tracks a concentration INDEX as a series.
+
+    Determinism: HHI is an exact integer quotient per day; S from
+    integer sign comparisons over the day-pair grid; the tie-corrected
+    Var(S) and the signed z^2 e6 rational follow the seasonal-MK
+    integer conventions (NULL on a degenerate variance, both engines).
+
+    Scale: one events pass to the (day, type) dictionary; per-day HHI
+    is a calendar-sized groupBy; the pair join is day-grid-squared
+    (~450 rows at 30 days) — bounded at ANY volume; the checkpointed
+    hhi frame feeds its four consumers (two pair sides, ties,
+    first/last aggregate) without re-scanning facts.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    statistical surface (internal/storage/types.go:3); this is
+    [TARGET] drift-audit machinery.
+    """
+    dec = "decimal(38,0)"
+    cnt = load_table(spark, "events", sf_dir).groupBy(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    hhi = (
+        cnt.groupBy("day")
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.expr(
+                f"CAST(sum(CAST(c AS {dec}) * c) * 1000000"
+                f" DIV (CAST(sum(c) AS {dec}) * sum(c)) AS BIGINT)"
+            ).alias("hhi_e6"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = hhi.select(F.col("day").alias("da"), F.col("hhi_e6").alias("ha"))
+    b = hhi.select(F.col("day").alias("db"), F.col("hhi_e6").alias("hb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("db") > F.col("da"))
+        .agg(
+            F.sum(
+                F.when(F.col("hb") > F.col("ha"), 1)
+                .when(F.col("hb") < F.col("ha"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_trend")
+        )
+    )
+    ties = (
+        hhi.groupBy("hhi_e6")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        f"CAST(t AS {dec}) * (t - 1) * (2 * t + 5)"
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    agg = hhi.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr("CAST(min_by(hhi_e6, day) AS BIGINT)").alias(
+            "hhi_first_e6"
+        ),
+        F.expr("CAST(max_by(hhi_e6, day) AS BIGINT)").alias(
+            "hhi_last_e6"
+        ),
+        F.expr("CAST(sum(hhi_e6) DIV count(*) AS BIGINT)").alias(
+            "hhi_mean_e6"
+        ),
+    )
+    vnum = (
+        "agg_n_days * (agg_n_days - 1) * (2 * agg_n_days + 5) - tie_term"
+    )
+    return (
+        agg.withColumnRenamed("n_days", "agg_n_days")
+        .crossJoin(F.broadcast(pairs))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("agg_n_days").alias("n_days"),
+            "hhi_first_e6",
+            "hhi_last_e6",
+            "hhi_mean_e6",
+            "s_trend",
+            F.expr(f"CAST(({vnum}) DIV 18 AS BIGINT)").alias("var_s"),
+            F.expr(
+                f"CAST(CASE WHEN {vnum} = 0 THEN NULL"
+                f" ELSE (CASE WHEN s_trend >= 0 THEN 1 ELSE -1 END)"
+                f" * CAST(s_trend AS {dec}) * s_trend * 18 * 1000000"
+                f" DIV ({vnum}) END AS BIGINT)"
+            ).alias("z2_signed_e6"),
+        )
+    )

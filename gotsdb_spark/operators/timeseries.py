@@ -4276,3 +4276,112 @@ def ts_periodogram_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000000000, 0) AS BIGINT)"
         ).alias("power_share_e6"),
     ).orderBy("event_type", "harmonic")
+
+
+# ---------------------------------------------------------------------------
+# Order-cohort repeat-purchase curve — round 13.
+# ---------------------------------------------------------------------------
+
+COHORT_REPEAT_ORACLE = """
+    WITH om AS MATERIALIZED (
+      SELECT o_custkey,
+             CAST(date_part('year', o_orderdate) * 12
+                  + date_part('month', o_orderdate) - 1 AS BIGINT) AS m
+      FROM orders
+    ), first AS MATERIALIZED (
+      SELECT o_custkey, min(m) AS m0 FROM om GROUP BY o_custkey
+    ), sizes AS (
+      SELECT m0, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM first GROUP BY m0
+    ), active AS (
+      SELECT f.m0, om.m - f.m0 AS month_offset,
+             CAST(count(DISTINCT om.o_custkey) AS BIGINT)
+               AS active_customers
+      FROM om JOIN first f ON f.o_custkey = om.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(a.m0 // 12 AS INT) AS cohort_year,
+           CAST(a.m0 % 12 + 1 AS INT) AS cohort_month,
+           CAST(a.month_offset AS INT) AS month_offset,
+           s.cohort_size,
+           a.active_customers,
+           CAST(a.active_customers * 1000000 // s.cohort_size AS BIGINT)
+             AS repeat_rate_e6
+    FROM active a JOIN sizes s ON s.m0 = a.m0
+    ORDER BY cohort_year, cohort_month, month_offset
+"""
+
+
+@query("ts_cohort_repeat_purchase", oracle=COHORT_REPEAT_ORACLE)
+def ts_cohort_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-cohort repeat-purchase curve: customers are cohorted by
+    the calendar month of their FIRST order, and each later month
+    offset gets the share of the cohort that placed >= 1 order that
+    month — the retention curve a marketplace actually plots (offset 0
+    is 100% by construction and serves as the self-check row). This
+    composes the cohort machinery of ts_time_to_convert_cohorts into
+    the repeat-rate reading: TTC measures time-to-first-conversion,
+    this measures ongoing repeat behavior per acquisition vintage.
+
+    Determinism: months are absolute integer month indexes
+    (year*12 + month - 1), rates are exact integer micro-shares
+    (active * 1e6 DIV cohort_size) — every column integer, hash-exact
+    under any partitioning.
+
+    Scale: one orders pass projects (custkey, month); the first-order
+    dictionary is a map-side-combinable min per customer. The fact
+    rejoin is a custkey equi-join (both sides shuffle on the same key
+    once — co-partitioned under AQE), and the distinct-active count
+    shuffles (m0, offset, custkey) partials. Output is bounded by
+    cohort months x offsets — calendar-squared, never row-count-sized.
+    The om projection is checkpointed: its two consumers (first-order
+    min and the rejoin) share ONE parquet scan.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    analytics surface (SURVEY.md §2.2); this is [TARGET] product-
+    analytics machinery alongside ts_retention_cohorts.
+    """
+    om = (
+        load_table(spark, "orders", sf_dir)
+        .select(
+            "o_custkey",
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+            )
+            .cast("bigint")
+            .alias("m"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    first = (
+        om.groupBy("o_custkey")
+        .agg(F.min("m").alias("m0"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = first.groupBy("m0").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    active = (
+        om.join(first, "o_custkey")
+        .groupBy("m0", (F.col("m") - F.col("m0")).alias("month_offset"))
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias(
+                "active_customers"
+            )
+        )
+    )
+    return (
+        active.join(F.broadcast(sizes), "m0")
+        .select(
+            F.expr("CAST(m0 DIV 12 AS INT)").alias("cohort_year"),
+            F.expr("CAST(m0 % 12 + 1 AS INT)").alias("cohort_month"),
+            F.col("month_offset").cast("int").alias("month_offset"),
+            "cohort_size",
+            "active_customers",
+            F.expr(
+                "CAST(active_customers * 1000000 DIV cohort_size"
+                " AS BIGINT)"
+            ).alias("repeat_rate_e6"),
+        )
+        .orderBy("cohort_year", "cohort_month", "month_offset")
+    )

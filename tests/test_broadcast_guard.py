@@ -101,6 +101,29 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     # round 13: Grubbs — 5-row priority group moments / per-group max
     ("operators/statistics.py", "stats_grubbs_max_outlier", "g.select"): "grid",
     ("operators/statistics.py", "stats_grubbs_max_outlier", "mx.select"): "grid",
+    # round 13b: Q-Q drift — 1-row timeline min/max, (type, half) totals
+    ("operators/statistics.py", "stats_qq_drift_value", "mm"): "scalar",
+    ("operators/statistics.py", "stats_qq_drift_value", "tot"): "grid",
+    # round 13b: cohort curve — calendar-month cohort sizes
+    ("operators/timeseries.py", "ts_cohort_repeat_purchase", "sizes"): "grid",
+    # round 13b: control chart — 1-row grand moments
+    ("operators/statistics.py", "stats_leadtime_control_chart", "grand"): "scalar",
+    # round 13b: segmented regression — 1-row totals / argmin / hit /
+    # single-segment SSE
+    ("operators/statistics.py", "stats_segmented_regression", "tot"): "scalar",
+    ("operators/statistics.py", "stats_segmented_regression", "best"): "scalar",
+    ("operators/statistics.py", "stats_segmented_regression", "hit"): "scalar",
+    ("operators/statistics.py", "stats_segmented_regression", "single"): "scalar",
+    # round 13b: HHI drift — day-grid pair side, 1-row S and tie term
+    ("operators/statistics.py", "stats_hhi_concentration_drift", "b"): "grid",
+    ("operators/statistics.py", "stats_hhi_concentration_drift", "pairs"): "scalar",
+    ("operators/statistics.py", "stats_hhi_concentration_drift", "ties"): "scalar",
+    # round 13b: token-budget planner — source-dictionary rank join,
+    # 1-row totals / boundary / level params
+    ("operators/pipeline_ops.py", "curate_token_budget_planner", "b"): "grid",
+    ("operators/pipeline_ops.py", "curate_token_budget_planner", "tot"): "scalar",
+    ("operators/pipeline_ops.py", "curate_token_budget_planner", "cand.agg"): "scalar",
+    ("operators/pipeline_ops.py", "curate_token_budget_planner", "params"): "scalar",
     ("operators/inference.py", "stats_friedman_ranks", "chi"): "scalar",
     ("operators/inference.py", "ts_ljung_box_whiteness", "lags"): "grid",
     ("operators/inference.py", "stats_durbin_watson", "fit"): "scalar",

@@ -731,6 +731,9 @@ ALLOWED_GLOBAL_WINDOWS = {
     "ts_locf_fill",  # day-spine frame (may plan without an exchange)
     "sketch_kmv_distinct_users",  # merged k-min set: ≤ k × days rows
     "text_rrf_hybrid_retrieval",  # two k-row top-k arms
+    "stats_segmented_regression",  # prefix moments over the calendar
+    # day grid (single series, ~2.5k rows — the stats_durbin_watson
+    # class)
 }
 
 
@@ -1774,3 +1777,67 @@ def test_round13b_ops_plan_shapes(spark):
     r = plan_report(QUERIES["streaming_rate_limit_audit"](spark, SF))
     assert not r["cartesian"] and not r["nested_loop"]
     assert r["global_windows"] == 0
+
+
+def test_round13c_ops_plan_shapes(spark):
+    """Plan pins for the second round-13 batch (round-14 backlog
+    pulled forward: Q-Q drift, cohort curve, token-budget planner)."""
+    from gotsdb_spark.plans import plan_report
+
+    # Q-Q drift: ONE events scan hides behind the (type, day, value)
+    # dictionary checkpoint; windows are partitioned by (type, half) —
+    # never global; the timeline-midpoint broadcast is a 1-row frame.
+    r = plan_report(QUERIES["stats_qq_drift_value"](spark, SF))
+    assert r["scans"] <= 1
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+    assert r["python_stages"] == 0
+
+    # Cohort curve: the (custkey, month) projection is checkpointed so
+    # the first-order pass and the rejoin share one orders scan; the
+    # cohort-size join is a broadcast of calendar-month rows — no
+    # cartesian, no window.
+    r = plan_report(QUERIES["ts_cohort_repeat_purchase"](spark, SF))
+    assert r["scans"] == 0  # both consumers read the checkpoint
+    assert not r["cartesian"] and not r["nested_loop"]
+    assert r["global_windows"] == 0
+    assert r["python_stages"] == 0
+
+    # Token-budget planner: everything after the per-source groupBy is
+    # source-dictionary-sized; the rank self-join and the 1-row params
+    # joins are intended broadcast nested loops — never cartesian, no
+    # window, no Python stage.
+    r = plan_report(QUERIES["curate_token_budget_planner"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+    assert r["python_stages"] == 0
+
+
+def test_round13d_ops_plan_shapes(spark):
+    """Plan pins for the third round-13 batch (control chart,
+    segmented regression, HHI drift)."""
+    from gotsdb_spark.plans import plan_report
+
+    # Control chart: lineitem-orders equi-join, week-grain groupBy,
+    # 1-row grand broadcast — no cartesian, no window, no Python.
+    r = plan_report(QUERIES["stats_leadtime_control_chart"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+    assert r["python_stages"] == 0
+    assert r["scans"] <= 2  # one per fact side
+
+    # Segmented regression: the only window is the allowlisted
+    # calendar-day prefix-moment pass; everything downstream of the
+    # daily checkpoint is dictionary-sized.
+    r = plan_report(QUERIES["stats_segmented_regression"](spark, SF))
+    assert not r["cartesian"]
+    assert r["python_stages"] == 0
+    assert r["scans"] == 0  # candidates read the scored checkpoint
+
+    # HHI drift: one events scan into the (day, type) dictionary;
+    # day-grid pair join is an intended broadcast nested loop.
+    r = plan_report(QUERIES["stats_hhi_concentration_drift"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+    assert r["python_stages"] == 0
+    assert r["scans"] <= 1

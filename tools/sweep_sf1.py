@@ -353,6 +353,20 @@ ROUND13_CLASS = [
     "stats_grubbs_max_outlier",
     "audit_late_arriving_facts",
     "streaming_rate_limit_audit",
+    # Second round-13 batch: Q-Q deciles exercise the integer
+    # cross-multiplication at 10x counts; the cohort distinct-active
+    # join re-runs the custkey co-partition at 10x; the planner's
+    # waterfilling must still sum EXACTLY to the 10x budget.
+    "stats_qq_drift_value",
+    "ts_cohort_repeat_purchase",
+    "curate_token_budget_planner",
+    # Third batch: the control chart's cross-multiplied inequality and
+    # the segmented regression's DECIMAL(38,0) SSE products are sized
+    # for sf1 magnitudes (dollar-reduced y; see _seg_sse) — the sweep
+    # proves them; HHI's day grid is volume-invariant by construction.
+    "stats_leadtime_control_chart",
+    "stats_segmented_regression",
+    "stats_hhi_concentration_drift",
 ]
 
 SWEEP_CLASS = (
