@@ -204,6 +204,8 @@ HEADLINE = [
     "stats_leadtime_control_chart",
     "stats_segmented_regression",
     "stats_hhi_concentration_drift",
+    "stats_fill_time_sla_bands",
+    "stats_tail_coexceedance_types",
 ]
 
 # Streaming replays + the KV engine roundtrip execute real multi-wave
@@ -222,6 +224,7 @@ SECONDARY_REPLAYS = [
     "streaming_session_eviction_audit",
     "streaming_checkpoint_restart_replay",
     "streaming_rate_limit_audit",
+    "streaming_gap_outage_audit",
 ]
 
 

@@ -1390,3 +1390,139 @@ def streaming_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 streaming_rate_limit_audit.__doc__ = streaming_rate_limit_audit.__doc__.format(
     budget=_RATE_BUDGET_PER_MIN
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming gap / outage detector — round 13.
+# ---------------------------------------------------------------------------
+
+GAP_AUDIT_ORACLE = """
+    WITH per_min AS MATERIALIZED (
+      SELECT date_trunc('minute', ts) AS m, event_type
+      FROM events GROUP BY 1, 2
+    ), gaps AS (
+      SELECT event_type, m,
+             CAST(datediff('minute', m,
+                           lead(m) OVER (PARTITION BY event_type
+                                         ORDER BY m)) AS BIGINT) AS gap
+      FROM per_min
+    ), mx AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_minutes_active,
+             max(gap) AS max_gap_minutes
+      FROM gaps GROUP BY event_type
+    )
+    SELECT mx.event_type, mx.n_minutes_active, mx.max_gap_minutes,
+           min(g.m) AS gap_start_minute
+    FROM mx JOIN gaps g
+      ON g.event_type = mx.event_type AND g.gap = mx.max_gap_minutes
+    GROUP BY 1, 2, 3
+    ORDER BY mx.event_type
+"""
+
+
+@query("streaming_gap_outage_audit", oracle=GAP_AUDIT_ORACLE)
+def streaming_gap_outage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest gap / outage detector off a REAL streaming replay: the
+    same watermarked 1-minute tumbling aggregation as
+    streaming_rate_limit_audit maintains per-type active-minute
+    counters in append mode; at read time the longest silence per type
+    is the max minute-difference between CONSECUTIVE active minutes,
+    with WHEN it began (earliest tie) — the ingest-health twin of the
+    rate-limit audit: that one reads the peak, this reads the longest
+    quiet stretch, which is what pages an on-call when a producer
+    stalls. Minute resolution is the honest streamable grain: state
+    stays bounded by calendar-minutes x types at any volume (a
+    raw-event lag chain would carry per-event state forever).
+
+    Replay layout (shared convention): all events land first (shuffled
+    files, 2 per trigger), a far-future sentinel pushes the 10-minute
+    watermark past every real minute so append emits every window; the
+    sentinel's own window never closes and never appears. The hash
+    gate proves the streamed active-minute spine equals DuckDB's batch
+    per-minute aggregation exactly; the gap chain itself is exact
+    integer minute arithmetic on that spine in both engines.
+
+    Scale: streaming state bounded by minutes x types; the read-time
+    lag window is partitioned by type over the minute dictionary
+    (~43.2k rows/month) — never row-count-sized.
+
+    Reference parity: the reference ingests via synchronous HTTP
+    point-writes and cannot see silence at all (main.go:79); this is
+    [TARGET] streaming machinery.
+    """
+    from pyspark.sql.window import Window
+
+    replay = tempfile.mkdtemp(prefix="gotsdb_stream_gap_")
+    ev = load_table(spark, "events", sf_dir)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    mx_ts = ev.agg(F.max("ts").alias("mx")).collect()[0]["mx"]  # 1-row bound
+    sentinel = (
+        spark.createDataFrame(
+            [(10**9, None, 0, "sentinel", 0.0, "{}")],
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        )
+        .withColumn("ts", F.lit(mx_ts) + F.expr("INTERVAL 3 DAYS"))
+    )
+    per_min = (
+        read_events_stream(spark, replay, 2)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.col("w.start").alias("m"), "event_type")
+    )
+    name = f"itg_gap_{os.getpid()}_{next(_counter)}"
+    ev.orderBy(F.hash("event_id")).select(cols).repartition(4).write.mode(
+        "append"
+    ).parquet(replay)
+    with _replay_partitions(spark):
+        q = run_stream_to_memory(per_min, name, output_mode="append")
+        try:
+            q.processAllAvailable()
+            sentinel.select(cols).repartition(1).write.mode("append").parquet(
+                replay
+            )
+            q.processAllAvailable()
+            out = spark.table(name).collect()
+        finally:
+            q.stop()
+    emitted = spark.createDataFrame(
+        out, "m timestamp, event_type string"
+    ).localCheckpoint(eager=False)
+    gaps = emitted.select(
+        "event_type",
+        "m",
+        (
+            (
+                F.unix_timestamp(
+                    F.lead("m").over(
+                        Window.partitionBy("event_type").orderBy("m")
+                    )
+                )
+                - F.unix_timestamp("m")
+            )
+            / 60
+        )
+        .cast("bigint")
+        .alias("gap"),
+    ).localCheckpoint(eager=False)
+    mx = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_minutes_active"),
+        F.max("gap").alias("max_gap_minutes"),
+    )
+    return (
+        mx.join(
+            gaps.withColumnRenamed("gap", "max_gap_minutes"),
+            ["event_type", "max_gap_minutes"],
+        )
+        .groupBy("event_type", "n_minutes_active", "max_gap_minutes")
+        .agg(F.min("m").alias("gap_start_minute"))
+        .select(
+            "event_type",
+            "n_minutes_active",
+            "max_gap_minutes",
+            "gap_start_minute",
+        )
+        .orderBy("event_type")
+    )

@@ -4298,3 +4298,288 @@ def stats_hhi_concentration_drift(
             ).alias("z2_signed_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Order fill-time SLA percentile bands — round 13.
+# ---------------------------------------------------------------------------
+
+_SLA_CUTS = ((25, "p25_days"), (50, "p50_days"), (90, "p90_days"))
+
+FILL_TIME_ORACLE = f"""
+    WITH done AS (
+      SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS done_day
+      FROM lineitem GROUP BY l_orderkey
+    ), lagd AS (
+      SELECT o_orderpriority AS priority,
+             CAST(datediff('day', CAST(o_orderdate AS DATE), done_day)
+                  AS BIGINT) AS lag
+      FROM done JOIN orders ON o_orderkey = l_orderkey
+    ), dic AS MATERIALIZED (
+      SELECT priority, lag, CAST(count(*) AS BIGINT) AS c
+      FROM lagd GROUP BY 1, 2
+    ), cum AS (
+      SELECT priority, lag, c,
+             sum(c) OVER (PARTITION BY priority ORDER BY lag) AS cc
+      FROM dic
+    ), tot AS (
+      SELECT priority, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(lag * c) AS BIGINT) AS s
+      FROM dic GROUP BY priority
+    )
+    SELECT cum.priority, max(tot.n) AS n_orders,
+           {", ".join(
+               f"min(CASE WHEN 100 * cc >= {k} * n THEN lag END) AS {nm}"
+               for k, nm in _SLA_CUTS
+           )},
+           CAST(max(tot.s) * 1000 // max(tot.n) AS BIGINT)
+             AS mean_days_e3
+    FROM cum JOIN tot ON tot.priority = cum.priority
+    GROUP BY cum.priority
+    ORDER BY cum.priority
+"""
+
+
+@query("stats_fill_time_sla_bands", oracle=FILL_TIME_ORACLE)
+def stats_fill_time_sla_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order fill-time SLA bands per order priority: the exact lower
+    p25/p50/p90 of order COMPLETION time (order date -> last line
+    shipped) plus the exact mean — the SLA view that complements
+    stats_leadtime_control_chart (the chart reads per-line process
+    stability week by week; this reads end-to-end order latency as
+    the percentile bands an SLA is written against).
+
+    Determinism: completion is a per-order max DATE then an integer
+    datediff; percentiles are exact LOWER order statistics selected by
+    integer cross-multiplication (100*cc >= k*n) over the (priority,
+    lag) dictionary — no engine quantile function; the mean is an
+    exact e3 integer quotient.
+
+    Scale: one lineitem pass reduces to per-order completion (groupBy
+    on the order key — map-side combinable), the orders join is the
+    same-key equi-join (co-partitioned under AQE), and everything
+    after the (priority, lag-days) dictionary groupBy is bounded by
+    priorities x the lag-day grid (~5 x 200), never row-count-sized.
+    The cumulative runs partitioned by priority.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    statistical surface (internal/storage/types.go:3); this is
+    [TARGET] SLA-analytics machinery.
+    """
+    done = load_table(spark, "lineitem", sf_dir).groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("done_day")
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("order_day"),
+    )
+    lagd = done.join(
+        orders, done.l_orderkey == orders.o_orderkey
+    ).select(
+        "priority",
+        F.datediff("done_day", "order_day").cast("bigint").alias("lag"),
+    )
+    dic = (
+        lagd.groupBy("priority", "lag")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    cum = dic.withColumn(
+        "cc", F.sum("c").over(W.partitionBy("priority").orderBy("lag"))
+    )
+    tot = dic.groupBy("priority").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("lag") * F.col("c")).cast("long").alias("s"),
+    )
+    return (
+        cum.join(F.broadcast(tot), "priority")
+        .groupBy("priority")
+        .agg(
+            F.max("n").alias("n_orders"),
+            *(
+                F.min(
+                    F.when(
+                        100 * F.col("cc") >= k * F.col("n"), F.col("lag")
+                    )
+                ).alias(nm)
+                for k, nm in _SLA_CUTS
+            ),
+            F.expr("CAST(max(s) * 1000 DIV max(n) AS BIGINT)").alias(
+                "mean_days_e3"
+            ),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tail co-exceedance (copula-free tail dependence) — round 13.
+# ---------------------------------------------------------------------------
+
+TAIL_COEX_ORACLE = """
+    WITH daily AS MATERIALIZED (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, day, v,
+             sum(1) OVER (PARTITION BY event_type ORDER BY v, day) AS cc,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ), thr AS (
+      SELECT event_type,
+             min(CASE WHEN 10 * cc >= 9 * n THEN v END) AS t90
+      FROM cum GROUP BY event_type
+    ), flags AS MATERIALIZED (
+      SELECT d.event_type, d.day,
+             CASE WHEN d.v >= thr.t90 THEN 1 ELSE 0 END AS is_top
+      FROM daily d JOIN thr ON thr.event_type = d.event_type
+    ), k AS (
+      SELECT event_type, CAST(sum(is_top) AS BIGINT) AS k
+      FROM flags GROUP BY event_type
+    ), nd AS (
+      SELECT CAST(count(DISTINCT day) AS BIGINT) AS n_days FROM flags
+    ), co AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(sum(a.is_top * b.is_top) AS BIGINT) AS co_exceed
+      FROM flags a JOIN flags b
+        ON a.day = b.day AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT co.type_a, co.type_b, nd.n_days,
+           ka.k AS k_a, kb.k AS k_b, co.co_exceed,
+           CAST(ka.k * kb.k * 1000 // nd.n_days AS BIGINT)
+             AS expected_co_e3,
+           CAST(co.co_exceed * nd.n_days * 1000000 // (ka.k * kb.k)
+                AS BIGINT) AS lift_e6
+    FROM co
+    JOIN k ka ON ka.event_type = co.type_a
+    JOIN k kb ON kb.event_type = co.type_b
+    CROSS JOIN nd
+    ORDER BY type_a, type_b
+"""
+
+
+@query("stats_tail_coexceedance_types", oracle=TAIL_COEX_ORACLE)
+def stats_tail_coexceedance_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Copula-free tail-dependence audit: for every pair of event
+    types, how often do their TOP-DECILE volume days coincide, against
+    the independence expectation k_a*k_b/n — lift > 1e6 means extreme
+    days co-occur (shared upstream load / common-mode bursts), the
+    bivariate TAIL reading that whole-distribution correlation
+    (stats_corr_matrix_lineitem) and the Q-Q halves drift cannot give.
+
+    Determinism: daily volumes are exact e3 integer sums; each type's
+    90th-percentile threshold is the exact lower order statistic over
+    its (v, day)-ordered day spine (10*cc >= 9*n, day-tiebreak making
+    cc unique per row); co-exceedance, expectation (e3) and lift (e6)
+    are integer quotients.
+
+    Scale: one events pass to the (type, day) dictionary; thresholds,
+    flags and the pair join are all bounded by types x calendar days
+    (~150 rows; pair join types^2 x days) at ANY volume. The flags
+    frame is checkpointed for its three consumers (per-type k, day
+    count, both pair sides).
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    statistical surface (internal/storage/types.go:3); this is
+    [TARGET] risk-analytics machinery.
+    """
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("day"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+            .cast("long")
+            .alias("v")
+        )
+        .localCheckpoint(eager=False)
+    )
+    cum = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.sum(F.lit(1))
+        .over(W.partitionBy("event_type").orderBy("v", "day"))
+        .alias("cc"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    )
+    thr = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(10 * F.col("cc") >= 9 * F.col("n"), F.col("v"))
+        ).alias("t90")
+    )
+    flags = (
+        daily.join(F.broadcast(thr), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.when(F.col("v") >= F.col("t90"), 1).otherwise(0).alias(
+                "is_top"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    k = flags.groupBy("event_type").agg(
+        F.sum("is_top").cast("long").alias("k")
+    )
+    nd = flags.agg(F.countDistinct("day").cast("long").alias("n_days"))
+    a = flags.select(
+        F.col("event_type").alias("type_a"),
+        F.col("day").alias("day_a"),
+        F.col("is_top").alias("top_a"),
+    )
+    b = flags.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day").alias("day_b"),
+        F.col("is_top").alias("top_b"),
+    )
+    co = (
+        a.join(
+            F.broadcast(b),
+            (F.col("day_a") == F.col("day_b"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.col("top_a") * F.col("top_b"))
+            .cast("long")
+            .alias("co_exceed")
+        )
+    )
+    ka = k.select(
+        F.col("event_type").alias("type_a"), F.col("k").alias("k_a")
+    )
+    kb = k.select(
+        F.col("event_type").alias("type_b"), F.col("k").alias("k_b")
+    )
+    return (
+        co.join(F.broadcast(ka), "type_a")
+        .join(F.broadcast(kb), "type_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "type_a",
+            "type_b",
+            "n_days",
+            "k_a",
+            "k_b",
+            "co_exceed",
+            F.expr("CAST(k_a * k_b * 1000 DIV n_days AS BIGINT)").alias(
+                "expected_co_e3"
+            ),
+            F.expr(
+                "CAST(co_exceed * n_days * 1000000 DIV (k_a * k_b)"
+                " AS BIGINT)"
+            ).alias("lift_e6"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -118,6 +118,15 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/statistics.py", "stats_hhi_concentration_drift", "b"): "grid",
     ("operators/statistics.py", "stats_hhi_concentration_drift", "pairs"): "scalar",
     ("operators/statistics.py", "stats_hhi_concentration_drift", "ties"): "scalar",
+    # round 13b: fill-time SLA bands — priority-dictionary totals
+    ("operators/statistics.py", "stats_fill_time_sla_bands", "tot"): "grid",
+    # round 13b: tail co-exceedance — per-type thresholds, day-grid
+    # flag side, per-type exceed counts, 1-row day count
+    ("operators/statistics.py", "stats_tail_coexceedance_types", "thr"): "grid",
+    ("operators/statistics.py", "stats_tail_coexceedance_types", "b"): "grid",
+    ("operators/statistics.py", "stats_tail_coexceedance_types", "ka"): "grid",
+    ("operators/statistics.py", "stats_tail_coexceedance_types", "kb"): "grid",
+    ("operators/statistics.py", "stats_tail_coexceedance_types", "nd"): "scalar",
     # round 13b: token-budget planner — source-dictionary rank join,
     # 1-row totals / boundary / level params
     ("operators/pipeline_ops.py", "curate_token_budget_planner", "b"): "grid",

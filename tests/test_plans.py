@@ -1841,3 +1841,40 @@ def test_round13d_ops_plan_shapes(spark):
     assert r["global_windows"] == 0
     assert r["python_stages"] == 0
     assert r["scans"] <= 1
+
+
+def test_round13e_ops_plan_shapes(spark):
+    """Plan pins for the fourth round-13 batch (fill-time SLA bands,
+    tail co-exceedance; the gap audit is a replay query pinned by its
+    read-time structure below)."""
+    from gotsdb_spark.plans import plan_report
+
+    # SLA bands: per-order completion groupBy, same-key orders join,
+    # then the (priority, lag) dictionary — partitioned cumulative,
+    # no cartesian, no global window.
+    r = plan_report(QUERIES["stats_fill_time_sla_bands"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+    assert r["python_stages"] == 0
+    assert r["scans"] <= 2  # one per fact side
+
+    # Tail co-exceedance: one events scan into the (type, day)
+    # dictionary; thresholds/flags/pair join are all grid-sized
+    # broadcast joins — never cartesian, windows partitioned by type.
+    r = plan_report(QUERIES["stats_tail_coexceedance_types"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+    assert r["python_stages"] == 0
+    assert r["scans"] <= 1  # flags checkpoint feeds all consumers
+
+
+def test_streaming_gap_audit_read_side_is_bounded(spark):
+    """The gap audit's read-time frame must be the emitted minute
+    spine (bounded by minutes x types), with the lag window
+    PARTITIONED by type — no single-partition window chain."""
+    from gotsdb_spark.plans import plan_report
+
+    r = plan_report(QUERIES["streaming_gap_outage_audit"](spark, SF))
+    assert r["global_windows"] == 0
+    assert not r["cartesian"]
+    assert r["scans"] == 0  # reads the collected/checkpointed spine

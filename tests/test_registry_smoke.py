@@ -35,8 +35,8 @@ def test_registry_nonempty_and_integration_split():
     names = _batch_queries()
     assert len(names) >= 200
     # streaming replays + kv snapshot (round 13 added the
-    # checkpoint-restart and rate-limit replays)
-    assert len(QUERIES) - len(names) <= 14
+    # checkpoint-restart, rate-limit and gap-outage replays)
+    assert len(QUERIES) - len(names) <= 15
 
 
 def test_every_batch_query_analyzes(spark):

@@ -367,6 +367,13 @@ ROUND13_CLASS = [
     "stats_leadtime_control_chart",
     "stats_segmented_regression",
     "stats_hhi_concentration_drift",
+    # Fourth batch: SLA bands rerun the per-order completion join at
+    # 10x; co-exceedance day grids are volume-invariant (counter
+    # growth only); the gap audit replays a real stream whose emitted
+    # minute spine must match batch exactly at 10x arrivals.
+    "stats_fill_time_sla_bands",
+    "stats_tail_coexceedance_types",
+    "streaming_gap_outage_audit",
 ]
 
 SWEEP_CLASS = (
