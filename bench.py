@@ -206,6 +206,8 @@ HEADLINE = [
     "stats_hhi_concentration_drift",
     "stats_fill_time_sla_bands",
     "stats_tail_coexceedance_types",
+    "embed_principal_direction",
+    "ts_btyd_frequency_recency",
 ]
 
 # Streaming replays + the KV engine roundtrip execute real multi-wave

@@ -4583,3 +4583,155 @@ def stats_tail_coexceedance_types(
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Principal direction via unrolled power iteration — round 13.
+# ---------------------------------------------------------------------------
+
+_POWER_ITERS = 3
+
+_PD_ITER_SQL = """
+    , gv{k} AS (
+      SELECT f.i AS dim,
+             sum(CAST(f.gram_e6 AS HUGEINT) * v.v) AS gv
+      FROM gfull f JOIN v{p} v ON v.dim = f.j
+      GROUP BY f.i
+    ), m{k} AS (
+      SELECT NULLIF(max(abs(gv)), 0) AS mx FROM gv{k}
+    ), v{k} AS (
+      SELECT dim, CAST(gv * 1000000 // mx AS HUGEINT) AS v
+      FROM gv{k}, m{k}
+    )
+"""
+
+PRINCIPAL_DIR_ORACLE = (
+    f"""
+    WITH comps AS MATERIALIZED (
+      SELECT vec_id, d.d AS d, CAST(embedding[d.d] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(generate_series(1, {_GRAM_DIM})) AS d) d
+    ), tri AS MATERIALIZED (
+      SELECT CAST(a.d AS INT) AS i, CAST(b.d AS INT) AS j,
+             CAST(sum(CAST(floor(a.x * b.x * 1e6 + 0.5001) AS BIGINT))
+                  AS BIGINT) AS gram_e6
+      FROM comps a JOIN comps b ON a.vec_id = b.vec_id AND a.d <= b.d
+      GROUP BY a.d, b.d
+    ), gfull AS MATERIALIZED (
+      SELECT i, j, gram_e6 FROM tri
+      UNION ALL
+      SELECT j AS i, i AS j, gram_e6 FROM tri WHERE i < j
+    ), v0 AS (
+      SELECT DISTINCT i AS dim, CAST(1000000 AS HUGEINT) AS v FROM gfull
+    )
+    """
+    + "".join(
+        _PD_ITER_SQL.format(k=k, p=k - 1)
+        for k in range(1, _POWER_ITERS + 1)
+    )
+    + f"""
+    , gvf AS (
+      SELECT f.i AS dim,
+             sum(CAST(f.gram_e6 AS HUGEINT) * v.v) AS gv
+      FROM gfull f JOIN v{_POWER_ITERS} v ON v.dim = f.j
+      GROUP BY f.i
+    ), ray AS (
+      SELECT CAST(sum(v.v * g.gv)
+                  // NULLIF(sum(v.v * v.v), 0) AS BIGINT)
+               AS rayleigh_gram_e6
+      FROM v{_POWER_ITERS} v JOIN gvf g ON g.dim = v.dim
+    )
+    SELECT CAST(v.dim AS INT) AS dim,
+           CAST(v.v AS BIGINT) AS direction_e6,
+           ray.rayleigh_gram_e6
+    FROM v{_POWER_ITERS} v, ray
+    ORDER BY dim
+"""
+)
+
+
+@query("embed_principal_direction", oracle=PRINCIPAL_DIR_ORACLE)
+def embed_principal_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Principal direction of the embedding corpus via {it} unrolled
+    power iterations on the DISTRIBUTED Gram matrix — the top-PC
+    readout stats_embedding_gram only provides the sufficient
+    statistic for. v_{{k+1}} = G v_k, renormalized each step onto the
+    exact e6 integer grid by the MAX-ABS component (a rational
+    normalizer — no sqrt, so the whole iteration is integer
+    arithmetic both engines floor identically); the Rayleigh quotient
+    v'Gv / v'v (in gram-e6 units) approximates the top eigenvalue,
+    i.e. the variance captured along the direction.
+
+    Why this shape at 100 TB: the corpus-sized work is exactly ONE
+    pass (the Arrow-batched map-side Gram partials, shuffle O(d^2 x
+    partitions)); every iteration afterwards is a d^2-row matrix-
+    vector join (64 x 64) — iteration count never touches the fact
+    data, unlike per-row projection passes. Seeded at the all-ones
+    vector, the iteration is fully deterministic (no RNG), and
+    {it} unrolled steps follow the Holt/PACF fixed-unroll convention.
+
+    Magnitudes at sf1: gram_e6 <= n*1e6 ~ 1e12, G.v <= 64*1e12*1e6 ~
+    6.4e19 (DECIMAL(38,0)/HUGEINT), normalized components <= 1e6, and
+    the Rayleigh quotient <= trace ~ 6.4e13 fits BIGINT because it is
+    reported in gram-e6 units WITHOUT a further e6 rescale.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no vector
+    surface (SURVEY.md §2.2); this is [TARGET] embedding-analytics
+    machinery alongside stats_embedding_gram / embed_quantize_audit.
+    """
+    dec = "decimal(38,0)"
+    tri = stats_embedding_gram(spark, sf_dir).localCheckpoint(eager=False)
+    full = tri.union(
+        tri.where(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "gram_e6"
+        )
+    ).localCheckpoint(eager=False)
+    v = full.select(F.col("i").alias("dim")).distinct().select(
+        "dim", F.lit(1000000).cast("long").alias("v")
+    )
+    for _ in range(_POWER_ITERS):
+        gv = (
+            full.join(
+                F.broadcast(v.withColumnRenamed("dim", "j")),
+                "j",
+            )
+            .groupBy("i")
+            .agg(
+                F.sum(F.expr(f"CAST(gram_e6 AS {dec}) * v")).alias("gv")
+            )
+        )
+        mx = gv.agg(
+            F.expr("NULLIF(max(abs(gv)), 0)").alias("mx")
+        )
+        v = gv.crossJoin(F.broadcast(mx)).select(
+            F.col("i").alias("dim"),
+            F.expr("CAST(gv * 1000000 DIV mx AS BIGINT)").alias("v"),
+        )
+    v = v.localCheckpoint(eager=False)
+    gvf = (
+        full.join(F.broadcast(v.withColumnRenamed("dim", "j")), "j")
+        .groupBy("i")
+        .agg(F.sum(F.expr(f"CAST(gram_e6 AS {dec}) * v")).alias("gv"))
+    )
+    ray = (
+        v.join(gvf.withColumnRenamed("i", "dim"), "dim")
+        .agg(
+            F.expr(
+                f"CAST(sum(CAST(v AS {dec}) * gv)"
+                f" DIV NULLIF(sum(CAST(v AS {dec}) * v), 0) AS BIGINT)"
+            ).alias("rayleigh_gram_e6")
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(ray))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.col("v").cast("bigint").alias("direction_e6"),
+            "rayleigh_gram_e6",
+        )
+        .orderBy("dim")
+    )
+
+
+embed_principal_direction.__doc__ = embed_principal_direction.__doc__.format(
+    it=_POWER_ITERS
+)

@@ -4385,3 +4385,93 @@ def ts_cohort_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_year", "cohort_month", "month_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# BTYD frequency/recency summary — round 13.
+# ---------------------------------------------------------------------------
+
+BTYD_ORACLE = """
+    WITH om AS MATERIALIZED (
+      SELECT o_custkey,
+             CAST(date_part('year', o_orderdate) * 12
+                  + date_part('month', o_orderdate) - 1 AS BIGINT) AS m
+      FROM orders
+    ), cust AS MATERIALIZED (
+      SELECT o_custkey,
+             CAST(count(*) - 1 AS BIGINT) AS x,
+             min(m) AS m0, max(m) AS m1
+      FROM om GROUP BY o_custkey
+    ), horizon AS (
+      SELECT max(m) AS m_end FROM om
+    )
+    SELECT c.x AS repeat_count,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(c.m1 - c.m0) * 1000 // count(*) AS BIGINT)
+             AS mean_recency_months_e3,
+           CAST(sum(h.m_end - c.m0) * 1000 // count(*) AS BIGINT)
+             AS mean_horizon_months_e3
+    FROM cust c, horizon h
+    GROUP BY c.x
+    ORDER BY c.x
+"""
+
+
+@query("ts_btyd_frequency_recency", oracle=BTYD_ORACLE)
+def ts_btyd_frequency_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buy-till-you-die (Pareto/NBD-style) frequency/recency summary:
+    per repeat count x (orders beyond the first), how many customers
+    sit there, their mean recency t_x (months between first and last
+    order) and mean observation horizon T (months from first order to
+    the end of the calendar) — the exact (x, t_x, T) sufficient
+    dictionary every BTYD churn model consumes, and the
+    repeat-intensity companion to ts_cohort_repeat_purchase (the curve
+    reads WHEN cohorts return; this reads HOW OFTEN customers do).
+
+    Determinism: months are absolute integer indexes, means exact e3
+    integer quotients.
+
+    Scale: one orders pass projects (custkey, month); per-customer
+    triples come from one map-side-combinable groupBy (min/max/count
+    carry three numbers per customer); the calendar-end month is a
+    1-row broadcast off the same checkpointed projection (no second
+    fact scan); the final groupBy is bounded by the repeat-count
+    domain. Nothing downstream of the first groupBy is
+    row-count-sized.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    analytics surface (SURVEY.md §2.2); this is [TARGET]
+    product-analytics machinery.
+    """
+    om = (
+        load_table(spark, "orders", sf_dir)
+        .select(
+            "o_custkey",
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+            )
+            .cast("bigint")
+            .alias("m"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cust = om.groupBy("o_custkey").agg(
+        (F.count(F.lit(1)) - 1).cast("long").alias("x"),
+        F.min("m").alias("m0"),
+        F.max("m").alias("m1"),
+    )
+    horizon = om.agg(F.max("m").alias("m_end"))
+    return (
+        cust.crossJoin(F.broadcast(horizon))
+        .groupBy(F.col("x").alias("repeat_count"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.expr(
+                "CAST(sum(m1 - m0) * 1000 DIV count(*) AS BIGINT)"
+            ).alias("mean_recency_months_e3"),
+            F.expr(
+                "CAST(sum(m_end - m0) * 1000 DIV count(*) AS BIGINT)"
+            ).alias("mean_horizon_months_e3"),
+        )
+        .orderBy("repeat_count")
+    )

@@ -106,6 +106,13 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/statistics.py", "stats_qq_drift_value", "tot"): "grid",
     # round 13b: cohort curve — calendar-month cohort sizes
     ("operators/timeseries.py", "ts_cohort_repeat_purchase", "sizes"): "grid",
+    # round 13b: BTYD summary — 1-row calendar-end month
+    ("operators/timeseries.py", "ts_btyd_frequency_recency", "horizon"): "scalar",
+    # round 13b: power iteration — d-row vector iterates, 1-row
+    # normalizer and Rayleigh quotient
+    ("operators/statistics.py", "embed_principal_direction", "v.withColumnRenamed"): "sketch",
+    ("operators/statistics.py", "embed_principal_direction", "mx"): "scalar",
+    ("operators/statistics.py", "embed_principal_direction", "ray"): "scalar",
     # round 13b: control chart — 1-row grand moments
     ("operators/statistics.py", "stats_leadtime_control_chart", "grand"): "scalar",
     # round 13b: segmented regression — 1-row totals / argmin / hit /

@@ -1878,3 +1878,26 @@ def test_streaming_gap_audit_read_side_is_bounded(spark):
     assert r["global_windows"] == 0
     assert not r["cartesian"]
     assert r["scans"] == 0  # reads the collected/checkpointed spine
+
+
+def test_round13f_ops_plan_shapes(spark):
+    """Plan pins for the fifth round-13 batch (principal direction,
+    BTYD summary)."""
+    from gotsdb_spark.plans import plan_report
+
+    # Principal direction: exactly ONE Python stage (the Arrow Gram
+    # partials); every iteration is a d^2-row join off the Gram
+    # checkpoint — no cartesian, no window, no extra fact scan.
+    r = plan_report(QUERIES["embed_principal_direction"](spark, SF))
+    assert r["python_stages"] <= 1
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+    assert r["scans"] == 0  # iterations read the gram checkpoint
+
+    # BTYD: one orders projection checkpoint feeds the per-customer
+    # groupBy and the 1-row horizon — no second scan, no window.
+    r = plan_report(QUERIES["ts_btyd_frequency_recency"](spark, SF))
+    assert r["scans"] == 0
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+    assert r["python_stages"] == 0

@@ -374,6 +374,12 @@ ROUND13_CLASS = [
     "stats_fill_time_sla_bands",
     "stats_tail_coexceedance_types",
     "streaming_gap_outage_audit",
+    # Fifth batch: the power iteration's G.v products hit their
+    # documented DECIMAL(38,0) ceiling analysis only at 10x gram
+    # magnitudes; BTYD reruns the per-customer reduction at 10x
+    # customers.
+    "embed_principal_direction",
+    "ts_btyd_frequency_recency",
 ]
 
 SWEEP_CLASS = (
