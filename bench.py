@@ -208,6 +208,8 @@ HEADLINE = [
     "stats_tail_coexceedance_types",
     "embed_principal_direction",
     "ts_btyd_frequency_recency",
+    "stats_theil_sen_price_quantity",
+    "embed_second_component",
 ]
 
 # Streaming replays + the KV engine roundtrip execute real multi-wave

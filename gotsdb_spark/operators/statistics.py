@@ -4735,3 +4735,339 @@ def embed_principal_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
 embed_principal_direction.__doc__ = embed_principal_direction.__doc__.format(
     it=_POWER_ITERS
 )
+
+
+# ---------------------------------------------------------------------------
+# Bivariate Theil-Sen (price on quantity) — round 13.
+# ---------------------------------------------------------------------------
+
+THEIL_SEN_PQ_ORACLE = """
+    WITH base AS MATERIALIZED (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) // 100000 AS pb
+      FROM lineitem
+    ), dic AS MATERIALIZED (
+      SELECT q, pb, CAST(count(*) AS BIGINT) AS c
+      FROM base GROUP BY q, pb
+    ), pairs AS MATERIALIZED (
+      SELECT CAST((b.pb - a.pb) * 1000000 AS BIGINT) // (b.q - a.q)
+               AS slope_e6,
+             CAST(sum(a.c * b.c) AS BIGINT) AS w
+      FROM dic a JOIN dic b ON b.q > a.q
+      GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(w) AS BIGINT) AS n_pairs FROM pairs
+    ), npts AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_points FROM base
+    ), cum AS (
+      SELECT slope_e6,
+             sum(w) OVER (ORDER BY slope_e6) AS cw
+      FROM pairs
+    ), med AS (
+      SELECT min(slope_e6) AS theil_sen_slope_grid_e6
+      FROM cum, tot WHERE 2 * cw >= n_pairs
+    )
+    SELECT npts.n_points, tot.n_pairs, med.theil_sen_slope_grid_e6
+    FROM npts, tot, med
+"""
+
+
+@query("stats_theil_sen_price_quantity", oracle=THEIL_SEN_PQ_ORACLE)
+def stats_theil_sen_price_quantity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bivariate Theil-Sen estimator of price on QUANTITY: the
+    weighted LOWER median of pairwise slopes (pb_j - pb_i)/(q_j - q_i)
+    over the coarsened (quantity, $1000-price-bucket) dictionary —
+    stats_theil_sen_slope with a DATA-VALUED x instead of the
+    calendar, answering "how much does a unit of quantity move the
+    price, robustly" where OLS (stats_ols_trend_by_type's machinery)
+    is dragged by tail prices. Slope units: $1000 price cells per
+    quantity unit, e6-scaled.
+
+    The n^2 pair cloud is never materialized at row grain (the
+    stats_hodges_lehmann_shift pattern): quantities are integral
+    (~50 values) and prices collapse to the ~105-cell $1000 grid, so
+    the dictionary holds <= ~5k cells FOREVER and the pair join
+    carries count products as weights (~14M weighted pairs at ANY
+    volume). The weighted median is one dist_rank running sum over
+    the slope dictionary (slopes floored once onto the e6 integer
+    grid per pair-CELL, so the dictionary is exact) — never a global
+    window, never an all-pairs row join.
+
+    Determinism: grid cells, e6 slope keys (truncating division,
+    identical in both engines), count-product weights, and the
+    cumulative crossing are all exact integers.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no
+    statistical surface (internal/storage/types.go:3); this is
+    [TARGET] robust-regression machinery.
+    """
+    from gotsdb_spark.operators.distrank import dist_rank
+
+    base = (
+        load_table(spark, "lineitem", sf_dir)
+        .select(
+            F.col("l_quantity").cast("bigint").alias("q"),
+            F.expr(
+                "CAST(floor(l_extendedprice * 100) AS BIGINT) DIV 100000"
+            ).alias("pb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dic = (
+        base.groupBy("q", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    a = dic.select(
+        F.col("q").alias("qa"), F.col("pb").alias("pa"), F.col("c").alias("ca")
+    )
+    b = dic.select(
+        F.col("q").alias("qb"), F.col("pb").alias("pc"), F.col("c").alias("cb")
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("qb") > F.col("qa"))
+        .groupBy(
+            F.expr(
+                "CAST((pc - pa) * 1000000 AS BIGINT) DIV (qb - qa)"
+            ).alias("slope_e6")
+        )
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("w"))
+        # two consumers (dist_rank + the pair total) share one build of
+        # the ~14M-weighted-pair reduction
+        .localCheckpoint(eager=False)
+    )
+    ranked = dist_rank(
+        pairs, ["slope_e6"], rank_col="__ts_rk", sum_cols={"cw": "w"}
+    )
+    tot = pairs.agg(F.sum("w").cast("long").alias("n_pairs"))
+    npts = base.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    med = (
+        ranked.crossJoin(F.broadcast(tot))
+        .where(2 * F.col("cw") >= F.col("n_pairs"))
+        .agg(F.min("slope_e6").cast("long").alias("theil_sen_slope_grid_e6"))
+    )
+    return (
+        npts.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(med))
+        .select("n_points", "n_pairs", "theil_sen_slope_grid_e6")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Second principal component via deflation — round 13.
+# ---------------------------------------------------------------------------
+
+_PD2_ITER_SQL = """
+    , gw{k} AS (
+      SELECT f.i AS dim,
+             sum(CAST(f.gram_e6 AS HUGEINT) * v.v) AS gv
+      FROM g2 f JOIN w{p} v ON v.dim = f.j
+      GROUP BY f.i
+    ), wm{k} AS (
+      SELECT NULLIF(max(abs(gv)), 0) AS mx FROM gw{k}
+    ), w{k} AS (
+      SELECT dim, CAST(gv * 1000000 // mx AS HUGEINT) AS v
+      FROM gw{k}, wm{k}
+    )
+"""
+
+SECOND_PC_ORACLE = (
+    f"""
+    WITH comps AS MATERIALIZED (
+      SELECT vec_id, d.d AS d, CAST(embedding[d.d] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(generate_series(1, {_GRAM_DIM})) AS d) d
+    ), tri AS MATERIALIZED (
+      SELECT CAST(a.d AS INT) AS i, CAST(b.d AS INT) AS j,
+             CAST(sum(CAST(floor(a.x * b.x * 1e6 + 0.5001) AS BIGINT))
+                  AS BIGINT) AS gram_e6
+      FROM comps a JOIN comps b ON a.vec_id = b.vec_id AND a.d <= b.d
+      GROUP BY a.d, b.d
+    ), gfull AS MATERIALIZED (
+      SELECT i, j, gram_e6 FROM tri
+      UNION ALL
+      SELECT j AS i, i AS j, gram_e6 FROM tri WHERE i < j
+    ), v0 AS (
+      SELECT DISTINCT i AS dim, CAST(1000000 AS HUGEINT) AS v FROM gfull
+    )
+    """
+    + "".join(
+        _PD_ITER_SQL.format(k=k, p=k - 1)
+        for k in range(1, _POWER_ITERS + 1)
+    )
+    + f"""
+    , gvf AS (
+      SELECT f.i AS dim,
+             sum(CAST(f.gram_e6 AS HUGEINT) * v.v) AS gv
+      FROM gfull f JOIN v{_POWER_ITERS} v ON v.dim = f.j
+      GROUP BY f.i
+    ), lam AS (
+      SELECT CAST(sum(v.v * g.gv)
+                  // NULLIF(sum(v.v * v.v), 0) AS HUGEINT) AS l,
+             CAST(sum(v.v * v.v) AS HUGEINT) AS den
+      FROM v{_POWER_ITERS} v JOIN gvf g ON g.dim = v.dim
+    ), g2 AS MATERIALIZED (
+      SELECT f.i, f.j,
+             CAST(f.gram_e6
+                  - (lam.l * va.v * vb.v) // lam.den AS HUGEINT)
+               AS gram_e6
+      FROM gfull f
+      JOIN v{_POWER_ITERS} va ON va.dim = f.i
+      JOIN v{_POWER_ITERS} vb ON vb.dim = f.j
+      CROSS JOIN lam
+    ), w0 AS (
+      SELECT DISTINCT i AS dim, CAST(1000000 AS HUGEINT) AS v FROM g2
+    )
+    """
+    + "".join(
+        _PD2_ITER_SQL.format(k=k, p=k - 1)
+        for k in range(1, _POWER_ITERS + 1)
+    )
+    + f"""
+    , gwf AS (
+      SELECT f.i AS dim,
+             sum(CAST(f.gram_e6 AS HUGEINT) * v.v) AS gv
+      FROM g2 f JOIN w{_POWER_ITERS} v ON v.dim = f.j
+      GROUP BY f.i
+    ), ray2 AS (
+      SELECT CAST(sum(v.v * g.gv)
+                  // NULLIF(sum(v.v * v.v), 0) AS BIGINT)
+               AS rayleigh2_gram_e6
+      FROM w{_POWER_ITERS} v JOIN gwf g ON g.dim = v.dim
+    ), orth AS (
+      SELECT CAST(sum(a.v * b.v) AS BIGINT) AS dot_with_first
+      FROM v{_POWER_ITERS} a JOIN w{_POWER_ITERS} b ON b.dim = a.dim
+    )
+    SELECT CAST(w.dim AS INT) AS dim,
+           CAST(w.v AS BIGINT) AS direction2_e6,
+           ray2.rayleigh2_gram_e6,
+           CAST(lam.l AS BIGINT) AS rayleigh1_gram_e6,
+           orth.dot_with_first
+    FROM w{_POWER_ITERS} w, ray2, lam, orth
+    ORDER BY dim
+"""
+)
+
+
+@query("embed_second_component", oracle=SECOND_PC_ORACLE)
+def embed_second_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second principal component of the embedding corpus via
+    DEFLATION: subtract the rank-one term lambda_1 v1 v1' / (v1'v1)
+    from the Gram matrix (lambda_1 and v1 from the same unrolled
+    integer power iteration embed_principal_direction commits to) and
+    power-iterate again — the PCA pair that turns the top-PC readout
+    into a 2-D projection basis. `dot_with_first` reports raw
+    v1.v2 (components are e6-scaled, so ~6.4e13 would mean parallel;
+    near-zero means the deflation worked) and rayleigh2/rayleigh1
+    gives the spectrum drop-off.
+
+    Every step is exact integer arithmetic (truncating divisions on
+    the e6 grid; the deflated entries are G_ij - (l*v_i*v_j) DIV den,
+    two nested floors both engines take identically), so the hash
+    gate is exact. Deflated entries grow to ~lambda_1 (~6.4e13 at
+    sf1) and G2.v products to ~4e21 — inside DECIMAL(38,0)/HUGEINT
+    with an order of magnitude to spare.
+
+    Scale: the corpus-sized work is still exactly ONE pass (the Arrow
+    Gram partials); the deflation and both iteration chains are
+    d^2-row joins (64 x 64). At 100 TB the iteration cost is
+    volume-independent.
+
+    Reference parity: the reference (j0shgrant/gotsdb) has no vector
+    surface (SURVEY.md §2.2); [TARGET] embedding-analytics machinery.
+    """
+    dec = "decimal(38,0)"
+    tri = stats_embedding_gram(spark, sf_dir).localCheckpoint(eager=False)
+    gfull = tri.union(
+        tri.where(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "gram_e6"
+        )
+    ).localCheckpoint(eager=False)
+
+    def iterate(mat, v, iters):
+        for _ in range(iters):
+            gv = (
+                mat.join(
+                    F.broadcast(v.withColumnRenamed("dim", "j")), "j"
+                )
+                .groupBy("i")
+                .agg(
+                    F.sum(F.expr(f"CAST(gram_e6 AS {dec}) * v")).alias(
+                        "gv"
+                    )
+                )
+            )
+            mx = gv.agg(F.expr("NULLIF(max(abs(gv)), 0)").alias("mx"))
+            v = gv.crossJoin(F.broadcast(mx)).select(
+                F.col("i").alias("dim"),
+                F.expr("CAST(gv * 1000000 DIV mx AS BIGINT)").alias("v"),
+            )
+        return v.localCheckpoint(eager=False)
+
+    def matvec(mat, v):
+        return (
+            mat.join(F.broadcast(v.withColumnRenamed("dim", "j")), "j")
+            .groupBy("i")
+            .agg(F.sum(F.expr(f"CAST(gram_e6 AS {dec}) * v")).alias("gv"))
+            .withColumnRenamed("i", "dim")
+        )
+
+    ones = gfull.select(F.col("i").alias("dim")).distinct().select(
+        "dim", F.lit(1000000).cast("long").alias("v")
+    )
+    v1 = iterate(gfull, ones, _POWER_ITERS)
+    gvf = matvec(gfull, v1)
+    lam = v1.join(gvf, "dim").agg(
+        F.expr(
+            f"CAST(sum(CAST(v AS {dec}) * gv)"
+            f" DIV NULLIF(sum(CAST(v AS {dec}) * v), 0) AS {dec})"
+        ).alias("l"),
+        F.expr(f"CAST(sum(CAST(v AS {dec}) * v) AS {dec})").alias("den"),
+    )
+    va = v1.select(F.col("dim").alias("i"), F.col("v").alias("vi"))
+    vb = v1.select(F.col("dim").alias("j"), F.col("v").alias("vj"))
+    g2 = (
+        gfull.join(F.broadcast(va), "i")
+        .join(F.broadcast(vb), "j")
+        .crossJoin(F.broadcast(lam))
+        .select(
+            "i",
+            "j",
+            F.expr(
+                f"CAST(gram_e6 - (l * CAST(vi AS {dec}) * vj) DIV den"
+                f" AS {dec})"
+            ).alias("gram_e6"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = iterate(g2, ones, _POWER_ITERS)
+    gwf = matvec(g2, w)
+    ray2 = w.join(gwf, "dim").agg(
+        F.expr(
+            f"CAST(sum(CAST(v AS {dec}) * gv)"
+            f" DIV NULLIF(sum(CAST(v AS {dec}) * v), 0) AS BIGINT)"
+        ).alias("rayleigh2_gram_e6")
+    )
+    orth = (
+        v1.withColumnRenamed("v", "v1")
+        .join(w.withColumnRenamed("v", "v2"), "dim")
+        .agg(
+            F.expr(
+                f"CAST(sum(CAST(v1 AS {dec}) * v2) AS BIGINT)"
+            ).alias("dot_with_first")
+        )
+    )
+    return (
+        w.crossJoin(F.broadcast(ray2))
+        .crossJoin(F.broadcast(lam.select(F.col("l").cast("bigint").alias("rayleigh1_gram_e6"))))
+        .crossJoin(F.broadcast(orth))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.col("v").cast("bigint").alias("direction2_e6"),
+            "rayleigh2_gram_e6",
+            "rayleigh1_gram_e6",
+            "dot_with_first",
+        )
+        .orderBy("dim")
+    )

@@ -113,6 +113,22 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/statistics.py", "embed_principal_direction", "v.withColumnRenamed"): "sketch",
     ("operators/statistics.py", "embed_principal_direction", "mx"): "scalar",
     ("operators/statistics.py", "embed_principal_direction", "ray"): "scalar",
+    # round 13b: bivariate Theil-Sen — value-grid pair side, 1-row
+    # pair total and median crossing
+    ("operators/statistics.py", "stats_theil_sen_price_quantity", "b"): "grid",
+    ("operators/statistics.py", "stats_theil_sen_price_quantity", "tot"): "scalar",
+    ("operators/statistics.py", "stats_theil_sen_price_quantity", "med"): "scalar",
+    # round 13b: second PC deflation — d-row vector iterates / rank-one
+    # deflation sides, 1-row lambda/Rayleigh/orthogonality scalars
+    ("operators/statistics.py", "iterate", "v.withColumnRenamed"): "sketch",
+    ("operators/statistics.py", "iterate", "mx"): "scalar",
+    ("operators/statistics.py", "matvec", "v.withColumnRenamed"): "sketch",
+    ("operators/statistics.py", "embed_second_component", "va"): "sketch",
+    ("operators/statistics.py", "embed_second_component", "vb"): "sketch",
+    ("operators/statistics.py", "embed_second_component", "lam"): "scalar",
+    ("operators/statistics.py", "embed_second_component", "ray2"): "scalar",
+    ("operators/statistics.py", "embed_second_component", "lam.select"): "scalar",
+    ("operators/statistics.py", "embed_second_component", "orth"): "scalar",
     # round 13b: control chart — 1-row grand moments
     ("operators/statistics.py", "stats_leadtime_control_chart", "grand"): "scalar",
     # round 13b: segmented regression — 1-row totals / argmin / hit /

@@ -1901,3 +1901,27 @@ def test_round13f_ops_plan_shapes(spark):
     assert not r["cartesian"]
     assert r["global_windows"] == 0
     assert r["python_stages"] == 0
+
+
+def test_round13g_ops_plan_shapes(spark):
+    """Plan pins for the sixth round-13 batch (bivariate Theil-Sen,
+    second-PC deflation)."""
+    from gotsdb_spark.plans import plan_report
+
+    # Bivariate Theil-Sen: one lineitem pass into the (q, price-grid)
+    # dictionary; the pair join is an intended value-grid nested loop;
+    # dist_rank replaces any global window.
+    r = plan_report(QUERIES["stats_theil_sen_price_quantity"](spark, SF))
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+    assert r["python_stages"] == 0
+    assert r["scans"] == 0  # consumers read the base/dic checkpoints
+
+    # Second PC: exactly ONE Python stage (the Arrow Gram partials
+    # behind the checkpoint); deflation + both iteration chains are
+    # d^2-row joins — no cartesian, no window, no extra fact scan.
+    r = plan_report(QUERIES["embed_second_component"](spark, SF))
+    assert r["python_stages"] <= 1
+    assert not r["cartesian"]
+    assert r["global_windows"] == 0
+    assert r["scans"] == 0

@@ -380,6 +380,13 @@ ROUND13_CLASS = [
     # customers.
     "embed_principal_direction",
     "ts_btyd_frequency_recency",
+    # Bivariate Theil-Sen's pair weights are count PRODUCTS (~100x on
+    # the copy-stacked fixture) and its n_pairs sum approaches long
+    # range only far beyond sf1 — the sweep proves the crossing; the
+    # second-PC deflation hits its documented ~4e21 HUGEINT products
+    # at 10x gram magnitudes.
+    "stats_theil_sen_price_quantity",
+    "embed_second_component",
 ]
 
 SWEEP_CLASS = (
