@@ -3935,10 +3935,12 @@ def _seg_sse(p: str, d: str, w: str) -> str:
     >= 2 distinct days), SyyC, SxyC, the residual sum of squares is
     (SxxC*SyyC - SxyC^2) / (n*SxxC) — non-negative by Cauchy-Schwarz,
     so the truncating division is a floor in both engines. The /1000
-    reduction keeps the quotient in BIGINT at sf1 (SSE ~ 1e17
-    dollars^2); every product stays under DECIMAL(38,0)/HUGEINT
-    (SxxC*SyyC ~ 1.6e33 with daily revenue in whole DOLLARS — cents
-    would overflow 38 digits, which is why y is dollar-reduced)."""
+    reduction keeps the quotient comfortably in BIGINT at sf1 (SSE ~
+    4e15 in $100^2 units); every product stays under
+    DECIMAL(38,0)/HUGEINT
+    (SxxC*SyyC ~ 3e31 with daily revenue in $100 UNITS — dollar units
+    already push the raw second moment past BIGINT at sf1, which is
+    why y is $100-reduced)."""
     sxxc = f"(CAST(n{p} AS {w}) * sxx{p} - CAST(sx{p} AS {w}) * sx{p})"
     syyc = f"(CAST(n{p} AS {w}) * syy{p} - CAST(sy{p} AS {w}) * sy{p})"
     sxyc = f"(CAST(n{p} AS {w}) * sxy{p} - CAST(sx{p} AS {w}) * sy{p})"
@@ -3968,7 +3970,7 @@ SEGMENTED_OLS_ORACLE = f"""
       SELECT CAST(datediff('day', DATE '1995-01-01',
                            CAST(l_shipdate AS DATE)) AS BIGINT) AS x,
              CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
-                  // 100 AS BIGINT) AS y
+                  // 10000 AS BIGINT) AS y
       FROM lineitem GROUP BY 1
     ), pre AS (
       SELECT x, {_SEG_PRE_COLS}
@@ -4030,7 +4032,7 @@ def stats_segmented_regression(
     ts_binseg_changepoint's argmin-over-candidates shape, but fits
     LINES per side rather than constant means.
 
-    Determinism: daily revenue is dollar-reduced exact integers; every
+    Determinism: daily revenue is $100-reduced exact integers; every
     candidate's score is a truncating integer division of exact
     products (see _seg_sse), the argmin tie-breaks on the earliest
     day, and slopes are e6 integer quotients — both engines floor the
@@ -4060,7 +4062,7 @@ def stats_segmented_regression(
     )
     daily = (
         li.groupBy("x")
-        .agg(F.expr("CAST(sum(cents) DIV 100 AS BIGINT)").alias("y"))
+        .agg(F.expr("CAST(sum(cents) DIV 10000 AS BIGINT)").alias("y"))
         .localCheckpoint(eager=False)
     )
     win = W.orderBy("x")

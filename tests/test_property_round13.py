@@ -116,7 +116,7 @@ def test_token_budget_waterfilling_fuzz(spark, per_source_doc_tokens):
 seg_series = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=60),  # day offset
-        st.integers(min_value=0, max_value=500),  # whole-dollar revenue
+        st.integers(min_value=0, max_value=50000),  # whole-dollar revenue
     ),
     min_size=4,
     max_size=14,
@@ -145,7 +145,7 @@ def test_segmented_regression_fuzz(spark, series):
         rows, "l_shipdate DATE, l_extendedprice DOUBLE"
     )
 
-    pts = sorted((d, dollars) for d, dollars in series)
+    pts = sorted((d, dollars * 100 // 10000) for d, dollars in series)
 
     def sse_red(seg):
         n = len(seg)

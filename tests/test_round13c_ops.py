@@ -112,7 +112,7 @@ def test_segmented_regression_matches_python_reference(spark):
     cents = defaultdict(int)
     for r in rows:
         cents[r["x"]] += r["cents"]
-    pts = sorted((x, c // 100) for x, c in cents.items())
+    pts = sorted((x, c // 10000) for x, c in cents.items())
     n = len(pts)
     best = None
     for i in range(2, n - 1):  # left has i points, right n-i >= 2
