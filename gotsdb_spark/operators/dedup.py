@@ -25,7 +25,7 @@ from pyspark.sql.window import Window as W
 
 from gotsdb_spark.functions import word_shingles
 from gotsdb_spark.operators.registry import query
-from gotsdb_spark.sources.registry import fan_out, load_table, shared_cache
+from gotsdb_spark.sources.registry import fan_out, load_table
 
 N_MINHASH = 8  # permutations (seeds)
 BAND_SIZE = 2  # seeds per LSH band → 4 bands; P(candidate) = 1-(1-J^2)^4
@@ -115,17 +115,17 @@ _MINHASH_ORACLE = f"""
 
 
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Packed shingle arrays (cached) + the N_MINHASH signature frame
-    (one mh{s} column per seed). Shared by the deployed band layout
-    (`_minhash_bands`) and the banding-sensitivity audit, which slices
-    the SAME signature pool into alternative b×r configurations."""
-    docs = shared_cache(
-        spark,
-        sf_dir,
-        "packed_shingles",
-        lambda: fan_out(load_table(spark, "documents", sf_dir)).select(
-            "doc_id", word_shingles(F.col("text")).alias("sh_arr")
-        ),
+    """Packed shingle arrays (materialized once per invocation) + the
+    N_MINHASH signature frame (one mh{s} column per seed). Shared by the
+    deployed band layout (`_minhash_bands`) and the banding-sensitivity
+    audit, which slices the SAME signature pool into alternative b×r
+    configurations. localCheckpoint (not a cross-invocation cache) so
+    every bench/oracle run recomputes from the parquet input while the
+    multiple consumers inside ONE query still share a single pass."""
+    docs = (
+        fan_out(load_table(spark, "documents", sf_dir))
+        .select("doc_id", word_shingles(F.col("text")).alias("sh_arr"))
+        .localCheckpoint(eager=False)
     )
     sigs = docs.select(
         "doc_id",
@@ -323,9 +323,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING). Worst-case quadratic — kept as the correctness baseline;
     production scale uses dedup_minhash_lsh.
     """
-    sh = shared_cache(
-        spark, sf_dir, "shingle_table", lambda: shingle_table(spark, sf_dir)
-    )
+    sh = shingle_table(spark, sf_dir).localCheckpoint(eager=False)
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = (
         sh.join(sb, (F.col("sh") == F.col("sh_b")) & (F.col("doc_id") < F.col("doc_b")))
@@ -726,9 +724,7 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks. The count itself is a 1-row aggregate over the
     checkpointed candidate frame the verify join reuses.
     """
-    sh = shared_cache(
-        spark, sf_dir, "shingle_table", lambda: shingle_table(spark, sf_dir)
-    )
+    sh = shingle_table(spark, sf_dir).localCheckpoint(eager=False)
     cand = _prefix_filter_candidates(sh).localCheckpoint(eager=False)
     # ^ the budget count and the verify join share one materialization;
     # the candidate pipeline lives in _prefix_filter_candidates so the

@@ -43,11 +43,10 @@ from gotsdb_spark.sources.registry import load_table
 # listing without writing thousands of inodes per bench run.
 _DOC_MOD = 7
 
-# Object dirs already materialized by THIS process (appId, sf_dir) —
-# the payload files are a pure function of the fixture, so timed
-# re-invocations (bench min-of-2, sweep) reuse them instead of
-# re-writing ~N/7 files each run (the shared_cache convention).
-_OBJECT_DIRS: dict[tuple[str, str], str] = {}
+# NOTE: no cross-invocation memo of the object dir — every invocation
+# re-materializes its own objects so timed runs (bench min-of-2, sweep)
+# pay the full ingestion roundtrip, write included. Dirs are created
+# under the process tmpdir and die with it.
 
 
 def _write_doc_objects(docs: DataFrame, root: str) -> None:
@@ -103,12 +102,8 @@ def binaryfile_ingest_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") % _DOC_MOD == 0)
         .select("doc_id", "text", "lang")
     )
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
-    root = _OBJECT_DIRS.get(memo_key)
-    if root is None or not os.path.isdir(root):
-        root = tempfile.mkdtemp(prefix="gotsdb_binfiles_")
-        _write_doc_objects(docs.select("doc_id", "text"), root)
-        _OBJECT_DIRS[memo_key] = root
+    root = tempfile.mkdtemp(prefix="gotsdb_binfiles_")
+    _write_doc_objects(docs.select("doc_id", "text"), root)
     meta = docs.select("doc_id", "lang")
     files = (
         spark.read.format("binaryFile")

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from gotsdb_spark.operators.registry import query
-from gotsdb_spark.sources.registry import load_table, shared_cache
+from gotsdb_spark.sources.registry import load_table
 
 # Bloom parameters: m bits, k hash functions.
 _BLOOM_M = 4096
@@ -451,12 +451,7 @@ def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(W.partitionBy("day").orderBy("h")).alias("rn"),
         F.count("*").over(W.partitionBy("day")).alias("n_h"),
     )
-    kmin = shared_cache(
-        spark,
-        sf_dir,
-        "kmv_kmin",
-        lambda: ranked.where(F.col("rn") <= _KMV_K),
-    )
+    kmin = ranked.where(F.col("rn") <= _KMV_K).localCheckpoint(eager=False)
     est = F.when(
         F.max("n_h") >= _KMV_K,
         F.floor((_KMV_K - 1) / (F.max("h") / _KMV_2_32) * 1e3 + 0.5001),
@@ -548,16 +543,14 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     ev = load_table(spark, "events", sf_dir)
-    sk = shared_cache(
-        spark,
-        sf_dir,
-        "hist_day_bucket",
-        lambda: ev.select(
+    sk = (
+        ev.select(
             F.date_trunc("day", "ts").alias("day"),
             F.floor(F.col("value") / _HIST_W).cast("long").alias("bucket"),
         )
         .groupBy("day", "bucket")
-        .agg(F.count("*").alias("cnt")),
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     merged = (
         sk.groupBy("bucket")
@@ -655,13 +648,11 @@ def sketch_kmv_key_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    ha = shared_cache(
-        spark, sf_dir, "kmv_overlap_ha",
-        lambda: kmv(load_table(spark, "events", sf_dir), "user_id"),
+    ha = kmv(load_table(spark, "events", sf_dir), "user_id").localCheckpoint(
+        eager=False
     )
-    hb = shared_cache(
-        spark, sf_dir, "kmv_overlap_hb",
-        lambda: kmv(load_table(spark, "customer", sf_dir), "c_custkey"),
+    hb = kmv(load_table(spark, "customer", sf_dir), "c_custkey").localCheckpoint(
+        eager=False
     )
 
     def ksmall(df: DataFrame) -> DataFrame:

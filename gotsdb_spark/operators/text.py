@@ -819,11 +819,8 @@ def text_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine stable).
     """
     from gotsdb_spark.operators.dedup import shingle_table
-    from gotsdb_spark.sources.registry import shared_cache
 
-    sh = shared_cache(
-        spark, sf_dir, "shingle_table", lambda: shingle_table(spark, sf_dir)
-    )
+    sh = shingle_table(spark, sf_dir).localCheckpoint(eager=False)
     boiler = (
         sh.groupBy("sh")
         .agg(F.count("*").alias("df"))
@@ -1305,11 +1302,8 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins, and the only shuffles in the plan.
     """
     from gotsdb_spark.operators.dedup import shingle_table
-    from gotsdb_spark.sources.registry import shared_cache
 
-    sh = shared_cache(
-        spark, sf_dir, "shingle_table", lambda: shingle_table(spark, sf_dir)
-    )
+    sh = shingle_table(spark, sf_dir).localCheckpoint(eager=False)
     df = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     return (
         sh.join(df, "sh")

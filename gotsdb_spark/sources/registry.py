@@ -250,32 +250,14 @@ def ensure_lineitem_range_partitioned(spark: SparkSession, sf_dir: str) -> str |
         return None
 
 
-# Cached intermediate frames shared across query invocations, keyed by
-# (applicationId, sf_dir, kind). Registered queries used to `.cache()`
-# per invocation and could never unpersist (the driver's action runs
-# only AFTER the query function returns its lazy DataFrame), so a
-# whole-registry sweep or bench run accumulated dozens of dead cache
-# entries, and bench's repeat runs re-materialized identical frames.
-# One shared entry per key bounds storage growth to the number of
-# distinct intermediates and makes re-invocations hit warm cache.
-_SHARED_FRAMES: dict[tuple[str, str, str], DataFrame] = {}
-
-
-def shared_cache(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
-    """Return the cached, eagerly-materialized frame for (app, sf_dir,
-    kind), building it with `build()` (a zero-arg callable returning a
-    DataFrame) on first use. The frame MUST be deterministic for the
-    key — everything derived purely from the fixture tables qualifies."""
-    key = (spark.sparkContext.applicationId, sf_dir, kind)
-    df = _SHARED_FRAMES.get(key)
-    if df is None:
-        df = build().cache()
-        # Materialize eagerly: these frames feed multiple downstream
-        # branches; lazy caching would recompute once per branch
-        # before the cache wins.
-        df.count()
-        _SHARED_FRAMES[key] = df
-    return df
+# NOTE: there is deliberately NO cross-invocation frame cache here.
+# An earlier `shared_cache` memoized intermediate frames keyed on
+# (applicationId, sf_dir, kind), which made bench's repeat runs (and
+# sibling queries sharing a prefix) time warm cache instead of real
+# compute. Every query invocation must compute from the parquet inputs;
+# within ONE invocation, multi-consumer intermediates use
+# `localCheckpoint(eager=False)` so the shared pass still materializes
+# exactly once per run.
 
 
 def fan_out(df: DataFrame, n: int | None = None) -> DataFrame:

@@ -427,10 +427,12 @@ def test_histogram_sketch_shuffles_counts_not_rows(spark):
 
     df = QUERIES["sketch_histogram_quantiles"](spark, SF)
     plan = formatted_plan(df)
-    # both the per-day branch and the global merge read the CACHED
-    # sketch (InMemoryTableScan), never the raw table twice — the merge
-    # is computed from sketches, which is the operator's whole claim
-    assert "InMemoryTableScan" in plan
+    # both the per-day branch and the global merge read the ONE
+    # localCheckpoint-materialized sketch (Scan ExistingRDD), never the
+    # raw table twice — the merge is computed from sketches, which is
+    # the operator's whole claim. (Was InMemoryTableScan when a
+    # cross-invocation cache existed; the checkpoint is per-invocation.)
+    assert plan.count("ExistingRDD") >= 2, plan[:2000]
     assert "partial" in plan.lower()  # map-side combine before the shuffle
 
 
@@ -599,7 +601,10 @@ def test_kmv_key_overlap_no_cartesian_and_cache_reuse(spark):
     df = QUERIES["sketch_kmv_key_overlap"](spark, SF)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
-    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+    # each side's hashed key set is one localCheckpoint RDD reused by the
+    # sketch/exact branches (was InMemoryTableScan under the removed
+    # cross-invocation cache)
+    assert plan.count("ExistingRDD") >= 2, plan[:2000]
     # k-smallest must be the distributed top-k (per-partition k + driver
     # merge), never a global-sort row_number window over all hashes
     assert "TakeOrderedAndProject" in plan, plan[:2000]
