@@ -403,14 +403,26 @@ def stats_bootstrap_ci_segment_price(spark: SparkSession, sf_dir: str) -> DataFr
     """
     orders = load_table(spark, "orders", sf_dir)
     customer = load_table(spark, "customer", sf_dir)
-    base = orders.join(
-        customer, orders.o_custkey == customer.c_custkey
-    ).select(
-        F.col("c_mktsegment").alias("segment"),
-        "o_orderkey",
-        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    base = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        # One orders⋈customer pass shared by the ×12 block expansion AND
+        # the rep-0 point estimate (the plan previously scanned + joined
+        # twice, once per branch).
+        .localCheckpoint(eager=False)
     )
-    expanded = base.select(
+    # The ×12 md5 expansion is the expensive map work; a single-row-group
+    # fixture scans as ONE task, so without a fan-out every hash runs on
+    # one core (guide §2.5 input parallelism). Integer sums downstream are
+    # association-free, so the round-robin repartition cannot move the
+    # result. (fan_out no-ops when the scan is already parallel.)
+    from gotsdb_spark.sources.registry import fan_out
+
+    expanded = fan_out(base).select(
         "segment",
         "cents",
         F.explode(F.sequence(F.lit(0), F.lit(_N_REPS // 4 - 1))).alias("blk"),

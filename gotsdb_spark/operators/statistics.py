@@ -1975,6 +1975,10 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks via dist_rank over each dictionary (no unpartitioned
     row-level window), two equi-joins back to the fact rows
     (broadcastable dictionaries), one 6-cell scalar aggregate.
+    (A one-scan checkpoint + fan-out variant was measured in the r13
+    optimization round and REJECTED: the repartition + checkpoint of
+    the fact projection cost more than the two extra columnar scans it
+    saved — see OPTIMIZATION_r13.md.)
 
     Reference parity: the reference (j0shgrant/gotsdb) has no
     statistical surface (internal/storage/types.go:3); this is

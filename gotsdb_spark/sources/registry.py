@@ -261,17 +261,37 @@ def ensure_lineitem_range_partitioned(spark: SparkSession, sf_dir: str) -> str |
 
 
 def fan_out(df: DataFrame, n: int | None = None) -> DataFrame:
-    """Round-robin repartition to the session's default parallelism.
+    """Round-robin repartition to the session's default parallelism —
+    but ONLY when the frame is under-partitioned.
 
-    The fixture tables are single parquet files, which Spark scans as 1-2
-    partitions — CPU-heavy row-local operators (hashing, vector math,
-    Pandas UDF decode) would then run on 1-2 cores. On a real cluster the
-    input is already thousands of splits and this is a cheap no-op-ish
-    rebalance; locally it unlocks all cores. Use ONLY ahead of expensive
-    per-row compute — a plain filter/agg doesn't warrant the shuffle.
+    The fixture tables are single parquet files (one row group), which
+    Spark scans as 1-2 partitions — CPU-heavy row-local operators
+    (hashing, vector math, Pandas UDF decode) would then run on 1-2
+    cores. On a real cluster the input is already thousands of splits:
+    there the repartition is pure waste (a full shuffle of the rows it
+    spreads), so this is now CONDITIONAL — if the frame already has at
+    least half the target partition count it is returned unchanged,
+    keeping narrow map-side pipelines (and partial aggregation) intact
+    at scale while still unlocking all cores on the single-split local
+    fixtures. Use ONLY ahead of expensive per-row compute — a plain
+    filter/agg doesn't warrant the shuffle.
+
+    The parallelism probe is `df.inputFiles()` — driver-side metadata
+    from the already-built file index, no job, no physical planning —
+    which undercounts splits (a file can hold many row groups) and so
+    errs toward repartitioning; at cluster scale input file counts are
+    in the thousands and the probe correctly suppresses the shuffle.
+    Call it on scan-rooted frames (load_table + projections).
     """
     sc = df.sparkSession.sparkContext
-    return df.repartition(n or sc.defaultParallelism)
+    target = n or sc.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # noqa: BLE001 — metadata hiccup: keep old behavior
+        n_files = 0
+    if n_files * 2 >= target:
+        return df
+    return df.repartition(target)
 
 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
