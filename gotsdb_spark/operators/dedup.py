@@ -666,23 +666,33 @@ def _prefix_filter_candidates(sh: DataFrame) -> DataFrame:
     join back is an equi-join where AQE skew handling applies. (Not
     broadcast either: the frequency table grows with the corpus.)
     """
-    freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
-    with_f = sh.join(freq, "sh").select("doc_id", "sh", "f")
+    # The candidate chain never needs the shingle TEXT — only a key that
+    # is consistent across docs. xxhash64 replaces the ~25-byte string
+    # with 8 bytes through the frequency groupBy, the join-back, the
+    # ranking window and the self-join (guide §2.3: shuffle keys, not
+    # payloads). Soundness is unchanged: the prefix-filter guarantee
+    # (J ≥ t ⇒ prefixes intersect) holds for ANY global order, and the
+    # (f, h) order is global; a 64-bit collision can only ADD a
+    # candidate (two shingles sharing h), never drop one, and the exact
+    # array_intersect verify removes false candidates.
+    hashed = sh.select("doc_id", F.xxhash64("sh").alias("h"))
+    freq = hashed.groupBy("h").agg(F.count("*").alias("f"))
+    with_f = hashed.join(freq, "h").select("doc_id", "h", "f")
     ranked = with_f.select(
         "doc_id",
-        "sh",
+        "h",
         F.row_number()
-        .over(W.partitionBy("doc_id").orderBy("f", "sh"))
+        .over(W.partitionBy("doc_id").orderBy("f", "h"))
         .alias("rn"),
         F.count("*").over(W.partitionBy("doc_id")).alias("n_sh"),
     )
     prefix = ranked.where(
         F.col("rn") <= F.col("n_sh") - F.ceil(_PF_T * F.col("n_sh")) + 1
-    ).select("doc_id", "sh")
-    pb = prefix.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    ).select("doc_id", "h")
+    pb = prefix.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("h_b"))
     return (
         prefix.join(
-            pb, (F.col("sh") == F.col("sh_b")) & (F.col("doc_id") < F.col("doc_b"))
+            pb, (F.col("h") == F.col("h_b")) & (F.col("doc_id") < F.col("doc_b"))
         )
         .select(F.col("doc_id").alias("doc_a"), "doc_b")
         .distinct()
@@ -743,9 +753,16 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"first (dedup_exact) or raise _PF_PAIR_BUDGET_PER_DOC "
             f"deliberately."
         )
-    packs = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("sh")).alias("ss"), F.count("*").alias("n_sh")
-    )
+    # Packed sorted shingle arrays straight from the documents scan:
+    # word_shingles already yields the per-doc DISTINCT array row-
+    # locally, so sorting it is a map-only second scan of documents —
+    # strictly cheaper than re-aggregating the exploded (doc_id, sh)
+    # table (a collect_set shuffle of every shingle row), and identical
+    # by construction (shingle_table is explode(word_shingles)).
+    packs = fan_out(load_table(spark, "documents", sf_dir)).select(
+        "doc_id",
+        F.sort_array(word_shingles(F.col("text"))).alias("ss"),
+    ).select("doc_id", "ss", F.size("ss").alias("n_sh"))
     pa = packs.select(
         F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"), F.col("n_sh").alias("n_a")
     )
