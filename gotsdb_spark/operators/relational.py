@@ -1435,10 +1435,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation surface (internal/storage/types.go:3); this is
     [TARGET] product-analytics machinery.
     """
-    from gotsdb_spark.operators.distrank import (
-        decile_bin_col,
-        dictionary_decile_edges,
-    )
+    from gotsdb_spark.operators.distrank import decile_bin_col
 
     orders = load_table(spark, "orders", sf_dir)
     gmax = orders.agg(F.max("o_orderdate").alias("gmax"))
@@ -1459,11 +1456,68 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cust = cust.localCheckpoint(eager=False)
-    tot = cust.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # ONE dist_rank over the tagged union of the three value
+    # dictionaries instead of three separate dist_rank passes (each
+    # pass costs a range exchange + window + offsets collect — the
+    # r13-optimization measurement): rank by the total order
+    # (metric, value); the per-metric cumulative count is the global
+    # running sum minus the broadcast per-metric offset (counts of
+    # metrics sorting earlier), exactly the dictionary_decile_edges
+    # algebra, metric by metric.
+    from gotsdb_spark.operators.distrank import dist_rank
+
+    dics = None
+    for metric in ("r", "f", "m"):
+        d = (
+            cust.groupBy(metric)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(
+                F.lit(metric).alias("metric"),
+                F.col(metric).cast("long").alias("value"),
+                "c",
+            )
+        )
+        dics = d if dics is None else dics.unionByName(d)
+    ranked = dist_rank(
+        dics, ["metric", "value"], rank_col="__rfm_rk", sum_cols={"cc_g": "c"}
+    )
+    mtot = ranked.groupBy("metric").agg(F.sum("c").cast("long").alias("n_m"))
+    # exclusive prefix over the (3-row, schema-bounded) metric totals:
+    # off(metric) = Σ n_m of metrics sorting strictly earlier
+    off = (
+        mtot.alias("a")
+        .crossJoin(F.broadcast(mtot.alias("b")))
+        .groupBy(F.col("a.metric").alias("metric"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.metric") < F.col("a.metric"), F.col("b.n_m"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("off")
+        )
+    )
+    edges_all = (
+        ranked.join(F.broadcast(off), "metric")
+        .join(F.broadcast(mtot), "metric")
+        .groupBy("metric")
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        (F.col("cc_g") - F.col("off")) * 10
+                        >= k * F.col("n_m"),
+                        F.col("value"),
+                    )
+                ).alias(f"e{k}")
+                for k in range(1, 10)
+            ]
+        )
+        .localCheckpoint(eager=False)
+    )
     scored = cust
     for metric, score in (("r", "r_score"), ("f", "f_score"), ("m", "m_score")):
-        dic = cust.groupBy(metric).agg(F.count(F.lit(1)).alias("c"))
-        edges = dictionary_decile_edges(dic, metric, "c", tot, "n")
+        edges = edges_all.where(F.col("metric") == metric).drop("metric")
         scored = (
             scored.crossJoin(F.broadcast(edges))
             .withColumn(score, decile_bin_col(metric).cast("int"))
