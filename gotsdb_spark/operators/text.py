@@ -1784,7 +1784,12 @@ def text_good_turing_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface (internal/storage/types.go:3); this is [TARGET] text
     machinery.
     """
-    docs = load_table(spark, "documents", sf_dir)
+    from gotsdb_spark.sources.registry import fan_out
+
+    # fan_out before the explode: trigram expansion + the hash-agg
+    # partials are the heavy per-row work, and a one-row-group fixture
+    # scans as a single task (no-op on an already-split cluster scan).
+    docs = fan_out(load_table(spark, "documents", sf_dir).select("text"))
     words = F.split("text", " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))),

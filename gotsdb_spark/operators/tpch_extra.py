@@ -267,15 +267,20 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
         ).alias("is_late"),
     )
-    # ONE pass over the fact join: per order, the distinct supplier
-    # count and the distinct set of late suppliers together, then keep
-    # orders where that set is exactly one supplier. Avoids the naive
-    # two-scan (per-order stats + late-pairs) formulation — at 100 TB
-    # the fact join shuffles once on l_orderkey and never again.
+    # ONE pass over the fact join: per order, the distinct supplier set
+    # and the distinct set of late suppliers together, then keep orders
+    # where the late set is exactly one supplier. collect_set instead of
+    # countDistinct: count(DISTINCT x) under a groupBy rewrites through
+    # an Expand (doubling the aggregate input rows), while two
+    # collect_set aggregates run in the single hash-agg pass — the
+    # distinct-supplier cardinality per order is bounded (suppliers per
+    # order), so the sets are tiny. Avoids the naive two-scan
+    # formulation — at 100 TB the fact join shuffles once on
+    # l_orderkey and never again.
     per_order = joined.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.array_distinct(
-            F.collect_list(F.when(F.col("is_late"), F.col("l_suppkey")))
+        F.size(F.collect_set("l_suppkey")).alias("n_supp"),
+        F.collect_set(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
         ).alias("late_set"),
     )
     blamed = per_order.where(
