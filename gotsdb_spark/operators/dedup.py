@@ -442,6 +442,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc"))
         .localCheckpoint()
     )
+    prev_sig = None
     for _ in range(25):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc)
@@ -456,17 +457,27 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "label"
                 ),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
+        # Convergence via the one-aggregate signature (count +
+        # label-hash sum, the star-contraction convention): labels are
+        # monotone non-increasing, so an unchanged signature means an
+        # unchanged frame. Replaces the old per-round join of new vs
+        # old labels + count — one driver action per round instead of
+        # two, and the signature collect doubles as the checkpoint
+        # materializer.
+        sig = tuple(
+            new_labels.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64("doc", "label").cast("decimal(38,0)")).alias(
+                    "h"
+                ),
+            ).collect()[0]
         )
         labels = new_labels
-        if changed == 0:
+        if sig == prev_sig:
             break
+        prev_sig = sig
     edges.unpersist()
     return labels.select(
         F.col("doc").alias("doc_id"),
