@@ -63,6 +63,16 @@ def get_spark(app_name: str = "gotsdb_spark", cpus: int | None = None) -> SparkS
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Let split sizing be purely byte-based (maxPartitionBytes):
+        # the default floor (defaultParallelism) shreds small inputs
+        # into per-file / empty-byte-range tasks — the dt-partitioned
+        # events copy full-scanned as 30 one-file tasks (0.47 s vs
+        # 0.31 s packed, sf0.1), and single-row-group fixtures spawned
+        # 31 empty splits. At 100 TB the floor is irrelevant: splits =
+        # bytes / maxPartitionBytes >> parallelism. CPU-heavy per-row
+        # paths keep their parallelism via fan_out, which is the
+        # explicit tool for that (sources/registry.py).
+        .config("spark.sql.files.minPartitionNum", "1")
         # Fixture `events` carries parquet TIMESTAMP(NANOS); Spark has no
         # nanosecond timestamp type, so read as long and convert in
         # sources.registry.load_table (truncating to micros, matching the
