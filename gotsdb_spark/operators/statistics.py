@@ -1990,41 +1990,21 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("bigint").alias("q"),
         F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
     )
-    # ONE dist_rank over the tagged union of both value dictionaries
-    # (was two passes, each paying a range exchange + offsets collect):
-    # global cumulative count over the total order (metric, value),
-    # then per-metric cc = cc_g − (count of the metric sorting
-    # earlier). 'c' < 'q' lexicographically, so the cents dictionary
-    # ranks first and the q offset is the cents total.
-    qdic = base.groupBy("q").agg(F.count(F.lit(1)).alias("c")).select(
-        F.lit("q").alias("metric"), F.col("q").alias("value"), "c"
-    )
-    pdic = base.groupBy("cents").agg(F.count(F.lit(1)).alias("c")).select(
-        F.lit("c").alias("metric"), F.col("cents").alias("value"), "c"
-    )
-    ranked = dist_rank(
-        pdic.unionByName(qdic),
-        ["metric", "value"],
-        rank_col="__sp_rk",
-        sum_cols={"cc_g": "c"},
-    ).localCheckpoint(eager=False)
-    ptot = ranked.where(F.col("metric") == "c").agg(
-        F.sum("c").cast("long").alias("p_n")
-    )
-    qrank = (
-        ranked.where(F.col("metric") == "q")
-        .crossJoin(F.broadcast(ptot))
-        .select(
-            F.col("value").alias("q"),
-            (2 * (F.col("cc_g") - F.col("p_n")) - F.col("c") + 1).alias(
-                "rq_x2"
-            ),
-        )
-    )
-    prank = ranked.where(F.col("metric") == "c").select(
-        F.col("value").alias("cents"),
-        (2 * F.col("cc_g") - F.col("c") + 1).alias("rp_x2"),
-    )
+    # (A tagged-union single-dist_rank fold — the customer_rfm_segments
+    # r13 optimization — was measured here and REJECTED: the cents
+    # dictionary dominates the rank cost, so folding the 50-row q
+    # dictionary in saved nothing, and sharing the union'd rank frame
+    # either hid Catalyst's size stats behind a checkpoint, demoting
+    # the pinned broadcast joins to sort-merge, or re-ran the rank tail
+    # per consumer. 4.3 s vs 3.7 s solo — the two-pass shape stays.)
+    qdic = base.groupBy("q").agg(F.count(F.lit(1)).alias("c"))
+    qrank = dist_rank(
+        qdic, ["q"], rank_col="__sp_rk", sum_cols={"cc": "c"}
+    ).select("q", (2 * F.col("cc") - F.col("c") + 1).alias("rq_x2"))
+    pdic = base.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    prank = dist_rank(
+        pdic, ["cents"], rank_col="__sp_rk", sum_cols={"cc": "c"}
+    ).select("cents", (2 * F.col("cc") - F.col("c") + 1).alias("rp_x2"))
     joined = base.join(qrank, "q").join(prank, "cents")
     dec = "decimal(38,0)"
     sums = joined.agg(

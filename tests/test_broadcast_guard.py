@@ -192,6 +192,11 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     ("operators/relational.py", "basket_part_pair_lift", "n_orders"): "scalar",
     ("operators/relational.py", "customer_rfm_segments", "gmax"): "scalar",
     ("operators/relational.py", "customer_rfm_segments", "edges"): "grid",
+    # tagged-union decile fold (r13 optimization): per-metric totals and
+    # exclusive offsets are 3-row frames (one per metric) forever
+    ("operators/relational.py", "customer_rfm_segments", "mtot.alias"): "grid",
+    ("operators/relational.py", "customer_rfm_segments", "mtot"): "grid",
+    ("operators/relational.py", "customer_rfm_segments", "off"): "grid",
     ("operators/scale_ops.py", "scale_layout_planner", "tot"): "scalar",
     ("operators/statistics.py", "stats_cooks_distance_days", "fit"): "scalar",
     ("operators/timeseries.py", "ts_hurst_exponent", "sizes"): "grid",

@@ -299,9 +299,11 @@ def test_rolling_zscore_window_key_scales(spark):
 
 def test_prefix_filter_shingle_freq_not_windowed(spark):
     """Shingle frequency must come from a map-side-combinable groupBy
-    joined back on sh, not `count(*) OVER (PARTITION BY sh)`: shingle
-    frequency is Zipfian and AQE can split skewed joins but not skewed
-    windows. No Window node in the plan may partition on sh.
+    joined back on the shingle key, not `count(*) OVER (PARTITION BY
+    key)`: shingle frequency is Zipfian and AQE can split skewed joins
+    but not skewed windows. No Window node in the plan may partition on
+    the shingle key (the r13 optimization shuffles xxhash64(sh) as `h`
+    — 8 bytes instead of the string — so the key to guard is `h`).
 
     Pinned on the candidate stage (_prefix_filter_candidates) directly:
     the round-13 pair-budget guard checkpoints the candidate frame, so
@@ -318,8 +320,10 @@ def test_prefix_filter_shingle_freq_not_windowed(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         cols = [c.strip().split("#")[0] for c in spec.split(",")]
-        assert "sh" not in cols, f"window partitions on sh: {spec}"
-    assert re.search(r"HashAggregate.*keys=\[sh#\d+\]", plan), plan[:2000]
+        assert "sh" not in cols and "h" not in cols, (
+            f"window partitions on the shingle key: {spec}"
+        )
+    assert re.search(r"HashAggregate.*keys=\[h#\d+L?\]", plan), plan[:2000]
 
 
 def test_repetition_ratio_no_explode_no_shuffle(spark):
