@@ -360,19 +360,30 @@ def main() -> None:
         try:
             spark.catalog.clearCache()
             for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                jrdd.unpersist()
+                # blocking=True: RDD.unpersist defaults to async since
+                # Spark 3.0, and async block removal was observed
+                # bleeding INTO the next timed window (queries right
+                # after checkpoint-heavy ones measured up to 2x slower
+                # while the block manager churned through removals).
+                jrdd.unpersist(True)
         except Exception:  # noqa: BLE001 — hygiene must never fail a bench
             pass
 
     def _time_query(name: str, runs: int) -> float:
         best = float("inf")
         for _ in range(runs):
-            _release_blocks()
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             best = min(best, time.time() - t0)
+        # ONE release per query, after its timed runs: releasing before
+        # every run put the removal churn (block-manager RPCs, the GC
+        # they trigger) right in front of each timed window and showed
+        # up as rotating ±0.5-3 s noise on unrelated queries; after-the-
+        # query placement bounds session accumulation identically while
+        # keeping the min-of-N windows clean.
+        _release_blocks()
         return round(best, 3)
 
     def _run_list(names: list[str], runs: int, out: dict[str, float]) -> None:

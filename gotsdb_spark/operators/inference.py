@@ -308,6 +308,21 @@ def _pois_slice_sql(s: int, h_expr: str = "h") -> str:
     )
 
 
+def _bootstrap_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(segment, o_orderkey, cents) — the un-checkpointed orders ⋈
+    customer projection the bootstrap resamples. Separate so plan tests
+    can pin the join shape that the operator's shared checkpoint hides."""
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    return orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+
+
 @query(
     "stats_bootstrap_ci_segment_price",
     oracle=f"""
@@ -401,20 +416,12 @@ def stats_bootstrap_ci_segment_price(spark: SparkSession, sf_dir: str) -> DataFr
     forced broadcast would be a 100 TB hard failure).
     At 100 TB this is the only bootstrap construction that works at all.
     """
-    orders = load_table(spark, "orders", sf_dir)
-    customer = load_table(spark, "customer", sf_dir)
-    base = (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
-        .select(
-            F.col("c_mktsegment").alias("segment"),
-            "o_orderkey",
-            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-        )
-        # One orders⋈customer pass shared by the ×12 block expansion AND
-        # the rep-0 point estimate (the plan previously scanned + joined
-        # twice, once per branch).
-        .localCheckpoint(eager=False)
-    )
+    # One orders⋈customer pass shared by the ×12 block expansion AND
+    # the rep-0 point estimate (the plan previously scanned + joined
+    # twice, once per branch). The join lives in _bootstrap_base so the
+    # plan test can pin its shape (broadcast dim, no cartesian) — the
+    # checkpoint hides it from the registered query's final plan.
+    base = _bootstrap_base(spark, sf_dir).localCheckpoint(eager=False)
     # The ×12 md5 expansion is the expensive map work; a single-row-group
     # fixture scans as ONE task, so without a fan-out every hash runs on
     # one core (guide §2.5 input parallelism). Integer sums downstream are

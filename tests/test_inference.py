@@ -90,14 +90,23 @@ def test_bootstrap_is_deterministic(spark):
 
 
 def test_bootstrap_plan_broadcasts_dim_no_cartesian(spark):
+    # The r13 optimization checkpoints the shared orders⋈customer pass,
+    # which hides the join from the registered query's final plan — pin
+    # the join shape on the factored-out base frame instead.
+    from gotsdb_spark.operators.inference import _bootstrap_base
+
+    base = _bootstrap_base(spark, SF)
+    assert broadcast_join_count(base) >= 1  # customer dim
+    rep = plan_report(base)
+    assert not rep["cartesian"] and not rep["nested_loop"]
     df = QUERIES["stats_bootstrap_ci_segment_price"](spark, SF)
-    assert broadcast_join_count(df) >= 1  # customer dim
     rep = plan_report(df)
     assert not rep["cartesian"] and not rep["nested_loop"]
-    # explode collapses through partial aggregation: the plan stays a
-    # short chain (expand → partial agg → exchange → window → final),
-    # not one shuffle per replicate
-    assert shuffle_count(df) <= 4
+    # explode collapses through partial aggregation: the plan past the
+    # shared checkpoint stays a short chain (fan-out exchange → expand →
+    # partial agg → exchange → window → final), not one shuffle per
+    # replicate
+    assert shuffle_count(df) <= 5
 
 
 # ---------------------------------------------------------------------------
