@@ -459,19 +459,19 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-        # Convergence via the one-aggregate signature (count +
-        # label-hash sum, the star-contraction convention): labels are
-        # monotone non-increasing, so an unchanged signature means an
-        # unchanged frame. Replaces the old per-round join of new vs
-        # old labels + count — one driver action per round instead of
-        # two, and the signature collect doubles as the checkpoint
-        # materializer.
+        # Convergence via a one-aggregate EXACT signature (r14, was a
+        # count + xxhash64-sum whose collision could stop a round
+        # early): the node set is fixed and every per-node label is
+        # monotone non-increasing (F.least above), so sum(label)
+        # strictly decreases whenever ANY label changes — an unchanged
+        # (count, sum) pair is therefore exactly an unchanged frame, no
+        # 2^-64 caveat. Still one driver action per round (the old
+        # join-new-vs-old + diff-count was two), and the signature
+        # collect doubles as the checkpoint materializer.
         sig = tuple(
             new_labels.agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.xxhash64("doc", "label").cast("decimal(38,0)")).alias(
-                    "h"
-                ),
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
             ).collect()[0]
         )
         labels = new_labels
@@ -699,11 +699,38 @@ def _prefix_filter_candidates(sh: DataFrame) -> DataFrame:
     )
     prefix = ranked.where(
         F.col("rn") <= F.col("n_sh") - F.ceil(_PF_T * F.col("n_sh")) + 1
-    ).select("doc_id", "h")
-    pb = prefix.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("h_b"))
+    ).select("doc_id", "h", "rn", "n_sh")
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("h").alias("h_b"),
+        F.col("rn").alias("rn_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    # PPJoin positional filter (round 14, guide §2.3): a matched prefix
+    # row at positions (rn, rn_b) in the global (f, h) order bounds the
+    # overlap from above — tokens strictly before a pair's FIRST common
+    # token are common in NEITHER set, so for that row
+    #   |A∩B| <= 1 + min(n_a - rn_a, n_b - rn_b),
+    # while J >= t  ⟺  |A∩B| >= t/(1+t)·(n_a+n_b).  Every true pair
+    # therefore keeps its first-common-token row (for it the bound is
+    # valid and >= the true overlap requirement); rows matched on LATER
+    # common tokens may be dropped spuriously, but the pair survives
+    # distinct() through the first-token row, so the post-verify result
+    # is provably identical — the filter only removes candidates whose
+    # exact Jaccard verification would fail anyway.  The inequality is
+    # written multiplication-only with an epsilon so float rounding can
+    # only keep a pair, never drop one.  This subsumes the plain length
+    # filter (min(n_a,n_b) >= t·max(n_a,n_b)): rn >= 1 on both sides.
+    ub = 1 + F.least(
+        F.col("n_sh") - F.col("rn"), F.col("n_b") - F.col("rn_b")
+    )
     return (
         prefix.join(
             pb, (F.col("h") == F.col("h_b")) & (F.col("doc_id") < F.col("doc_b"))
+        )
+        .where(
+            ub * F.lit(1.0 + _PF_T)
+            >= F.lit(_PF_T) * (F.col("n_sh") + F.col("n_b")) - F.lit(1e-6)
         )
         .select(F.col("doc_id").alias("doc_a"), "doc_b")
         .distinct()
@@ -735,15 +762,17 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     REAL corpora, but a pathological input (one hot shingle in every
     prefix) degrades to all-pairs silently — at sf1 the
     duplicate-saturated fixture already grows candidates x100 vs a
-    real 10x corpus (measured: 0.3/doc at sf0.01, 59.9/doc at sf0.1,
-    603.5/doc at sf1, ~30.2M pairs = the documented 910 s). The
+    real 10x corpus (measured pre-positional-filter: 0.3/doc at
+    sf0.01, 59.9/doc at sf0.1, 603.5/doc at sf1, ~30.2M pairs = the
+    documented 910 s; the round-14 PPJoin positional filter in
+    _prefix_filter_candidates cuts the sf0.1 rate to 13.7/doc —
+    68,594 pairs — before any of them reach the verify join). The
     candidate count is therefore checked against
-    _PF_PAIR_BUDGET_PER_DOC = 2048 pairs/doc (~3.4x the saturated
-    fixture's rate) BEFORE the verify join, and over-budget inputs
-    fail LOUDLY with the measured rate instead of running quadratic —
-    the same honesty convention as the graph fixpoint convergence
-    checks. The count itself is a 1-row aggregate over the
-    checkpointed candidate frame the verify join reuses.
+    _PF_PAIR_BUDGET_PER_DOC = 2048 pairs/doc BEFORE the verify join,
+    and over-budget inputs fail LOUDLY with the measured rate instead
+    of running quadratic — the same honesty convention as the graph
+    fixpoint convergence checks. The count itself is a 1-row aggregate
+    over the checkpointed candidate frame the verify join reuses.
     """
     sh = shingle_table(spark, sf_dir).localCheckpoint(eager=False)
     cand = _prefix_filter_candidates(sh).localCheckpoint(eager=False)

@@ -82,6 +82,20 @@ def dist_rank(
     silently recomputing with resampled boundaries (which would
     mis-join pids — see the comment below). Batch-only: streaming
     frames cannot be checkpointed or collected this way.
+
+    Fault-tolerance / memory trade-off (ADVICE r13): localCheckpoint is
+    NOT fault-tolerant — it truncates lineage, so on a cluster a lost
+    executor fails the query instead of recomputing, and each call pins
+    its input in executor storage memory until the caller (bench/sweep
+    harnesses here) releases persisted blocks. That trade is deliberate:
+    the alternative is evaluating the input subtree twice per call
+    (range-sampler pass + real exchange — a duplicated dictionary
+    shuffle at 100 TB) or a reliable `checkpoint()` to a checkpoint dir
+    (an extra write+read of the frame). Production callers ranking
+    frames that are expensive to recompute AND running on preemptible
+    executors should swap the localCheckpoint for
+    `persist(StorageLevel.MEMORY_AND_DISK)` + explicit unpersist, or a
+    reliable checkpoint — same algebra, different durability point.
     """
     sum_cols = sum_cols or {}
     if df.isStreaming:

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gotsdb_spark.operators.registry import query
+from gotsdb_spark.scratch import scratch_dir as _scratch_dir
 from gotsdb_spark.sources.registry import load_table
 
 # Bound the object count: one file per documents row with doc_id % 7 == 0
@@ -45,8 +46,11 @@ _DOC_MOD = 7
 
 # NOTE: no cross-invocation memo of the object dir — every invocation
 # re-materializes its own objects so timed runs (bench min-of-2, sweep)
-# pay the full ingestion roundtrip, write included. Dirs are created
-# under the process tmpdir and die with it.
+# pay the full ingestion roundtrip, write included. mkdtemp creates
+# under the GLOBAL /tmp, which Python never cleans (ADVICE r13:
+# bench min-of-2 and repeated sweeps would leak dirs for the host's
+# lifetime), so every dir is tracked and removed at process exit
+# (gotsdb_spark.scratch.scratch_dir).
 
 
 def _write_doc_objects(docs: DataFrame, root: str) -> None:
@@ -95,14 +99,12 @@ def binaryfile_ingest_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-file md5 is a JVM built-in over the content column. On a
     cluster the same code points at an object-store prefix.
     """
-    import tempfile
-
     docs = (
         load_table(spark, "documents", sf_dir)
         .where(F.col("doc_id") % _DOC_MOD == 0)
         .select("doc_id", "text", "lang")
     )
-    root = tempfile.mkdtemp(prefix="gotsdb_binfiles_")
+    root = _scratch_dir("gotsdb_binfiles_")
     _write_doc_objects(docs.select("doc_id", "text"), root)
     meta = docs.select("doc_id", "lang")
     files = (
@@ -159,10 +161,8 @@ def textfile_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass; parsing is JVM-side split/cast (no Python). Shuffle is the
     single map-side-combinable groupBy on lang.
     """
-    import tempfile
-
     docs = load_table(spark, "documents", sf_dir)
-    path = tempfile.mkdtemp(prefix="gotsdb_textlines_")
+    path = _scratch_dir("gotsdb_textlines_")
     lines = docs.select(
         F.concat_ws(
             "\t",
@@ -225,14 +225,12 @@ def xml_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition; the source parses rowTag elements in parallel JVM-side;
     the single shuffle is the map-side-combinable nation groupBy.
     """
-    import tempfile
-
     sup = load_table(spark, "supplier", sf_dir).select(
         "s_suppkey",
         "s_nationkey",
         F.floor(F.col("s_acctbal") * 100).cast("bigint").alias("balance_cents"),
     )
-    path = tempfile.mkdtemp(prefix="gotsdb_xml_itg_")
+    path = _scratch_dir("gotsdb_xml_itg_")
     (
         sup.write.format("xml")
         .option("rootTag", "suppliers")

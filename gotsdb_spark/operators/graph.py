@@ -467,9 +467,18 @@ def star_contraction_edges(pairs: DataFrame) -> DataFrame:
                 F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
             ).collect()[0]
         )
-        edges = ss
+        prev_edges, edges = edges, ss
         if sig == prev_sig:
-            break
+            # The contraction edge set is NOT monotone (sources appear
+            # and disappear as stars form), so unlike the min-label
+            # fixpoints the hash-sum signature alone is probabilistic.
+            # Fall through to ONE exact set-diff on the round the
+            # signature repeats (r14, ADVICE hardening): both frames
+            # are checkpointed and .distinct(), and their counts
+            # already match, so an empty exceptAll proves frame
+            # equality outright. Runs once per query, not per round.
+            if ss.exceptAll(prev_edges).limit(1).count() == 0:
+                break
         prev_sig = sig
     else:
         # The 12-round ⌈log2⌉ bound is a heuristic, not a proof: if the
@@ -2527,12 +2536,15 @@ def graph_articulation_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
+        # Exact convergence signature (r14): the (x, v) key set is
+        # fixed and each lbl is monotone non-increasing (F.least), so
+        # sum(lbl) strictly decreases whenever any label changes — an
+        # unchanged (count, sum) IS an unchanged frame, with no
+        # hash-collision caveat.
         sig = tuple(
             labels.agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(
-                    F.xxhash64("x", "v", "lbl").cast("decimal(38,0)")
-                ).alias("h"),
+                F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s"),
             ).collect()[0]
         )
         if sig == prev_sig:
@@ -2710,12 +2722,14 @@ def graph_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
+        # Exact convergence signature (r14): fixed (xa, xb, v) key set
+        # + monotone non-increasing lbl (F.least) ⇒ an unchanged
+        # (count, sum(lbl)) is exactly an unchanged frame — no
+        # hash-collision caveat (was count + xxhash64-sum).
         sig = tuple(
             labels.agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(
-                    F.xxhash64("xa", "xb", "v", "lbl").cast("decimal(38,0)")
-                ).alias("h"),
+                F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s"),
             ).collect()[0]
         )
         if sig == prev_sig:

@@ -12,13 +12,13 @@ from __future__ import annotations
 
 import itertools
 import os
-import tempfile
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gotsdb_spark.operators.registry import GATED_QUERIES, query
+from gotsdb_spark.scratch import scratch_dir as _scratch_dir
 from gotsdb_spark.sources.registry import load_table
 from gotsdb_spark.storage.engine import Engine
 from gotsdb_spark.streaming import (
@@ -66,7 +66,7 @@ def kv_roundtrip_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot. The oracle is simply the source table — equality proves
     write→flush→promote→compact loses and corrupts nothing."""
     rows = load_table(spark, "nation", sf_dir).collect()
-    data_dir = tempfile.mkdtemp(prefix="gotsdb_kv_itg_")
+    data_dir = _scratch_dir(prefix="gotsdb_kv_itg_")
     e1 = Engine(spark, data_dir)
     for r in rows:
         e1.write_key("itg", str(r["n_nationkey"]), "overwritten-later")
@@ -102,7 +102,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     state accumulation (watermark state-dropping is exercised by the
     append-mode queries); each extra micro-batch costs a full stateful
     plan execution, so the wave count stays minimal."""
-    replay = tempfile.mkdtemp(prefix="gotsdb_stream_itg_")
+    replay = _scratch_dir(prefix="gotsdb_stream_itg_")
     ev = load_table(spark, "events", sf_dir).where(
         F.col("event_type").isin("purchase", "signup")
     )
@@ -166,7 +166,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionization of the same purchases — the streaming twin of
     ts_sessionize_users, with Spark session_window semantics
     (session_end = last event + gap)."""
-    replay = tempfile.mkdtemp(prefix="gotsdb_stream_sess_")
+    replay = _scratch_dir(prefix="gotsdb_stream_sess_")
     ev = load_table(spark, "events", sf_dir).where(F.col("event_type") == "purchase")
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     sentinel = spark.createDataFrame(
@@ -226,7 +226,7 @@ def streaming_append_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     on-time rows in batch: the batch↔stream equivalence contract for
     append mode, including late-data drop and window-close emission.
     """
-    replay = tempfile.mkdtemp(prefix="gotsdb_stream_append_")
+    replay = _scratch_dir(prefix="gotsdb_stream_append_")
     ev = load_table(spark, "events", sf_dir)
     on_time = ev.where(
         F.col("event_type").isin("purchase", "signup")
@@ -317,8 +317,8 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.col("event_id") + 10_000_000
     )
 
-    p_dir = tempfile.mkdtemp(prefix="gotsdb_ssj_p_")
-    e_dir = tempfile.mkdtemp(prefix="gotsdb_ssj_e_")
+    p_dir = _scratch_dir(prefix="gotsdb_ssj_p_")
+    e_dir = _scratch_dir(prefix="gotsdb_ssj_e_")
     purchases.select(cols).repartition(1).write.mode("append").parquet(p_dir)
     errors.select(cols).repartition(1).write.mode("append").parquet(e_dir)
 
@@ -369,7 +369,7 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     on_time = ev.where(F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
 
-    replay = tempfile.mkdtemp(prefix="gotsdb_dedup_stream_")
+    replay = _scratch_dir(prefix="gotsdb_dedup_stream_")
     on_time.select(cols).repartition(1).write.mode("append").parquet(replay)
 
     deduped = dedup_events(
@@ -438,7 +438,7 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     wave1 = ev.where(F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
     wave2 = ev.where(F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
 
-    replay = tempfile.mkdtemp(prefix="gotsdb_stateful_")
+    replay = _scratch_dir(prefix="gotsdb_stateful_")
     wave1.select(cols).repartition(1).write.mode("append").parquet(replay)
 
     stream = read_events_stream(spark, replay, 64).select(
@@ -502,7 +502,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     are integer-scaled per row, so micro-batch accumulation order
     can't drift from DuckDB's batch sum.
     """
-    replay = tempfile.mkdtemp(prefix="gotsdb_stream_enrich_")
+    replay = _scratch_dir(prefix="gotsdb_stream_enrich_")
     ev = load_table(spark, "events", sf_dir).where(F.col("event_type") == "purchase")
     ev.orderBy(F.hash("event_id")).repartition(8).write.mode("overwrite").parquet(
         replay
@@ -595,8 +595,8 @@ def streaming_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> Data
             " value double, props string",
         ).withColumn("ts", F.col("ts").cast("timestamp"))
 
-    p_dir = tempfile.mkdtemp(prefix="gotsdb_ssjo_p_")
-    e_dir = tempfile.mkdtemp(prefix="gotsdb_ssjo_e_")
+    p_dir = _scratch_dir(prefix="gotsdb_ssjo_p_")
+    e_dir = _scratch_dir(prefix="gotsdb_ssjo_e_")
     purchases.select(cols).repartition(1).write.mode("append").parquet(p_dir)
     errors.select(cols).repartition(1).write.mode("append").parquet(e_dir)
 
@@ -653,7 +653,7 @@ def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFram
     wave1 = ev.where(F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
     wave2 = ev.where(F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
 
-    replay = tempfile.mkdtemp(prefix="gotsdb_tws_")
+    replay = _scratch_dir(prefix="gotsdb_tws_")
     wave1.select(cols).repartition(1).write.mode("append").parquet(replay)
 
     stats = running_user_peaks(read_events_stream(spark, replay, 64))
@@ -761,8 +761,8 @@ def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window as W
 
-    replay = tempfile.mkdtemp(prefix="gotsdb_stream_topk_")
-    checkpoint = tempfile.mkdtemp(prefix="gotsdb_stream_topk_ckpt_")
+    replay = _scratch_dir(prefix="gotsdb_stream_topk_")
+    checkpoint = _scratch_dir(prefix="gotsdb_stream_topk_ckpt_")
     ev = load_table(spark, "events", sf_dir)
     ev.orderBy(F.hash("event_id")).repartition(6).write.mode("overwrite").parquet(
         replay
@@ -777,7 +777,7 @@ def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("ws"), "event_type", "n")
     )
-    store_root = tempfile.mkdtemp(prefix="gotsdb_stream_topk_store_")
+    store_root = _scratch_dir(prefix="gotsdb_stream_topk_store_")
     state_path: list = [None]
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
@@ -873,8 +873,8 @@ def streaming_ab_conversion_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over the final store snapshot — the same DECIMAL(38,0)
     cross-multiplied exact form as the batch query.
     """
-    replay = tempfile.mkdtemp(prefix="gotsdb_stream_ab_")
-    checkpoint = tempfile.mkdtemp(prefix="gotsdb_stream_ab_ckpt_")
+    replay = _scratch_dir(prefix="gotsdb_stream_ab_")
+    checkpoint = _scratch_dir(prefix="gotsdb_stream_ab_ckpt_")
     ev = load_table(spark, "events", sf_dir)
     ev.orderBy(F.hash("event_id")).repartition(6).write.mode(
         "overwrite"
@@ -890,7 +890,7 @@ def streaming_ab_conversion_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conv")
         )
     )
-    store_root = tempfile.mkdtemp(prefix="gotsdb_stream_ab_store_")
+    store_root = _scratch_dir(prefix="gotsdb_stream_ab_store_")
     # Executor-side keyed state table: the only driver-held state is
     # the current snapshot PATH (O(1)); every batch's rows stay on the
     # executors through the MERGE write — nothing data-sized ever
@@ -1062,9 +1062,9 @@ def streaming_session_eviction_audit(spark: SparkSession, sf_dir: str) -> DataFr
     from exact threshold comparisons (microsecond-granular fixture
     timestamps make threshold collisions impossible).
     """
-    replay = tempfile.mkdtemp(prefix="gotsdb_stream_evict_")
-    store = tempfile.mkdtemp(prefix="gotsdb_stream_evict_store_")
-    checkpoint = tempfile.mkdtemp(prefix="gotsdb_stream_evict_ckpt_")
+    replay = _scratch_dir(prefix="gotsdb_stream_evict_")
+    store = _scratch_dir(prefix="gotsdb_stream_evict_store_")
+    checkpoint = _scratch_dir(prefix="gotsdb_stream_evict_ckpt_")
     ev = load_table(spark, "events", sf_dir).where(
         F.col("event_type") == "purchase"
     )
@@ -1197,9 +1197,9 @@ def streaming_checkpoint_restart_replay(
     cold dir on boot (cold.go:72); this is the streaming analog under
     [TARGET] semantics.
     """
-    replay = tempfile.mkdtemp(prefix="gotsdb_ckpt_replay_")
-    out = tempfile.mkdtemp(prefix="gotsdb_ckpt_out_")
-    ckpt = tempfile.mkdtemp(prefix="gotsdb_ckpt_log_")
+    replay = _scratch_dir(prefix="gotsdb_ckpt_replay_")
+    out = _scratch_dir(prefix="gotsdb_ckpt_out_")
+    ckpt = _scratch_dir(prefix="gotsdb_ckpt_log_")
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     ev = load_table(spark, "events", sf_dir).where(
         F.col("event_type").isin("purchase", "signup")
@@ -1323,7 +1323,7 @@ def streaming_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     point-writes with no flow control (main.go:79); this is [TARGET]
     streaming machinery.
     """
-    replay = tempfile.mkdtemp(prefix="gotsdb_stream_rate_")
+    replay = _scratch_dir(prefix="gotsdb_stream_rate_")
     ev = load_table(spark, "events", sf_dir)
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     mx_ts = ev.agg(F.max("ts").alias("mx")).collect()[0]["mx"]  # 1-row bound
@@ -1453,7 +1453,7 @@ def streaming_gap_outage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    replay = tempfile.mkdtemp(prefix="gotsdb_stream_gap_")
+    replay = _scratch_dir(prefix="gotsdb_stream_gap_")
     ev = load_table(spark, "events", sf_dir)
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     mx_ts = ev.agg(F.max("ts").alias("mx")).collect()[0]["mx"]  # 1-row bound

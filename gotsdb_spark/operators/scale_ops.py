@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from gotsdb_spark.functions.skew import salted_join
 from gotsdb_spark.operators.registry import query
+from gotsdb_spark.scratch import scratch_dir as _scratch_dir
 from gotsdb_spark.sources.registry import load_table
 
 
@@ -75,8 +76,6 @@ def csv_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the default ISO format. This is the interchange contract a
     pipeline needs before trusting CSV drops from external producers.
     """
-    import tempfile
-
     from gotsdb_spark.sources.formats import read_any, write_any
 
     orders = load_table(spark, "orders", sf_dir).select(
@@ -85,7 +84,7 @@ def csv_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
         "o_orderdate",
     )
-    path = tempfile.mkdtemp(prefix="gotsdb_csv_itg_")
+    path = _scratch_dir(prefix="gotsdb_csv_itg_")
     write_any(orders, path, "csv")
     back = read_any(
         spark,
@@ -120,8 +119,6 @@ def json_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     query): customer → JSON → read back with an explicit schema →
     aggregate; the oracle reads the original parquet. Money as integer
     cents for exact text round-trip."""
-    import tempfile
-
     from gotsdb_spark.sources.formats import read_any, write_any
 
     cust = load_table(spark, "customer", sf_dir).select(
@@ -129,7 +126,7 @@ def json_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("balance_cents"),
     )
-    path = tempfile.mkdtemp(prefix="gotsdb_json_itg_")
+    path = _scratch_dir(prefix="gotsdb_json_itg_")
     write_any(cust, path, "json")
     back = read_any(
         spark,
@@ -170,8 +167,6 @@ def orc_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the CSV/JSON interchange contract — one rule for all formats beats
     per-format reasoning about ulps.
     """
-    import tempfile
-
     from gotsdb_spark.sources.formats import read_any, write_any
 
     supp = load_table(spark, "supplier", sf_dir).select(
@@ -179,7 +174,7 @@ def orc_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_nationkey",
         F.floor(F.col("s_acctbal") * 100).cast("bigint").alias("balance_cents"),
     )
-    path = tempfile.mkdtemp(prefix="gotsdb_orc_itg_")
+    path = _scratch_dir(prefix="gotsdb_orc_itg_")
     write_any(supp, path, "orc")
     back = read_any(
         spark,
@@ -300,8 +295,6 @@ def parquet_merge_schema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     written under a batch= partition key, so generation provenance
     rides the directory layout.
     """
-    import tempfile
-
     orders = load_table(spark, "orders", sf_dir)
     v1 = orders.where(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_orderstatus"
@@ -311,7 +304,7 @@ def parquet_merge_schema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         "o_orderstatus",
         F.floor(F.col("o_totalprice") / 100000).cast("long").alias("rev_bucket"),
     )
-    root = tempfile.mkdtemp(prefix="gotsdb_mergeschema_")
+    root = _scratch_dir(prefix="gotsdb_mergeschema_")
     v1.write.mode("overwrite").parquet(f"{root}/batch=1")
     v2.write.mode("overwrite").parquet(f"{root}/batch=2")
     merged = spark.read.option("mergeSchema", "true").parquet(root)

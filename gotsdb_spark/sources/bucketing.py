@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -25,6 +26,12 @@ from gotsdb_spark.sources.registry import load_table
 # exists to amortize (bench showed the query at 4.3s, ~3.5s of it the
 # two rewrites; warm runs are join-only).
 _MATERIALIZED: set[tuple[str, str, str, str, int]] = set()
+
+# The drop/rmtree/write sequence below is not safe to interleave from
+# two driver threads building bucketed-join plans concurrently (the
+# registry-wide smoke tests submit independent queries from a thread
+# pool per guide §2.6); one writer at a time, memo-checked inside.
+_MATERIALIZE_LOCK = threading.Lock()
 
 
 def bucket_table(
@@ -48,24 +55,25 @@ def bucket_table(
     slug = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     table_name = table_name or f"{name}_bucketed_{slug}_{key}_{n_buckets}"
     memo_key = (spark.sparkContext.applicationId, sf_dir, name, key, n_buckets)
-    if memo_key in _MATERIALIZED and spark.catalog.tableExists(table_name):
+    with _MATERIALIZE_LOCK:
+        if memo_key in _MATERIALIZED and spark.catalog.tableExists(table_name):
+            return table_name
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        # DROP only clears catalog metadata known to THIS session; a prior
+        # session's managed-table directory would still block the write.
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+        location = os.path.join(warehouse, table_name)
+        if warehouse and os.path.isdir(location):
+            shutil.rmtree(location)
+        (
+            load_table(spark, name, sf_dir)
+            .write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(table_name)
+        )
+        _MATERIALIZED.add(memo_key)
         return table_name
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    # DROP only clears catalog metadata known to THIS session; a prior
-    # session's managed-table directory would still block the write.
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
-    location = os.path.join(warehouse, table_name)
-    if warehouse and os.path.isdir(location):
-        shutil.rmtree(location)
-    (
-        load_table(spark, name, sf_dir)
-        .write.bucketBy(n_buckets, key)
-        .sortBy(key)
-        .mode("overwrite")
-        .saveAsTable(table_name)
-    )
-    _MATERIALIZED.add(memo_key)
-    return table_name
 
 
 def bucketed_join_lineitem_orders(

@@ -277,19 +277,41 @@ def fan_out(df: DataFrame, n: int | None = None) -> DataFrame:
     filter/agg doesn't warrant the shuffle.
 
     The parallelism probe is `df.inputFiles()` — driver-side metadata
-    from the already-built file index, no job, no physical planning —
-    which undercounts splits (a file can hold many row groups) and so
-    errs toward repartitioning; at cluster scale input file counts are
-    in the thousands and the probe correctly suppresses the shuffle.
+    from the already-built file index, no job, no physical planning.
+    Raw file count alone OVERcounts actual scan parallelism when
+    `spark.sql.files.minPartitionNum=1` packs many small files into few
+    splits (ADVICE r13: a 30-file dt-partitioned copy can scan as 1-2
+    tasks), so the probe is capped by the byte-based split estimate
+    (sum of file sizes + per-file open cost, over maxPartitionBytes —
+    the same arithmetic Spark's FilePartition packing uses). Files
+    whose sizes can't be stat'ed driver-side (object-store URIs) fall
+    back to the raw count, which at cluster scale is in the thousands
+    and correctly suppresses the shuffle either way.
     Call it on scan-rooted frames (load_table + projections).
     """
     sc = df.sparkSession.sparkContext
     target = n or sc.defaultParallelism
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
+        n_files = len(files)
     except Exception:  # noqa: BLE001 — metadata hiccup: keep old behavior
-        n_files = 0
-    if n_files * 2 >= target:
+        files, n_files = [], 0
+    est_splits = n_files
+    if 0 < n_files < 10_000:  # stat() only sane counts
+        try:
+            conf = df.sparkSession.conf
+            max_bytes = int(conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+            open_cost = int(conf.get("spark.sql.files.openCostInBytes", "4194304").rstrip("b"))
+            total = sum(
+                os.path.getsize(p.removeprefix("file:")) for p in files
+            )
+            est_splits = max(
+                1, -(-(total + n_files * open_cost) // max_bytes)
+            )
+            est_splits = min(est_splits, n_files) if n_files else est_splits
+        except (OSError, ValueError):
+            est_splits = n_files  # non-local paths: raw count fallback
+    if est_splits * 2 >= target:
         return df
     return df.repartition(target)
 

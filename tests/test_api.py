@@ -1,10 +1,10 @@
 """API-parity tests: the 4 routes, JSON shapes, and verb-agnostic
 routing (reference main.go:36-104)."""
 
+import pytest
 import json
 import urllib.request
 
-import pytest
 
 from gotsdb_spark.api import dispatch, serve
 from gotsdb_spark.storage.engine import Engine

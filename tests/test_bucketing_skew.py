@@ -1,6 +1,7 @@
 """Scale-technique tests: bucketed zero-shuffle joins, salted skew
 joins, and the spark.sql entry point over registered views."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from gotsdb_spark.functions.skew import salted_join
@@ -11,6 +12,7 @@ from gotsdb_spark.sources.registry import load_table, register_views
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.mark.slow
 def test_bucketed_join_has_no_shuffle(spark):
     joined = bucketed_join_lineitem_orders(spark, SF)
     assert shuffle_count(joined) == 0, formatted_plan(joined)

@@ -1,10 +1,10 @@
 """Edge cases: strict 500-parity mode, concurrent engine access,
 invalid collection ids, and dispatch of unknown routes."""
 
+import pytest
 import json
 import threading
 
-import pytest
 
 from gotsdb_spark.api import dispatch, handle_read_key
 from gotsdb_spark.storage.engine import Engine

@@ -6,10 +6,11 @@ property on a perfectly linear series.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 import duckdb
-import pytest
 
 from gotsdb_spark.operators.timeseries import (
     _HOLT_ALPHA,

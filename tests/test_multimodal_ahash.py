@@ -5,8 +5,9 @@ round-6 registration; this test IS its oracle gate until then).
 
 from __future__ import annotations
 
-import duckdb
 import pytest
+
+import duckdb
 
 from gotsdb_spark.operators.multimodal import IMAGE_AHASH_ORACLE, image_ahash_buckets
 

@@ -1,7 +1,7 @@
 """Both branches of the optional-PIL image decode gate."""
 
-import pytest
 
+import pytest
 from gotsdb_spark.operators.multimodal import _fake_decode, decode_image
 
 try:

@@ -6,10 +6,11 @@ sequences where the expected counts are computable by hand.
 
 from __future__ import annotations
 
+import pytest
+
 import re
 
 import duckdb
-import pytest
 
 from gotsdb_spark.operators.timeseries import (
     QUANTIFIED_PATTERN_ORACLE,

@@ -3,6 +3,8 @@ cartesian blowups. These pin the *physical* properties that make the
 operators viable at 100 TB — a change that silently drops one fails
 here, not on the cluster."""
 
+
+import pytest
 from gotsdb_spark.operators import QUERIES
 from gotsdb_spark.plans import (
     broadcast_join_count,
@@ -823,20 +825,40 @@ def _registry_plan_sweep(spark):
         single_partition_window_chains,
     )
 
-    out = {}
-    for name, fn in QUERIES.items():
+    def metrics(item):
+        name, fn = item
         try:
             df = fn(spark, SF)
         except Exception:
             # Environment-gated or replay-dependent construction issues
             # are other tests' concern; the sweep only grades plans it
             # can build.
-            continue
-        out[name] = {
+            return name, None
+        return name, {
             "chains": single_partition_window_chains(df),
             "fact_scans": fact_scan_counts(df),
             "scan_widths": scan_read_widths(df),
         }
+
+    # Batch queries build (and, for eager operators, run tiny sf0.001
+    # jobs) independently -> small driver thread pool (guide §2.6).
+    # Integration-module entries REPLAY real streams and pin session
+    # conf for the replay's lifetime (_replay_partitions), so they stay
+    # serial — conf save/restore must not interleave.
+    from concurrent.futures import ThreadPoolExecutor
+
+    items = list(QUERIES.items())
+    batch = [it for it in items if it[1].__module__ != "gotsdb_spark.operators.integration"]
+    replay = [it for it in items if it[1].__module__ == "gotsdb_spark.operators.integration"]
+    out = {}
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for name, m in pool.map(metrics, batch):
+            if m is not None:
+                out[name] = m
+    for it in replay:
+        name, m = metrics(it)
+        if m is not None:
+            out[name] = m
     _SWEEP_CACHE = out
     return out
 
@@ -844,6 +866,7 @@ def _registry_plan_sweep(spark):
 _SWEEP_CACHE = None
 
 
+@pytest.mark.slow
 def test_no_unbounded_global_windows_full_registry(spark):
     """Sweep EVERY registered query's executed plan for Window-over-
     Exchange-SinglePartition chains; only the documented bounded-frame
@@ -896,6 +919,7 @@ _FACT_RESCAN_ALLOWED: dict[str, str] = {
 }
 
 
+@pytest.mark.slow
 def test_no_repeated_fact_scans_full_registry(spark):
     """Sweep EVERY registered query's plan for >= 3 parquet scans of
     the same fact table — the graph_triangle_stats class (a fact-sized
@@ -918,6 +942,7 @@ def test_no_repeated_fact_scans_full_registry(spark):
     )
 
 
+@pytest.mark.slow
 def test_rescan_allowlist_has_no_stale_entries(spark):
     """Every _FACT_RESCAN_ALLOWED row must still name a query that
     actually exceeds the budget — fixed queries must drop their row."""
@@ -933,6 +958,7 @@ def test_rescan_allowlist_has_no_stale_entries(spark):
     assert not stale, f"rescan allowlist entries no longer needed: {stale}"
 
 
+@pytest.mark.slow
 def test_column_pruning_full_registry(spark):
     """Sweep EVERY registered query's plan for a parquet scan that
     reads the FULL width of a wide fixture table (> 6 columns) — at

@@ -12,6 +12,8 @@ this fuzzer guards the composition itself.)
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -60,6 +62,7 @@ def _model_ntile(rank, n, buckets):
     buckets=st.integers(min_value=2, max_value=9),
     descending=st.booleans(),
 )
+@pytest.mark.slow
 def test_dist_rank_matches_python_model(spark, rows, nparts, buckets, descending):
     df = spark.createDataFrame(
         [(i, k, v) for i, (k, v) in enumerate(rows)], "id long, k long, v long"

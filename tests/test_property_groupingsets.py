@@ -17,8 +17,9 @@ duplicated super-aggregate level flips it.
 
 from __future__ import annotations
 
-import duckdb
 import pytest
+
+import duckdb
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

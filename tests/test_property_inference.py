@@ -12,6 +12,8 @@ pass the oracle gate but fail here.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 from collections import Counter
 
@@ -43,6 +45,7 @@ def _ks_reference(a: list[int], b: list[int]) -> int:
     a=st.lists(st.integers(0, 30), min_size=1, max_size=40),
     b=st.lists(st.integers(0, 30), min_size=1, max_size=40),
 )
+@pytest.mark.slow
 def test_ks_matches_bruteforce(spark, a, b):
     pts = spark.createDataFrame(
         [("A", v) for v in a] + [("B", v) for v in b], "prio string, v long"
@@ -81,6 +84,7 @@ def _g_reference(pairs: list[tuple[str, str]]) -> tuple[int, int]:
         max_size=60,
     )
 )
+@pytest.mark.slow
 def test_gtest_matches_bruteforce(spark, pairs):
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window as W

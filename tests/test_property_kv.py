@@ -7,9 +7,9 @@ last-writer-wins upsert (reference types.go:3, hot.go:50-60). Flushes
 and re-promotions must be invisible to reads.
 """
 
+import pytest
 import threading
 
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -49,6 +49,7 @@ def prop_spark(spark):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_engine_matches_dict_model(prop_spark, tmp_path_factory, sequence):
     data_dir = str(tmp_path_factory.mktemp("prop"))
     engine = Engine(prop_spark, data_dir)
@@ -87,6 +88,7 @@ def test_engine_matches_dict_model(prop_spark, tmp_path_factory, sequence):
             assert reborn.read_key(coll, key) == value
 
 
+@pytest.mark.slow
 def test_engine_concurrent_access_matches_models(spark, tmp_path_factory):
     """Concurrent write/read/flush/promote against ONE Engine.
 

@@ -7,8 +7,8 @@ numeric/string/timestamp columns (a dialect-neutral subset) and
 compares matching row counts plus an order-insensitive key checksum.
 """
 
-import duckdb
 import pytest
+import duckdb
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -242,6 +242,7 @@ _SET_OPS = st.sampled_from(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_random_set_ops_agree(spark, spark_lineitem, duck, p1, p2, op):
     """Set operations fuzz: the DATAFRAME set-op API (union/intersect/
     exceptAll and their distinct variants) over two random predicate

@@ -15,8 +15,9 @@ to be delivered.
 
 from __future__ import annotations
 
-import duckdb
 import pytest
+
+import duckdb
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

@@ -13,6 +13,8 @@ test_property_round7.py convention)."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 import math
 from collections import defaultdict
@@ -76,6 +78,7 @@ runs_rows = st.lists(
     suppress_health_check=list(HealthCheck),
 )
 @given(runs_rows)
+@pytest.mark.slow
 def test_runs_test_fuzz(spark, rows):
     from gotsdb_spark.operators import inference
     from gotsdb_spark.operators.registry import QUERIES
@@ -154,6 +157,7 @@ wilcoxon_rows = st.lists(
     suppress_health_check=list(HealthCheck),
 )
 @given(wilcoxon_rows)
+@pytest.mark.slow
 def test_wilcoxon_fuzz(spark, rows):
     from gotsdb_spark.operators import inference
     from gotsdb_spark.operators.registry import QUERIES

@@ -12,6 +12,8 @@ convention)."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 from collections import defaultdict
 from contextlib import contextmanager
@@ -60,6 +62,7 @@ hl_rows = st.lists(
     suppress_health_check=list(HealthCheck),
 )
 @given(hl_rows)
+@pytest.mark.slow
 def test_hodges_lehmann_fuzz(spark, rows):
     from gotsdb_spark.operators import inference
     from gotsdb_spark.operators.registry import QUERIES
@@ -120,6 +123,7 @@ heaps_corpus = st.lists(
     suppress_health_check=list(HealthCheck),
 )
 @given(heaps_corpus)
+@pytest.mark.slow
 def test_heaps_law_fuzz(spark, docs):
     from gotsdb_spark.operators import text
     from gotsdb_spark.operators.registry import QUERIES
@@ -181,6 +185,7 @@ art_edges = st.lists(
     suppress_health_check=list(HealthCheck),
 )
 @given(art_edges)
+@pytest.mark.slow
 def test_articulation_fuzz(spark, edges):
     from gotsdb_spark.operators import graph
     from gotsdb_spark.operators.registry import QUERIES
@@ -283,6 +288,7 @@ pacf_series = st.lists(
     suppress_health_check=list(HealthCheck),
 )
 @given(pacf_series)
+@pytest.mark.slow
 def test_pacf_fuzz(spark, rows):
     """Durbin-Levinson recursion vs a bit-for-bit Python replica of
     the identical expression trees, over fuzzed daily series; assumes
@@ -388,6 +394,7 @@ br_edges = st.lists(
     suppress_health_check=list(HealthCheck),
 )
 @given(br_edges)
+@pytest.mark.slow
 def test_bridges_fuzz(spark, edges):
     from gotsdb_spark.operators import graph
     from gotsdb_spark.operators.registry import QUERIES
@@ -489,6 +496,7 @@ gt_docs = st.lists(
     suppress_health_check=list(HealthCheck),
 )
 @given(gt_docs)
+@pytest.mark.slow
 def test_good_turing_fuzz(spark, docs):
     """Random tiny corpora over a 4-letter alphabet: repeated docs
     drive trigram counts past the r <= 5 spine (the empty-result arm

@@ -12,6 +12,8 @@ serve synthetic frames (the test_property_round7.py convention)."""
 
 from __future__ import annotations
 
+import pytest
+
 from collections import defaultdict
 from contextlib import contextmanager
 from datetime import date, datetime, timedelta
@@ -56,6 +58,7 @@ wf_sources = st.lists(
     suppress_health_check=list(HealthCheck),
 )
 @given(wf_sources)
+@pytest.mark.slow
 def test_token_budget_waterfilling_fuzz(spark, per_source_doc_tokens):
     """sum(alloc) == budget exactly, alloc <= tokens everywhere, fully
     kept sources are exactly ranks 1..jstar, and the result equals an
@@ -130,6 +133,7 @@ seg_series = st.lists(
     suppress_health_check=list(HealthCheck),
 )
 @given(seg_series)
+@pytest.mark.slow
 def test_segmented_regression_fuzz(spark, series):
     """The registered query equals a brute-force Python scan of every
     breakpoint, and the broken stick never fits worse than one line."""
@@ -204,6 +208,7 @@ qq_rows = st.lists(
     suppress_health_check=list(HealthCheck),
 )
 @given(qq_rows)
+@pytest.mark.slow
 def test_qq_drift_fuzz(spark, rows):
     """Registered query equals a Python reference on tie-heavy grids,
     including types entirely absent from one half (NULL devs)."""

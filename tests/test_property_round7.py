@@ -11,6 +11,8 @@ query functions with `load_table` patched to serve synthetic frames
 
 from __future__ import annotations
 
+import pytest
+
 from contextlib import contextmanager
 
 from hypothesis import HealthCheck, given, settings
@@ -50,6 +52,7 @@ winsor_rows = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(rows=winsor_rows)
+@pytest.mark.slow
 def test_winsorized_mean_fuzz(spark, rows):
     import gotsdb_spark.operators.statistics as mod
 
@@ -141,6 +144,7 @@ decile_rows = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(vals=decile_rows)
+@pytest.mark.slow
 def test_dictionary_decile_edges_fuzz(spark, vals):
     """Edges must equal the smallest value with cc·10 ≥ k·n (exact
     integer rule) and decile_bin_col must reproduce searchsorted-style

@@ -11,6 +11,8 @@ test_property_round7.py convention)."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 from contextlib import contextmanager
 
@@ -55,6 +57,7 @@ mw_rows = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(rows=mw_rows)
+@pytest.mark.slow
 def test_mann_whitney_fuzz(spark, rows):
     """U_x2 must equal the QUADRATIC pairwise definition
     (2·#[a>r] + #[a==r] over all A x R pairs) — an independent route
@@ -96,6 +99,7 @@ abc_rows = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(rows=abc_rows)
+@pytest.mark.slow
 def test_abc_pareto_fuzz(spark, rows):
     """Class assignment must match the sequential cumulative walk in
     (revenue DESC, partkey) order, including boundary ties where

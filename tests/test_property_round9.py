@@ -13,6 +13,8 @@ convention)."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 import math
 from contextlib import contextmanager
@@ -183,6 +185,7 @@ hits_edges = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(edges=hits_edges)
+@pytest.mark.slow
 def test_hits_fuzz(spark, edges):
     """The e9 integer fixed-point trajectory must match the Python
     integer mirror EXACTLY (no tolerance) — including isolated nations
@@ -394,6 +397,7 @@ bf_rows = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(rows=bf_rows)
+@pytest.mark.slow
 def test_brown_forsythe_fuzz(spark, rows):
     """The lower-median rule (cc*2 >= n) and the deviation moments must
     match the sequential Python walk on tie-heavy grids — even-sized
@@ -467,6 +471,7 @@ kc_edges = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(edges=kc_edges)
+@pytest.mark.slow
 def test_kcore_fuzz(spark, edges):
     """The strong-edge cut (w*n > t), the three synchronous peel
     rounds, and the degree bookkeeping must match the Python walk on
@@ -544,6 +549,7 @@ sky_parts = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(parts=sky_parts)
+@pytest.mark.slow
 def test_skyline_3d_fuzz(spark, parts):
     """The cell-grid sweep must return EXACTLY the non-dominated
     (dollar, size) cells of the quadratic definition — tie-heavy grids
@@ -606,6 +612,7 @@ hw_series = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(pts=hw_series)
+@pytest.mark.slow
 def test_hw_damped_seasonal_fuzz(spark, pts):
     """The struct fold must walk the identical (level, trend, seasonal
     ring) trajectory as the Python recursion on arbitrary day gaps —
@@ -676,6 +683,7 @@ psi_docs = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(docs=psi_docs)
+@pytest.mark.slow
 def test_psi_by_source_fuzz(spark, docs):
     """Per-source decile edges, add-one smoothing, and the e9 term
     floor must match the Python mirror on tie-saturated length

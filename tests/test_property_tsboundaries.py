@@ -10,6 +10,8 @@ Python mirrors compare with ==."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 from contextlib import contextmanager
 
@@ -378,6 +380,7 @@ interp_rows = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(pts=interp_rows)
+@pytest.mark.slow
 def test_linear_interpolate_fuzz(spark, pts):
     """Grid interpolation must match the sequential mirror — with
     DUPLICATE sample timestamps (the event_id tie-break: v0 takes the
@@ -597,6 +600,7 @@ ret_rows = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(rows=ret_rows)
+@pytest.mark.slow
 def test_retention_fuzz(spark, rows):
     """(cohort_day, day_offset) counts must match the Python mirror —
     day 0 membership equals cohort size, multiple same-day events

@@ -18,8 +18,9 @@ unique IN THIS DATA.)
 
 from __future__ import annotations
 
-import duckdb
 import pytest
+
+import duckdb
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import pytest
 
+
 from gotsdb_spark.operators import QUERIES
 
 SF = "/root/testdata/sf0.001"
@@ -39,6 +40,24 @@ def test_registry_nonempty_and_integration_split():
     assert len(QUERIES) - len(names) <= 15
 
 
+def _sweep_parallel(names: list[str], check) -> dict[str, str]:
+    """Run `check(name) -> error-or-None` over independent queries from
+    a small driver thread pool (guide §2.6 — plan building and the tiny
+    sf0.001 jobs are independent; concurrent jobs back-fill the local
+    scheduler instead of paying 386 sequential stage tails). Eager
+    construction (dist_rank offsets, bucketed-table writes) is
+    thread-safe: bucket_table serializes its materialization behind a
+    module lock, everything else is per-call state."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    failures: dict[str, str] = {}
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for name, err in zip(names, pool.map(check, names)):
+            if err:
+                failures[name] = err
+    return failures
+
+
 def test_every_batch_query_analyzes(spark):
     """Force full analysis (schema resolution) of every registered plan.
 
@@ -46,14 +65,15 @@ def test_every_batch_query_analyzes(spark):
     the fixtures as they exist today — the exact failure mode that
     silently killed bench in round 3.
     """
-    failures: dict[str, str] = {}
-    for name in _batch_queries():
+
+    def check(name: str) -> str | None:
         try:
             cols = QUERIES[name](spark, SF).columns
-            if not cols:
-                failures[name] = "no columns"
+            return None if cols else "no columns"
         except Exception as exc:  # noqa: BLE001 — collect all, report once
-            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+            return f"{type(exc).__name__}: {exc}"[:200]
+
+    failures = _sweep_parallel(_batch_queries(), check)
     assert not failures, f"{len(failures)} queries no longer analyze: {failures}"
 
 
@@ -65,10 +85,13 @@ def test_every_batch_query_executes_one_row(spark):
     (aggregates, sorts, windows), so this exercises codegen and Python
     worker paths, just on the smallest fixture.
     """
-    failures: dict[str, str] = {}
-    for name in _batch_queries():
+
+    def check(name: str) -> str | None:
         try:
             QUERIES[name](spark, SF).limit(1).collect()
+            return None
         except Exception as exc:  # noqa: BLE001
-            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+            return f"{type(exc).__name__}: {exc}"[:200]
+
+    failures = _sweep_parallel(_batch_queries(), check)
     assert not failures, f"{len(failures)} queries fail at runtime: {failures}"

@@ -5,6 +5,8 @@ implementation — the round-7 convention)."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 from collections import defaultdict
 
@@ -167,6 +169,7 @@ def test_pacf_matches_python_reference(spark):
 # ----------------------------------------------- articulation points
 
 
+@pytest.mark.slow
 def test_articulation_matches_python_reference(spark):
     from gotsdb_spark.operators.graph import _backbone_edges
 
@@ -220,6 +223,7 @@ def test_articulation_matches_python_reference(spark):
 # ------------------------------------------ session eviction audit
 
 
+@pytest.mark.slow
 def test_eviction_audit_matches_python_reference(spark):
     import datetime
 

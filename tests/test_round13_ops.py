@@ -5,6 +5,8 @@ implementation — the round-7 convention)."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 from collections import defaultdict
 
@@ -140,6 +142,7 @@ def test_periodogram_matches_python_reference(spark):
 # ------------------------------------- checkpoint-restart exactly-once
 
 
+@pytest.mark.slow
 def test_checkpoint_restart_replay_matches_batch(spark):
     """The registered query performs a REAL stop + restart from the
     checkpoint (two query instances, one sink transaction log); its
@@ -227,7 +230,10 @@ def test_prefix_filter_pair_budget_guard(spark, monkeypatch):
     )
     monkeypatch.setattr(dedup, "_PF_PAIR_BUDGET_PER_DOC", 1)
     with pytest.raises(RuntimeError, match="candidate-pair budget exceeded"):
-        # unique sf_dir so shared_cache cannot serve a real fixture frame
+        # unique sf_dir so the monkeypatched corpus can't collide with a
+        # real fixture frame from another test (the r13 shared_cache
+        # this comment once referenced is gone; intermediates are now
+        # per-invocation localCheckpoints)
         dedup.dedup_prefix_filter_jaccard(spark, "/gotsdb-test/pf-guard")
     # and under the real budget the same degenerate corpus is ACCEPTED
     # at this size (20 docs, 190 pairs = 9.5/doc < 2048/doc): the guard

@@ -2,8 +2,8 @@
 read-your-writes, promotion-on-miss, auto-create, flush/evict, error
 parity (missing key vs missing collection), last-writer-wins."""
 
-import pytest
 
+import pytest
 from gotsdb_spark.storage.engine import (
     CollectionExistsError,
     CollectionNotFoundError,

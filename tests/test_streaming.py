@@ -2,8 +2,8 @@
 batch↔stream equivalence of the same transform, watermark-bounded
 dedup, and the foreachBatch → KV-log sink."""
 
-import pytest
 
+import pytest
 from pyspark.sql import functions as F
 
 from gotsdb_spark.sources.registry import load_table
@@ -107,6 +107,7 @@ def test_foreach_batch_kv_sink_feeds_engine(spark, tmp_path, replay_dir):
     assert engine.snapshot("evlog").count() == ev.count()
 
 
+@pytest.mark.slow
 def test_stream_stream_interval_join_matches_batch(spark, replay_dir):
     from gotsdb_spark.streaming.ingest import join_purchases_with_recent_errors
 
@@ -238,6 +239,7 @@ def test_available_now_drains_and_stops(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_outer_stream_stream_join_emits_nulls_after_watermark(spark, tmp_path):
     """leftOuter stream-stream interval join: matched purchases carry
     their errors; unmatched purchases emit exactly once with NULL error

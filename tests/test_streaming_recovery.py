@@ -10,6 +10,7 @@ directory (old files included) and an interrupted epoch may have
 half-written data files.
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from gotsdb_spark.sources.registry import load_table
@@ -95,6 +96,7 @@ def test_restart_with_no_new_data_is_a_noop(spark, tmp_path):
     assert spark.read.parquet(out).count() == n1
 
 
+@pytest.mark.slow
 def test_stateful_windowed_restart_matches_batch(spark, tmp_path):
     """Checkpoint-restart of a STATEFUL query: a watermarked tumbling-
     window aggregation stopped mid-replay must restore its state store

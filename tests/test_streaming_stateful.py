@@ -1,6 +1,7 @@
 """applyInPandasWithState: per-user running totals accumulate across
 micro-batches and converge to the batch aggregate."""
 
+import pytest
 import os
 
 from pyspark.sql import functions as F

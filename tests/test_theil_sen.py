@@ -5,8 +5,9 @@ Python median check and a robustness property OLS cannot satisfy.
 
 from __future__ import annotations
 
-import duckdb
 import pytest
+
+import duckdb
 
 from gotsdb_spark.operators.statistics import (
     THEIL_SEN_ORACLE,

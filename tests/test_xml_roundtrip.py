@@ -4,8 +4,9 @@ oracle gate until then)."""
 
 from __future__ import annotations
 
-import duckdb
 import pytest
+
+import duckdb
 
 from gotsdb_spark.operators.filesources import (
     XML_ROUNDTRIP_ORACLE,

@@ -1,11 +1,12 @@
-"""Capture `.explain("formatted")` for named queries into plans/r13/.
+"""Capture `.explain("formatted")` for named queries into plans/<round>/.
 
 Usage:
     python tools/capture_plans.py before q1_pricing_summary graph_bridges ...
     python tools/capture_plans.py after  q1_pricing_summary ...
 
-Writes plans/r13/<query>_<tag>.txt — the optimization-round evidence
+Writes plans/<round>/<query>_<tag>.txt — the optimization-round evidence
 convention (the judge checks plan claims against these committed files).
+Round dir defaults to r14; override with SPARK_GRAFT_PLANS_ROUND.
 """
 
 from __future__ import annotations
@@ -20,7 +21,11 @@ from gotsdb_spark.plans import formatted_plan  # noqa: E402
 from gotsdb_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"),
+)
 
 
 def main() -> int:

@@ -28,6 +28,19 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("time-queries")
     spark.range(1000).count()  # warm codegen/session
+
+    def _release_blocks() -> None:
+        # Same hygiene as bench.py: free localCheckpoint blocks AFTER a
+        # query's timed runs so multi-query sessions don't accumulate
+        # storage pressure that taxes later queries (outside any timed
+        # window; blocks are per-DataFrame and never reused across runs).
+        try:
+            spark.catalog.clearCache()
+            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                jrdd.unpersist(True)
+        except Exception:  # noqa: BLE001 — hygiene must never fail a run
+            pass
+
     for name in args:
         spark.sparkContext.setJobDescription(name)
         best = float("inf")
@@ -41,9 +54,10 @@ def main() -> int:
                 dt = time.time() - t0
                 all_t.append(round(dt, 3))
                 best = min(best, dt)
-            print(f"TIME {name}: min={best:.3f}s runs={all_t}")
+            print(f"TIME {name}: min={best:.3f}s runs={all_t}", flush=True)
         except Exception as exc:  # noqa: BLE001
-            print(f"ERR {name}: {type(exc).__name__}: {exc}"[:300])
+            print(f"ERR {name}: {type(exc).__name__}: {exc}"[:300], flush=True)
+        _release_blocks()
         spark.sparkContext.setJobDescription(None)
     return 0
 
