@@ -1271,12 +1271,21 @@ def _nation_bfs_sigma(spark: SparkSession, sf_dir: str):
     )
     frontier = reach
     for lvl in range(1, _BC_MAX_HOPS + 1):
+        # Every frame here is dictionary-bounded (<= 25 sources x 25
+        # nodes; ed <= 2x top-k selected pairs) but checkpoint-rooted
+        # and therefore stats-less: without hints the planner plans a
+        # sort-merge join PER LEVEL (the unrolled 6-level BFS carried
+        # ~4 Exchanges+Sorts per level in one deep plan). Broadcasting
+        # the edge list and the visited-set probe keeps each level
+        # map-side; the only per-level Exchange left is the sigma
+        # partial->final aggregate (guide §3.1/§2.4). Sites classified
+        # "dim" in tests/test_broadcast_guard.py.
         newly = (
-            frontier.join(ed, frontier.v == ed.a)
+            frontier.join(F.broadcast(ed), frontier.v == ed.a)
             .groupBy("s", F.col("b").alias("nv"))
             .agg(F.sum("sig").cast("long").alias("sig"))
             .join(
-                reach.select("s", F.col("v").alias("nv")),
+                F.broadcast(reach.select("s", F.col("v").alias("nv"))),
                 ["s", "nv"],
                 "left_anti",
             )
@@ -2517,8 +2526,16 @@ def graph_articulation_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev_sig = None
     for _ in range(26):  # diameter bound: <= |V| rounds for 25 nations
+        # Dictionary-bounded frames (<= 26 scenarios x 25 nodes) come
+        # out of localCheckpoint WITHOUT size stats, so the planner
+        # sort-merge-joined them (4 Exchanges + Sorts per round);
+        # explicit broadcasts restore the map-side shape — one
+        # Exchange per round (guide §3.1). Sites classified "dim" in
+        # tests/test_broadcast_guard.py; see graph_bridges for the
+        # same fix with the measured plan diff.
         cand = (
-            labels.join(
+            F.broadcast(labels)
+            .join(
                 edx,
                 (labels.x == edx.x) & (labels.v == edx.a),
             )
@@ -2526,7 +2543,7 @@ def graph_articulation_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("lbl").alias("nlbl"))
         )
         labels = (
-            labels.join(cand, ["x", "v"], "left")
+            labels.join(F.broadcast(cand), ["x", "v"], "left")
             .select(
                 "x",
                 "v",
@@ -2700,8 +2717,20 @@ def graph_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev_sig = None
     for _ in range(26):  # diameter bound: <= |V| rounds for 25 nations
+        # Both frames in the round are dictionary-bounded by
+        # construction (<= 31 scenarios x <= 25 nodes / <= 600 directed
+        # edges — the nation-pair backbone), but they come out of
+        # localCheckpoint as ExistingRDDs with NO size statistics, so
+        # the planner conservatively sort-merge-joined them: 2 SMJs,
+        # 4 Exchanges and 4 Sorts per round over <= 18k rows (plan
+        # excerpt in plans/r14/graph_bridges_before.txt). Explicit
+        # broadcasts of the label frame (775 rows) restore the
+        # map-side join shape — one Exchange per round (the min-label
+        # partial->final aggregate), guide §3.1/§2.4. Broadcast sites
+        # classified "dim" in tests/test_broadcast_guard.py.
         cand = (
-            labels.join(
+            F.broadcast(labels)
+            .join(
                 edx,
                 (labels.xa == edx.xa)
                 & (labels.xb == edx.xb)
@@ -2711,7 +2740,7 @@ def graph_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("lbl").alias("nlbl"))
         )
         labels = (
-            labels.join(cand, ["xa", "xb", "v"], "left")
+            labels.join(F.broadcast(cand), ["xa", "xb", "v"], "left")
             .select(
                 "xa",
                 "xb",

@@ -37,12 +37,18 @@ def _replay_partitions(spark: SparkSession, n: int = 8):
     replay, restoring the caller's value afterwards.
 
     These replays process a few thousand rows per micro-batch, so their
-    cost is dominated by per-partition state-store commits (32 stores ×
+    cost is dominated by per-partition state-store commits (stores ×
     several stateful operators × several batches), not data: the
-    left-outer interval join drops 40s → 11s at sf0.01 with 8
-    partitions, results unchanged (hash-verified). This mirrors the
-    production knob — shuffle partitions sized to per-batch stream
-    volume, not to the batch-analytics default.
+    left-outer interval join drops 40s → 11s at sf0.01 going 32 → 8
+    partitions (r12). The STREAM-STREAM JOIN replays pass n=4 (r14): a
+    stream-stream join opens 4 RocksDB stores per partition per batch,
+    and their watermark-advance micro-batches carry 1 row — halving
+    the partitions cut each such batch from ~2.9 s to ~2.0 s at sf0.1,
+    results unchanged (hash-verified). Data-heavy window-agg replays
+    (~250k rows/batch) keep 8 — 4 measured SLOWER there
+    (rate_limit_audit 6.3 → 7.1 s). This mirrors the production knob —
+    shuffle partitions sized to per-batch stream volume, not to the
+    batch-analytics default.
     """
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
@@ -50,6 +56,48 @@ def _replay_partitions(spark: SparkSession, n: int = 8):
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _append_sentinel_rows(path: str, df: DataFrame) -> None:
+    """Append a HANDFUL of watermark-advance sentinel rows to a replay
+    dir driver-side (pyarrow) instead of through a Spark write job.
+
+    Every `1-row-frame.repartition(1).write.parquet` wave cost
+    0.7–1.8 s of pure job overhead (shuffle + task launch + commit
+    protocol) per call — measured at sf0.1 on the left-outer interval
+    join, whose two sentinel waves × two sides paid it four times.
+    The sentinel frames are 1–2 literal or 1-row-aggregate rows by
+    construction (they exist only to push the watermark), so the
+    driver-side write is O(1); timestamps cross as epoch micros to
+    stay timezone-exact, and the file matches EVENT_SCHEMA so the
+    schema-pinned file-source stream reads it like any other wave.
+    """
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = df.select(
+        F.col("event_id").cast("long"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("user_id").cast("long"),
+        F.col("event_type").cast("string"),
+        F.col("value").cast("double"),
+        F.col("props").cast("string"),
+    ).collect()
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+            "ts": pa.array([r["ts_us"] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+            "event_type": pa.array(
+                [r["event_type"] for r in rows], pa.string()
+            ),
+            "value": pa.array([r["value"] for r in rows], pa.float64()),
+            "props": pa.array([r["props"] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(path, f"sentinel-{uuid.uuid4().hex}.parquet"))
 
 
 @query(
@@ -182,7 +230,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _replay_partitions(spark):
         q = run_stream_to_memory(stream, name, output_mode="append")
         try:
-            sentinel.select(cols).repartition(1).write.mode("append").parquet(replay)
+            _append_sentinel_rows(replay, sentinel)
             q.processAllAvailable()
             out = spark.table(name).collect()
         finally:
@@ -252,7 +300,7 @@ def streaming_append_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             late.select(cols).repartition(1).write.mode("append").parquet(replay)
             q.processAllAvailable()
-            sentinel.select(cols).repartition(1).write.mode("append").parquet(replay)
+            _append_sentinel_rows(replay, sentinel)
             q.processAllAvailable()
             out = spark.table(name).collect()
         finally:
@@ -329,7 +377,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_id", "p_user", "e_id")
 
     name = f"itg_ssj_{os.getpid()}_{next(_counter)}"
-    with _replay_partitions(spark):
+    with _replay_partitions(spark, 4):
         q = run_stream_to_memory(joined, name, output_mode="append")
         try:
             late_p.select(cols).repartition(1).write.mode("append").parquet(p_dir)
@@ -608,15 +656,15 @@ def streaming_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> Data
     ).select("p_id", "p_user", "e_id")
 
     name = f"itg_ssjo_{os.getpid()}_{next(_counter)}"
-    with _replay_partitions(spark):
+    with _replay_partitions(spark, 4):
         q = run_stream_to_memory(joined, name, output_mode="append")
         try:
             for wave, ts in enumerate(
                 ["2024-03-01 00:00:00", "2024-03-02 00:00:00"]
             ):
-                s = _sentinel(20_000_000 + wave, ts).select(cols).repartition(1)
-                s.write.mode("append").parquet(p_dir)
-                s.write.mode("append").parquet(e_dir)
+                s = _sentinel(20_000_000 + wave, ts)
+                _append_sentinel_rows(p_dir, s)
+                _append_sentinel_rows(e_dir, s)
                 q.processAllAvailable()
             out = spark.table(name).where(F.col("p_user") >= 0).collect()
         finally:
@@ -1105,9 +1153,7 @@ def streaming_session_eviction_audit(spark: SparkSession, sf_dir: str) -> DataFr
                 replay
             )
             q.processAllAvailable()
-            sentinel.select(cols).repartition(1).write.mode("append").parquet(
-                replay
-            )
+            _append_sentinel_rows(replay, sentinel)
             q.processAllAvailable()
         finally:
             q.stop()
@@ -1253,7 +1299,7 @@ def streaming_checkpoint_restart_replay(
         # job is down; a NEW instance resumes from the same checkpoint
         # (epoch-1 files still in the source dir — offset log skips them).
         wave2.select(cols).repartition(2).write.mode("append").parquet(replay)
-        sentinel.select(cols).repartition(1).write.mode("append").parquet(replay)
+        _append_sentinel_rows(replay, sentinel)
         q2 = start()
         q2.processAllAvailable()
         q2.stop()
@@ -1350,9 +1396,7 @@ def streaming_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = run_stream_to_memory(per_min, name, output_mode="append")
         try:
             q.processAllAvailable()
-            sentinel.select(cols).repartition(1).write.mode("append").parquet(
-                replay
-            )
+            _append_sentinel_rows(replay, sentinel)
             q.processAllAvailable()
             out = spark.table(name).collect()
         finally:
@@ -1480,9 +1524,7 @@ def streaming_gap_outage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = run_stream_to_memory(per_min, name, output_mode="append")
         try:
             q.processAllAvailable()
-            sentinel.select(cols).repartition(1).write.mode("append").parquet(
-                replay
-            )
+            _append_sentinel_rows(replay, sentinel)
             q.processAllAvailable()
             out = spark.table(name).collect()
         finally:

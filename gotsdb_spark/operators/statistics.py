@@ -1971,15 +1971,13 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluated once on those exact integers with an identical operation
     sequence in both engines, then floored to the e9 grid.
 
-    Scale (r14 shape): ONE fact scan collapses to the JOINT (q, cents)
-    dictionary (bounded by the 50-value quantity grid × the cents
-    dictionary, ≪ rows — and the only object that ever leaves the
-    scan); both marginal dictionaries re-aggregate from it; cumulative
-    ranks via dist_rank over each marginal (no unpartitioned row-level
-    window); the five moments are COUNT-WEIGHTED sums over joint cells
-    — the fact rows are never joined or re-scanned. Identical integer
-    algebra to the row-level sums (c copies of rq·rp ≡ one c·rq·rp
-    term, all DECIMAL(38,0)).
+    Scale: two dictionary groupBys (value-grid bounded), cumulative
+    ranks via dist_rank over each dictionary (no unpartitioned
+    row-level window), two equi-joins back to the fact rows
+    (broadcastable dictionaries), one 6-cell scalar aggregate.
+    (A one-scan checkpoint + fan-out variant was measured in the r13
+    optimization round and REJECTED, and a joint-(q, cents)-dictionary
+    fold was measured in r14 and REJECTED — both inline below.)
 
     Reference parity: the reference (j0shgrant/gotsdb) has no
     statistical surface (internal/storage/types.go:3); this is
@@ -1987,48 +1985,37 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from gotsdb_spark.operators.distrank import dist_rank
 
-    # r14 restructure (guide §2.3 "aggregate before you shuffle"): the
-    # five rank moments only need the JOINT (q, cents) dictionary with
-    # counts — sx = Σ_cells c·rq, sxy = Σ_cells c·rq·rp, etc. — so the
-    # fact table is scanned ONCE into that dictionary and never joined
-    # at row grain. The per-variable dictionaries both derive from the
-    # checkpointed joint frame (two tiny re-aggregations instead of two
-    # more fact scans), and the moment aggregate runs over dictionary
-    # cells with exact integer weights — identical DECIMAL(38,0)
-    # algebra, term-for-term, to the old row-level sum (c copies of
-    # rq·rp vs one c·rq·rp term; both exact integers). Replaces r13's
-    # rejected one-scan variant, which checkpointed the 600 k-row FACT
-    # projection (the repartition cost more than the scans it saved) —
-    # the joint dictionary is the grid-bounded object that makes the
-    # one-scan shape pay. Solo A/B and oracle evidence: see
-    # OPTIMIZATION_r14.md.
     base = load_table(spark, "lineitem", sf_dir).select(
         F.col("l_quantity").cast("bigint").alias("q"),
         F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
     )
-    joint = (
-        base.groupBy("q", "cents")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)
-    )
-    qdic = joint.groupBy("q").agg(F.sum("c").cast("long").alias("c"))
+    # (TWO rank-fold restructures measured and REJECTED, r13 + r14:
+    # r13's tagged-union single-dist_rank fold — 4.3 vs 3.7 s solo,
+    # see OPTIMIZATION_r13.md — and r14's joint-(q, cents)-dictionary
+    # fold, which derives both marginals and all five count-weighted
+    # moments from one checkpointed groupBy(q, cents): 3.20 vs 2.93 s
+    # solo, because the "joint dictionary" compresses NOTHING on this
+    # data — 599,602 cells for 600,000 rows at sf0.1 (cents are
+    # near-unique), so the fold traded two columnar scans for three
+    # shuffles + a checkpoint of a data-sized frame. The two-pass
+    # dictionary shape stays.)
+    qdic = base.groupBy("q").agg(F.count(F.lit(1)).alias("c"))
     qrank = dist_rank(
         qdic, ["q"], rank_col="__sp_rk", sum_cols={"cc": "c"}
     ).select("q", (2 * F.col("cc") - F.col("c") + 1).alias("rq_x2"))
-    pdic = joint.groupBy("cents").agg(F.sum("c").cast("long").alias("c"))
+    pdic = base.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
     prank = dist_rank(
         pdic, ["cents"], rank_col="__sp_rk", sum_cols={"cc": "c"}
     ).select("cents", (2 * F.col("cc") - F.col("c") + 1).alias("rp_x2"))
-    cells = joint.join(qrank, "q").join(prank, "cents")
+    joined = base.join(qrank, "q").join(prank, "cents")
     dec = "decimal(38,0)"
-    w = F.col("c").cast(dec)
-    sums = cells.agg(
-        F.sum("c").cast("long").alias("n"),
-        F.sum(w * F.col("rq_x2")).alias("sx"),
-        F.sum(w * F.col("rp_x2")).alias("sy"),
-        F.sum(w * F.col("rq_x2") * F.col("rp_x2")).alias("sxy"),
-        F.sum(w * F.col("rq_x2") * F.col("rq_x2")).alias("sxx"),
-        F.sum(w * F.col("rp_x2") * F.col("rp_x2")).alias("syy"),
+    sums = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("rq_x2").cast(dec)).alias("sx"),
+        F.sum(F.col("rp_x2").cast(dec)).alias("sy"),
+        F.sum(F.col("rq_x2").cast(dec) * F.col("rp_x2")).alias("sxy"),
+        F.sum(F.col("rq_x2").cast(dec) * F.col("rq_x2")).alias("sxx"),
+        F.sum(F.col("rp_x2").cast(dec) * F.col("rp_x2")).alias("syy"),
     )
     return sums.select(
         "n",
